@@ -1,0 +1,8 @@
+package graft
+
+/** The full declared query inventory (SURVEY.md §2.9). */
+object Registry {
+  val all: Seq[Probe] =
+    queries.RefQueries.all ++
+    queries.Probes.all
+}

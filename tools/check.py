@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [verify_out]
+
+Assumes graft.Verify has already written <verify_out>/<name>/ parquet dirs
+plus <verify_out>/oracle_sql.json. Registers each testdata parquet as a
+DuckDB view named after the file, runs every oracle SQL, and compares
+against the Spark result: columns sorted by name, rows in written order,
+exact value equality (floats compared bit-exactly; small report on diff).
+"""
+import duckdb, glob, json, math, os, sys
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in sorted(glob.glob(f"{sfdir}/*.parquet")):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output dir")
+        n_fail += 1
+        continue
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        n_fail += 1
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: spark read error: {e}")
+        n_fail += 1
+        continue
+
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+        n_fail += 1
+        continue
+    got, exp = got[gcols], exp[gcols]
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+        n_fail += 1
+        continue
+    bad = None
+    for c in gcols:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            gn = isinstance(g, float) and math.isnan(g)
+            en = isinstance(e, float) and math.isnan(e)
+            if gn and en:
+                continue
+            eq = (g == e)
+            try:
+                if not eq and g is not None and e is not None:
+                    eq = float(g) == float(e)  # Decimal vs float repr
+            except (TypeError, ValueError):
+                pass
+            if not eq:
+                bad = (c, i, g, e)
+                break
+        if bad:
+            break
+    if bad:
+        c, i, g, e = bad
+        print(f"FAIL {name}: first diff col={c} row={i} spark={g!r} oracle={e!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total")
+sys.exit(1 if n_fail else 0)
