@@ -4,5 +4,9 @@ package graft
 object Registry {
   val all: Seq[Probe] =
     queries.RefQueries.all ++
-    queries.Probes.all
+    queries.Probes.all ++
+    ext.Dedup.all ++
+    ext.Similarity.all ++
+    ext.TextAnalysis.all ++
+    ext.Multimodal.all
 }

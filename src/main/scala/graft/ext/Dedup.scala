@@ -1,0 +1,200 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Scale design: every variant is one bounded shuffle. Exact dedup shuffles
+  * on the business key (the window partition key); MinHash-LSH shuffles on
+  * (band, signature) buckets so candidate generation never goes quadratic in
+  * the corpus — only within a bucket; SimHash pairs are bounded to
+  * (lang, source) buckets. No driver-side collection anywhere.
+  *
+  * Hashes are md5 (identical lowercase hex in Spark and DuckDB), and
+  * "minimum" is the lexicographic min over hex strings — statistically
+  * equivalent to min over ints, and portable across engines.
+  */
+object Dedup {
+
+  /** X-DED1 — exact dedup with a deterministic survivor: newest event per
+    * (user_id, event_type), ties broken by event_id. The
+    * row_number-over-window form (not dropDuplicates) pins WHICH duplicate
+    * survives — dropDuplicates keeps an arbitrary first-seen row, which is
+    * nondeterministic under shuffle.
+    */
+  private val ded1 = Probe(
+    "x_ded1_exact_dedup",
+    """SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** X-DED2 — MinHash + LSH near-dup candidates over 3-word shingles.
+    *
+    * 8 hash functions = min(md5(seed|shingle)); 2 bands of 4 → candidate
+    * pair iff a full band matches (Jaccard^4 collision prob per band). The
+    * expensive join is on (band, signature) — the classic LSH bucket join
+    * that scales linearly in corpus size for a fixed near-dup density.
+    */
+  private val ded2 = Probe(
+    "x_ded2_minhash_lsh",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |hx AS (
+      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
+      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
+      |  GROUP BY doc_id, h),
+      |bd AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         string_agg(h || ':' || mh, '|' ORDER BY h) AS sig
+      |  FROM hx GROUP BY doc_id, h // 4)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
+      |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val shingles = words
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))""".stripMargin))
+        .as("s"))
+      .distinct()
+    val minhashes = shingles
+      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 7)")).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")))).as("mh"))
+    val bands = minhashes
+      .groupBy(col("doc_id"), expr("h DIV 4").as("band"))
+      .agg(concat_ws("|",
+        array_sort(collect_list(concat(col("h").cast("string"), lit(":"), col("mh"))))).as("sig"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** X-DED3 — 32-bit SimHash over each document's distinct-word set.
+    *
+    * Bit j of the fingerprint is the sign of the vote sum over words: +1 if
+    * hex digit j of md5(word) has its high bit set, else −1. Near-dup count
+    * per doc = same-(lang,source)-bucket neighbors within Hamming ≤ 2 —
+    * the bucket bound keeps the pair space linear-ish at scale (at 100 TB
+    * the bucketing key becomes an LSH band over simhash prefixes).
+    */
+  private val ded3 = Probe(
+    "x_ded3_simhash",
+    """WITH dw AS (
+      |  SELECT DISTINCT doc_id, lang, source, w
+      |  FROM (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, lang, source, j,
+      |    SUM(CASE WHEN substr(md5(w), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |             THEN 1 ELSE -1 END) AS vote
+      |  FROM dw, UNNEST(generate_series(1, 32)) AS t(j)
+      |  GROUP BY doc_id, lang, source, j),
+      |sig AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN power(2, j - 1) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id, lang, source)
+      |SELECT a.doc_id, a.simhash,
+      |  CAST(COUNT(b.doc_id) AS BIGINT) AS n_near
+      |FROM sig a LEFT JOIN sig b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+      | AND bit_count(xor(a.simhash, b.simhash)) <= 2
+      |GROUP BY a.doc_id, a.simhash
+      |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+    val dw = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val bits = dw
+      .select(col("doc_id"), col("lang"), col("source"), col("w"),
+        explode(expr("sequence(1, 32)")).as("j"))
+      .groupBy("doc_id", "lang", "source", "j")
+      .agg(sum(expr(
+        "CASE WHEN substr(md5(w), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"))
+        .as("vote"))
+    val sig = bits
+      .groupBy("doc_id", "lang", "source")
+      .agg(sum(when(col("vote") > 0, pow(lit(2), col("j") - 1)).otherwise(0))
+        .cast("long").as("simhash"))
+    val a = sig.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("source").as("a_src"), col("simhash").as("a_sh"))
+    val b = sig.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("source").as("b_src"), col("simhash").as("b_sh"))
+    a.join(b,
+        a("a_lang") === b("b_lang") && a("a_src") === b("b_src") &&
+        a("a_id") =!= b("b_id") &&
+        expr("bit_count(a_sh ^ b_sh) <= 2"), "left")
+      .groupBy(col("a_id").as("doc_id"), col("a_sh").as("simhash"))
+      .agg(count(col("b_id")).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  /** X-DED4 — word-bigram Jaccard near-dup pairs within (lang, source)
+    * buckets. Jaccard surfaced as exact ppm via truncating integer division.
+    */
+  private val ded4 = Probe(
+    "x_ded4_ngram_jaccard",
+    """WITH bg AS (
+      |  SELECT DISTINCT doc_id, lang, source, ws[i] || ' ' || ws[i+1] AS g
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 2),
+      |       UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bg a JOIN bg b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, c AS n_shared,
+      |  (c * 1000000) // (sa.n + sb.n - c) AS jaccard_ppm
+      |FROM shared JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |WHERE (c * 1000000) // (sa.n + sb.n - c) >= 300000
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val bg = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+        .as("g"))
+      .distinct()
+    val sz = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = bg.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("g"))
+    val b = bg.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("g").as("g_b"))
+    val shared = a.join(b,
+        a("lang") === b("lang_b") && a("source") === b("source_b") &&
+        a("g") === b("g_b") && a("a_id") < b("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    shared
+      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("c").as("n_shared"),
+        expr("(c * 1000000) DIV (na + nb - c)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= 300000)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded1, ded2, ded3, ded4)
+}

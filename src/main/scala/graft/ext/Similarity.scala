@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the embeddings
+  * table (`embedding: Array[Float]`, 64-dim).
+  *
+  * Numeric portability: raw float dot products are NOT bit-portable across
+  * engines (summation order), so vectors are quantized to exact integers
+  * (floor(x * 1e6), lossless in doubles up to 2^53). Integer dot products
+  * and norms are then order-independent and exact; the final cosine is a
+  * single IEEE divide/sqrt on identical inputs → identical bits everywhere.
+  *
+  * Scale path: brute-force is the correctness baseline (queries broadcast
+  * against the corpus — linear scan, no shuffle of the corpus). The
+  * LSH-bucketed variant (x_sim2) hashes vectors into sign-random-projection
+  * buckets and only scores within a bucket — the 100 TB shape where the
+  * corpus never pairs with itself globally.
+  */
+object Similarity {
+
+  private val intVec = "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))"
+
+  /** X-SIM1 — brute-force cosine top-10 for query vectors (vec_id < 5). */
+  private val sim1 = Probe(
+    "x_sim1_cosine_topk",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM iv),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         list_sum(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])) /
+       |           sqrt(q.n2 * c.n2) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, c_id, cos,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       |      FROM p)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(cos, 6) AS score
+       |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(intVec).as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    val q = iv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val c = iv.select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          sqrt(col("qn2") * col("cn2")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** X-SIM2 — LSH-bucketed similarity join: 8-bit sign-random-projection
+    * bucket per vector (projection directions derived from md5 of the
+    * dimension index — deterministic and engine-portable), then cosine only
+    * WITHIN a bucket. Returns per-bucket pair counts + strong-match count,
+    * demonstrating the bounded-shuffle candidate generation.
+    */
+  private val sim2 = Probe(
+    "x_sim2_lsh_buckets",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+       |  FROM embeddings),
+       |-- sign bit b (1..8): sign of sum over dims i of v[i] * s(b, i), where
+       |-- s(b,i) = +1 if hex digit ((i*7 + b*13) mod 32)+1 of md5(b||'_'||i) >= '8'
+       |b AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN power(2, bb - 1) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT vec_id, bb,
+       |      SUM(CASE WHEN substr(md5(bb || '_' || i), 1 + ((i * 7 + bb * 13) % 32), 1)
+       |               IN ('8','9','a','b','c','d','e','f') THEN v[i] ELSE -v[i] END) AS dot
+       |    FROM iv, UNNEST(generate_series(1, 8)) AS t1(bb), UNNEST(generate_series(1, 64)) AS t2(i)
+       |    GROUP BY vec_id, bb)
+       |  GROUP BY vec_id)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val iv = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(intVec).as("v"))
+    val dots = iv
+      .select(col("vec_id"), col("v"), explode(expr("sequence(1, 8)")).as("bb"))
+      .select(col("vec_id"), col("bb"), col("v"), explode(expr("sequence(1, 64)")).as("i"))
+      .withColumn("sgn", expr(
+        """CASE WHEN substr(md5(concat(cast(bb AS STRING), '_', cast(i AS STRING))),
+          |               cast(1 + (i * 7 + bb * 13) % 32 AS INT), 1)
+          |          IN ('8','9','a','b','c','d','e','f')
+          |     THEN element_at(v, cast(i AS INT))
+          |     ELSE -element_at(v, cast(i AS INT)) END""".stripMargin))
+      .groupBy("vec_id", "bb").agg(sum(col("sgn")).as("dot"))
+    dots
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, pow(lit(2), col("bb") - 1)).otherwise(0))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[Probe] = Seq(sim1, sim2)
+}

@@ -1,0 +1,132 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: language-ID heuristic,
+  * quality scoring, token counting, and document fingerprinting.
+  *
+  * All are narrow, per-row column expressions (no shuffle at all except the
+  * final presentation ORDER BY) — embarrassingly parallel at 100 TB.
+  * Ratios are exact ppm integers (truncating division) for oracle parity.
+  */
+object TextAnalysis {
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val esStop = Seq("el", "la", "de", "y", "que", "en")
+  private val deStop = Seq("der", "die", "das", "und", "ist")
+  private val frStop = Seq("le", "la", "les", "et", "est")
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  /** X-TXT1 — stopword-hit language ID with a fixed precedence order
+    * (en > es > de > fr on ties; 'und' when no list hits).
+    */
+  private val txt1 = Probe(
+    "x_txt1_lang_id",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT) AS en_hits,
+       |    CAST(len(list_filter(ws, w -> w IN ${inList(esStop)})) AS BIGINT) AS es_hits,
+       |    CAST(len(list_filter(ws, w -> w IN ${inList(deStop)})) AS BIGINT) AS de_hits,
+       |    CAST(len(list_filter(ws, w -> w IN ${inList(frStop)})) AS BIGINT) AS fr_hits
+       |  FROM t)
+       |SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+       |       WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |       WHEN de_hits >= fr_hits THEN 'de'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT)").as("en_hits"),
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(esStop)})) AS BIGINT)").as("es_hits"),
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(deStop)})) AS BIGINT)").as("de_hits"),
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(frStop)})) AS BIGINT)").as("fr_hits"))
+      .withColumn("pred_lang", expr(
+        """CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+          |     WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+          |     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+          |     WHEN de_hits >= fr_hits THEN 'de'
+          |     ELSE 'fr' END""".stripMargin))
+      .orderBy("doc_id")
+  }
+
+  /** X-TXT2 — quality scoring: length, word stats, punctuation and stopword
+    * ratios (ppm), and a boolean keep/drop gate — the standard pre-training
+    * corpus filter shape.
+    */
+  private val txt2 = Probe(
+    "x_txt2_quality",
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS ws,
+       |         CAST(length(text) AS BIGINT) AS len_chars,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_letters
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_chars, len_chars, n_letters,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_chars, len_chars, n_words, n_letters,
+       |  (n_letters * 1000000) // len_chars AS letter_ppm,
+       |  (n_stop * 1000000) // n_words AS stop_ppm,
+       |  (len_chars = n_chars) AS len_matches,
+       |  (n_words >= 5 AND n_words <= 2000) AS len_ok
+       |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("n_letters",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT)"))
+      .select(col("doc_id"), col("n_chars"), col("len_chars"), col("n_words"), col("n_letters"),
+        expr("(n_letters * 1000000) DIV len_chars").as("letter_ppm"),
+        expr("(n_stop * 1000000) DIV n_words").as("stop_ppm"),
+        (col("len_chars") === col("n_chars")).as("len_matches"),
+        (col("n_words") >= 5 && col("n_words") <= 2000).as("len_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** X-TXT3 — token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other chars), distinct tokens.
+    */
+  private val txt3 = Probe(
+    "x_txt3_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+        .as("n_re_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** X-TXT4 — document fingerprints: exact content hash + an order-invariant
+    * bag-of-words fingerprint (sorted distinct words → md5), the cheap
+    * canonical-form dedup key.
+    */
+  private val txt4 = Probe(
+    "x_txt4_fingerprint",
+    """SELECT doc_id, md5(text) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents").select(
+      col("doc_id"), md5(col("text")).as("content_fp"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("bow_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4)
+}
