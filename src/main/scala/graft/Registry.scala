@@ -8,5 +8,6 @@ object Registry {
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
-    ext.Multimodal.all
+    ext.Multimodal.all ++
+    osm.OsmProbes.all
 }

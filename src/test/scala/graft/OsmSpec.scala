@@ -1,0 +1,117 @@
+package graft
+
+import graft.osm.{OsmPipeline, OsmProbes, OsmQueries}
+import org.apache.spark.sql.Row
+
+/** Golden end-to-end tests: fixture XML → 5 tables → notebook queries,
+  * pinning every cleaning/shaping branch (FIXTURES.md §1).
+  */
+class OsmSpec extends SparkSuite {
+
+  private lazy val t = OsmPipeline.process(spark, OsmProbes.fixturePath)
+
+  test("5 tables have the pinned schemas and row counts") {
+    assert(t.nodes.columns.toSeq ==
+      Seq("id", "lat", "lon", "user", "uid", "version", "changeset", "timestamp"))
+    assert(t.nodeTags.columns.toSeq == Seq("id", "key", "value", "type"))
+    assert(t.ways.columns.toSeq ==
+      Seq("id", "user", "uid", "version", "changeset", "timestamp"))
+    assert(t.wayNodes.columns.toSeq == Seq("id", "node_id", "position"))
+    assert(t.wayTags.columns.toSeq == Seq("id", "key", "value", "type"))
+    assert(t.nodes.count() == 2)
+    assert(t.nodeTags.count() == 11) // 12 tags - 1 problem-char drop
+    assert(t.ways.count() == 1)
+    assert(t.wayNodes.count() == 2)
+    assert(t.wayTags.count() == 2)
+  }
+
+  test("node tags: cleaning + colon split, problem key dropped") {
+    val tags = t.nodeTags.filter(t.nodeTags("id") === 29591541L)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(tags == Set(
+      ("exit_to", "TX 45 west", "regular"),
+      ("highway", "motorway_junction", "regular"),
+      ("street", "Main Street", "addr"),        // F1
+      ("postcode", "78621", "addr"),            // F4
+      ("city", "Elgin", "addr"),                // F3
+      ("state", "Texas", "addr"),               // F5
+      ("phone", "512-281-5440", "regular"),     // F2
+      ("housenumber", "101", "addr"),           // audited, never rewritten
+      ("county_id", "21", "gnis"),              // R2
+      ("name_base_1", "FM 1100", "tiger")))     // R2 prefix-gate case
+    // "bad=key" dropped by P3: not present
+  }
+
+  test("way tags: expected street unchanged, Round → Round Rock") {
+    val tags = t.wayTags.collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(tags == Set(("street", "Basket Flower Bend"), ("city", "Round Rock")))
+  }
+
+  test("way_nodes: position = 0-based array order") {
+    val rows = t.wayNodes.orderBy("position").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((29591541L, 0L), (2637880080L, 1L)))
+  }
+
+  test("Q2: node_tags type counts descending") {
+    OsmPipeline.registerViews(t)
+    val rows = OsmQueries.q2(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("addr", 5L), ("regular", 3L), ("fire_hydrant", 1L), ("gnis", 1L), ("tiger", 1L)))
+  }
+
+  test("Q1: union-all of both tag tables") {
+    OsmPipeline.registerViews(t)
+    val rows = OsmQueries.q1(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("addr", 5L), ("regular", 3L), ("addr", 2L),
+      ("fire_hydrant", 1L), ("gnis", 1L), ("tiger", 1L)))
+  }
+
+  test("Q3: fire hydrant join finds the hydrant node with coordinates") {
+    OsmPipeline.registerViews(t)
+    val rows = OsmQueries.q3(spark).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 2637880080L)
+    assert(math.abs(rows(0).getDouble(1) - 30.428064) < 1e-9)
+    assert(rows(0).getString(3) == "fire_hydrant")
+  }
+
+  test("Q4: top contributors, union distinct") {
+    OsmPipeline.registerViews(t)
+    val rows = OsmQueries.q4(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("hydrant_bot", 1L), ("patisilva_atxbuildings", 1L), ("yurasi", 1L)))
+  }
+
+  test("Q5: oldest and newest node timestamps (ISO string order)") {
+    OsmPipeline.registerViews(t)
+    assert(OsmQueries.q5Oldest(spark).collect()(0).getString(0) == "2014-01-01T00:00:00Z")
+    assert(OsmQueries.q5Newest(spark).collect()(0).getString(0) == "2016-08-11T15:43:11Z")
+  }
+
+  test("audit streets: only unexpected suffixes, grouped by token") {
+    val raw = OsmQueries.rawTags(
+      OsmPipeline.readNodesRaw(spark, OsmProbes.fixturePath),
+      OsmPipeline.readWaysRaw(spark, OsmProbes.fixturePath))
+    val rows = OsmQueries.auditStreets(raw).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toMap
+    assert(rows == Map("St" -> Seq("Main St"))) // "Basket Flower Bend" is expected
+  }
+
+  test("strict mode raises on dirty street (reference crash-on-dirty)") {
+    val strictT = OsmPipeline.process(spark, OsmProbes.fixturePath, strict = true)
+    // fixture streets are all cleanable → no raise
+    assert(strictT.nodeTags.count() == 11)
+  }
+
+  test("validated tables pass the V1 non-null gate") {
+    val v = OsmPipeline.validated(t)
+    assert(v.nodes.count() == 2 && v.nodeTags.count() == 11)
+  }
+
+  test("CSV round-trip preserves rows and column order") {
+    val dir = java.nio.file.Files.createTempDirectory("osm_csv").toString
+    OsmPipeline.writeCsv(t, dir)
+    val back = spark.read.option("header", true).csv(s"$dir/nodes_tags")
+    assert(back.columns.toSeq == Seq("id", "key", "value", "type"))
+    assert(back.count() == 11)
+  }
+}
