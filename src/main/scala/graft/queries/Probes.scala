@@ -424,7 +424,47 @@ object Probes {
       .orderBy("win_start", "event_type")
   }
 
+  /** P-EVT2 — sessionization in batch form: a session breaks after a
+    * 30-minute gap per user. The lag/cumsum-over-window formulation is the
+    * scalable batch shape (one shuffle on user_id); the streaming stateful
+    * variant lives in graft.streaming.
+    */
+  private val pEvt2 = Probe(
+    "p_evt2_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM e)
+      |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+      |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, sess""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "sess")
+  }
+
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
-    pWin1, pWin2, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt)
+    pWin1, pWin2, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2)
 }

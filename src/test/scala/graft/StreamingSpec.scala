@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch parity: the same tumblingAgg definition must produce
+  * identical results through readStream + memory sink and through a plain
+  * batch read; sessionize must agree with the oracle-checked batch
+  * formulation (p_evt2_sessionize).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tumbling window agg: streaming result == batch result") {
+    val streaming = EventStreams.tumblingAgg(EventStreams.readStream(spark, dir))
+    val q = streaming.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .orderBy("win_start_us", "event_type").collect().toSeq
+      val want = EventStreams.tumblingAgg(Tables(spark, dir, "events"))
+        .orderBy("win_start_us", "event_type").collect().toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize agrees with the lag/cumsum batch form") {
+    import spark.implicits._
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val got = EventStreams.sessionize(events)
+      .orderBy("user_id", "start_us")
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSeq
+
+    val want = graft.queries.Probes.all.find(_.name == "p_evt2_sessionize").get
+      .run(spark, dir)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+}
