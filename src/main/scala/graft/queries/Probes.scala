@@ -464,7 +464,28 @@ object Probes {
       .orderBy("user_id", "sess")
   }
 
+  /** P-JSON — semi-structured column access: events.props is a JSON string;
+    * extract typed fields (get_json_object path expressions).
+    */
+  private val pJson = Probe(
+    "p_json_extract",
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+      |  (json_extract(props, '$.k') IS NOT NULL) AS has_k,
+      |  (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+      get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
+      get_json_object(col("props"), "$.missing").isNotNull.as("has_missing"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
-    pWin1, pWin2, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2)
+    pWin1, pWin2, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
+    pJson)
 }
