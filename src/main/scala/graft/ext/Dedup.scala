@@ -123,21 +123,24 @@ object Dedup {
       | AND bit_count(xor(a.simhash, b.simhash)) <= 2
       |GROUP BY a.doc_id, a.simhash
       |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+    // One row per distinct (doc, word), md5 computed once, 32 conditional
+    // sums as sibling aggregates — no ×32 row explosion (the DuckDB oracle
+    // keeps the exploded formulation; results are identical).
     val dw = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .distinct()
-    val bits = dw
-      .select(col("doc_id"), col("lang"), col("source"), col("w"),
-        explode(expr("sequence(1, 32)")).as("j"))
-      .groupBy("doc_id", "lang", "source", "j")
-      .agg(sum(expr(
-        "CASE WHEN substr(md5(w), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"))
-        .as("vote"))
-    val sig = bits
+      .withColumn("m", md5(col("w")))
+    val votes = (1 to 32).map(j => sum(expr(
+      s"CASE WHEN substr(m, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"))
+      .as(s"v$j"))
+    val sig = dw
       .groupBy("doc_id", "lang", "source")
-      .agg(sum(when(col("vote") > 0, pow(lit(2), col("j") - 1)).otherwise(0))
-        .cast("long").as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("lang"), col("source"), col("simhash"))
     val a = sig.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("source").as("a_src"), col("simhash").as("a_sh"))
     val b = sig.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
