@@ -5,6 +5,7 @@ object Registry {
   val all: Seq[Probe] =
     queries.RefQueries.all ++
     queries.Probes.all ++
+    queries.Advanced.all ++
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
