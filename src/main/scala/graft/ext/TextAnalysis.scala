@@ -128,5 +128,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4)
+  /** X-TXT5 — document fingerprint via the native rolling_hash Catalyst
+    * expression (graft.functions.RollingHash: codegen'd Rabin–Karp, no UDF
+    * boundary). Registered for SQL through GraftExtensions.
+    */
+  private val txt5 = Probe(
+    "x_txt5_rolling_hash",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5)
 }

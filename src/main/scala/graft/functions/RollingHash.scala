@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash (Rabin–Karp) of a UTF-8 string:
+  *
+  *   h = fold(bytes)(h -> (h * 31 + byte) mod 1_000_000_007)
+  *
+  * A document fingerprint primitive that has no clean built-in form — the
+  * `aggregate`-over-`split` equivalent allocates a char array per row and
+  * falls out of whole-stage codegen. This is a native Catalyst
+  * `UnaryExpression` WITH `doGenCode`, so it fuses into the generated
+  * per-row loop: zero allocation, no UDF serialization boundary — the
+  * "custom Expression beats UDF" tier for 100 TB hot paths.
+  *
+  * The modulus keeps h*31+255 < 2^63 (no overflow), and the same math is
+  * expressible in the DuckDB oracle (list_reduce over integer codepoints),
+  * which is how x_fp_rolling_hash is hash-checked.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  // interpreted path (must match codegen exactly)
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  // codegen path: fused into the whole-stage-generated row loop
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % 1000000007L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Column API. Requires GraftExtensions.register(spark) (or the
+    * spark.sql.extensions config) — Spark 4's Column no longer exposes a
+    * public Expression constructor, so the bridge is the function registry
+    * + call_function.
+    */
+  def rolling_hash(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("rolling_hash", c)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.RollingHash.rolling_hash
+import org.apache.spark.sql.functions._
+
+/** Native rolling_hash expression: known values, SQL registration, and
+  * interpreted ≡ codegen agreement.
+  */
+class RollingHashSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("known values via the Column API") {
+    GraftExtensions.register(spark)
+    val out = Seq("ab", "", "the fast key").toDF("t")
+      .select(rolling_hash(col("t"))).collect().map(_.getLong(0)).toSeq
+    // 'ab' = 97*31 + 98; '' folds to 0
+    assert(out == Seq(3105L, 0L, 708149544L))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Seq("hello world").toDF("t").createOrReplaceTempView("rh_in")
+    val viaSql = spark.sql("SELECT rolling_hash(t) FROM rh_in").collect()(0).getLong(0)
+    val viaCol = Seq("hello world").toDF("t")
+      .select(rolling_hash(col("t"))).collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("interpreted path equals codegen path") {
+    GraftExtensions.register(spark)
+    val data = Seq("a", "abcdefghij", "the batch value merge line", "ズ unicode ズ")
+    val codegen = data.toDF("t").select(rolling_hash(col("t"))).collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = data.toDF("t").select(rolling_hash(col("t"))).collect().map(_.getLong(0)).toSeq
+      assert(interp == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
