@@ -22,6 +22,8 @@ object OsmProbes {
     "osm_s1_node_tags" -> ((_, t) => t.nodeTags.orderBy("id", "key")),
     "osm_s1_way_nodes" -> ((_, t) => t.wayNodes.orderBy("id", "position")),
     "osm_q1_type_counts" -> ((s, t) => { OsmPipeline.registerViews(t); OsmQueries.q1(s) }),
+    "osm_q1b_literal_quirk" -> ((s, t) => { OsmPipeline.registerViews(t); OsmQueries.q1Literal(s) }),
+    "osm_q4b_literal_quirk" -> ((s, t) => { OsmPipeline.registerViews(t); OsmQueries.q4Literal(s) }),
     "osm_q2_node_tag_types" -> ((s, t) => { OsmPipeline.registerViews(t); OsmQueries.q2(s) }),
     "osm_q3_fire_hydrants" -> ((s, t) => { OsmPipeline.registerViews(t); OsmQueries.q3(s) }),
     "osm_q4_top_contributors" -> ((s, t) => { OsmPipeline.registerViews(t); OsmQueries.q4(s) }),

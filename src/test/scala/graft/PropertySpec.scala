@@ -1,0 +1,92 @@
+package graft
+
+import graft.clean.CleanFns
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5): invariants of the cleaning
+  * functions and query-shape equivalences, driven through the real Column
+  * expressions on a local session. Generators are ScalaCheck Gens sampled
+  * from a fixed seed (deterministic, no scalatestplus bridge needed).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def runPhone(inputs: Seq[String]): Seq[String] =
+    inputs.toDF("raw").select(CleanFns.phone(col("raw"))).collect().map(_.getString(0)).toSeq
+
+  private val phoneGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.numChar, Gen.oneOf('(', ')', '-', '.', ' ', '+')))
+      .map(_.mkString.take(20))
+
+  test("F2 phone: output digits = input digits minus leading country-code 1") {
+    val raws = samples(phoneGen, 200)
+    val outs = runPhone(raws)
+    raws.zip(outs).foreach { case (raw, out) =>
+      val digits = raw.filter(_.isDigit)
+      val expected = if (digits.startsWith("1")) digits.drop(1) else digits
+      assert(out.filter(_.isDigit) == expected, s"raw=$raw out=$out")
+      assert(out.count(_ == '-') >= 2, s"blind slice always inserts dashes: $raw -> $out")
+    }
+  }
+
+  test("F2 phone: idempotent on already-clean 10-digit numbers") {
+    val tenDigit = Gen.listOfN(10, Gen.numChar).map(_.mkString)
+      .retryUntil(d => !d.startsWith("1"))
+    val ds = samples(tenDigit, 100)
+    val once = runPhone(ds)
+    assert(runPhone(once) == once)
+  }
+
+  test("F4 postcode: result is empty or a 5-digit substring of the input") {
+    val gen = Gen.listOfN(15, Gen.oneOf(Gen.numChar, Gen.alphaChar, Gen.const(' ')))
+      .map(_.mkString)
+    val raws = samples(gen, 200)
+    val outs = raws.toDF("raw").select(CleanFns.postcode(col("raw")))
+      .collect().map(_.getString(0)).toSeq
+    raws.zip(outs).foreach { case (raw, out) =>
+      assert(out.isEmpty || (out.length == 5 && out.forall(_.isDigit) && raw.contains(out)))
+    }
+  }
+
+  test("R2 split: type + ':' + key reconstructs gated keys") {
+    val ident = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('_'))).map(_.mkString)
+    val gated = for { a <- ident; b <- ident; c <- Gen.option(ident) }
+      yield a + ":" + b + c.map(":" + _).getOrElse("")
+    val keys = samples(gated, 200)
+    val rows = keys.toDF("k")
+      .select(col("k"), CleanFns.tagKey(col("k")).as("key"), CleanFns.tagType(col("k")).as("type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    rows.foreach { case (k, key, typ) =>
+      assert(typ + ":" + key == k, s"reconstruction failed for $k")
+    }
+  }
+
+  test("R3: non-gated keys pass through with type=regular") {
+    val nonGated = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString), // no colon
+      Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.mkString + ":x"), // bad prefix
+      Gen.nonEmptyListOf(Gen.numChar).map(_.mkString + ":x"))
+    val keys = samples(nonGated, 150)
+    val rows = keys.toDF("k")
+      .select(col("k"), CleanFns.tagKey(col("k")).as("key"), CleanFns.tagType(col("k")).as("type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    rows.foreach { case (k, key, typ) =>
+      assert(key == k && typ == "regular", s"$k should be regular")
+    }
+  }
+
+  test("orderBy.limit(1) == min (Q5 equivalence)") {
+    val xsGen = Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))
+    samples(xsGen, 20).foreach { xs =>
+      val df = xs.toDF("x")
+      val viaSort = df.orderBy(col("x")).limit(1).collect()(0).getLong(0)
+      val viaMin = df.agg(min(col("x"))).collect()(0).getLong(0)
+      assert(viaSort == viaMin)
+    }
+  }
+}
