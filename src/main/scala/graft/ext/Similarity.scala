@@ -102,5 +102,75 @@ object Similarity {
       .orderBy("bucket")
   }
 
-  val all: Seq[Probe] = Seq(sim1, sim2)
+  /** X-SIM3 — IVF-style ANN: a deterministic coarse quantizer (centroids =
+    * the first 8 vectors) partitions the corpus into cells by exact integer
+    * L2 distance; queries probe only their 2 nearest cells and rank by
+    * cosine within them. This is the inverted-file scale shape: candidate
+    * scoring is bounded by cell size, and cell assignment is a narrow
+    * per-row computation against broadcast centroids.
+    */
+  private val sim3 = Probe(
+    "x_sim3_ivf_topk",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM iv WHERE vec_id < 8),
+       |-- exact integer L2 distance to every centroid
+       |ad AS (
+       |  SELECT iv.vec_id, cent.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+       |    FROM ad WHERE vec_id < 5)
+       |  WHERE rn <= 2),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM iv),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.c_id,
+       |         list_sum(list_transform(list_zip(q.v, x.v), z -> z[1]*z[2])) / sqrt(q.n2 * x.n2) AS cos
+       |  FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n x ON x.vec_id = c.c_id),
+       |r AS (SELECT q_id, c_id, cos,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       |      FROM scored)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(cos, 6) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(intVec).as("v"))
+    val cent = iv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val ad = iv.crossJoin(broadcast(cent))
+      .withColumn("d2", expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    val assign = ad
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val probes = ad.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val n = iv.withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    val cand = probes.join(assign, Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val x = n.select(col("vec_id").as("cand_id"), col("v").as("xv"), col("n2").as("xn2"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cand.join(broadcast(q), "q_id").join(x, "cand_id")
+      .withColumn("cos",
+        expr("aggregate(zip_with(qv, xv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          sqrt(col("qn2") * col("xn2")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id").as("c_id"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Probe] = Seq(sim1, sim2, sim3)
 }
