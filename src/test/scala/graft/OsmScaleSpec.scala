@@ -1,0 +1,90 @@
+package graft
+
+import graft.osm.OsmPipeline
+import java.nio.file.{Files, Paths}
+
+/** ETL at the reference's actual input scale (~100 MB XML for the real
+  * Elgin extract): generate a comparable synthetic OSM file, run the full
+  * pipeline, verify counts/cleaning, and record throughput.
+  */
+class OsmScaleSpec extends SparkSuite {
+
+  private def generate(path: String, nNodes: Int, nWays: Int): Unit = {
+    val w = Files.newBufferedWriter(Paths.get(path))
+    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n")
+    var i = 0
+    while (i < nNodes) {
+      val id = 1000000L + i
+      w.write(s"""  <node id="$id" lat="${30.25 + (i % 1000) * 1e-4}" lon="${-97.62 + (i % 997) * 1e-4}" version="1" timestamp="2016-0${1 + i % 9}-11T15:43:11Z" changeset="${i % 100000}" uid="${i % 5000}" user="user_${i % 5000}">
+""")
+      w.write(s"""    <tag k="addr:street" v="Main St"/>
+    <tag k="addr:postcode" v="786${i % 10}1-124${i % 10}"/>
+    <tag k="highway" v="residential"/>
+""")
+      w.write("  </node>\n")
+      i += 1
+    }
+    var j = 0
+    while (j < nWays) {
+      val id = 9000000L + j
+      w.write(s"""  <way id="$id" version="1" timestamp="2015-06-01T12:00:00Z" changeset="2" uid="2" user="w_${j % 100}">
+    <tag k="addr:city" v="Elgin, TX"/>
+    <nd ref="${1000000L + j % nNodes}"/>
+    <nd ref="${1000000L + (j * 7) % nNodes}"/>
+  </way>
+""")
+      j += 1
+    }
+    w.write("</osm>\n")
+    w.close()
+  }
+
+  test("full pipeline over a reference-scale XML input") {
+    val dir = Files.createTempDirectory("osm_scale").toString
+    val xml = s"$dir/big.osm"
+    val nNodes = 120000
+    val nWays = 20000
+    generate(xml, nNodes, nWays)
+    val mb = Files.size(Paths.get(xml)) / 1e6
+    assert(mb > 30, s"generated file too small: $mb MB")
+
+    // force multi-split reads so the scan shape matches a distributed run
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+    try {
+      val t0 = System.nanoTime()
+      val t = OsmPipeline.process(spark, xml)
+      assert(t.nodes.count() == nNodes)
+      assert(t.nodeTags.count() == nNodes * 3L)
+      assert(t.ways.count() == nWays)
+      assert(t.wayNodes.count() == nWays * 2L)
+      assert(t.wayTags.count() == nWays.toLong)
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"pipeline counted 5 tables over $mb%.1f MB XML in $secs%.1f s " +
+        f"(${t.nodes.rdd.getNumPartitions} node-scan partitions)")
+
+      // cleaning applied at scale: every street canonicalized, postcode truncated
+      val streets = t.nodeTags.filter(t.nodeTags("key") === "street")
+        .select("value").distinct().collect().map(_.getString(0)).toSet
+      assert(streets == Set("Main Street"))
+      val badZips = t.nodeTags.filter(t.nodeTags("key") === "postcode")
+        .filter(!t.nodeTags("value").rlike("^\\d{5}$")).count()
+      assert(badZips == 0)
+
+      // SCALE CAVEAT (observed): Spark's XML source does NOT split a single
+      // file — one 100 GB .osm would be one task. The mitigation is the
+      // standard one: shard the input into many files; the scan then
+      // parallelizes per file. Demonstrated:
+      val shards = s"$dir/shards"
+      Files.createDirectories(Paths.get(shards))
+      (0 until 4).foreach { s =>
+        generate(s"$shards/part_$s.osm", nNodes / 20, 0)
+      }
+      val sharded = OsmPipeline.readNodesRaw(spark, shards + "/*.osm")
+      assert(sharded.rdd.getNumPartitions >= 4,
+        s"expected >=4 partitions over 4 shards, got ${sharded.rdd.getNumPartitions}")
+      assert(sharded.count() == (nNodes / 20) * 4L)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+}

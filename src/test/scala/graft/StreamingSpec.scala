@@ -27,6 +27,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates with watermark dedups by event_id") {
+    import spark.implicits._
+    val deduped = EventStreams.readStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()(0).getLong(0)
+      val want = Tables(spark, dir, "events").select("event_id").distinct().count()
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the lag/cumsum batch form") {
     import spark.implicits._
     val events = Tables(spark, dir, "events")
