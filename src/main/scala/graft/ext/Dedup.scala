@@ -78,14 +78,20 @@ object Dedup {
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))""".stripMargin))
         .as("s"))
       .distinct()
-    val minhashes = shingles
-      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 7)")).as("h"))
-      .groupBy("doc_id", "h")
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")))).as("mh"))
-    val bands = minhashes
-      .groupBy(col("doc_id"), expr("h DIV 4").as("band"))
-      .agg(concat_ws("|",
-        array_sort(collect_list(concat(col("h").cast("string"), lit(":"), col("mh"))))).as("sig"))
+    // 8 min-hash aggregates as sibling columns over one row per shingle —
+    // no ×8 explode, ONE aggregation instead of (doc,h)-keyed shuffle
+    // (the DuckDB oracle keeps the exploded formulation; identical result).
+    val mins = (0 to 7).map(h =>
+      min(md5(concat(lit(s"$h|"), col("s")))).as(s"mh$h"))
+    val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array(
+        struct(lit(0L).as("band"),
+          concat_ws("|", (0 to 3).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig")),
+        struct(lit(1L).as("band"),
+          concat_ws("|", (4 to 7).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig"))))
+        .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
