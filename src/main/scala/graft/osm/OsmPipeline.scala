@@ -133,6 +133,20 @@ object OsmPipeline {
     t.wayTags.write.mode("overwrite").option("header", true).csv(s"$dir/ways_tags")
   }
 
+  /** S5 — CSV read-back with pinned schemas (the query-side scan of the
+    * reference, DAND.html:12026-12028): schema-on-read, no inference pass.
+    */
+  def readCsv(spark: SparkSession, dir: String): OsmTables = {
+    def rd(name: String, ddl: String): DataFrame =
+      spark.read.option("header", true).schema(ddl).csv(s"$dir/$name")
+    OsmTables(
+      rd("nodes", "id LONG, lat DOUBLE, lon DOUBLE, user STRING, uid LONG, version STRING, changeset LONG, timestamp STRING"),
+      rd("nodes_tags", "id LONG, key STRING, value STRING, type STRING"),
+      rd("ways", "id LONG, user STRING, uid LONG, version STRING, changeset LONG, timestamp STRING"),
+      rd("ways_nodes", "id LONG, node_id LONG, position LONG"),
+      rd("ways_tags", "id LONG, key STRING, value STRING, type STRING"))
+  }
+
   /** Parquet is the durable store at scale (columnar, splittable, stats). */
   def writeParquet(t: OsmTables, dir: String): Unit = {
     t.nodes.write.mode("overwrite").parquet(s"$dir/nodes")

@@ -107,11 +107,30 @@ class OsmSpec extends SparkSuite {
     assert(v.nodes.count() == 2 && v.nodeTags.count() == 11)
   }
 
-  test("CSV round-trip preserves rows and column order") {
+  test("CSV round-trip preserves rows, column order, and typed values") {
     val dir = java.nio.file.Files.createTempDirectory("osm_csv").toString
     OsmPipeline.writeCsv(t, dir)
-    val back = spark.read.option("header", true).csv(s"$dir/nodes_tags")
-    assert(back.columns.toSeq == Seq("id", "key", "value", "type"))
-    assert(back.count() == 11)
+    val back = OsmPipeline.readCsv(spark, dir)
+    assert(back.nodeTags.columns.toSeq == Seq("id", "key", "value", "type"))
+    assert(back.nodeTags.count() == 11)
+    // full-table equality after the round trip (typed, order-insensitive)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(back.nodes) == rows(t.nodes))
+    assert(rows(back.nodeTags) == rows(t.nodeTags))
+    assert(rows(back.ways) == rows(t.ways))
+    assert(rows(back.wayNodes) == rows(t.wayNodes))
+    assert(rows(back.wayTags) == rows(t.wayTags))
+  }
+
+  test("binaryFile source ingests raw files as BINARY + metadata (X-MM ingestion)") {
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.osm")
+      .load("/root/repo/src/test/resources")
+    val row = df.select("path", "length", "content").collect()(0)
+    assert(row.getString(0).endsWith("elgin_mini.osm"))
+    val bytes = row.getAs[Array[Byte]]("content")
+    assert(bytes.length == row.getLong(1))
+    assert(new String(bytes, "UTF-8").contains("<osm version=\"0.6\""))
   }
 }
