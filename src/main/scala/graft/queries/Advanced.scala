@@ -129,5 +129,37 @@ object Advanced {
       .orderBy("event_type")
   }
 
-  val all: Seq[Probe] = Seq(asof, pivot, subq, pct)
+  /** P-MERGE — upsert (MERGE) semantics as a full-outer join: updates
+    * overwrite matching base rows, unmatched updates insert, everything
+    * else passes through. The batch formulation of the lakehouse MERGE —
+    * one shuffle on the merge key.
+    */
+  private val merge = Probe(
+    "p_merge_upsert",
+    """WITH upd AS (
+      |  SELECT o_orderkey, 'RUSH' AS new_status FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'NEW' FROM orders WHERE o_orderkey % 101 = 0),
+      |merged AS (
+      |  SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+      |         COALESCE(u.new_status, o.o_orderstatus) AS status,
+      |         (u.o_orderkey IS NOT NULL AND o.o_orderkey IS NOT NULL) AS updated,
+      |         (o.o_orderkey IS NULL) AS inserted
+      |  FROM orders o FULL OUTER JOIN upd u ON o.o_orderkey = u.o_orderkey)
+      |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    val upd = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"), lit("RUSH").as("new_status"))
+      .unionAll(o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 100000000L).as("u_key"), lit("NEW").as("new_status")))
+    o.join(upd, o("o_orderkey") === upd("u_key"), "full_outer")
+      .select(
+        coalesce(col("u_key"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        (col("u_key").isNotNull && col("o_orderkey").isNotNull).as("updated"),
+        col("o_orderkey").isNull.as("inserted"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Probe] = Seq(asof, pivot, subq, pct, merge)
 }
