@@ -32,10 +32,13 @@ object Bench {
 
     // best-of-N wall time per query: N=2 separates steady-state cost from
     // one-time whole-stage-codegen compilation.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
       .map { case (name, fn) =>
+      // benchmark hygiene: let ContextCleaner drop the previous query's
+      // broadcast/shuffle state so its GC debt doesn't bill this query
+      System.gc()
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -43,6 +43,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream against a dimension") {
+    import spark.implicits._
+    // static dim: user_id -> label (derived deterministically)
+    val dim = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("label", concat(lit("u"), col("user_id")))
+    val joined = EventStreams.readStream(spark, dir)
+      .join(dim, Seq("user_id"))
+      .groupBy("label").count()
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out").agg(sum("count")).collect()(0).getLong(0)
+      val want = Tables(spark, dir, "events").count()
+      assert(got == want) // every event matched its dim row
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: streaming batches land as parquet") {
+    val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
+    val q = EventStreams.readStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$out/data")
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$out/data")
+      assert(back.count() == Tables(spark, dir, "events").count())
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the lag/cumsum batch form") {
     import spark.implicits._
     val events = Tables(spark, dir, "events")
