@@ -424,6 +424,41 @@ object Probes {
       .orderBy("win_start", "event_type")
   }
 
+  /** P-WIN3 — time-RANGE frame + navigation/distribution window functions:
+    * 5-minute trailing sums (RANGE on epoch micros), first/last/nth over
+    * the full partition, ntile quartiles, percent_rank.
+    */
+  private val pWin3 = Probe(
+    "p_win3_range_frame",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |       (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |        RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS trail_5min,
+      |  first_value(event_id) OVER wfull AS first_id,
+      |  last_value(event_id) OVER wfull AS last_id,
+      |  nth_value(event_id, 2) OVER wfull AS second_id,
+      |  CAST(ntile(4) OVER wseq AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER wseq, 6) AS pct_rank
+      |FROM events
+      |WINDOW wseq AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val wRange = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-300000000L, 0)
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = wSeq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      sum(dec2(col("value"))).over(wRange).cast("decimal(18,2)").as("trail_5min"),
+      first(col("event_id")).over(wFull).as("first_id"),
+      last(col("event_id")).over(wFull).as("last_id"),
+      nth_value(col("event_id"), 2).over(wFull).as("second_id"),
+      ntile(4).over(wSeq).cast("long").as("quartile"),
+      round(percent_rank().over(wSeq), 6).as("pct_rank"))
+      .orderBy("event_id")
+  }
+
   /** P-EVT2 — sessionization in batch form: a session breaks after a
     * 30-minute gap per user. The lag/cumsum-over-window formulation is the
     * scalable batch shape (one shuffle on user_id); the streaming stateful
@@ -486,6 +521,6 @@ object Probes {
 
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
-    pWin1, pWin2, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
+    pWin1, pWin2, pWin3, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
     pJson)
 }
