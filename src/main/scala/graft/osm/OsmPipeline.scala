@@ -81,9 +81,15 @@ object OsmPipeline {
     * reference's crash-on-dirty semantics (F1 KeyError / F4 AttributeError)
     * via raise_error; default is lenient pass-through (SURVEY.md §7.4).
     */
-  def process(spark: SparkSession, path: String, strict: Boolean = false): OsmTables = {
-    val nodesRaw = readNodesRaw(spark, path)
-    val waysRaw = readWaysRaw(spark, path)
+  def process(spark: SparkSession, path: String, strict: Boolean = false,
+      cache: Boolean = false): OsmTables = {
+    // cache = the reference's single-pass fan-out (1 scan → 5 sinks,
+    // Step_2:320-332): persist the two raw scans so the five table
+    // pipelines share them instead of re-parsing the XML five times.
+    val nodesRaw0 = readNodesRaw(spark, path)
+    val waysRaw0 = readWaysRaw(spark, path)
+    val nodesRaw = if (cache) nodesRaw0.persist() else nodesRaw0
+    val waysRaw = if (cache) waysRaw0.persist() else waysRaw0
 
     val nodes = nodesRaw.select(
       col("_id").as("id"), col("_lat").as("lat"), col("_lon").as("lon"),

@@ -499,6 +499,31 @@ object Probes {
       .orderBy("user_id", "sess")
   }
 
+  /** P-STAT — statistical aggregates. These are floating-point co-moment
+    * computations whose low bits vary with partition merge order, so
+    * outputs are rounded to 6 significant decimals (noise is ~1e-12
+    * relative at this scale).
+    */
+  private val pStat = Probe(
+    "p_stat_aggregates",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_quantity), 6) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+      |  round(avg(l_discount), 6) AS avg_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** P-JSON — semi-structured column access: events.props is a JSON string;
     * extract typed fields (get_json_object path expressions).
     */
@@ -522,5 +547,5 @@ object Probes {
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
     pWin1, pWin2, pWin3, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
-    pJson)
+    pJson, pStat)
 }

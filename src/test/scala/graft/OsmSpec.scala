@@ -123,6 +123,35 @@ class OsmSpec extends SparkSuite {
     assert(rows(back.wayTags) == rows(t.wayTags))
   }
 
+  test("cached fan-out: one parsed scan feeds all five tables") {
+    val tc = OsmPipeline.process(spark, OsmProbes.fixturePath, cache = true)
+    try {
+      assert(tc.nodes.count() == 2) // materializes the cache
+      val plan = tc.nodeTags.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"expected cached scan:\n$plan")
+      assert(tc.nodeTags.count() == 11)
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("XML sink round-trip: write nodes as XML, read them back") {
+    val dir = java.nio.file.Files.createTempDirectory("osm_xml_out").toString
+    t.nodes.select(
+      t.nodes("id").as("_id"), t.nodes("lat").as("_lat"), t.nodes("lon").as("_lon"),
+      t.nodes("user").as("_user"), t.nodes("uid").as("_uid"),
+      t.nodes("version").as("_version"), t.nodes("changeset").as("_changeset"),
+      t.nodes("timestamp").as("_timestamp"))
+      .write.format("xml")
+      .option("rowTag", "node").option("rootTag", "osm")
+      .mode("overwrite").save(s"$dir/nodes_xml")
+    val back = spark.read.format("xml").option("rowTag", "node")
+      .load(s"$dir/nodes_xml")
+    assert(back.count() == 2)
+    assert(back.select("_id").collect().map(_.getLong(0)).toSet ==
+      Set(29591541L, 2637880080L))
+  }
+
   test("binaryFile source ingests raw files as BINARY + metadata (X-MM ingestion)") {
     val df = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.osm")
