@@ -205,5 +205,42 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded2, ded3, ded4)
+  /** X-DED5 — embedding-cosine near-dup pairs: same-label vectors whose
+    * cosine similarity is ≥ 0.35 (the corpus max is ~0.47 — synthetic embeddings are near-orthogonal, so the threshold is set where near-dups exist). Same exact-integer quantization as the
+    * similarity operators (bit-identical scores across engines); the label
+    * equi-key bounds the pair space, standing in for the LSH/IVF bucket at
+    * scale.
+    */
+  private val ded5 = Probe(
+    "x_ded5_embed_cosine",
+    """WITH iv AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM iv)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+      |             sqrt(a.n2 * b.n2), 6) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+      |      sqrt(a.n2 * b.n2) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val n = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    val a = n.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("av"), col("n2").as("an2"))
+    val b = n.select(col("vec_id").as("b_id"), col("label").as("label_b"),
+      col("v").as("bv"), col("n2").as("bn2"))
+    a.join(b, a("label") === b("label_b") && a("a_id") < b("b_id"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          sqrt(col("an2") * col("bn2")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded1, ded2, ded3, ded4, ded5)
 }
