@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.RollingHash
+import graft.functions.{DotProduct, RollingHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,12 +18,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_d", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
 }

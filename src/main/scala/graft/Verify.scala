@@ -25,6 +25,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave stale/partial output behind — a leftover dir from a
+        // previous run would make a broken query look green downstream
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) {
+          dir.listFiles.foreach(_.delete())
+          dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

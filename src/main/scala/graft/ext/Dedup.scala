@@ -225,18 +225,17 @@ object Dedup {
       |WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
       |      sqrt(a.n2 * b.n2) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    graft.GraftExtensions.register(s)
     val n = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))").as("v"))
-      .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))").as("v"))
+      .withColumn("n2", expr("dot_d(v, v)"))
     val a = n.select(col("vec_id").as("a_id"), col("label"),
       col("v").as("av"), col("n2").as("an2"))
     val b = n.select(col("vec_id").as("b_id"), col("label").as("label_b"),
       col("v").as("bv"), col("n2").as("bn2"))
     a.join(b, a("label") === b("label_b") && a("a_id") < b("b_id"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          sqrt(col("an2") * col("bn2")))
+      .withColumn("cos", expr("dot_d(av, bv)") / sqrt(col("an2") * col("bn2")))
       .filter(col("cos") >= 0.35)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
       .orderBy("a_id", "b_id")

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val intVec = "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))"
+  // elements CAST to DOUBLE: Spark floor() yields BIGINT, and dot_d reads
+  // ArrayData as doubles (values stay exact integers <= 2^53 either way)
+  private val intVec =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))"
 
   /** X-SIM1 — brute-force cosine top-10 for query vectors (vec_id < 5). */
   private val sim1 = Probe(
@@ -40,17 +43,16 @@ object Similarity {
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(cos, 6) AS score
        |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
     val iv = Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr(intVec).as("v"))
-      .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+      .withColumn("n2", expr("dot_d(v, v)"))
     val q = iv.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val c = iv.select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          sqrt(col("qn2") * col("cn2")))
+      .withColumn("cos", expr("dot_d(qv, cv)") / sqrt(col("qn2") * col("cn2")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("cos"), 6).as("score"))
@@ -143,12 +145,13 @@ object Similarity {
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(cos, 6) AS score
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
     val iv = Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr(intVec).as("v"))
     val cent = iv.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val ad = iv.crossJoin(broadcast(cent))
-      .withColumn("d2", expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+      .withColumn("d2", expr("dot_d(v, v) - 2 * dot_d(v, cv) + dot_d(cv, cv)"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
     val assign = ad
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
@@ -156,16 +159,14 @@ object Similarity {
     val probes = ad.filter(col("vec_id") < 5)
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-    val n = iv.withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    val n = iv.withColumn("n2", expr("dot_d(v, v)"))
     val cand = probes.join(assign, Seq("cell")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"))
     val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
     val x = n.select(col("vec_id").as("cand_id"), col("v").as("xv"), col("n2").as("xn2"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     cand.join(broadcast(q), "q_id").join(x, "cand_id")
-      .withColumn("cos",
-        expr("aggregate(zip_with(qv, xv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          sqrt(col("qn2") * col("xn2")))
+      .withColumn("cos", expr("dot_d(qv, xv)") / sqrt(col("qn2") * col("xn2")))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("cand_id").as("c_id"), round(col("cos"), 6).as("score"))

@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OsmProbes {
 
-  val fixturePath = "/root/repo/src/test/resources/elgin_mini.osm"
+  val fixturePath: String = {
+    val abs = "/root/repo/src/test/resources/elgin_mini.osm"
+    if (new java.io.File(abs).exists) abs
+    else "src/test/resources/elgin_mini.osm" // relative fallback (cwd = repo root)
+  }
 
   private def withTables(f: (SparkSession, OsmPipeline.OsmTables) => DataFrame)(
       s: SparkSession, dir: String): DataFrame = {

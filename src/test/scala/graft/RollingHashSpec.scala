@@ -26,6 +26,27 @@ class RollingHashSpec extends SparkSuite {
     assert(viaSql == viaCol)
   }
 
+  test("dot_d: known values and codegen ≡ interpreted") {
+    GraftExtensions.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val viaCodegen = df.select(expr("dot_d(a, b)")).collect()(0).getDouble(0)
+    assert(viaCodegen == 32.0) // 4 + 10 + 18
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(expr("dot_d(a, b)")).collect()(0).getDouble(0)
+      assert(interp == viaCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // equals the HOF formulation bit-for-bit
+    val hof = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .collect()(0).getDouble(0)
+    assert(hof == viaCodegen)
+  }
+
   test("interpreted path equals codegen path") {
     GraftExtensions.register(spark)
     val data = Seq("a", "abcdefghij", "the batch value merge line", "ズ unicode ズ")
