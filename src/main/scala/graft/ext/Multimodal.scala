@@ -99,5 +99,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(mm1, mm2)
+  /** X-MM3 — frame sampling: treat each document as a fake "video" whose
+    * frame count derives from its metadata; emit every 5th frame as its own
+    * row with a per-frame fingerprint. The plumbing is the real thing —
+    * sequence + explode fans one media row out to per-frame records that
+    * downstream decode/embed stages consume in parallel; only the frame
+    * bytes are faked (no codecs in this container).
+    */
+  private val mm3 = Probe(
+    "x_mm3_frame_sample",
+    """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |       md5(doc_id || ':' || f) AS frame_fp
+      |FROM (SELECT doc_id, unnest(range(0, (n_chars % 50) + 1, 5)) AS f
+      |      FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .withColumn("n_frames", (col("n_chars") % 50 + 1).cast("int"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"))).as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes. The
+    * deterministic fake preserves the plumbing contract: metadata-driven,
+    * per-row, output carries the requested dimensions plus a content tag.
+    */
+  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition scaler init would go here
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.meta.mime, r.meta.n_bytes,
+          Array(w.toDouble, h.toDouble, r.content.length.toDouble))
+      }
+    }
+  }
+
+  val all: Seq[Probe] = Seq(mm1, mm2, mm3)
 }
