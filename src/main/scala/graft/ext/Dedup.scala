@@ -42,6 +42,22 @@ object Dedup {
       .orderBy("user_id", "event_type")
   }
 
+  /** X-DED1b — exact content dedup on documents: hash-groupBy on the text
+    * fingerprint, deterministic survivor = smallest doc_id; per-survivor
+    * duplicate count. One shuffle on the content hash.
+    */
+  private val ded1b = Probe(
+    "x_ded1b_exact_docs",
+    """SELECT md5(text) AS content_fp, MIN(doc_id) AS survivor_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY survivor_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy("survivor_id")
+  }
+
   /** X-DED2 — MinHash + LSH near-dup candidates over 3-word shingles.
     *
     * 8 hash functions = min(md5(seed|shingle)); 2 bands of 4 → candidate
@@ -241,5 +257,5 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded2, ded3, ded4, ded5)
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded4, ded5)
 }
