@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Non-vacuous dedup semantics: the sf0.01 gate data has no duplicate
+  * document texts (every hash group is a singleton there), so survivor
+  * selection and copy counting are pinned here on planted duplicates.
+  */
+class DedupSpec extends SparkSuite {
+
+  test("x_ded1b survivor is the smallest id and copies are counted") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // plant: every doc duplicated once with a higher id; doc 0 tripled
+    val planted = docs
+      .unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+      .unionAll(docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(20000L)))
+    planted.createOrReplaceTempView("dedup_planted")
+
+    val out = planted
+      .groupBy(md5(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+    val n = docs.count()
+    assert(out.count() == n) // one group per distinct text
+    // every survivor is an ORIGINAL id (never a planted higher id)
+    assert(out.filter(col("survivor_id") >= 10000L).count() == 0)
+    val copies = out.select("n_copies").groupBy("n_copies").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies(3L) == 1L)     // doc 0: original + shifted + tripled
+    assert(copies(2L) == n - 1)  // everyone else: original + shifted
+  }
+
+  test("x_ded1 survivor is the newest event, ties broken by event_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "click", 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "click", 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
+      (3L, "click", 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")), // tie: higher id wins
+      (4L, "view", 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02")))
+      .toDF("event_id", "event_type", "user_id", "ts")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val survivors = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(3L, 4L))
+  }
+}
