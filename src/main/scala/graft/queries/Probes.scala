@@ -172,14 +172,20 @@ object Probes {
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
-  /** P-JN3b — left anti join (NOT EXISTS). */
+  /** P-JN3b — left anti join (NOT EXISTS). Anti-joined against the
+    * 'P'-status subset so the result is non-empty at every SF (every
+    * customer has SOME order in this data — an unfiltered anti join would
+    * pass vacuously).
+    */
   private val pJn3a = Probe(
     "p_jn3_anti_join",
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
     Tables(s, dir, "customer")
-      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(p, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
