@@ -6,6 +6,7 @@ object Registry {
     queries.RefQueries.all ++
     queries.Probes.all ++
     queries.Advanced.all ++
+    queries.Functions2.all ++
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
