@@ -138,5 +138,68 @@ object Functions2 {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Probe] = Seq(pStr2, pCond, pHof, pDt2, pSample)
+  /** P-AGG4 — CUBE with GROUPING() disambiguation flags (rollup's sibling;
+    * grouping flags distinguish data-null from subtotal-null without
+    * sentinel values).
+    */
+  private val pAgg4 = Probe(
+    "p_agg4_cube",
+    """SELECT COALESCE(o_orderpriority, '-') AS prio,
+      |       COALESCE(o_orderstatus, '-') AS status,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY g_prio, g_status, prio, status""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders").createOrReplaceTempView("p_agg4_orders")
+    s.sql(
+      """SELECT COALESCE(o_orderpriority, '-') AS prio,
+        |       COALESCE(o_orderstatus, '-') AS status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       COUNT(*) AS n
+        |FROM p_agg4_orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY g_prio, g_status, prio, status""".stripMargin)
+  }
+
+  /** P-BIT — bitwise operator battery. */
+  private val pBit = Probe(
+    "p_bit_ops",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_orderkey & 255 AS b_and,
+      |  l_orderkey | 15 AS b_or,
+      |  xor(l_orderkey, 60) AS b_xor,
+      |  l_orderkey << 2 AS b_shl,
+      |  l_orderkey >> 3 AS b_shr,
+      |  CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      expr("l_orderkey & 255").as("b_and"),
+      expr("l_orderkey | 15").as("b_or"),
+      expr("l_orderkey ^ 60").as("b_xor"),
+      expr("shiftleft(l_orderkey, 2)").as("b_shl"),
+      expr("shiftright(l_orderkey, 3)").as("b_shr"),
+      expr("CAST(bit_count(l_orderkey) AS BIGINT)").as("b_pop"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P-STR3 — edit distance (fuzzy matching primitive for entity
+    * resolution / near-dup keys).
+    */
+  private val pStr3 = Probe(
+    "p_str3_levenshtein",
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS d_brand,
+      |  CAST(levenshtein(left(p_name, 10), left(p_type, 10)) AS BIGINT) AS d_nt
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("d_brand"),
+      levenshtein(substring(col("p_name"), 1, 10), substring(col("p_type"), 1, 10))
+        .cast("long").as("d_nt"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Probe] = Seq(pStr2, pCond, pHof, pDt2, pSample, pAgg4, pBit, pStr3)
 }

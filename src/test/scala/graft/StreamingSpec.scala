@@ -27,6 +27,23 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding window agg: streaming result == batch result") {
+    def sliding(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+    val q = sliding(EventStreams.readStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out").orderBy("ws", "event_type").collect().toSeq
+      val want = sliding(Tables(spark, dir, "events"))
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates with watermark dedups by event_id") {
     import spark.implicits._
     val deduped = EventStreams.readStream(spark, dir)
