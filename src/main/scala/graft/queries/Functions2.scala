@@ -201,5 +201,28 @@ object Functions2 {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Probe] = Seq(pStr2, pCond, pHof, pDt2, pSample, pAgg4, pBit, pStr3)
+  /** P-TRY — dirty-data-safe conversion: try_cast returns NULL instead of
+    * failing on malformed input; division guarded against zero. The
+    * lenient-mode primitive for cleaning pipelines.
+    */
+  private val pTry = Probe(
+    "p_try_safe_casts",
+    """SELECT doc_id,
+      |  TRY_CAST(lang AS BIGINT) AS lang_as_num,
+      |  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_roundtrip,
+      |  TRY_CAST(substr(text, 1, 3) AS DOUBLE) AS text_as_num,
+      |  n_chars / NULLIF(n_chars - n_chars, 0) AS div_by_zero,
+      |  TRY_CAST('2024-13-45' AS DATE) IS NULL AS bad_date_is_null
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("try_cast(lang AS BIGINT)").as("lang_as_num"),
+      expr("try_cast(CAST(n_chars AS STRING) AS BIGINT)").as("n_roundtrip"),
+      expr("try_cast(substr(text, 1, 3) AS DOUBLE)").as("text_as_num"),
+      expr("try_divide(n_chars, n_chars - n_chars)").as("div_by_zero"),
+      expr("try_cast('2024-13-45' AS DATE) IS NULL").as("bad_date_is_null"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(pStr2, pCond, pHof, pDt2, pSample, pAgg4, pBit, pStr3, pTry)
 }
