@@ -26,12 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // never leave stale/partial output behind — a leftover dir from a
-        // previous run would make a broken query look green downstream
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists) {
-          dir.listFiles.foreach(_.delete())
-          dir.delete()
+        // previous run would make a broken query look green downstream.
+        // Recursive: failed writes leave nested _temporary/... dirs.
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+          f.delete()
         }
+        rmr(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -244,7 +244,7 @@ object Dedup {
     graft.GraftExtensions.register(s)
     val n = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))").as("v"))
+        expr(Similarity.intVec).as("v"))
       .withColumn("n2", expr("dot_d(v, v)"))
     val a = n.select(col("vec_id").as("a_id"), col("label"),
       col("v").as("av"), col("n2").as("an2"))

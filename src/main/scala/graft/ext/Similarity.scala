@@ -22,7 +22,8 @@ object Similarity {
 
   // elements CAST to DOUBLE: Spark floor() yields BIGINT, and dot_d reads
   // ArrayData as doubles (values stay exact integers <= 2^53 either way)
-  private val intVec =
+  /** Shared exact-integer quantizer for all vector operators. */
+  val intVec: String =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))"
 
   /** X-SIM1 — brute-force cosine top-10 for query vectors (vec_id < 5). */

@@ -26,8 +26,11 @@ class TopKByCount(k: Int, maxBuffer: Int = 4096)
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
     trim(b.foldLeft(a) { case (m, (v, c)) => m.updated(v, m.getOrElse(v, 0L) + c) })
 
+  // Amortized eviction: only re-sort when the buffer doubles, cutting back
+  // to maxBuffer. A per-insert sort would be O(k log k) per input row in
+  // exactly the high-cardinality regime this class exists for.
   private def trim(m: Map[String, Long]): Map[String, Long] =
-    if (m.size <= maxBuffer) m
+    if (m.size <= 2 * maxBuffer) m
     else m.toSeq.sortBy { case (v, c) => (-c, v) }.take(maxBuffer).toMap
 
   override def finish(buf: Map[String, Long]): Seq[String] =

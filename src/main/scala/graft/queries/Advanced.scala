@@ -91,7 +91,8 @@ object Advanced {
     "p_subq_scalar_exists",
     """SELECT c_custkey, c_name
       |FROM customer c
-      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+      |      (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DECIMAL(18,2)) FROM customer)
       |  AND EXISTS (SELECT 1 FROM orders o
       |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>

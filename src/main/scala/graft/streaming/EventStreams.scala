@@ -53,9 +53,13 @@ object EventStreams {
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  /** 30-minute-gap sessions per user via custom state. In streaming this
-    * emits closed sessions as the watermark advances; the batch-equivalent
-    * (lag/cumsum) form is oracle-checked as p_evt2_sessionize.
+  /** 30-minute-gap sessions per user via custom state — BATCH-complete
+    * semantics: each group arrives in one call, sessions (including the
+    * final open one) are emitted at end-of-group. A continuous-streaming
+    * deployment needs event-time timeout + watermark eviction to close
+    * sessions across micro-batches (SURVEY.md §9 backlog); the
+    * batch-equivalent lag/cumsum form is oracle-checked as
+    * p_evt2_sessionize.
     */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._

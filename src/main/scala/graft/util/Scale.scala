@@ -32,13 +32,12 @@ object Scale {
     */
   def bucketOf(key: Column, buckets: Int): Column = pmod(hash(key), lit(buckets))
 
-  /** Byte-size guardrail: cap output partitions so files stay near a
-    * target size (here: rows-per-partition proxy, since local runs lack
-    * cost stats). At scale, prefer `spark.sql.files.maxRecordsPerFile`.
+  /** Output-size guardrail: bound rows per output file WITHOUT executing
+    * the plan an extra time (a count-then-coalesce approach runs the whole
+    * upstream twice — unacceptable when the upstream is a 100 TB join).
+    * `maxRecordsPerFile` splits at write time with zero additional jobs.
     */
-  def coalesceForOutput(df: DataFrame, targetRowsPerFile: Long): DataFrame = {
-    val n = math.max(1L, math.min(df.rdd.getNumPartitions.toLong,
-      (df.count() + targetRowsPerFile - 1) / targetRowsPerFile)).toInt
-    df.coalesce(n)
-  }
+  def sizedWriter(df: DataFrame, targetRowsPerFile: Long)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.option("maxRecordsPerFile", targetRowsPerFile)
 }
