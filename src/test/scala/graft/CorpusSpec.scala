@@ -1,0 +1,54 @@
+package graft
+
+import graft.api.Corpus
+import org.apache.spark.sql.functions._
+
+/** The fluent corpus pipeline end-to-end: quality gates, exact and
+  * near-dup removal, fingerprints — one fused lazy plan.
+  */
+class CorpusSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("full chain runs and preserves schema contracts") {
+    val out = Corpus(spark, dir)
+      .withQualitySignals()
+      .filterQuality(minWords = 3, maxWords = 5000)
+      .dedupExact()
+      .withFingerprints()
+      .df
+    assert(out.columns.contains("content_fp") && out.columns.contains("bow_fp"))
+    val n = out.count()
+    assert(n > 0 && n <= 500)
+    // exact dedup: content hashes unique
+    assert(out.select(md5(col("text"))).distinct().count() == n)
+  }
+
+  test("dedupExact keeps the smallest id among planted duplicates") {
+    val docs = Tables(spark, dir, "documents")
+    val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val out = Corpus(planted).dedupExact().df
+    assert(out.count() == docs.count())
+    assert(out.filter(col("doc_id") >= 10000L).count() == 0)
+  }
+
+  test("dedupNearMinHash drops the higher-id member of exact-dup pairs") {
+    val docs = Tables(spark, dir, "documents").limit(50)
+    val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val out = Corpus(planted).dedupNearMinHash().df
+    // every planted copy shares all bands with its original -> dropped;
+    // genuine near-dups among the originals may also be removed (that IS
+    // the operator), so the count is <= 50 but never collapses
+    assert(out.filter(col("doc_id") >= 10000L).count() == 0)
+    val n = out.count()
+    assert(n >= 40 && n <= 50, s"unexpected survivor count $n")
+  }
+
+  test("language filter + vectors entry point") {
+    val en = Corpus(spark, dir).filterLanguages("en").df
+    assert(en.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    val v = Corpus.vectors(spark, dir)
+    assert(v.columns.toSeq == Seq("vec_id", "label", "v", "n2"))
+    assert(v.filter(col("n2") <= 0).count() == 0)
+  }
+}
