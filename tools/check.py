@@ -47,6 +47,12 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
         n_fail += 1
         continue
+    # dtype audit (warn-only: value compare below is authoritative, but a
+    # dtype gap flags int32-vs-int64 style hazards for the driver's gate)
+    for c in gcols:
+        gd, ed = str(got[c].dtype), str(exp[c].dtype)
+        if gd != ed:
+            print(f"  WARN {name}.{c}: spark dtype={gd} oracle dtype={ed}")
     got, exp = got[gcols], exp[gcols]
     if len(got) != len(exp):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
