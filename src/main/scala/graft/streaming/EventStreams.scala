@@ -61,6 +61,55 @@ object EventStreams {
     * batch-equivalent lag/cumsum form is oracle-checked as
     * p_evt2_sessionize.
     */
+  /** Incremental streaming sessionization (the production form): the open
+    * session lives in state across micro-batches; a session is emitted
+    * exactly once — either when a later event breaks the 30-minute gap or
+    * when the event-time timeout fires (watermark passed last event + gap).
+    * Requires a watermark on ts upstream.
+    */
+  def sessionizeStreaming(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def micros(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
+          }
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the open session is closed
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.startUs, st.lastUs, st.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              cur match {
+                case Some(st) if us - st.lastUs <= gapUs =>
+                  cur = Some(st.copy(lastUs = us, n = st.n + 1, sum = st.sum + e.value))
+                case Some(st) =>
+                  closed += Session(userId, st.startUs, st.lastUs, st.n)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(st) =>
+                state.update(st) // keep the open session across batches
+                state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000) // ms
+              case None => ()
+            }
+            closed.iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Incremental sessionization across micro-batches (MemoryStream-driven):
+  * a session spanning two batches must be emitted ONCE, merged — not
+  * split — and only after the watermark closes it.
+  */
+class StreamingSessionSpec extends SparkSuite {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("session spanning micro-batches merges; timeout closes it once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeStreaming(
+      input.toDS().withWatermark("ts", "0 seconds").as[Event])
+
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: two events 5 minutes apart (one open session)
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open
+
+      // batch 2: continues the same session (10:20 < 10:05 + 30min)
+      input.addData(Event(3, ts("2024-01-01 10:20:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open, merged
+
+      // batch 3: an event far in the future advances the watermark past
+      // 10:20 + 30min -> the session times out and is emitted ONCE, merged
+      input.addData(Event(9, ts("2024-01-01 23:00:00"), 8L, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[Session].collect().toSeq
+      assert(out.length == 1, s"expected one closed session, got $out")
+      val s7 = out.head
+      assert(s7.user_id == 7L)
+      assert(s7.n_events == 3L) // batches 1+2 merged, not split
+      assert(s7.start_us == ts("2024-01-01 10:00:00").getTime * 1000)
+      assert(s7.end_us == ts("2024-01-01 10:20:00").getTime * 1000)
+    } finally q.stop()
+  }
+}
