@@ -174,5 +174,104 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val all: Seq[Probe] = Seq(sim1, sim2, sim3)
+  /** X-SIM4 — IVF with a TRAINED coarse quantizer: one exact-integer Lloyd
+    * iteration (seed centroids = first 8 vectors; updated centroid = per-
+    * dimension floor-mean of the assigned vectors), then the same 2-cell
+    * probe search as x_sim3. Floor-means keep the training deterministic
+    * and bit-portable, so even the learned quantizer is oracle-checkable.
+    */
+  private val sim4 = Probe(
+    "x_sim4_ivf_trained",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM iv WHERE vec_id < 8),
+       |ad0 AS (
+       |  SELECT iv.vec_id, cent0.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent0.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent0),
+       |assign0 AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad0)
+       |  WHERE rn = 1),
+       |-- one Lloyd step: per-dimension floor-mean of each cell's members
+       |dims AS (
+       |  SELECT a.cell, t.i, CAST(CAST(SUM(iv.v[t.i]) AS BIGINT) // COUNT(*) AS DOUBLE) AS m
+       |  FROM assign0 a JOIN iv ON iv.vec_id = a.vec_id,
+       |       UNNEST(generate_series(1, 64)) AS t(i)
+       |  GROUP BY a.cell, t.i),
+       |cent1 AS (SELECT cell AS c_id, list(m ORDER BY i) AS cv FROM dims GROUP BY cell),
+       |ad1 AS (
+       |  SELECT iv.vec_id, cent1.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent1.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent1),
+       |assign1 AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad1)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+       |    FROM ad1 WHERE vec_id < 5)
+       |  WHERE rn <= 2),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM iv),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN assign1 a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.c_id,
+       |         list_sum(list_transform(list_zip(q.v, x.v), z -> z[1]*z[2])) / sqrt(q.n2 * x.n2) AS cos
+       |  FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n x ON x.vec_id = c.c_id),
+       |r AS (SELECT q_id, c_id, cos,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       |      FROM scored)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(cos, 6) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
+    val iv = Tables(s, dir, "embeddings").select(col("vec_id"), expr(intVec).as("v"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+
+    def assignTo(cent: org.apache.spark.sql.DataFrame) = iv
+      .crossJoin(broadcast(cent))
+      .withColumn("d2",
+        expr("dot_d(v, v) - 2 * dot_d(v, cv) + dot_d(cv, cv)"))
+
+    val cent0 = iv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val assign0 = assignTo(cent0)
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+
+    // one Lloyd step, exact floor-means per dimension
+    val cent1 = assign0.join(iv, "vec_id")
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("CAST(CAST(SUM(col) AS BIGINT) DIV COUNT(*) AS DOUBLE)").as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+      .select(col("cell").as("c_id"), col("cv"))
+
+    val ad1 = assignTo(cent1)
+    val assign1 = ad1.withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val probes = ad1.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+
+    val n = iv.withColumn("n2", expr("dot_d(v, v)"))
+    val cand = probes.join(assign1, Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val x = n.select(col("vec_id").as("cand_id"), col("v").as("xv"), col("n2").as("xn2"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    cand.join(broadcast(q), "q_id").join(x, "cand_id")
+      .withColumn("cos", expr("dot_d(qv, xv)") / sqrt(col("qn2") * col("xn2")))
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("cand_id").as("c_id"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Probe] = Seq(sim1, sim2, sim3, sim4)
 }
