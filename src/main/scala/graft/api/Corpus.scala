@@ -28,12 +28,17 @@ final case class Corpus(df: DataFrame) {
   def withTokens(col_ : String = "text"): Corpus =
     chain(_.withColumn("ws", split(col(col_), " ")))
 
-  /** Quality signals: char/word counts, letter ratio (ppm), stopword ratio. */
+  /** Quality signals: char/word counts, letter ratio and English-stopword
+    * ratio (both exact ppm; NULL — not a crash — on empty text under ANSI
+    * mode via the nullif guards).
+    */
   def withQualitySignals(): Corpus = withTokens().chain {
     _.withColumn("len_chars", length(col("text")).cast("long"))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("letter_ppm",
-        expr("(CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) * 1000000) DIV len_chars"))
+        expr("(CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) * 1000000) DIV nullif(len_chars, 0)"))
+      .withColumn("stop_ppm",
+        expr("(CAST(size(filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 1000000) DIV nullif(n_words, 0)"))
   }
 
   /** Length gate — the standard corpus filter. */
@@ -51,22 +56,12 @@ final case class Corpus(df: DataFrame) {
     * candidate-generation semantics).
     */
   def dedupNearMinHash(): Corpus = chain { d =>
-    val words = d.select(col("doc_id"), split(col("text"), " ").as("ws0"))
-      .filter(size(col("ws0")) >= 3)
-    val shingles = words.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(ws0) - 2), i -> concat_ws(' ', element_at(ws0, i), element_at(ws0, i + 1), element_at(ws0, i + 2)))"))
-      .as("s")).distinct()
-    val mins = (0 to 7).map(h => min(md5(concat(lit(s"$h|"), col("s")))).as(s"mh$h"))
-    val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0L).as("band"), concat_ws("|", (0 to 3).map(h => col(s"mh$h")): _*).as("sigv")),
-      struct(lit(1L).as("band"), concat_ws("|", (4 to 7).map(h => col(s"mh$h")): _*).as("sigv"))))
-      .as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sigv").as("sigv"))
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sigv"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sigv").as("sigv_b"))
+    val bands = graft.ext.Dedup.minhashBands(d) // the oracle-checked generator
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
     val losers = a.join(b,
-        a("band") === b("band_b") && a("sigv") === b("sigv_b") && a("a_id") < b("b_id"))
+        a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
       .select(col("b_id").as("doc_id")).distinct()
     d.join(losers, Seq("doc_id"), "left_anti")
   }

@@ -65,6 +65,35 @@ object Dedup {
     * expensive join is on (band, signature) — the classic LSH bucket join
     * that scales linearly in corpus size for a fixed near-dup density.
     */
+  /** Shared MinHash-LSH band generation: (doc_id, band, sig) with 8 md5
+    * min-hashes over 3-word shingles in 2 bands of 4. Both the checked
+    * x_ded2 probe and api.Corpus.dedupNearMinHash consume this.
+    */
+  def minhashBands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val shingles = words
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))""".stripMargin))
+        .as("s"))
+      .distinct()
+    // 8 min-hash aggregates as sibling columns over one row per shingle —
+    // no x8 explode, ONE aggregation instead of a (doc,h)-keyed shuffle.
+    val mins = (0 to 7).map(h =>
+      min(md5(concat(lit(s"$h|"), col("s")))).as(s"mh$h"))
+    val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sig.select(col("doc_id"),
+      explode(array(
+        struct(lit(0L).as("band"),
+          concat_ws("|", (0 to 3).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig")),
+        struct(lit(1L).as("band"),
+          concat_ws("|", (4 to 7).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig"))))
+        .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   private val ded2 = Probe(
     "x_ded2_minhash_lsh",
     """WITH w AS (
@@ -85,29 +114,7 @@ object Dedup {
       |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       |GROUP BY a.doc_id, b.doc_id
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-    val words = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-    val shingles = words
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ws) - 2),
-          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))""".stripMargin))
-        .as("s"))
-      .distinct()
-    // 8 min-hash aggregates as sibling columns over one row per shingle —
-    // no ×8 explode, ONE aggregation instead of (doc,h)-keyed shuffle
-    // (the DuckDB oracle keeps the exploded formulation; identical result).
-    val mins = (0 to 7).map(h =>
-      min(md5(concat(lit(s"$h|"), col("s")))).as(s"mh$h"))
-    val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bands = sig.select(col("doc_id"),
-      explode(array(
-        struct(lit(0L).as("band"),
-          concat_ws("|", (0 to 3).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig")),
-        struct(lit(1L).as("band"),
-          concat_ws("|", (4 to 7).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig"))))
-        .as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = minhashBands(Tables(s, dir, "documents"))
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))

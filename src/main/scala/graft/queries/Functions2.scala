@@ -33,7 +33,7 @@ object Functions2 {
       substring(col("p_name"), 1, 4).as("l4"),
       expr("right(p_name, 4)").as("r4"),
       instr(col("p_name"), "a").cast("long").as("pos_a"),
-      regexp_replace(col("p_type"), " ", "_").as("rt"))
+      expr("replace(p_type, ' ', '_')").as("rt"))
       .orderBy("p_partkey")
   }
 

@@ -51,97 +51,88 @@ object EventStreams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
-  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
 
-  /** 30-minute-gap sessions per user via custom state — BATCH-complete
-    * semantics: each group arrives in one call, sessions (including the
-    * final open one) are emitted at end-of-group. A continuous-streaming
-    * deployment needs event-time timeout + watermark eviction to close
-    * sessions across micro-batches (SURVEY.md §9 backlog); the
-    * batch-equivalent lag/cumsum form is oracle-checked as
-    * p_evt2_sessionize.
+  private val gapUs = 30L * 60 * 1000000
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
+  }
+
+  /** The shared gap-splitting state machine: fold a user's (sorted) events
+    * into an optional carried-over open session, returning (closed
+    * sessions, new open session). Out-of-order events that merge into the
+    * open session extend its bounds with min/max — they never regress
+    * lastUs (which would re-arm the timeout too early and emit
+    * end_us < start_us).
     */
+  private def foldEvents(userId: Long, carried: Option[SessionState],
+      sorted: Seq[Event]): (Seq[Session], Option[SessionState]) = {
+    val closed = scala.collection.mutable.ListBuffer.empty[Session]
+    var cur = carried
+    sorted.foreach { e =>
+      val us = micros(e.ts)
+      cur match {
+        case Some(st) if us - st.lastUs <= gapUs =>
+          cur = Some(SessionState(math.min(st.startUs, us), math.max(st.lastUs, us),
+            st.n + 1, st.sum + e.value))
+        case Some(st) =>
+          closed += Session(userId, st.startUs, st.lastUs, st.n, st.sum)
+          cur = Some(SessionState(us, us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(us, us, 1, e.value))
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
   /** Incremental streaming sessionization (the production form): the open
     * session lives in state across micro-batches; a session is emitted
     * exactly once — either when a later event breaks the 30-minute gap or
     * when the event-time timeout fires (watermark passed last event + gap).
-    * Requires a watermark on ts upstream.
+    * Requires a watermark on ts upstream. NOT for batch use: timeouts
+    * never fire there, so the final open session would be lost — use
+    * sessionize for batch.
     */
   def sessionizeStreaming(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapUs = 30L * 60 * 1000000
-
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          def micros(t: java.sql.Timestamp): Long = {
-            val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
-          }
           if (state.hasTimedOut) {
             // watermark passed lastUs + gap: the open session is closed
             val st = state.get
             state.remove()
-            Iterator.single(Session(userId, st.startUs, st.lastUs, st.n))
+            Iterator.single(Session(userId, st.startUs, st.lastUs, st.n, st.sum))
           } else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            val closed = scala.collection.mutable.ListBuffer.empty[Session]
-            var cur: Option[SessionState] = state.getOption
-            sorted.foreach { e =>
-              val us = micros(e.ts)
-              cur match {
-                case Some(st) if us - st.lastUs <= gapUs =>
-                  cur = Some(st.copy(lastUs = us, n = st.n + 1, sum = st.sum + e.value))
-                case Some(st) =>
-                  closed += Session(userId, st.startUs, st.lastUs, st.n)
-                  cur = Some(SessionState(us, us, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(us, us, 1, e.value))
-              }
-            }
-            cur match {
-              case Some(st) =>
-                state.update(st) // keep the open session across batches
-                state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000) // ms
-              case None => ()
+            val (closed, cur) = foldEvents(userId, state.getOption, sorted)
+            cur.foreach { st =>
+              state.update(st) // keep the open session across batches
+              state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000) // ms
             }
             closed.iterator
           }
       }
   }
 
+  /** 30-minute-gap sessions per user — BATCH-complete semantics: each
+    * group arrives in one call, sessions (including the final open one)
+    * are emitted at end-of-group. The batch-equivalent lag/cumsum form is
+    * oracle-checked as p_evt2_sessionize.
+    */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapUs = 30L * 60 * 1000000
-
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch mode: all of a user's events arrive in one call; sort and
-          // split on gaps. (In production streaming this would use event-time
-          // timeout to close sessions incrementally.)
-          def micros(t: java.sql.Timestamp): Long = {
-            val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
-          }
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val sessions = scala.collection.mutable.ListBuffer.empty[Session]
-          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
-          sorted.foreach { e =>
-            val us = micros(e.ts)
-            cur match {
-              case Some(st) if us - st.lastUs <= gapUs =>
-                cur = Some(st.copy(lastUs = us, n = st.n + 1, sum = st.sum + e.value))
-              case Some(st) =>
-                sessions += Session(userId, st.startUs, st.lastUs, st.n)
-                cur = Some(SessionState(us, us, 1, e.value))
-              case None =>
-                cur = Some(SessionState(us, us, 1, e.value))
-            }
-          }
-          cur.foreach(st => sessions += Session(userId, st.startUs, st.lastUs, st.n))
-          state.update(Nil)
-          sessions.iterator
+          val (closed, cur) = foldEvents(userId, state.getOption, sorted)
+          (closed ++ cur.map(st =>
+            Session(userId, st.startUs, st.lastUs, st.n, st.sum))).iterator
       }
   }
 }
