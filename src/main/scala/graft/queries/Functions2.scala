@@ -224,5 +224,30 @@ object Functions2 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(pStr2, pCond, pHof, pDt2, pSample, pAgg4, pBit, pStr3, pTry)
+  /** P-MAP — map-type construction and access (map_from_arrays /
+    * element_at vs DuckDB map / bracket access).
+    */
+  private val pMap = Probe(
+    "p_map_functions",
+    """WITH t AS (SELECT p_partkey, map(['brand', 'type'], [p_brand, p_type]) AS m FROM part)
+      |SELECT p_partkey,
+      |  m['brand'][1] AS brand_v,
+      |  m['type'][1] AS type_v,
+      |  m['missing'][1] AS missing_v,
+      |  array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+      |  CAST(cardinality(m) AS BIGINT) AS n_entries
+      |FROM t ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part")
+      .withColumn("m", map_from_arrays(
+        array(lit("brand"), lit("type")), array(col("p_brand"), col("p_type"))))
+      .select(col("p_partkey"),
+        element_at(col("m"), "brand").as("brand_v"),
+        element_at(col("m"), "type").as("type_v"),
+        element_at(col("m"), "missing").as("missing_v"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+        size(col("m")).cast("long").as("n_entries"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Probe] = Seq(pStr2, pCond, pHof, pDt2, pSample, pAgg4, pBit, pStr3, pTry, pMap)
 }
