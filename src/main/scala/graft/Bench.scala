@@ -30,7 +30,7 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // best-of-N wall time per query: N=2 separates steady-state cost from
+    // best-of-N wall time per query (default N=3): separates steady-state cost from
     // one-time whole-stage-codegen compilation.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -88,13 +88,20 @@ object CleanFns {
   /** LOWER_COLON gate (ref: Step_2:20): prefix-match on ^[a-z_]+:[a-z_]+. */
   val lowerColonRe = "^([a-z]|_)+:([a-z]|_)+"
 
-  /** R2/R3 — tag-key split on FIRST colon: `type` = chars before it, `key` =
-    * EVERYTHING after it (a:b:c → type=a, key=b:c); keys failing the
-    * LOWER_COLON gate pass through verbatim with type='regular'
-    * (ref: Step_2:201-230, default at :64).
+  /** R2/R3 — tag-key split (ref: Step_2:201-230, default type at :64).
+    * `type` = the leading [a-z_]+ run before the first colon.
+    * `key` replicates the reference's re_after_colon quirk EXACTLY
+    * (`(:([a-z]|_)+)?(:([a-z]|_)+)` + strip leading colon): at most TWO
+    * colon-segments, truncated at the first character outside [a-z_:] —
+    * so `tiger:name_base_1` → `name_base_` (digit truncated) and
+    * `a:b:c:d` → `b:c`. Keys failing the LOWER_COLON gate pass through
+    * verbatim with type='regular'.
     */
+  val afterColonRe = "(:([a-z]|_)+)?(:([a-z]|_)+)"
+
   def tagKey(k: Column): Column =
-    when(k.rlike(lowerColonRe), k.substr(instr(k, ":") + 1, lit(1000000)))
+    when(k.rlike(lowerColonRe),
+      regexp_extract(k, afterColonRe, 0).substr(lit(2), lit(1000000)))
       .otherwise(k)
 
   def tagType(k: Column): Column =

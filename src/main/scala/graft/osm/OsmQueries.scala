@@ -104,6 +104,7 @@ object OsmQueries {
   def auditStreets(raw: DataFrame): DataFrame = raw
     .filter(col("k") === "addr:street")
     .withColumn("street_type", regexp_extract(col("v"), CleanFns.lastTokenRe, 0))
+    .filter(col("street_type") =!= "") // reference skips non-matching values
     .filter(!col("street_type").isInCollection(CleanFns.expectedStreetTypes))
     .groupBy("street_type")
     .agg(array_sort(collect_set(col("v"))).as("values"))
@@ -112,6 +113,7 @@ object OsmQueries {
   /** A2 — states grouped by first letter run. */
   def auditStates(raw: DataFrame): DataFrame = raw
     .filter(col("k") === "addr:state")
+    .filter(regexp_extract(col("v"), "[A-Za-z+]+", 0) =!= "")
     .groupBy(regexp_extract(col("v"), "[A-Za-z+]+", 0).as("state_type"))
     .agg(array_sort(collect_set(col("v"))).as("values"))
     .orderBy("state_type")
@@ -119,6 +121,7 @@ object OsmQueries {
   /** A3 — cities grouped by first word (golden shape DAND.html:11861-11866). */
   def auditCities(raw: DataFrame): DataFrame = raw
     .filter(col("k") === "addr:city")
+    .filter(regexp_extract(col("v"), CleanFns.cityRe, 1) =!= "")
     .groupBy(regexp_extract(col("v"), CleanFns.cityRe, 1).as("city_type"))
     .agg(array_sort(collect_set(col("v"))).as("values"))
     .orderBy("city_type")
@@ -126,6 +129,7 @@ object OsmQueries {
   /** A4 — housenumbers grouped by first digit run. */
   def auditHousenumbers(raw: DataFrame): DataFrame = raw
     .filter(col("k") === "addr:housenumber")
+    .filter(regexp_extract(col("v"), "\\d+", 0) =!= "")
     .groupBy(regexp_extract(col("v"), "\\d+", 0).as("housenumber_type"))
     .agg(array_sort(collect_set(col("v"))).as("values"))
     .orderBy("housenumber_type")

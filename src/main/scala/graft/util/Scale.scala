@@ -10,18 +10,22 @@ object Scale {
 
   /** Salted inner equi-join for skewed keys.
     *
-    * The skewed (large) side gets a random-but-deterministic salt derived
-    * from a row fingerprint; the small side is exploded ×`salts`. The join
-    * key becomes (key, salt), splitting a hot key's rows across `salts`
-    * reducers instead of one straggler task. Semantics are identical to
-    * `big.join(small, keys)` for inner equi-joins where `small` has unique
-    * keys. (With AQE's skewedJoin enabled Spark can do this at runtime;
-    * explicit salting is for engines/paths where AQE can't see the skew,
-    * e.g. pre-shuffle bucketing decisions.)
+    * The skewed (large) side gets a per-row uniform salt; the small side is
+    * exploded ×`salts`. The join key becomes (key, salt), splitting a hot
+    * key's rows across `salts` reducers instead of one straggler task.
+    * The salt is rand-based ON PURPOSE: a row-content hash would send
+    * identical duplicate rows of the hot key to one bucket (no mitigation
+    * for duplicate-heavy skew) and cannot hash map-typed columns. Which
+    * salt a row draws is irrelevant to the RESULT of an inner equi-join —
+    * every salt value has a matching small-side replica — so the output is
+    * row-identical to `big.join(small, key)` (pinned by ScaleSpec) even
+    * though the routing is nondeterministic. (With AQE's skewedJoin
+    * enabled Spark can split skew at runtime; explicit salting is for
+    * paths AQE can't see.)
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+      floor(rand(42) * salts).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

@@ -70,17 +70,20 @@ class CleanFnsSpec extends SparkSuite {
     assert(clean1(CleanFns.state)("tx") == "tx")
   }
 
-  test("R2/R3 tag-key split: first colon, prefix gate, regular fallback") {
+  test("R2/R3 tag-key split: reference re_after_colon quirks replicated") {
     val df = Seq("addr:street", "addr:street:name", "tiger:name_base_1",
-      "fire_hydrant:type", "exit_to", "Highway:x", "a1:b")
+      "fire_hydrant:type", "exit_to", "Highway:x", "a1:b", "a:b:c:d")
       .toDF("k")
       .select(col("k"), CleanFns.tagKey(col("k")).as("key"), CleanFns.tagType(col("k")).as("type"))
     val m = df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     assert(m("addr:street") == ("street", "addr"))
-    // 2-colon key: type = before FIRST colon, key = EVERYTHING after it
+    // 2-colon key: both segments kept
     assert(m("addr:street:name") == ("street:name", "addr"))
-    // gate is a prefix match: extra suffix after the matched prefix is fine
-    assert(m("tiger:name_base_1") == ("name_base_1", "tiger"))
+    // reference truncates at the first char outside [a-z_]: digit dropped
+    // (verified against Step_2:204-208's exact regex)
+    assert(m("tiger:name_base_1") == ("name_base_", "tiger"))
+    // and caps the key at two colon-segments
+    assert(m("a:b:c:d") == ("b:c", "a"))
     assert(m("fire_hydrant:type") == ("type", "fire_hydrant"))
     // no colon → regular passthrough
     assert(m("exit_to") == ("exit_to", "regular"))

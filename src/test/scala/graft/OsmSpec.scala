@@ -38,7 +38,8 @@ class OsmSpec extends SparkSuite {
       ("phone", "512-281-5440", "regular"),     // F2
       ("housenumber", "101", "addr"),           // audited, never rewritten
       ("county_id", "21", "gnis"),              // R2
-      ("name_base_1", "FM 1100", "tiger")))     // R2 prefix-gate case
+      // reference re_after_colon truncates at the digit (Step_2:204-208)
+      ("name_base_", "FM 1100", "tiger")))
     // "bad=key" dropped by P3: not present
   }
 

@@ -58,21 +58,30 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
         n_fail += 1
         continue
+    def cell_eq(g, e):
+        # array-valued cells come back as numpy arrays whose == is
+        # elementwise; normalize to lists first
+        if hasattr(g, "tolist"):
+            g = g.tolist()
+        if hasattr(e, "tolist"):
+            e = e.tolist()
+        if isinstance(g, float) and isinstance(e, float) \
+                and math.isnan(g) and math.isnan(e):
+            return True
+        if g == e:
+            return True
+        try:
+            if g is not None and e is not None:
+                return float(g) == float(e)  # Decimal vs float repr
+        except (TypeError, ValueError):
+            pass
+        return False
+
     bad = None
     for c in gcols:
         gv, ev = got[c].tolist(), exp[c].tolist()
         for i, (g, e) in enumerate(zip(gv, ev)):
-            gn = isinstance(g, float) and math.isnan(g)
-            en = isinstance(e, float) and math.isnan(e)
-            if gn and en:
-                continue
-            eq = (g == e)
-            try:
-                if not eq and g is not None and e is not None:
-                    eq = float(g) == float(e)  # Decimal vs float repr
-            except (TypeError, ValueError):
-                pass
-            if not eq:
+            if not cell_eq(g, e):
                 bad = (c, i, g, e)
                 break
         if bad:
