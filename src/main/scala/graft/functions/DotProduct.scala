@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two ARRAY<DOUBLE> columns.
   *
@@ -22,6 +23,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
+
+  // fail at ANALYSIS: getDouble on any other element width would silently
+  // read garbage (e.g. raw ARRAY<FLOAT> embeddings — cast them first)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_d expects ARRAY<DOUBLE> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -47,6 +47,21 @@ class RollingHashSpec extends SparkSuite {
     assert(hof == viaCodegen)
   }
 
+  test("type mismatches fail at analysis, not with silent garbage") {
+    GraftExtensions.register(spark)
+    // dot_d on ARRAY<FLOAT> (un-cast) must be rejected
+    val floats = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val e1 = intercept[Exception] {
+      floats.selectExpr("dot_d(embedding, embedding)").collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<DOUBLE>") || e1.getMessage.contains("DATATYPE"), e1.getMessage)
+    // rolling_hash on BIGINT must be rejected
+    val e2 = intercept[Exception] {
+      floats.selectExpr("rolling_hash(vec_id)").collect()
+    }
+    assert(e2.getMessage.contains("STRING") || e2.getMessage.contains("DATATYPE"), e2.getMessage)
+  }
+
   test("interpreted path equals codegen path") {
     GraftExtensions.register(spark)
     val data = Seq("a", "abcdefghij", "the batch value merge line", "ズ unicode ズ")
