@@ -82,6 +82,21 @@ class OsmSpec extends SparkSuite {
     assert(rows == Seq(("hydrant_bot", 1L), ("patisilva_atxbuildings", 1L), ("yurasi", 1L)))
   }
 
+  test("Q1/Q4 literal variants reproduce the SQLite one-row-branch quirk") {
+    OsmPipeline.registerViews(t)
+    // literal Q1: first branch collapses to ONE whole-table row
+    val q1b = OsmQueries.q1Literal(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(q1b == Seq(("addr", 5L), ("regular", 3L), ("addr", 2L),
+      ("fire_hydrant", 1L), ("gnis", 1L), ("tiger", 1L)))
+    // ways_tags has 2 rows total and MIN(type)='addr' → the ("addr",2) row
+    // above IS the whole-table branch; the grouped 15-row branch of the
+    // real dataset is represented by the node_tags groups
+    val q4b = OsmQueries.q4Literal(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(q4b == Seq(("hydrant_bot", 1L), ("patisilva_atxbuildings", 1L), ("yurasi", 1L)))
+  }
+
   test("Q5: oldest and newest node timestamps (ISO string order)") {
     OsmPipeline.registerViews(t)
     assert(OsmQueries.q5Oldest(spark).collect()(0).getString(0) == "2014-01-01T00:00:00Z")

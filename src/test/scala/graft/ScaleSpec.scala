@@ -51,6 +51,32 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
   }
 
+  test("sizedWriter bounds rows per output file without extra jobs") {
+    val out = java.nio.file.Files.createTempDirectory("sized").toString
+    Scale.sizedWriter(Tables(spark, "/root/testdata/sf0.01", "lineitem"), 10000L)
+      .mode("overwrite").parquet(s"$out/li")
+    val files = new java.io.File(s"$out/li").listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // 60k rows at <=10k rows/file -> at least 6 files
+    assert(files.length >= 6, s"expected >=6 files, got ${files.length}")
+    val back = spark.read.parquet(s"$out/li")
+    assert(back.count() == 60000L)
+  }
+
+  test("saltedJoin correct on a heavily skewed, duplicate-heavy key") {
+    import spark.implicits._
+    val big = (1 to 50000).map(_ => (7L, "dup_payload")).toDF("k", "p")
+      .unionAll((1 to 100).map(i => (i.toLong % 20 + 100L, s"p$i")).toDF("k", "p"))
+    val small = (0L to 200L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedJoin(big, small, "k", 16).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted(7L) == 50000L)
+  }
+
   test("bucketOf is stable and within range") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("k")
