@@ -80,6 +80,34 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("F1 street: cleaning is idempotent (mapped suffixes land in expected)") {
+    val suffix = Gen.oneOf(CleanFns.streetMapping.keys.toSeq ++ CleanFns.expectedStreetTypes)
+    val streetGen = for {
+      base <- Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
+      sfx <- suffix
+    } yield s"$base $sfx"
+    val raws = samples(streetGen, 150)
+    def clean(xs: Seq[String]) =
+      xs.toDF("raw").select(CleanFns.street(col("raw"))).collect().map(_.getString(0)).toSeq
+    val once = clean(raws)
+    assert(clean(once) == once)
+  }
+
+  test("F1 street strict: raises exactly when suffix is in neither table") {
+    val unknown = Gen.nonEmptyListOf(Gen.alphaUpperChar).map("Zz" + _.mkString.take(6))
+    val raws = samples(unknown, 30)
+      .filterNot(t => CleanFns.expectedStreetTypes.contains(t) || CleanFns.streetMapping.contains(t))
+      .map(t => s"Some $t")
+    assert(raws.nonEmpty)
+    intercept[Exception] {
+      raws.toDF("raw").select(CleanFns.street(col("raw"), strict = true)).collect()
+    }
+    // and the same inputs pass through untouched in lenient mode
+    val lenient = raws.toDF("raw").select(CleanFns.street(col("raw")))
+      .collect().map(_.getString(0)).toSeq
+    assert(lenient == raws)
+  }
+
   test("orderBy.limit(1) == min (Q5 equivalence)") {
     val xsGen = Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))
     samples(xsGen, 20).foreach { xs =>
