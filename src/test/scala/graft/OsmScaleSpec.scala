@@ -71,9 +71,8 @@ class OsmScaleSpec extends SparkSuite {
       assert(badZips == 0)
 
       // SCALE CAVEAT (observed): Spark's XML source does NOT split a single
-      // file — one 100 GB .osm would be one task. The mitigation is the
-      // standard one: shard the input into many files; the scan then
-      // parallelizes per file. Demonstrated:
+      // file — one 100 GB .osm would be one task. Mitigation 1: pre-sharded
+      // landing zone (many files → per-file parallelism). Demonstrated:
       val shards = s"$dir/shards"
       Files.createDirectories(Paths.get(shards))
       (0 until 4).foreach { s =>
@@ -83,6 +82,19 @@ class OsmScaleSpec extends SparkSuite {
       assert(sharded.rdd.getNumPartitions >= 4,
         s"expected >=4 partitions over 4 shards, got ${sharded.rdd.getNumPartitions}")
       assert(sharded.count() == (nNodes / 20) * 4L)
+
+      // Mitigation 2: OsmShard — one constant-memory pass cuts the
+      // monolith into element-aligned shards; the full pipeline over the
+      // shard directory must agree exactly with the single-file run.
+      val cut = s"$dir/cut"
+      val shardPaths = graft.osm.OsmShard.shard(xml, cut, 4L * 1024 * 1024)
+      assert(shardPaths.length >= 8, s"expected >=8 shards, got ${shardPaths.length}")
+      val ts = OsmPipeline.process(spark, s"$cut/*.osm")
+      assert(ts.nodes.count() == nNodes)
+      assert(ts.nodeTags.count() == nNodes * 3L)
+      assert(ts.ways.count() == nWays)
+      assert(ts.wayNodes.count() == nWays * 2L)
+      assert(OsmPipeline.readNodesRaw(spark, s"$cut/*.osm").rdd.getNumPartitions >= 8)
     } finally {
       spark.conf.unset("spark.sql.files.maxPartitionBytes")
     }
