@@ -44,6 +44,21 @@ class CorpusSpec extends SparkSuite {
     assert(n >= 40 && n <= 50, s"unexpected survivor count $n")
   }
 
+  test("quality gate boundaries are inclusive and empty text is safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five", "en"),   // 5 words: kept at min=5
+      (2L, "one two three four", "en"),        // 4 words: dropped
+      (3L, "", "en"))                          // empty: signals NULL, dropped
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus(df).withQualitySignals().filterQuality(5, 100).df
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // empty text produced NULL ppm signals, not a DIVIDE_BY_ZERO crash
+    val sig = Corpus(df).withQualitySignals().df
+      .filter(col("doc_id") === 3L).select("letter_ppm").collect()(0)
+    assert(sig.isNullAt(0))
+  }
+
   test("language filter + vectors entry point") {
     val en = Corpus(spark, dir).filterLanguages("en").df
     assert(en.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))

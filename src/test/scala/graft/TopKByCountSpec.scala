@@ -33,6 +33,19 @@ class TopKByCountSpec extends SparkSuite {
     assert(once == reparted)
   }
 
+  test("bounded-buffer regime: heavy hitter survives eviction") {
+    import spark.implicits._
+    // 40 distinct keys, buffer capped at 4 (trim fires above 8): the
+    // space-saving guarantee is that a hitter with a large margin ("hot",
+    // 500 of 890 rows) is never evicted
+    val rows = Seq.fill(500)("hot") ++
+      (1 to 39).flatMap(i => Seq.fill(10)(s"cold_$i"))
+    val ds = spark.sparkContext.parallelize(rows, 8).toDF("v").as[String]
+    val top = ds.select(new TopKByCount(1, maxBuffer = 4).toColumn).collect()(0)
+    assert(top.length == 1)
+    assert(top.head.startsWith("hot:"), s"heavy hitter evicted: $top")
+  }
+
   test("per-group usage via groupByKey.mapValues") {
     val ds = Tables(spark, "/root/testdata/sf0.001", "customer")
       .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
