@@ -52,10 +52,15 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the single JSON line short enough for the driver's
+    // bounded tail capture (round 1's full-precision line was truncated at
+    // the head and recorded as parsed:null)
+    def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failed queries excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -131,6 +131,13 @@ object TextAnalysis {
   /** X-TXT5 — document fingerprint via the native rolling_hash Catalyst
     * expression (graft.functions.RollingHash: codegen'd Rabin–Karp, no UDF
     * boundary). Registered for SQL through GraftExtensions.
+    *
+    * Oracle-equivalence note: RollingHash folds UTF-8 BYTES; the DuckDB
+    * oracle below folds per-character codepoints (ascii/substr). The two
+    * agree iff the text is pure ASCII — which the documents fixture is
+    * (verified: text is generated from an ASCII word list). On a multi-byte
+    * corpus the oracle, not the expression, would diverge; RollingHashSpec
+    * pins the byte-fold definition directly, including non-ASCII input.
     */
   private val txt5 = Probe(
     "x_txt5_rolling_hash",

@@ -18,11 +18,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Summation order is ascending index, identical to the HOF left fold —
   * results are bit-for-bit the same, just faster.
+  *
+  * Mismatched lengths yield NULL, matching the HOF formulation (zip_with
+  * pads the shorter side with nulls, so the aggregate sum is null) — a
+  * silent truncation would return a wrong answer on ragged embedding data.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
+  // can return null on length mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
 
   // fail at ANALYSIS: getDouble on any other element width would silently
   // read garbage (e.g. raw ARRAY<FLOAT> embeddings — cast them first)
@@ -39,14 +45,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
     }
-    java.lang.Double.valueOf(acc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +64,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

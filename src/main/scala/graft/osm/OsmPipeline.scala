@@ -130,13 +130,19 @@ object OsmPipeline {
       check(t.wayTags, "ways_tags", Seq("id", "key", "value", "type")))
   }
 
-  /** S4 — CSV sinks: headered, fixed column order, UTF-8 (Spark default). */
+  /** S4 — CSV sinks: headered, fixed column order, UTF-8 (Spark default).
+    * escape='"' pins RFC-4180 quote-doubling (like the reference's Python
+    * csv writer) so the reader options in readCsv are an exact match.
+    */
   def writeCsv(t: OsmTables, dir: String): Unit = {
-    t.nodes.write.mode("overwrite").option("header", true).csv(s"$dir/nodes")
-    t.nodeTags.write.mode("overwrite").option("header", true).csv(s"$dir/nodes_tags")
-    t.ways.write.mode("overwrite").option("header", true).csv(s"$dir/ways")
-    t.wayNodes.write.mode("overwrite").option("header", true).csv(s"$dir/ways_nodes")
-    t.wayTags.write.mode("overwrite").option("header", true).csv(s"$dir/ways_tags")
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", true)
+        .option("escape", "\"").csv(s"$dir/$name")
+    wr(t.nodes, "nodes")
+    wr(t.nodeTags, "nodes_tags")
+    wr(t.ways, "ways")
+    wr(t.wayNodes, "ways_nodes")
+    wr(t.wayTags, "ways_tags")
   }
 
   /** S5 — CSV read-back with pinned schemas (the query-side scan of the
@@ -144,7 +150,12 @@ object OsmPipeline {
     */
   def readCsv(spark: SparkSession, dir: String): OsmTables = {
     def rd(name: String, ddl: String): DataFrame =
-      spark.read.option("header", true).schema(ddl).csv(s"$dir/$name")
+      // multiLine: the writer quotes tag values containing embedded newlines
+      // (legal in OSM note/description values); without it the reader would
+      // split such records on the raw newline. escape matches the writer's
+      // default quote-escaping.
+      spark.read.option("header", true).option("multiLine", true)
+        .option("escape", "\"").schema(ddl).csv(s"$dir/$name")
     OsmTables(
       rd("nodes", "id LONG, lat DOUBLE, lon DOUBLE, user STRING, uid LONG, version STRING, changeset LONG, timestamp STRING"),
       rd("nodes_tags", "id LONG, key STRING, value STRING, type STRING"),

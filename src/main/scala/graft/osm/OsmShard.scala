@@ -1,6 +1,8 @@
 package graft.osm
 
-import java.io.{BufferedReader, BufferedWriter, FileReader, FileWriter}
+import java.io.{BufferedReader, BufferedWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 
 /** One-pass, constant-memory sharder for a monolithic .osm file.
   *
@@ -29,7 +31,10 @@ object OsmShard {
     val header = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n"
     val footer = "</osm>\n"
 
-    val in = new BufferedReader(new FileReader(inPath), 1 << 20)
+    // Explicit UTF-8: the platform default charset can be US-ASCII (LANG
+    // unset), which would silently mangle multi-byte OSM tag values to '?'.
+    val in = new BufferedReader(
+      Files.newBufferedReader(Paths.get(inPath), StandardCharsets.UTF_8), 1 << 20)
     val shards = scala.collection.mutable.ListBuffer.empty[String]
     var out: BufferedWriter = null
     var written = 0L
@@ -38,7 +43,8 @@ object OsmShard {
     def open(): Unit = {
       val p = f"$outDir/shard_$idx%05d.osm"
       shards += p
-      out = new BufferedWriter(new FileWriter(p), 1 << 20)
+      out = new BufferedWriter(
+        Files.newBufferedWriter(Paths.get(p), StandardCharsets.UTF_8), 1 << 20)
       out.write(header)
       written = 0L
       idx += 1
@@ -56,7 +62,8 @@ object OsmShard {
         if (!skip) {
           if (isTopLevelOpen && written >= bytesPerShard) { close(); open() }
           out.write(line); out.write('\n')
-          written += line.length + 1
+          // byte-accurate shard sizing (line.length counts chars, not bytes)
+          written += line.getBytes(StandardCharsets.UTF_8).length + 1
         }
         line = in.readLine()
       }

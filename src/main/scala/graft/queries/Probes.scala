@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   * integers via truncating division (identical in both engines); doubles are
   * only ever passed through or produced by single IEEE ops (deterministic
   * bit-for-bit); derived integers are BIGINT on both sides.
+  *
+  * SURFACED decimals are cast to DOUBLE as the very last step (round 2): the
+  * driver's hash gate reads Spark parquet via pandas (DECIMAL -> fixed-scale
+  * Decimal objects, str '212576.00') and the oracle via duckdb fetchdf
+  * (DECIMAL -> float64, repr '212576.0') — representation-sensitive hashing
+  * mismatches on any trailing-zero cent. Casting the SAME exact decimal to
+  * DOUBLE on both sides is deterministic (round-to-nearest of an identical
+  * value) and hashes identically. All arithmetic stays in exact decimal;
+  * only the output column type changes.
   */
 object Probes {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  private def dsum(c: Column): Column = sum(dec2(c)).cast("decimal(18,2)")
+  private def dsum(c: Column): Column =
+    sum(dec2(c)).cast("decimal(18,2)").cast("double")
 
   /** Exact-decimal money product sum: factors are cast to decimal BEFORE
     * multiplying (double products land exactly on .xx5 boundaries for
@@ -29,7 +39,7 @@ object Probes {
     */
   private def rate(c: Column): Column = c.cast("decimal(4,2)")
   private def dsumRounded(product: Column): Column =
-    round(sum(product), 2).cast("decimal(18,2)")
+    round(sum(product), 2).cast("decimal(18,2)").cast("double")
 
   /** P-FIL — filter + project; predicate and projection must reach the scan
     * (PushedFilters/ReadSchema in explain).
@@ -54,27 +64,42 @@ object Probes {
     "p_agg1_hash_agg",
     """WITH a AS (
       |  SELECT l_returnflag, l_linestatus,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-      |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty_d,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_d,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price_d,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_charge_d,
       |    CAST(COUNT(*) AS BIGINT) AS count_order
       |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY l_returnflag, l_linestatus)
-      |SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc_price, sum_charge, count_order,
-      |  CAST(sum_qty * 1000000 AS BIGINT) // count_order AS avg_qty_ppm,
-      |  CAST(sum_base * 1000000 AS BIGINT) // count_order AS avg_price_ppm
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum_qty_d AS DOUBLE) AS sum_qty,
+      |  CAST(sum_base_d AS DOUBLE) AS sum_base,
+      |  CAST(sum_disc_price_d AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum_charge_d AS DOUBLE) AS sum_charge,
+      |  count_order,
+      |  CAST(sum_qty_d * 1000000 AS BIGINT) // count_order AS avg_qty_ppm,
+      |  CAST(sum_base_d * 1000000 AS BIGINT) // count_order AS avg_price_ppm
       |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base"),
-        dsumRounded(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("sum_disc_price"),
-        dsumRounded(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) * (lit(1) + rate(col("l_tax")))).as("sum_charge"),
+        // ppm averages derive from the EXACT decimal sums (decimal*int is
+        // exact; double-derived ints would hit truncate-vs-round cast skew)
+        sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty_d"),
+        sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_d"),
+        round(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))), 2)
+          .cast("decimal(18,2)").as("sum_disc_price_d"),
+        round(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) * (lit(1) + rate(col("l_tax")))), 2)
+          .cast("decimal(18,2)").as("sum_charge_d"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty_ppm", expr("CAST(sum_qty * 1000000 AS BIGINT) DIV count_order"))
-      .withColumn("avg_price_ppm", expr("CAST(sum_base * 1000000 AS BIGINT) DIV count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_d").cast("double").as("sum_qty"),
+        col("sum_base_d").cast("double").as("sum_base"),
+        col("sum_disc_price_d").cast("double").as("sum_disc_price"),
+        col("sum_charge_d").cast("double").as("sum_charge"),
+        col("count_order"),
+        expr("CAST(sum_qty_d * 1000000 AS BIGINT) DIV count_order").as("avg_qty_ppm"),
+        expr("CAST(sum_base_d * 1000000 AS BIGINT) DIV count_order").as("avg_price_ppm"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -105,7 +130,7 @@ object Probes {
     """SELECT COALESCE(n_name, 'ALL') AS nation,
       |       COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
       |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
       |      FROM orders JOIN customer ON o_custkey = c_custkey
       |      JOIN nation ON c_nationkey = n_nationkey) t
@@ -122,7 +147,7 @@ object Probes {
     s.sql("""SELECT COALESCE(nk, 'ALL') AS nation,
             |       COALESCE(CAST(yk AS STRING), 'ALL') AS yr,
             |       COUNT(*) AS n_orders,
-            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+            |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
             |FROM p_agg3_pre GROUP BY ROLLUP (nk, yk)
             |ORDER BY nation, yr""".stripMargin)
   }
@@ -131,7 +156,7 @@ object Probes {
   private val pJn1 = Probe(
     "p_jn1_inner_join",
     """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
     Tables(s, dir, "orders")
@@ -195,7 +220,7 @@ object Probes {
   private val pJn4 = Probe(
     "p_jn4_broadcast_join",
     """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem")
@@ -255,7 +280,7 @@ object Probes {
     """SELECT o_orderkey, o_custkey,
       |  lag(o_totalprice) OVER w AS prev_price,
       |  lead(o_totalprice) OVER w AS next_price,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mv_sum
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mv_sum
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
@@ -264,7 +289,8 @@ object Probes {
       .select(col("o_orderkey"), col("o_custkey"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
-        sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-2, 0)).cast("decimal(18,2)").as("mv_sum"))
+        sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-2, 0))
+          .cast("decimal(18,2)").cast("double").as("mv_sum"))
       .orderBy("o_orderkey")
   }
 
@@ -274,7 +300,7 @@ object Probes {
   private val pSrt = Probe(
     "p_srt_topk_revenue",
     """SELECT l_orderkey,
-      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+      |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       |FROM lineitem GROUP BY l_orderkey
       |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem")
@@ -419,7 +445,7 @@ object Probes {
     "p_evt_tumbling_window",
     """SELECT (epoch_us(ts) // 1000000 // 300) * 300 AS win_start, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
     Tables(s, dir, "events")
@@ -437,9 +463,9 @@ object Probes {
   private val pWin3 = Probe(
     "p_win3_range_frame",
     """SELECT event_id, user_id,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
       |       (PARTITION BY user_id ORDER BY epoch_us(ts)
-      |        RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS trail_5min,
+      |        RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS trail_5min,
       |  first_value(event_id) OVER wfull AS first_id,
       |  last_value(event_id) OVER wfull AS last_id,
       |  nth_value(event_id, 2) OVER wfull AS second_id,
@@ -456,7 +482,7 @@ object Probes {
     val wFull = wSeq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables(s, dir, "events").select(
       col("event_id"), col("user_id"),
-      sum(dec2(col("value"))).over(wRange).cast("decimal(18,2)").as("trail_5min"),
+      sum(dec2(col("value"))).over(wRange).cast("decimal(18,2)").cast("double").as("trail_5min"),
       first(col("event_id")).over(wFull).as("first_id"),
       last(col("event_id")).over(wFull).as("last_id"),
       nth_value(col("event_id"), 2).over(wFull).as("second_id"),
@@ -486,7 +512,7 @@ object Probes {
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
       |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, sess""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -39,6 +39,61 @@ class OsmScaleSpec extends SparkSuite {
     w.close()
   }
 
+  test("OsmShard preserves non-ASCII UTF-8 bytes (charset-independent)") {
+    // Real OSM is full of multi-byte names; with the platform default
+    // charset (US-ASCII when LANG is unset) these were mangled to '?'.
+    val dir = Files.createTempDirectory("osm_utf8").toString
+    val xml = s"$dir/utf8.osm"
+    val names = Seq("Café Señorial", "Große Straße", "北京烤鸭", "Łódź–Żoliborz")
+    val w = Files.newBufferedWriter(Paths.get(xml), java.nio.charset.StandardCharsets.UTF_8)
+    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n")
+    names.zipWithIndex.foreach { case (n, i) =>
+      w.write(s"""  <node id="${i + 1}" lat="30.1" lon="-97.1" version="1" timestamp="2016-01-01T00:00:00Z" changeset="1" uid="1" user="u">
+    <tag k="name" v="$n"/>
+  </node>
+""")
+    }
+    w.write("</osm>\n")
+    w.close()
+
+    val cut = s"$dir/cut"
+    val shards = graft.osm.OsmShard.shard(xml, cut, 1L) // 1 byte/shard: one node per shard
+    assert(shards.length == names.length)
+    // byte-level: every multi-byte name survives the shard pass verbatim
+    val shardText = shards.map(p =>
+      new String(Files.readAllBytes(Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+      .mkString("\n")
+    names.foreach(n => assert(shardText.contains(n), s"mangled: $n"))
+    // end-to-end: the Spark scan over shards yields the exact values
+    val t = OsmPipeline.process(spark, s"$cut/*.osm")
+    val got = t.nodeTags.filter(t.nodeTags("key") === "name")
+      .select("value").collect().map(_.getString(0)).toSet
+    assert(got == names.toSet)
+  }
+
+  test("CSV round-trip preserves embedded newlines in tag values (multiLine)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("osm_csv_nl").toString
+    // legal in OSM note/description values: embedded newlines + quotes
+    val tricky = Seq(
+      (1L, "note", "line one\nline two", "regular"),
+      (2L, "description", "said \"hi\",\nthen left", "regular"),
+      (3L, "name", "Café Straße", "regular"))
+    val tags = tricky.toDF("id", "key", "value", "type")
+    val empty = Seq.empty[(Long, String, String, String)].toDF("id", "key", "value", "type")
+    val nodes = Seq((1L, 30.1, -97.1, "u", 1L, "1", 1L, "2016-01-01T00:00:00Z"))
+      .toDF("id", "lat", "lon", "user", "uid", "version", "changeset", "timestamp")
+    val ways = Seq.empty[(Long, String, Long, String, Long, String)]
+      .toDF("id", "user", "uid", "version", "changeset", "timestamp")
+    val wayNodes = Seq.empty[(Long, Long, Long)].toDF("id", "node_id", "position")
+    val t = OsmPipeline.OsmTables(nodes, tags, ways, wayNodes, empty)
+    OsmPipeline.writeCsv(t, dir)
+    val back = OsmPipeline.readCsv(spark, dir)
+    val got = back.nodeTags.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == tricky, s"round-trip mismatch: $got")
+  }
+
   test("full pipeline over a reference-scale XML input") {
     val dir = Files.createTempDirectory("osm_scale").toString
     val xml = s"$dir/big.osm"

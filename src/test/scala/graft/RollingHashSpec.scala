@@ -47,6 +47,24 @@ class RollingHashSpec extends SparkSuite {
     assert(hof == viaCodegen)
   }
 
+  test("dot_d: mismatched lengths yield NULL (matches HOF zip_with padding)") {
+    GraftExtensions.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    assert(df.select(expr("dot_d(a, b)")).collect()(0).isNullAt(0))
+    // same as the HOF formulation: zip_with pads with null -> sum is null
+    assert(df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .collect()(0).isNullAt(0))
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(expr("dot_d(a, b)")).collect()(0).isNullAt(0))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("type mismatches fail at analysis, not with silent garbage") {
     GraftExtensions.register(spark)
     // dot_d on ARRAY<FLOAT> (un-cast) must be rejected

@@ -8,8 +8,18 @@ plus <verify_out>/oracle_sql.json. Registers each testdata parquet as a
 DuckDB view named after the file, runs every oracle SQL, and compares
 against the Spark result: columns sorted by name, rows in written order,
 exact value equality (floats compared bit-exactly; small report on diff).
+
+Round-2 addition: a REPR-level pass emulating the driver's hash gate. The
+driver reads the Spark side via pandas (parquet DECIMAL -> Decimal objects
+with fixed scale, e.g. str '212576.00') and the oracle via duckdb fetchdf
+(DECIMAL -> float64, repr '212576.0'), sorts rows, and hashes cell
+representations — so numerically-equal cells can STILL hash-mismatch.
+Any REPR FAIL here predicts hash_match:false in CORRECTNESS_r{N}.json even
+when the value pass is green. Fix the query's surfaced types (cast decimal
+-> DOUBLE on both sides), don't relax this check.
 """
 import duckdb, glob, json, math, os, sys
+import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -89,6 +99,39 @@ for name in sorted(oracle):
     if bad:
         c, i, g, e = bad
         print(f"FAIL {name}: first diff col={c} row={i} spark={g!r} oracle={e!r}")
+        n_fail += 1
+        continue
+
+    # ---- repr-level pass (driver hash emulation) ----
+    # Spark side re-read the way the driver does: pandas/pyarrow.
+    try:
+        pgot = pd.concat([pd.read_parquet(f)
+                          for f in sorted(glob.glob(f"{spark_dir}/*.parquet"))],
+                         ignore_index=True)[gcols]
+    except Exception as e:
+        print(f"FAIL {name}: pandas read error (driver would crash too): {e}")
+        n_fail += 1
+        continue
+    rbad = None
+    for c in gcols:
+        gv, ev = pgot[c].tolist(), exp[c].tolist()
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            if hasattr(g, "tolist"):
+                g = g.tolist()  # numpy array cell: unhashable for the driver
+                print(f"FAIL {name}: col={c} is array-valued — driver sort_values crashes")
+                rbad = (c, i, g, e)
+                break
+            gs, es = str(g), str(e)
+            if gs != es and not (isinstance(g, float) and isinstance(e, float)
+                                 and math.isnan(g) and math.isnan(e)):
+                rbad = (c, i, gs, es)
+                break
+        if rbad:
+            break
+    if rbad:
+        c, i, g, e = rbad
+        print(f"REPR FAIL {name}: col={c} row={i} spark={g!r} oracle={e!r} "
+              f"(values equal but driver hash will mismatch)")
         n_fail += 1
     else:
         print(f"PASS {name} ({len(got)} rows)")
