@@ -7,6 +7,7 @@ object Registry {
     queries.Probes.all ++
     queries.Advanced.all ++
     queries.Functions2.all ++
+    queries.Breadth.all ++
     ext.Dedup.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++

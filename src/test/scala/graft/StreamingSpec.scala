@@ -94,6 +94,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join agrees with the batch range join") {
+    // same shape as p_jn5: error events joined to same-user follow events
+    // within 5 minutes. Watermarks on both sides bound the join state; the
+    // range condition gives Spark the state-eviction window.
+    def follow(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.filter(col("event_type") === "error").alias("a")
+        .join(b.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+    val sa = EventStreams.readStream(spark, dir).withWatermark("ts", "1 hour")
+    val sb = EventStreams.readStream(spark, dir).withWatermark("ts", "1 hour")
+    val q = follow(sa, sb).writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").orderBy("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val ev = Tables(spark, dir, "events")
+      val want = follow(ev, ev).orderBy("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("batch session_window agrees with the stateful sessionize shape") {
+    // p_evt3_session_window (oracle-checked) uses the same session_window
+    // operator streaming uses; here: its sessions == EventStreams.sessionize.
+    import spark.implicits._
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val got = graft.queries.Breadth.all.find(_.name == "p_evt3_session_window").get
+      .run(spark, dir)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = EventStreams.sessionize(events)
+      .orderBy("user_id", "start_us")
+      .collect().map(s => (s.user_id, s.start_us, s.n_events.toLong)).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("stateful sessionize agrees with the lag/cumsum batch form") {
     import spark.implicits._
     val events = Tables(spark, dir, "events")
