@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -32,5 +33,10 @@ object GraftExtensions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    // planner strategy for the custom AsOfJoin logical plan (idempotent)
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))
+      spark.experimental.extraStrategies =
+        strategies :+ new graft.plans.AsOfJoinStrategy
   }
 }

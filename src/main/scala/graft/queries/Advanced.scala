@@ -60,6 +60,40 @@ object Advanced {
       .orderBy("purchase_id")
   }
 
+  /** X-ASOF2 — the SAME as-of semantics through the custom fused operator
+    * (graft.plans.AsOfJoin: logical plan → strategy → sort-merge physical
+    * exec registered via GraftExtensions). No right-side pre-aggregation
+    * needed: the (r_ts, click_id)-ascending sort makes the last tied row
+    * the max event_id, which is exactly the oracle's dedup rule. Same
+    * DuckDB ASOF oracle as x_asof_join — two implementations, one truth.
+    */
+  private val asof2 = Probe(
+    "x_asof2_native",
+    """WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |r0 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM r0 GROUP BY user_id, ts)
+      |SELECT l.event_id AS purchase_id, l.user_id,
+      |       CAST(epoch_us(l.ts) AS BIGINT) AS purchase_us,
+      |       r.click_id,
+      |       CAST(epoch_us(r.ts) AS BIGINT) AS click_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user_id"), col("event_id").as("click_id"),
+        col("ts").as("r_ts"))
+    graft.plans.AsOf.joinBackward(l, r,
+        leftKey = "user_id", rightKey = "r_user_id",
+        leftTime = "ts", rightTime = "r_ts", rightTiebreak = Seq("click_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("click_id"),
+        unix_micros(col("r_ts")).as("click_us"))
+      .orderBy("purchase_id")
+  }
+
   /** P-PIVOT — pivot event_type into columns (Spark's DataFrame pivot with
     * an explicit value list = no extra distinct-values job; the oracle is
     * the equivalent conditional aggregation).
@@ -162,5 +196,5 @@ object Advanced {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Probe] = Seq(asof, pivot, subq, pct, merge)
+  val all: Seq[Probe] = Seq(asof, asof2, pivot, subq, pct, merge)
 }
