@@ -168,6 +168,28 @@ class OsmSpec extends SparkSuite {
       Set(29591541L, 2637880080L))
   }
 
+  test("ORC sink round-trip: second columnar format besides parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("osm_orc_out").toString
+    t.nodeTags.write.mode("overwrite").orc(s"$dir/node_tags_orc")
+    val back = spark.read.orc(s"$dir/node_tags_orc")
+    assert(back.schema == t.nodeTags.schema)
+    assert(back.orderBy("id", "key").collect().toSeq ==
+      t.nodeTags.orderBy("id", "key").collect().toSeq)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(back("key") === "street").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(key), EqualTo(key,street)"), plan)
+  }
+
+  test("text source: raw line ingestion (corpus landing-zone format)") {
+    val dir = java.nio.file.Files.createTempDirectory("osm_text").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/doc.txt"),
+      "line one\nline two\nline three\n")
+    val lines = spark.read.text(s"$dir/doc.txt")
+    assert(lines.count() == 3)
+    assert(lines.schema.fieldNames.toSeq == Seq("value"))
+  }
+
   test("binaryFile source ingests raw files as BINARY + metadata (X-MM ingestion)") {
     val df = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.osm")

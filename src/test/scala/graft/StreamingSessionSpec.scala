@@ -49,4 +49,39 @@ class StreamingSessionSpec extends SparkSuite {
       assert(s7.end_us == ts("2024-01-01 10:20:00").getTime * 1000)
     } finally q.stop()
   }
+
+  test("native session_window streaming: cross-batch merge matches the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    // the SAME declaration as p_evt3_session_window's batch aggregation
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+
+    val q = sessions(input.toDS().withWatermark("ts", "0 seconds").toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("swin_out").start()
+    try {
+      val batch1 = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7L, "click", 1.0))
+      val batch2 = Seq(Event(3, ts("2024-01-01 10:20:00"), 7L, "click", 1.0))
+      val sentinel = Seq(Event(9, ts("2024-01-01 23:00:00"), 8L, "click", 1.0))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // watermark must pass end-of-session before append mode emits it
+      input.addData(sentinel: _*); q.processAllAvailable()
+
+      val got = spark.table("swin_out").filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = sessions((batch1 ++ batch2).toDS().toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.length == 1, s"session split across batches: $got")
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
 }
