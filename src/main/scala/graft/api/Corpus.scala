@@ -79,9 +79,27 @@ final case class Corpus(df: DataFrame) {
   /** Keep documents whose declared language is in the allow-list. */
   def filterLanguages(langs: String*): Corpus =
     chain(_.filter(col("lang").isin(langs: _*)))
+
+  /** Per-document top-k keywords after stopword removal: (doc_id, rk, tok,
+    * n), deterministic (count DESC, term ASC) tiebreak. Same shape as the
+    * oracle-checked x_txt6_top_terms; plans as two-phase WindowGroupLimit,
+    * so the shuffle carries k rows per doc, not all tokens.
+    */
+  def topTerms(k: Int, stopwords: Seq[String] = Corpus.defaultStopwords): DataFrame = {
+    val tf = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0 && !col("tok").isInCollection(stopwords))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("tok"))
+    tf.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("n"))
+  }
 }
 
 object Corpus {
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "that", "from", "or")
+
   /** Entry point over the standard documents table. */
   def apply(spark: SparkSession, dir: String): Corpus =
     Corpus(graft.Tables(spark, dir, "documents"))

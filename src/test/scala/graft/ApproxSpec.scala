@@ -37,4 +37,34 @@ class ApproxSpec extends SparkSuite {
       .select(approx_count_distinct(col("l_partkey"), 0.02)).collect()(0).getLong(0)
     assert(whole == reparted)
   }
+
+  test("materialized sketch columns: per-group hll_sketch_agg persisted, unioned later") {
+    // The cross-query sketch-reuse pattern from SURVEY §7.5: at 100 TB you
+    // pre-aggregate a BINARY sketch column per partition/day once, persist
+    // it, and answer later distinct-count queries by unioning sketches —
+    // never rescanning the facts. Spark 4 ships this natively
+    // (hll_sketch_agg / hll_union_agg / hll_sketch_estimate — Datasketches
+    // HLL), so no custom TypedImperativeAggregate is warranted.
+    val li = Tables(spark, dir, "lineitem")
+    val perFlag = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    val dirOut = java.nio.file.Files.createTempDirectory("hll_sk").toString
+    perFlag.write.mode("overwrite").parquet(dirOut) // BINARY sketch column persists
+    val merged = spark.read.parquet(dirOut)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect()(0).getLong(0)
+    val direct = li.select(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))"))
+      .collect()(0).getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    // union-of-sub-sketches and single-pass sketch take different internal
+    // paths (observed: 1991 vs 2023 on exact 2000), so bit-equality is NOT
+    // the contract — both landing within HLL error of exact is; and
+    // re-unioning the same persisted sketches must be deterministic.
+    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"merged=$merged exact=$exact")
+    assert(math.abs(direct - exact).toDouble / exact < 0.05, s"direct=$direct exact=$exact")
+    val merged2 = spark.read.parquet(dirOut)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect()(0).getLong(0)
+    assert(merged2 == merged)
+  }
 }

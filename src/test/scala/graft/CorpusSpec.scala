@@ -66,4 +66,15 @@ class CorpusSpec extends SparkSuite {
     assert(v.columns.toSeq == Seq("vec_id", "label", "v", "n2"))
     assert(v.filter(col("n2") <= 0).count() == 0)
   }
+
+  test("topTerms matches the oracle-checked x_txt6 probe") {
+    val api = Corpus(spark, dir).topTerms(3).orderBy("doc_id", "rk")
+      .collect().map(_.toSeq).toSeq
+    val probe = Registry.all.find(_.name == "x_txt6_top_terms").get.run(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(api.nonEmpty && api == probe)
+    // no doc exceeds k rows; ranks are 1..k dense
+    val byDoc = api.groupBy(_.head)
+    assert(byDoc.values.forall(rows => rows.map(_(1)) == (1L to rows.length).toSeq))
+  }
 }
