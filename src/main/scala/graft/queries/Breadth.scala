@@ -282,7 +282,99 @@ object Breadth {
       .orderBy("user_id", "start_us")
   }
 
+  /** P-REGEX2 — second regex battery: match counting, first-match
+    * extraction, case-insensitive LIKE, boolean regex test. Spark's
+    * regexp_substr yields NULL on no-match where DuckDB's regexp_extract
+    * yields '' — COALESCE pins the same surface.
+    */
+  private val pRegex2 = Probe(
+    "p_regex2_functions",
+    """SELECT p_partkey,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+      |  regexp_extract(p_name, '[a-z]{3,}') AS first_long,
+      |  p_name ILIKE '%RE%' AS has_re_ci,
+      |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      expr("regexp_count(p_name, '[aeiou]')").cast("long").as("n_vowels"),
+      coalesce(expr("regexp_substr(p_name, '[a-z]{3,}')"), lit("")).as("first_long"),
+      col("p_name").ilike("%RE%").as("has_re_ci"),
+      col("p_name").rlike("^[a-z]+ ").as("starts_word"))
+      .orderBy("p_partkey")
+  }
+
+  /** P-STR4 — third string battery: field splitting, fixed-width slicing,
+    * position search, codepoint conversion, printf formatting.
+    */
+  private val pStr4 = Probe(
+    "p_str4_functions",
+    """SELECT p_partkey,
+      |  split_part(p_name, ' ', 2) AS word2,
+      |  left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+      |  CAST(position('a' IN p_name) AS BIGINT) AS pos_a,
+      |  CAST(ascii(p_name) AS BIGINT) AS first_cp,
+      |  chr((65 + (p_partkey % 26))::INT) AS letter,
+      |  printf('%s-%04d', p_brand, (p_partkey % 1000)::INT) AS tag
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      expr("split_part(p_name, ' ', 2)").as("word2"),
+      expr("left(p_name, 3)").as("l3"), expr("right(p_name, 3)").as("r3"),
+      expr("instr(p_name, 'a')").cast("long").as("pos_a"),
+      ascii(col("p_name")).cast("long").as("first_cp"),
+      expr("chr(65 + pmod(p_partkey, 26))").as("letter"),
+      format_string("%s-%04d", col("p_brand"),
+        expr("CAST(pmod(p_partkey, 1000) AS INT)")).as("tag"))
+      .orderBy("p_partkey")
+  }
+
+  /** P-DT3 — epoch round-trips, week/quarter truncation, clamped month
+    * arithmetic, date construction. All surfaced as formatted strings or
+    * BIGINT epoch seconds (never raw TIMESTAMP — engines' parquet tz
+    * handling differs).
+    */
+  private val pDt3 = Probe(
+    "p_dt3_epoch_trunc",
+    """SELECT o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS rt,
+      |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+      |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qt,
+      |  strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus_m,
+      |  strftime(make_date(2024, ((o_orderkey % 12) + 1)::INT, 15), '%Y-%m-%d') AS md
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders").select(
+      col("o_orderkey"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"),
+      from_unixtime(unix_timestamp(col("o_orderdate"))).as("rt"),
+      date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("wk"),
+      date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qt"),
+      date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd").as("plus_m"),
+      date_format(make_date(lit(2024), pmod(col("o_orderkey"), lit(12)) + 1, lit(15)),
+        "yyyy-MM-dd").as("md"))
+      .orderBy("o_orderkey")
+  }
+
+  /** X-DED6 — canonical-form dedup: normalize (lowercase, strip
+    * punctuation, collapse whitespace) → md5 key → smallest-id survivor
+    * with duplicate counts. The cheap text-canonicalization family of the
+    * dedup suite (catches case/punctuation-only near-dups exactly).
+    */
+  private val xDed6 = Probe(
+    "x_ded6_canonical",
+    """SELECT md5(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ckey,
+      |  CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(md5(lower(regexp_replace(
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " "))).as("ckey"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
+      .orderBy("survivor_id")
+  }
+
   val all: Seq[Probe] = Seq(
     pWin4, pAgg5, pAgg6, pGrpSets, pUnpivot, pInSubq, pLateral, pNullSafe,
-    pEvt3, xTxt6)
+    pEvt3, xTxt6, pRegex2, pStr4, pDt3, xDed6)
 }
