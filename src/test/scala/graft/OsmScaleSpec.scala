@@ -94,6 +94,67 @@ class OsmScaleSpec extends SparkSuite {
     assert(got == tricky, s"round-trip mismatch: $got")
   }
 
+  test("splittable XML source: single file parallelizes, rows identical to stock scan") {
+    val dir = Files.createTempDirectory("osm_split").toString
+    val xml = s"$dir/one.osm"
+    val nNodes = 30000
+    val nWays = 5000
+    generate(xml, nNodes, nWays)
+    val bytes = Files.size(Paths.get(xml))
+    assert(bytes > 8 * 1024 * 1024)
+
+    // force many small splits on the ONE file
+    val split = Some(1024L * 1024)
+    val nodes = graft.osm.OsmSplittable.readNodesRaw(spark, xml, split)
+    assert(nodes.rdd.getNumPartitions >= 8,
+      s"single file did not split: ${nodes.rdd.getNumPartitions} partitions")
+    assert(nodes.count() == nNodes)
+
+    // rows identical to the stock (unsplittable) XML scan, not just counts
+    val stock = OsmPipeline.readNodesRaw(spark, xml)
+    val a = nodes.orderBy("_id").collect().map(_.toSeq).toSeq
+    val b = stock.orderBy("_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+
+    // ways: start tags sparse and clustered at the file tail — exactly the
+    // case where naive delimiter records blow up; here each split just
+    // finds no start tag and returns empty, and counts still agree
+    val ways = graft.osm.OsmSplittable.readWaysRaw(spark, xml, split)
+    assert(ways.count() == nWays)
+    assert(ways.select("_id").orderBy("_id").collect().map(_.getLong(0)).toSeq ==
+      OsmPipeline.readWaysRaw(spark, xml).select("_id").orderBy("_id")
+        .collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("splittable XML source: split boundaries cannot drop or duplicate elements") {
+    // tiny file, splits far smaller than one element's byte length — every
+    // element straddles a boundary; the ownership rule (element belongs to
+    // the split where its start tag begins; last element read through the
+    // split end) must still yield exactly-once extraction
+    val dir = Files.createTempDirectory("osm_split_edge").toString
+    val xml = s"$dir/edge.osm"
+    val w = Files.newBufferedWriter(Paths.get(xml), java.nio.charset.StandardCharsets.UTF_8)
+    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n")
+    (1 to 200).foreach { i =>
+      if (i % 2 == 0)
+        // self-closing, with '>' inside an attribute value (legal XML)
+        w.write(s"""  <node id="$i" lat="30.$i" lon="-97.$i" version="1" timestamp="2016-01-01T00:00:00Z" changeset="1" uid="1" user="a&gt;b>c"/>\n""")
+      else
+        w.write(s"""  <node id="$i" lat="30.$i" lon="-97.$i" version="1" timestamp="2016-01-01T00:00:00Z" changeset="1" uid="1" user="u">
+    <tag k="name" v="n$i"/>
+  </node>\n""")
+    }
+    w.write("</osm>\n")
+    w.close()
+
+    for (splitBytes <- Seq(64L, 97L, 256L, 1000L)) {
+      val got = graft.osm.OsmSplittable
+        .readNodesRaw(spark, xml, Some(splitBytes))
+        .select("_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (1L to 200L), s"splitBytes=$splitBytes: got ${got.length} ids")
+    }
+  }
+
   test("full pipeline over a reference-scale XML input") {
     val dir = Files.createTempDirectory("osm_scale").toString
     val xml = s"$dir/big.osm"
