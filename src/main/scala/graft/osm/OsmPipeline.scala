@@ -82,12 +82,18 @@ object OsmPipeline {
     * via raise_error; default is lenient pass-through (SURVEY.md §7.4).
     */
   def process(spark: SparkSession, path: String, strict: Boolean = false,
-      cache: Boolean = false): OsmTables = {
+      cache: Boolean = false, splittable: Boolean = false): OsmTables = {
     // cache = the reference's single-pass fan-out (1 scan → 5 sinks,
     // Step_2:320-332): persist the two raw scans so the five table
     // pipelines share them instead of re-parsing the XML five times.
-    val nodesRaw0 = readNodesRaw(spark, path)
-    val waysRaw0 = readWaysRaw(spark, path)
+    // splittable = scan via XmlElementInputFormat (OsmSplittable): use for
+    // a SINGLE monolithic file, where the stock XML source is one task.
+    val nodesRaw0 =
+      if (splittable) OsmSplittable.readNodesRaw(spark, path)
+      else readNodesRaw(spark, path)
+    val waysRaw0 =
+      if (splittable) OsmSplittable.readWaysRaw(spark, path)
+      else readWaysRaw(spark, path)
     val nodesRaw = if (cache) nodesRaw0.persist() else nodesRaw0
     val waysRaw = if (cache) waysRaw0.persist() else waysRaw0
 

@@ -2,6 +2,7 @@ package graft
 
 import graft.osm.OsmPipeline
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 
 /** ETL at the reference's actual input scale (~100 MB XML for the real
   * Elgin extract): generate a comparable synthetic OSM file, run the full
@@ -124,6 +125,14 @@ class OsmScaleSpec extends SparkSuite {
     assert(ways.select("_id").orderBy("_id").collect().map(_.getLong(0)).toSeq ==
       OsmPipeline.readWaysRaw(spark, xml).select("_id").orderBy("_id")
         .collect().map(_.getLong(0)).toSeq)
+
+    // the full 5-table ETL over the splittable scan == over the stock scan
+    val ts = OsmPipeline.process(spark, xml, splittable = true)
+    val t0 = OsmPipeline.process(spark, xml)
+    def rows(d: org.apache.spark.sql.DataFrame, keys: String*) =
+      d.orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(rows(ts.nodeTags, "id", "key") == rows(t0.nodeTags, "id", "key"))
+    assert(rows(ts.wayNodes, "id", "position") == rows(t0.wayNodes, "id", "position"))
   }
 
   test("splittable XML source: split boundaries cannot drop or duplicate elements") {
