@@ -117,4 +117,44 @@ class PropertySpec extends SparkSuite {
       assert(viaSort == viaMin)
     }
   }
+
+  test("AsOfJoin == in-memory reference model on random data (incl. ties/dups)") {
+    // keys from a tiny range and times from a tiny range force heavy
+    // collisions: same-key same-time duplicates, exact left==right time
+    // ties, keys missing from either side
+    val rowGen = for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 19L)
+      v <- Gen.choose(0L, 999L)
+    } yield (k, t, v)
+    val dataGen = for {
+      l <- Gen.listOfN(60, rowGen)
+      r <- Gen.listOfN(60, rowGen)
+    } yield (l, r)
+
+    samples(dataGen, 12).zipWithIndex.foreach { case ((lRows, rRows), trial) =>
+      val l = lRows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "l_id")
+      // r value column doubles as the tiebreak
+      val r = rRows.map { case (k, t, v) => (k, t, v) }.toDF("rk", "rt", "rv")
+      val got = graft.plans.AsOf
+        .joinBackward(l, r, "k", "rk", "t", "rt", Seq("rv"))
+        .select("l_id", "rv").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .toMap
+
+      // reference model: latest right at-or-before; ties on time -> max rv
+      val byKey = rRows.groupBy(_._1)
+      lRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+        val want = byKey.getOrElse(k, Nil).filter(_._2 <= t) match {
+          case Nil => None
+          case cands =>
+            val tMax = cands.map(_._2).max
+            Some(cands.filter(_._2 == tMax).map(_._3).max)
+        }
+        assert(got(i.toLong) == want,
+          s"trial=$trial left=$i k=$k t=$t: got ${got(i.toLong)}, want $want")
+      }
+    }
+  }
 }

@@ -50,6 +50,47 @@ class StreamingSessionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state store: session_window streaming agg matches batch") {
+    // HDFS-backed in-memory state is the local default; RocksDB is the
+    // backend that holds at 100 TB state sizes (spill-to-disk, incremental
+    // checkpointing). The SAME query must produce the SAME result under it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"), col("n_events"))
+    val q = agg(input.toDS().withWatermark("ts", "0 seconds").toDF())
+      .writeStream.outputMode("append").format("memory").queryName("rocks_out").start()
+    try {
+      val events = Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+        Event(3, ts("2024-01-01 12:00:00"), 7L, "click", 1.0),
+        Event(4, ts("2024-01-01 10:01:00"), 8L, "click", 1.0))
+      input.addData(events: _*); q.processAllAvailable()
+      // sentinel far in the future closes every session
+      input.addData(Event(9, ts("2024-01-02 12:00:00"), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("rocks_out").filter(col("user_id") < 9)
+        .orderBy("user_id", "start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = agg(events.toDS().toDF()).orderBy("user_id", "start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got.nonEmpty && got == want, s"rocksdb $got != batch $want")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("native session_window streaming: cross-batch merge matches the batch form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
