@@ -88,4 +88,20 @@ class ScaleSpec extends SparkSuite {
     val b = df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(a == b)
   }
+
+  test("observe(): pipeline health metrics ride the job, no second scan") {
+    // at 100 TB you cannot afford a separate count() pass for data-quality
+    // counters; observe() accumulates them inside the main job
+    import org.apache.spark.sql.Observation
+    val obs = Observation("etl_metrics")
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val out = li.observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("l_quantity") > 45, 1).otherwise(0)).as("high_qty"))
+      .filter(col("l_quantity") > 45)
+    val kept = out.count()
+    val m = obs.get
+    assert(m("rows_seen") == li.count())
+    assert(m("high_qty") == kept)
+  }
 }

@@ -139,6 +139,46 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("checkpointed restart: file source resumes exactly-once, no dupes no loss") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ckpt_restart").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def startQuery() = spark.readStream
+      .schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+
+    writeBatch(0 until 100)
+    writeBatch(100 until 200)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // new data lands while the query is DOWN; restart from the checkpoint
+    writeBatch(200 until 300)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val out = spark.read.parquet(outDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // exactly-once across the restart: every id exactly once — the first
+    // run's output is not re-emitted, the downtime data is not skipped
+    assert(out == (0L until 300L), s"got ${out.length} rows")
+  }
+
   test("stateful sessionize agrees with the lag/cumsum batch form") {
     import spark.implicits._
     val events = Tables(spark, dir, "events")
