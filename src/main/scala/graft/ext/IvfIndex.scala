@@ -38,7 +38,10 @@ object IvfIndex {
     graft.GraftExtensions.register(spark)
     val iv = embeddings.select(col("vec_id"), expr(Similarity.intVec).as("v"))
 
-    var cent = iv.filter(col("vec_id") < nCentroids)
+    // deterministic seeds = the nCentroids smallest vec_ids PRESENT (a
+    // plain `vec_id < n` filter degenerates to an empty index on tables
+    // whose ids don't start densely at 0)
+    var cent = iv.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var step = 0
     while (step < lloydSteps) {

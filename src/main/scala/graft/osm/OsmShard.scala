@@ -33,8 +33,9 @@ object OsmShard {
 
     // Explicit UTF-8: the platform default charset can be US-ASCII (LANG
     // unset), which would silently mangle multi-byte OSM tag values to '?'.
-    val in = new BufferedReader(
-      Files.newBufferedReader(Paths.get(inPath), StandardCharsets.UTF_8), 1 << 20)
+    // Single 1 MB buffer layer (newBufferedReader's own default is 8 KB).
+    val in = new BufferedReader(new java.io.InputStreamReader(
+      Files.newInputStream(Paths.get(inPath)), StandardCharsets.UTF_8), 1 << 20)
     val shards = scala.collection.mutable.ListBuffer.empty[String]
     var out: BufferedWriter = null
     var written = 0L
@@ -43,8 +44,8 @@ object OsmShard {
     def open(): Unit = {
       val p = f"$outDir/shard_$idx%05d.osm"
       shards += p
-      out = new BufferedWriter(
-        Files.newBufferedWriter(Paths.get(p), StandardCharsets.UTF_8), 1 << 20)
+      out = new BufferedWriter(new java.io.OutputStreamWriter(
+        Files.newOutputStream(Paths.get(p)), StandardCharsets.UTF_8), 1 << 20)
       out.write(header)
       written = 0L
       idx += 1

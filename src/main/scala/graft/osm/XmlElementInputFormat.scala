@@ -60,6 +60,14 @@ class XmlElementRecordReader extends RecordReader[LongWritable, Text] {
     endTag = ("</" + rowTag + ">").getBytes(StandardCharsets.UTF_8)
     start = split.getStart
     end = start + split.getLength
+    // the reader scans RAW bytes: on compressed input the tag scan would
+    // silently find nothing and yield an empty (not failed!) DataFrame
+    val codec = new CompressionCodecFactory(ctx.getConfiguration)
+      .getCodec(split.getPath)
+    if (codec != null)
+      throw new UnsupportedOperationException(
+        s"XmlElementInputFormat reads raw XML bytes; ${split.getPath} is " +
+        s"${codec.getClass.getSimpleName}-compressed — decompress or shard it first")
     val fs = split.getPath.getFileSystem(ctx.getConfiguration)
     fsIn = fs.open(split.getPath)
     fsIn.seek(start)

@@ -145,7 +145,11 @@ case class AsOfJoinExec(
               pullRight()
             } else advancing = false
           }
-          val matched = held != null && keyOrd.compare(heldKey, lKey) == 0
+          // SQL equality-join semantics: a NULL key never matches (the
+          // natural ordering would otherwise compare null == null); right
+          // rows with null keys sort first and are skipped the same way
+          val matched = held != null && !lKey.anyNull && !heldKey.anyNull &&
+            keyOrd.compare(heldKey, lKey) == 0
           resultProj(joined(l, if (matched) held else nullRight))
         }
       }

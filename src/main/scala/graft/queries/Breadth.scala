@@ -213,14 +213,12 @@ object Breadth {
       .orderBy("o_orderkey")
   }
 
-  private val stopwords = Seq(
-    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
-    "with", "as", "at", "by", "an", "be", "this", "that", "from", "or")
-
   /** X-TXT6 — stopword-filtered top-3 terms per document (TF with a
     * deterministic (count DESC, term ASC) tiebreak): the per-doc keyword
     * extraction stage of a corpus pipeline. One shuffle on (doc_id, tok),
     * WindowGroupLimit prunes the rank filter below the sort at scale.
+    * The Spark side IS the Corpus.topTerms fluent API — one definition,
+    * one stopword list.
     */
   private val xTxt6 = Probe(
     "x_txt6_top_terms",
@@ -228,22 +226,13 @@ object Breadth {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |tf AS (
       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks
-      |  WHERE len(tok) > 0 AND tok NOT IN (${stopwords.map("'" + _ + "'").mkString(",")})
+      |  WHERE len(tok) > 0 AND tok NOT IN (${graft.api.Corpus.defaultStopwords.map("'" + _ + "'").mkString(",")})
       |  GROUP BY doc_id, tok),
       |rk AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rk FROM tf)
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, n
       |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
-    val tf = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0 && !col("tok").isInCollection(stopwords))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("tok"))
-    tf.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("n"))
-      .orderBy("doc_id", "rk")
+    graft.api.Corpus(s, dir).topTerms(3).orderBy("doc_id", "rk")
   }
 
   /** P-EVT3 — native session windows (session_window, gap = 30 min) in
@@ -255,13 +244,15 @@ object Breadth {
   private val pEvt3 = Probe(
     "p_evt3_session_window",
     """WITH e AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
-      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |  -- (ts, event_id): the cumsum must use the SAME total order as the
+      |  -- lag window, or tied timestamps make session ids nondeterministic
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                             ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM e)
       |SELECT user_id,
@@ -332,13 +323,15 @@ object Breadth {
   /** P-DT3 — epoch round-trips, week/quarter truncation, clamped month
     * arithmetic, date construction. All surfaced as formatted strings or
     * BIGINT epoch seconds (never raw TIMESTAMP — engines' parquet tz
-    * handling differs).
+    * handling differs). The oracle round-trips through epoch_ms (naive
+    * timestamp), NOT to_timestamp (TIMESTAMPTZ — renders in the DuckDB
+    * session timezone, while Spark is pinned to UTC).
     */
   private val pDt3 = Probe(
     "p_dt3_epoch_trunc",
     """SELECT o_orderkey,
       |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-      |  strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS rt,
+      |  strftime(epoch_ms(CAST(epoch(o_orderdate) AS BIGINT) * 1000), '%Y-%m-%d %H:%M:%S') AS rt,
       |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
       |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qt,
       |  strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus_m,

@@ -60,6 +60,23 @@ class AsOfJoinSpec extends SparkSuite {
     assert(exchanges == 2, s"expected one shuffle per side, got $exchanges\n$plan")
   }
 
+  test("NULL keys never match (SQL equality semantics, matches ASOF oracle)") {
+    val l = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00"), "k1"),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), "knull")
+    ).toDF("k", "t", "l_tag")
+    val r = Seq(
+      (Option(1L), ts("2024-01-01 09:00:00"), 100L),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 999L)
+    ).toDF("rk", "rt", "rv")
+    val out = AsOf.joinBackward(l, r, "k", "rk", "t", "rt", Seq("rv"))
+      .select("l_tag", "rv").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // k=1 matches its right row; the null-key left row matches NOTHING
+    // (null == null is NOT a join match), exactly like l.k = r.rk in SQL
+    assert(out == Map("k1" -> 100L, "knull" -> -1L))
+  }
+
   test("empty right side: all left rows survive with nulls") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "p1")).toDF("k", "t", "l_tag")
     val r = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("rk", "rt", "rv")

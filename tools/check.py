@@ -113,12 +113,12 @@ for name in sorted(oracle):
         n_fail += 1
         continue
     rbad = None
+    arr_col = None
     for c in gcols:
         gv, ev = pgot[c].tolist(), exp[c].tolist()
         for i, (g, e) in enumerate(zip(gv, ev)):
             if hasattr(g, "tolist"):
-                g = g.tolist()  # numpy array cell: unhashable for the driver
-                print(f"FAIL {name}: col={c} is array-valued — driver sort_values crashes")
+                arr_col = c  # numpy array cell: unhashable for the driver
                 rbad = (c, i, g, e)
                 break
             gs, es = str(g), str(e)
@@ -128,7 +128,12 @@ for name in sorted(oracle):
                 break
         if rbad:
             break
-    if rbad:
+    if arr_col is not None:
+        print(f"REPR FAIL {name}: col={arr_col} is array-valued — "
+              f"the driver's sort_values crashes on unhashable cells "
+              f"(surface it as array_join(array_sort(...)))")
+        n_fail += 1
+    elif rbad:
         c, i, g, e = rbad
         print(f"REPR FAIL {name}: col={c} row={i} spark={g!r} oracle={e!r} "
               f"(values equal but driver hash will mismatch)")
