@@ -37,8 +37,12 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
       .map { case (name, fn) =>
       // benchmark hygiene: let ContextCleaner drop the previous query's
-      // broadcast/shuffle state so its GC debt doesn't bill this query
+      // broadcast/shuffle state so its GC debt doesn't bill this query.
+      // The cleaner acts on reference-queue drain ASYNCHRONOUSLY — without
+      // a settle window the unpersist work lands inside the next query's
+      // timed section (observed: x_ded4 3.3 s in-suite vs 1.9 s isolated).
       System.gc()
+      Thread.sleep(200)
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
