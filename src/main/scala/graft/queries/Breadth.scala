@@ -367,7 +367,55 @@ object Breadth {
       .orderBy("survivor_id")
   }
 
+  /** P-AGG7 — several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    * aggregation: Catalyst plans this with an Expand (one row replica per
+    * distinct column) + two-phase aggregation — one pass over the fact
+    * table instead of N self-joined single-distinct queries.
+    */
+  private val pAgg7 = Probe(
+    "p_agg7_multi_distinct",
+    """SELECT l_linestatus,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_part,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supp,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_ord,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"),
+        countDistinct(col("l_orderkey")).as("d_ord"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+  }
+
+  private val vocab = Seq("widget", "small", "cold", "large", "shiny", "red")
+
+  /** P-ARR4 — array set algebra (intersect / except / union) against a
+    * literal vocabulary; results sorted+distinct on both engines so set
+    * semantics, not element order, are what is compared.
+    */
+  private val pArr4 = Probe(
+    "p_arr4_set_ops",
+    s"""SELECT p_partkey,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(string_split(p_name, ' '),
+      |    x -> list_contains(${vocab.map("'" + _ + "'").mkString("[", ",", "]")}, x)))), ','), '') AS inter,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_filter(string_split(p_name, ' '),
+      |    x -> NOT list_contains(${vocab.map("'" + _ + "'").mkString("[", ",", "]")}, x)))), ','), '') AS exc,
+      |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(p_name, ' '),
+      |    ${vocab.map("'" + _ + "'").mkString("[", ",", "]")}))), ','), '') AS uni
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val voc = array(vocab.map(lit): _*)
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      array_join(array_sort(array_intersect(split(col("p_name"), " "), voc)), ",").as("inter"),
+      array_join(array_sort(array_except(split(col("p_name"), " "), voc)), ",").as("exc"),
+      array_join(array_sort(array_union(split(col("p_name"), " "), voc)), ",").as("uni"))
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Probe] = Seq(
     pWin4, pAgg5, pAgg6, pGrpSets, pUnpivot, pInSubq, pLateral, pNullSafe,
-    pEvt3, xTxt6, pRegex2, pStr4, pDt3, xDed6)
+    pEvt3, xTxt6, pRegex2, pStr4, pDt3, xDed6, pAgg7, pArr4)
 }
