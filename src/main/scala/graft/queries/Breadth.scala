@@ -57,22 +57,24 @@ object Breadth {
     "p_agg5_minmax_by",
     """WITH o AS (
       |  SELECT o_custkey, o_orderkey,
-      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 + o_orderkey AS uniq
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey AS uniq
       |  FROM orders)
       |SELECT o_custkey,
       |  arg_max(o_orderkey, uniq) AS biggest_order,
       |  arg_min(o_orderkey, uniq) AS smallest_order,
-      |  CAST(max(uniq) // 1000000 AS BIGINT) AS max_cents,
+      |  CAST(max(uniq) // 1000000000 AS BIGINT) AS max_cents,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
     Tables(s, dir, "orders")
+      // 1e9 multiplier: orderkey reaches 6M×sf, so 1e6 would collide beyond
+      // ~sf0.17; cents ≤ ~6e7 at sf1 keeps cents*1e9 + key inside BIGINT
       .select(col("o_custkey"), col("o_orderkey"),
-        (cents(col("o_totalprice")) * 1000000L + col("o_orderkey")).as("uniq"))
+        (cents(col("o_totalprice")) * 1000000000L + col("o_orderkey")).as("uniq"))
       .groupBy("o_custkey")
       .agg(
         max_by(col("o_orderkey"), col("uniq")).as("biggest_order"),
         min_by(col("o_orderkey"), col("uniq")).as("smallest_order"),
-        expr("max(uniq) DIV 1000000").as("max_cents"),
+        expr("max(uniq) DIV 1000000000").as("max_cents"),
         count(lit(1)).as("n"))
       .orderBy("o_custkey")
   }

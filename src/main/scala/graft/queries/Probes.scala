@@ -393,7 +393,7 @@ object Probes {
       |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
       |  l_orderkey % 7 AS m7,
       |  CAST(power(l_orderkey % 5, 2) AS BIGINT) AS pw,
-      |  round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS rnd1,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rnd1,
       |  sqrt(CAST(l_orderkey AS DOUBLE)) AS sq
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem").select(
@@ -403,7 +403,9 @@ object Probes {
       ceil(col("l_extendedprice")).as("ce"),
       (col("l_orderkey") % 7).as("m7"),
       pow(col("l_orderkey") % 5, 2).cast("long").as("pw"),
-      round(dec2(col("l_extendedprice")), 1).as("rnd1"),
+      // round on DECIMAL (HALF_UP both engines), then DOUBLE for the
+      // surfaced type — §8.4: never leave DECIMAL in an output schema
+      round(dec2(col("l_extendedprice")), 1).cast("double").as("rnd1"),
       sqrt(col("l_orderkey").cast("double")).as("sq"))
       .orderBy("l_orderkey", "l_linenumber")
   }

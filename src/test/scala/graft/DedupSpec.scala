@@ -30,6 +30,33 @@ class DedupSpec extends SparkSuite {
     assert(copies(2L) == n - 1)  // everyone else: original + shifted
   }
 
+  test("x_ded3b banded counts match brute force on planted near-dups") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // Two identical texts (Hamming 0 — must count each other), one
+    // unrelated text, one identical text in a DIFFERENT source bucket
+    // (must NOT count), so both the band join and the bucket key are live.
+    val docs = Seq(
+      (1L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (3L, "en", "web", "completely unrelated text about database engines"),
+      (4L, "en", "books", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "lang", "source", "text")
+    val sig = Dedup.simhashSig(docs).persist()
+    val out = Dedup.simhashBandedCounts(sig)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+    // brute-force parity over the same signatures
+    val a = sig.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("simhash").as("a_sh"))
+    val b = sig.select(col("doc_id").as("b_id"), col("lang").as("lb"), col("source").as("sb"), col("simhash").as("b_sh"))
+    val brute = a.join(b, a("lang") === b("lb") && a("source") === b("sb") &&
+        a("a_id") =!= b("b_id") && expr("bit_count(a_sh ^ b_sh) <= 2"), "left")
+      .groupBy("a_id").agg(count(col("b_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == brute)
+    sig.unpersist()
+  }
+
   test("x_ded1 survivor is the newest event, ties broken by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
