@@ -25,7 +25,12 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   * `<` is escaped inside attribute values, so raw `<rowTag` / `</rowTag>`
   * byte sequences only occur as real markup; elements of the same name do
   * not nest (true for OSM node/way/relation). Attribute values MAY contain
-  * unescaped `>`, so root-tag scanning tracks quote state.
+  * unescaped `>`, so root-tag scanning tracks quote state. The scanner
+  * does NOT skip XML comments or CDATA sections — a literal `<rowTag` /
+  * `</rowTag>` inside `<!-- -->` or `<![CDATA[ ]]>` would yield a phantom
+  * or truncated record. Machine-generated OSM exports contain neither;
+  * for hand-edited inputs use the stock (non-splittable) XML source,
+  * whose parser handles them.
   */
 class XmlElementInputFormat extends FileInputFormat[LongWritable, Text] {
   override def isSplitable(ctx: JobContext, file: Path): Boolean =

@@ -128,6 +128,11 @@ case class AsOfJoinExec(
             pending = rIter.next().copy()
             pendingKey = rKeyProj(pending).copy()
             pendingTime = rTimeProj(pending).copy()
+            // fail fast: a null time sorts FIRST under the natural ordering
+            // and would silently produce no-match rows instead of an error
+            if (pendingTime.isNullAt(0))
+              throw new IllegalStateException(
+                "as-of join: right time column contains NULL (precondition: non-null times)")
           } else pending = null
 
         override def hasNext: Boolean = lIter.hasNext
@@ -137,6 +142,9 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l)
+          if (lTime.isNullAt(0))
+            throw new IllegalStateException(
+              "as-of join: left time column contains NULL (precondition: non-null times)")
           var advancing = true
           while (advancing && pending != null) {
             val c = keyOrd.compare(pendingKey, lKey)
@@ -163,7 +171,9 @@ case class AsOfJoinExec(
 
 /** User-facing API. Column names of `left` and `right` must be disjoint
   * (alias the right side first — also guarantees fresh attribute ids under
-  * self-joins). Time columns must be non-null.
+  * self-joins). Time columns must be non-null — enforced at runtime with a
+  * fail-fast error (a null would otherwise sort first and silently
+  * no-match).
   */
 object AsOf {
   def joinBackward(

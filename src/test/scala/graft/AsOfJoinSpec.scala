@@ -84,6 +84,19 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.length == 1 && out(0).isNullAt(4))
   }
 
+  test("null time column fails fast instead of silently no-matching") {
+    val l = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), "p1"),
+      (1L, Option.empty[java.sql.Timestamp], "pnull")
+    ).toDF("k", "t", "l_tag")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 100L)).toDF("rk", "rt", "rv")
+    val e = intercept[org.apache.spark.SparkException] {
+      AsOf.joinBackward(l, r, "k", "rk", "t", "rt").collect()
+    }
+    assert(e.getMessage.contains("non-null times")
+      || Option(e.getCause).exists(_.getMessage.contains("non-null times")))
+  }
+
   test("disjoint-name guard rejects ambiguous inputs") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
     val r = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("k", "rt")
