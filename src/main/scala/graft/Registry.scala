@@ -9,6 +9,7 @@ object Registry {
     queries.Functions2.all ++
     queries.Breadth.all ++
     ext.Dedup.all ++
+    ext.PipelineOps.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++

@@ -74,23 +74,30 @@ object Dedup {
     val words = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
+    // NO shingle-level distinct: min() is idempotent over duplicates, so
+    // deduplicating first would only add a full shuffle of every shingle
+    // string — the most voluminous shuffle this pipeline could have. The
+    // min-aggregate's map-side partial combine reduces each partition to
+    // (doc, 8 mins) before anything moves.
     val shingles = words
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 2),
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))""".stripMargin))
         .as("s"))
-      .distinct()
     // 8 min-hash aggregates as sibling columns over one row per shingle —
     // no x8 explode, ONE aggregation instead of a (doc,h)-keyed shuffle.
     val mins = (0 to 7).map(h =>
       min(md5(concat(lit(s"$h|"), col("s")))).as(s"mh$h"))
     val sig = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // band signature compressed to md5 of the concatenated min-hashes (the
+    // oracle compresses identically): the LSH bucket join shuffles 32-char
+    // keys instead of ~140-char concats
     sig.select(col("doc_id"),
       explode(array(
         struct(lit(0L).as("band"),
-          concat_ws("|", (0 to 3).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig")),
+          md5(concat_ws("|", (0 to 3).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*)).as("sig")),
         struct(lit(1L).as("band"),
-          concat_ws("|", (4 to 7).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*).as("sig"))))
+          md5(concat_ws("|", (4 to 7).map(h => concat(lit(s"$h:"), col(s"mh$h"))): _*)).as("sig"))))
         .as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -109,7 +116,7 @@ object Dedup {
       |  GROUP BY doc_id, h),
       |bd AS (
       |  SELECT doc_id, h // 4 AS band,
-      |         string_agg(h || ':' || mh, '|' ORDER BY h) AS sig
+      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
       |  FROM hx GROUP BY doc_id, h // 4)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
       |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline operators beyond dedup/similarity: benchmark
+  * decontamination and stratified downsampling — the remaining standard
+  * stages of a pre-training data flow.
+  *
+  * Scale design: decontamination broadcasts the (tiny) eval side so the
+  * corpus is NEVER shuffled — the only wide stage is the per-doc rollup of
+  * matched rows, which is proportional to contamination, not corpus size.
+  * Stratified sampling is a pure narrow filter (hash-bucket arithmetic per
+  * row), exactly like `p_sample_deterministic` but with per-stratum rates.
+  */
+object PipelineOps {
+
+  /** X-DEC1 — benchmark decontamination: find corpus documents sharing any
+    * 4-word shingle with the held-out eval set (here: doc_id % 25 == 0, a
+    * deterministic stand-in for "the benchmark suite"; 4 keeps the check
+    * non-vacuous on the synthetic corpus — 27 contaminated docs at sf0.01).
+    *
+    * Per contaminated doc: how many distinct shingles are compromised and
+    * how many eval docs it overlaps. The eval side is `broadcast()` — eval
+    * benchmarks are KBs-to-MBs against a 100 TB corpus, so the corpus-side
+    * scan joins map-side with zero shuffle; only matched (doc, shingle,
+    * eval_doc) rows reach the rollup.
+    */
+  private val dec1 = Probe(
+    "x_dec1_contamination",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 25 = 0),
+      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
+      |SELECT corp.doc_id,
+      |  CAST(COUNT(DISTINCT corp.s) AS BIGINT) AS n_shingles_hit,
+      |  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM corp JOIN ev ON corp.s = ev.s
+      |GROUP BY corp.doc_id
+      |ORDER BY corp.doc_id""".stripMargin) { (s, dir) =>
+    // no corpus-side distinct: the final count(DISTINCT ...) already
+    // dedupes, and a distinct here would shuffle every corpus shingle —
+    // the exact cost this operator's broadcast design avoids. Only the
+    // tiny eval side is deduplicated (to shrink the broadcast).
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2),
+          |                 element_at(ws, i + 3)))""".stripMargin))
+        .as("s"))
+    val ev = broadcast(
+      sh.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("eval_id"), col("s").as("ev_s"))
+        .distinct())
+    sh.filter(col("doc_id") % 25 =!= 0)
+      .join(ev, col("s") === col("ev_s"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_shingles_hit"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** X-SMP2 — deterministic stratified downsampling: per-language keep
+    * rates (the dominant language is downsampled, the tail kept), decided
+    * by a content-independent md5 bucket of the document id — reproducible
+    * across engines, partitionings, and cluster sizes, and NO shuffle (a
+    * pure filter; the ORDER BY is presentation only).
+    *
+    * Rates: 'en' keeps 2/16 of docs, every other language 8/16 — the
+    * rebalancing move every multilingual corpus build performs.
+    */
+  private val smp2 = Probe(
+    "x_smp2_stratified",
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE CASE WHEN lang = 'en'
+      |        THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      |        ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables(s, dir, "documents")
+      .filter(when(col("lang") === "en", bucket.isin("0", "1"))
+        .otherwise(bucket < "8"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(dec1, smp2)
+}

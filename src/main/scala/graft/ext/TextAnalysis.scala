@@ -154,5 +154,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5)
+  /** X-TXT7 — Gopher-style repetition signal: duplicate-bigram fraction
+    * per document (exact ppm). Boilerplate/spam text repeats n-grams; the
+    * standard corpus quality gates threshold on this.
+    *
+    * Pure narrow map — the bigram list, its distinct size, and the ratio
+    * are all higher-order array functions on the row, NO explode and no
+    * shuffle (vs x_ded4's pairwise form): per-doc signals at 100 TB cost
+    * exactly one scan.
+    */
+  private val txt7 = Probe(
+    "x_txt7_repetition",
+    """SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  ((len(bg) - len(list_distinct(bg))) * 1000000) // len(bg) AS rep_ppm
+      |FROM (SELECT doc_id,
+      |        list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) AS bg
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 2))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        expr("(CAST(size(bg) - size(array_distinct(bg)) AS BIGINT) * 1000000) DIV size(bg)")
+          .as("rep_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5, txt7)
 }
