@@ -20,4 +20,27 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("x_dec1: eval side broadcasts; the corpus side is never hash-shuffled") {
+    val df = SparkEntry.queries("x_dec1_contamination")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save() // resolve AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchange is the post-join per-doc rollup (matched rows),
+    // never the corpus scan side: a corpus-side exchange would shuffle the
+    // full shingle stream and defeat the operator's 100 TB design
+    val corpusSideShuffles = "Exchange hashpartitioning\\(s#".r.findAllIn(plan).length
+    assert(corpusSideShuffles == 0, s"corpus shingles shuffled:\n$plan")
+  }
+
+  test("x_smp2 and x_txt7 are narrow: no hash exchange at all") {
+    for (name <- Seq("x_smp2_stratified", "x_txt7_repetition")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      // rangepartitioning for the presentation ORDER BY is expected;
+      // hashpartitioning would mean an accidental wide stage
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name went wide:\n$plan")
+    }
+  }
 }
