@@ -274,6 +274,96 @@ object Dedup {
     simhashBandedCounts(sig)
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation (the Pregel/GraphX pattern: each round every
+    * vertex takes the min of its own label and its neighbors'; monotone
+    * decreasing, fixpoint = the component's min id). Rounds needed = the
+    * largest component DIAMETER — near-dup clusters are shallow (dup
+    * groups, not social graphs), so this is 2–4 rounds in practice; each
+    * round is one keyed join + aggregate, nothing quadratic. The
+    * driver-side loop is control flow only (a convergence count per
+    * round), never data.
+    *
+    * Input: (a, b) distinct pairs. Output: (doc_id, comp_id, n_reach) for
+    * every vertex appearing in a pair, where comp_id = min doc_id of the
+    * component and n_reach = component size.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE propagation step per action; the convergence count doubles as
+    // the round's cache materialization. Actions (plan+codegen+job cycles)
+    // dominate wall time at near-dup cluster sizes, so the tempting
+    // "fuse 2 steps per action" variant was tried and REVERTED: the
+    // fused plan re-executes its uncached intermediate and thrashes the
+    // cache — measured 4-10× slower than this simple loop. Rounds needed
+    // = component diameter + 1 (shallow for dup clusters: 3-4 total).
+    var cached = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
+    var converged = false
+    while (!converged) {
+      val neigh = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neigh, labels("id") === neigh("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = updated.filter(col("comp2") < col("comp")).count() == 0
+      cached.unpersist() // updated is materialized; drop the parent round
+      cached = updated
+      labels = updated.select(col("id"), col("comp2").as("comp"))
+    }
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_reach"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("n_reach"))
+  }
+
+  /** X-DED7 — near-dup CLUSTERING: connected components over the MinHash-
+    * LSH candidate pairs (x_ded2's generator), surfacing each clustered
+    * doc with its canonical component id (= min doc_id — the survivor
+    * choice) and component size. This is the step between "candidate
+    * pairs" and "drop the losers" in every production dedup pipeline —
+    * pairs alone under-merge when A~B and B~C but A≁C. Oracle: DuckDB
+    * WITH RECURSIVE reachability closure over the same pairs.
+    */
+  private val ded7 = Probe(
+    "x_ded7_components",
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |hx AS (
+      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
+      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
+      |  GROUP BY doc_id, h),
+      |bd AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
+      |  FROM hx GROUP BY doc_id, h // 4),
+      |pr AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |ed AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM ed
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
+      |SELECT a AS doc_id, MIN(b) AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_reach
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bands = minhashBands(Tables(s, dir, "documents"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+    connectedComponents(pairs).orderBy("doc_id")
+  }
+
   /** X-DED4 — word-bigram Jaccard near-dup pairs within (lang, source)
     * buckets. Jaccard surfaced as exact ppm via truncating integer division.
     */
@@ -360,5 +450,5 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded4, ded5)
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded4, ded5, ded7)
 }

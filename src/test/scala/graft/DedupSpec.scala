@@ -57,6 +57,23 @@ class DedupSpec extends SparkSuite {
     sig.unpersist()
   }
 
+  test("x_ded7 connected components: chains merge, comp id is the min, sizes exact") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // chain 1-2-3-4-5 (diameter 4: forces multiple propagation rounds),
+    // pair {10,11}, singleton-pair {20,21}, and an isolated vertex 99
+    // appears in NO pair so it must NOT appear in the output
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
+
   test("x_ded1 survivor is the newest event, ties broken by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
