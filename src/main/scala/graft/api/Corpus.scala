@@ -69,6 +69,29 @@ final case class Corpus(df: DataFrame) {
     d.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup removal by CLUSTER, not by pair: connected components over
+    * the MinHash-LSH candidate pairs, keep only each component's min-id
+    * doc. Strictly stronger than [[dedupNearMinHash]]: pair-based removal
+    * keeps any doc whose candidate neighbors all have higher ids (e.g.
+    * component {1,3,2} linked 1–3, 3–2 keeps both 1 and 2), while the
+    * cluster form keeps exactly one survivor per transitive group —
+    * x_ded7_components' oracle-checked semantics.
+    */
+  def dedupNearClustered(): Corpus = chain { d =>
+    val bands = graft.ext.Dedup.minhashBands(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    val pairs = a.join(b,
+        a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+    val losers = graft.ext.Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("comp_id"))
+      .select(col("doc_id"))
+    d.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */

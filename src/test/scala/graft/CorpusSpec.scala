@@ -44,6 +44,19 @@ class CorpusSpec extends SparkSuite {
     assert(n >= 40 && n <= 50, s"unexpected survivor count $n")
   }
 
+  test("dedupNearClustered keeps exactly one survivor per transitive group") {
+    val docs = Tables(spark, dir, "documents").limit(50)
+    // two planted copies of every doc: {d, d+10000, d+20000} form one
+    // 3-member component; the cluster form must keep ONLY the original
+    val planted = docs
+      .unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+      .unionAll(docs.withColumn("doc_id", col("doc_id") + 20000L))
+    val out = Corpus(planted).dedupNearClustered().df
+    assert(out.filter(col("doc_id") >= 10000L).count() == 0)
+    val n = out.count()
+    assert(n >= 40 && n <= 50, s"unexpected survivor count $n")
+  }
+
   test("quality gate boundaries are inclusive and empty text is safe") {
     import spark.implicits._
     val df = Seq(
