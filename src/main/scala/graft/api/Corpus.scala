@@ -92,6 +92,55 @@ final case class Corpus(df: DataFrame) {
     d.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** The full production near-dup chain: LSH candidates → EXACT bigram-
+    * Jaccard verification computed only on candidate docs → connected
+    * components over verified pairs → keep each component's min-id doc.
+    *
+    * This is the documented scale route for exact pairwise Jaccard
+    * (x_ded4): the all-pairs bigram join never happens — bigram sets are
+    * materialized only for docs that appear in a candidate pair (a
+    * semi-join-bounded slice of the corpus), and the quadratic work is
+    * per-candidate, linear in candidate count. Probabilistic recall comes
+    * from the bands (like every production LSH dedup); precision is exact.
+    */
+  def dedupNearVerified(minJaccardPpm: Long = 800000L): Corpus = chain { d =>
+    import org.apache.spark.storage.StorageLevel
+    val bands = graft.ext.Dedup.minhashBands(d)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ba = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val bb = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    val cand = ba.join(bb,
+        ba("band") === bb("band_b") && ba("sig") === bb("sig_b") && ba("a_id") < bb("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    // bigram sets ONLY for candidate docs (left-semi bound)
+    val bg = d.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+        .as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(bg.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(bg.withColumnRenamed("doc_id", "b_id"), Seq("b_id", "g"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    val verified = shared
+      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .filter(expr(s"(c * 1000000) DIV (na + nb - c) >= $minJaccardPpm"))
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val losers = graft.ext.Dedup.connectedComponents(verified)
+      .filter(col("doc_id") =!= col("comp_id"))
+      .select(col("doc_id"))
+    d.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */

@@ -57,6 +57,21 @@ class CorpusSpec extends SparkSuite {
     assert(n >= 40 && n <= 50, s"unexpected survivor count $n")
   }
 
+  test("dedupNearVerified removes exact dups but keeps sub-threshold docs") {
+    val docs = Tables(spark, dir, "documents").limit(50)
+    val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    // Jaccard 1.0 for planted copies: with threshold 900000 ppm only true
+    // (near-)exact dups go; LSH-candidate pairs with lower overlap survive
+    // the verification stage even though they collided in a band
+    val out = Corpus(planted).dedupNearVerified(900000L).df
+    assert(out.filter(col("doc_id") >= 10000L).count() == 0)
+    val n = out.count()
+    // verification is STRICTER than raw band collision: at least as many
+    // survivors as dedupNearMinHash would keep, and every original whose
+    // only duplicate was its planted copy survives
+    assert(n >= 45 && n <= 50, s"unexpected survivor count $n")
+  }
+
   test("quality gate boundaries are inclusive and empty text is safe") {
     import spark.implicits._
     val df = Seq(
