@@ -8,6 +8,7 @@ object Registry {
     queries.Advanced.all ++
     queries.Functions2.all ++
     queries.Breadth.all ++
+    queries.Modern.all ++
     ext.Dedup.all ++
     ext.PipelineOps.all ++
     ext.Similarity.all ++
