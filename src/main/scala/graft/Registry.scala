@@ -11,6 +11,7 @@ object Registry {
     queries.Modern.all ++
     ext.Dedup.all ++
     ext.PipelineOps.all ++
+    ext.PipelineOps2.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++
