@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's one-line JSON from captured stdout.
+// Forked-run output must pass through UNPREFIXED (no "[info] ") and the
+// "[success] Total time" epilogue must not follow it — otherwise the JSON
+// is never the bare last line and the driver records parsed:null.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

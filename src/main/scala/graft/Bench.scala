@@ -23,7 +23,10 @@ object Bench {
       // default 100-entry generated-class cache -> recompiles mid-suite.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: per-query function registration logs one WARN line
+    // each, and at 109 queries those lines crowd the driver's bounded
+    // stdout-tail capture that must end with our bare JSON result line.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/codegen warm-up on the smallest SF so first-query JIT cost does
     // not land on an arbitrary query.
@@ -58,15 +61,24 @@ object Bench {
             None // a fast failure must not be reported as a fast query
         }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // (min, first): min is steady-state; first additionally carries JIT /
+      // codegen-compile / cache-build cost. Reporting both stops min-of-N
+      // from systematically penalizing persist-based probes (which pay
+      // their cache build EVERY repeat under clearCache) relative to
+      // stateless probes (whose variance min forgives).
+      (name, if (times.nonEmpty) times.min else -1.0,
+             if (times.nonEmpty) times.head else -1.0)
     }
     def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Full per-query map goes to a repo FILE; the printed line stays short.
+    // Full per-query maps go to a repo FILE; the printed line stays short.
     // Rounds 1 & 2 both printed the whole 95-entry map on the stdout line
     // and the driver's bounded tail capture truncated it -> parsed:null.
-    val detailJson = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def mapJson(f: ((String, Double, Double)) => Double): String =
+      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f3(f(t)) }
+        .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"steady_sec":${mapJson(_._2)},"first_sec":${mapJson(_._3)}}"""
     val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -75,8 +87,17 @@ object Bench {
     // worst-3 inline under the driver's expected "queries" key: a dict that
     // stays ~150 bytes at any query count, so the line can never be truncated.
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$worst,"n_queries":$ok,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$worst,"n_queries":$ok,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    // Print once before stop (in case stop() throws) and once AFTER, so the
+    // bare JSON object is the LAST stdout line even if Spark's shutdown
+    // path logs anything. Combined with build.sbt's StdoutOutput fork
+    // strategy (no "[info] " prefix) + showSuccess:=false (no trailing
+    // "[success]" line), the driver's last-line parse finally succeeds.
+    println(line)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
