@@ -91,8 +91,16 @@ object PipelineOps2 {
     * lexicographically smallest term. The per-(doc, term) tf aggregation is
     * persisted because it feeds both the score join AND the df rollup —
     * Catalyst does not share the subtree, and re-tokenizing a 100 TB corpus
-    * twice is the cost this avoids (at scale: a parquet checkpoint). df is
-    * vocabulary-sized → broadcast; the corpus never shuffles for the join.
+    * twice is the cost this avoids (at scale: a parquet checkpoint).
+    *
+    * The tf⋈df join strategy is deliberately left to AQE: on this corpus df
+    * fits the auto-broadcast threshold and resolves to a broadcast join
+    * (pinned by PlanAuditSpec), but df is VOCABULARY-sized — a real web
+    * corpus has 10⁹+ distinct types, far past any broadcastable bound — so
+    * a forced broadcast() hint here would OOM the driver at scale. When df
+    * outgrows the threshold AQE falls back to a shuffle join on term, which
+    * tf (already keyed by term from its own aggregation) pays one exchange
+    * for. A production variant can bound df with a min_df cutoff first.
     */
   private val txt8 = Probe(
     "x_txt8_tfidf",
@@ -117,7 +125,7 @@ object PipelineOps2 {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val df = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_ppm").desc, col("term").asc)
     tf.join(df, "term")

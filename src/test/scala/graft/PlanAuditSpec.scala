@@ -33,6 +33,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(corpusSideShuffles == 0, s"corpus shingles shuffled:\n$plan")
   }
 
+  test("x_txt8: small df auto-broadcasts under AQE (no forced hint)") {
+    // The probe carries NO broadcast() hint — a vocabulary-sized df table
+    // must not be force-broadcast (10⁹+ types on a web corpus would OOM the
+    // driver). This pins that AQE still CHOOSES a broadcast join when df is
+    // genuinely small, i.e. dropping the hint cost nothing at this scale.
+    val df = SparkEntry.queries("x_txt8_tfidf")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save() // resolve AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    spark.catalog.clearCache() // txt8 persists its tf subtree
+  }
+
   test("x_smp2 and x_txt7 are narrow: no hash exchange at all") {
     for (name <- Seq("x_smp2_stratified", "x_txt7_repetition")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
