@@ -76,8 +76,13 @@ final case class Corpus(df: DataFrame) {
     * component {1,3,2} linked 1–3, 3–2 keeps both 1 and 2), while the
     * cluster form keeps exactly one survivor per transitive group —
     * x_ded7_components' oracle-checked semantics.
+    *
+    * @param checkpointEvery lineage-truncation cadence for the label-
+    *   propagation loop (see [[graft.ext.Dedup.connectedComponents]]);
+    *   set >0 with a checkpoint dir on long-running clusters so an
+    *   executor loss late in the loop cannot recompute the whole chain.
     */
-  def dedupNearClustered(): Corpus = chain { d =>
+  def dedupNearClustered(checkpointEvery: Int = 0): Corpus = chain { d =>
     val bands = graft.ext.Dedup.minhashBands(d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
@@ -86,7 +91,7 @@ final case class Corpus(df: DataFrame) {
     val pairs = a.join(b,
         a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
       .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
-    val losers = graft.ext.Dedup.connectedComponents(pairs)
+    val losers = graft.ext.Dedup.connectedComponents(pairs, checkpointEvery)
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id"))
     d.join(losers, Seq("doc_id"), "left_anti")
@@ -103,7 +108,9 @@ final case class Corpus(df: DataFrame) {
     * per-candidate, linear in candidate count. Probabilistic recall comes
     * from the bands (like every production LSH dedup); precision is exact.
     */
-  def dedupNearVerified(minJaccardPpm: Long = 800000L): Corpus = chain { d =>
+  def dedupNearVerified(
+      minJaccardPpm: Long = 800000L,
+      checkpointEvery: Int = 0): Corpus = chain { d =>
     import org.apache.spark.storage.StorageLevel
     val bands = graft.ext.Dedup.minhashBands(d)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -135,7 +142,7 @@ final case class Corpus(df: DataFrame) {
       .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .filter(expr(s"(c * 1000000) DIV (na + nb - c) >= $minJaccardPpm"))
       .select(col("a_id").as("a"), col("b_id").as("b"))
-    val losers = graft.ext.Dedup.connectedComponents(verified)
+    val losers = graft.ext.Dedup.connectedComponents(verified, checkpointEvery)
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id"))
     d.join(losers, Seq("doc_id"), "left_anti")

@@ -288,7 +288,23 @@ object Dedup {
     * every vertex appearing in a pair, where comp_id = min doc_id of the
     * component and n_reach = component size.
     */
-  def connectedComponents(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** @param checkpointEvery truncate lineage every N rounds (0 = never).
+    *   Each round chains a join+agg onto the previous round's plan; persist
+    *   keeps the DATA hot but the LINEAGE still grows, so on a long-running
+    *   cluster one executor loss late in the loop recomputes the whole
+    *   chain. With checkpointing, recovery is bounded to N rounds. Uses the
+    *   reliable `Dataset.checkpoint()` when `sparkContext.setCheckpointDir`
+    *   has been called (survives executor loss — the 100 TB setting),
+    *   otherwise `localCheckpoint()` (truncates lineage only). Checkpointed
+    *   rounds replace the cache, so converged runs leave no persisted RDD
+    *   behind except in the reliable case the edge table (unpersisted on
+    *   exit) — `getPersistentRDDs` drains back to empty.
+    */
+  def connectedComponents(
+      pairs: org.apache.spark.sql.DataFrame,
+      checkpointEvery: Int = 0): org.apache.spark.sql.DataFrame = {
+    val reliable = checkpointEvery > 0 &&
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -304,18 +320,27 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cached
     var converged = false
+    var round = 0
     while (!converged) {
-      val neigh = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("nid")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neigh, labels("id") === neigh("nid"), "left")
+      round += 1
+      val step = labels.join(
+          edges.join(labels, edges("b") === labels("id"))
+            .groupBy(edges("a").as("nid")).agg(min(col("comp")).as("ncomp")),
+          labels("id") === col("nid"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val updated =
+        if (checkpointEvery > 0 && round % checkpointEvery == 0)
+          // eager: materializes AND truncates lineage; reliable checkpoints
+          // are file-backed (no cache entry), local ones persist internally
+          if (reliable) step.checkpoint() else step.localCheckpoint()
+        else step.persist(StorageLevel.MEMORY_AND_DISK)
       converged = updated.filter(col("comp2") < col("comp")).count() == 0
       cached.unpersist() // updated is materialized; drop the parent round
       cached = updated
       labels = updated.select(col("id"), col("comp2").as("comp"))
     }
+    edges.unpersist() // labels are materialized; the edge cache is dead
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_reach"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("n_reach"))

@@ -74,6 +74,29 @@ class DedupSpec extends SparkSuite {
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
 
+  test("connectedComponents with checkpointing: identical output, no cached-RDD leak") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.catalog.clearCache() // isolate the leak assertion from prior tests
+    // same 3-component graph as the plain test: a diameter-4 chain (so the
+    // loop runs past one checkpoint), two pair components
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, checkpointEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+    // reliable checkpoints are file-backed and every round's persist was
+    // handed off to one: converged call leaves nothing in the block manager
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
+  }
+
   test("x_ded1 survivor is the newest event, ties broken by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
