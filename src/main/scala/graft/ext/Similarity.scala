@@ -273,5 +273,75 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val all: Seq[Probe] = Seq(sim1, sim2, sim3, sim4)
+  /** X-SIM5 — int8 SCALAR-QUANTIZED cosine top-k: each vector compressed
+    * 8× (64 × double→int8 per-vector quantization), then the same
+    * brute-force top-k over the quantized vectors, surfacing the quantized
+    * score NEXT TO the exact score so the compression error is visible in
+    * the checked output. Cosine is scale-invariant, so the per-vector
+    * scale factor cancels and only the int8 codes participate in scoring —
+    * this is the memory-bound ANN regime (a 100 TB embedding store drops
+    * to 12.5 TB resident, usually the difference between spilling and not).
+    *
+    * Quantization is exact-integer end to end: q = (v*127 + m*128) div m
+    * − 128 with m = max|v| ≥ 1, numerator always positive, so floor (the
+    * DuckDB `//`) and truncating (Spark DIV) division agree — the
+    * quantizer itself is oracle-checked, not just the scores.
+    */
+  private val sim5 = Probe(
+    "x_sim5_quantized_topk",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+       |  FROM embeddings),
+       |mq AS (
+       |  SELECT vec_id, v, GREATEST(list_max(list_transform(v, x -> abs(x))), 1) AS m
+       |  FROM iv),
+       |q8 AS (
+       |  SELECT vec_id, v,
+       |         list_transform(v, x -> CAST((CAST(x AS BIGINT) * 127 + CAST(m AS BIGINT) * 128)
+       |                                     // CAST(m AS BIGINT) - 128 AS DOUBLE)) AS q
+       |  FROM mq),
+       |n AS (SELECT vec_id, v, q,
+       |             list_sum(list_transform(v, x -> x * x)) AS n2,
+       |             list_sum(list_transform(q, x -> x * x)) AS n2q
+       |      FROM q8),
+       |p AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) /
+       |           sqrt(a.n2q * b.n2q) AS cosq,
+       |         list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+       |           sqrt(a.n2 * b.n2) AS cosx
+       |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |r AS (SELECT q_id, c_id, cosq, cosx,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cosq DESC, c_id) AS rnk
+       |      FROM p)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id,
+       |       round(cosq, 6) AS score_q8, round(cosx, 6) AS score_exact
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
+    val iv = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(intVec).as("v"))
+      .withColumn("m", greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1.0d)))
+      .withColumn("q", expr(
+        """transform(v, x -> CAST((CAST(x AS BIGINT) * 127 + CAST(m AS BIGINT) * 128)
+          |                       DIV CAST(m AS BIGINT) - 128 AS DOUBLE))""".stripMargin))
+      .withColumn("n2", expr("dot_d(v, v)"))
+      .withColumn("n2q", expr("dot_d(q, q)"))
+    val q = iv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("q").as("qq"),
+        col("n2").as("qn2"), col("n2q").as("qn2q"))
+    val c = iv.select(col("vec_id").as("c_id"), col("v").as("cv"), col("q").as("cq"),
+      col("n2").as("cn2"), col("n2q").as("cn2q"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosq").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosq", expr("dot_d(qq, cq)") / sqrt(col("qn2q") * col("cn2q")))
+      .withColumn("cosx", expr("dot_d(qv, cv)") / sqrt(col("qn2") * col("cn2")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("cosq"), 6).as("score_q8"), round(col("cosx"), 6).as("score_exact"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Probe] = Seq(sim1, sim2, sim3, sim4, sim5)
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the documents table: the corpus
+  * pipeline stages that are naturally stream-capable — benchmark
+  * decontamination as a stream-static broadcast semi join and stratified
+  * sampling as a pure narrow filter.
+  *
+  * The transforms are written against a plain DataFrame so the SAME code
+  * runs in batch (the oracle-checked x_dec1 / x_smp2 shapes live in
+  * `ext.PipelineOps`) and in streaming; StreamingSpec pins stream ≡ batch.
+  */
+object DocStreams {
+
+  /** documents schema as stored (TESTDATA.md). */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of the documents parquet (file source; at scale this is
+    * the landing directory an ingest job keeps appending to).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(dir)
+
+  /** 4-word shingles of a documents frame — the x_dec1 shingle definition,
+    * shared verbatim between the batch probe semantics and the streaming
+    * decontamination path so the two cannot drift.
+    */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2), element_at(ws, i + 3)))""".stripMargin))
+        .as("s"))
+
+  /** Stream-capable decontamination: doc_ids of documents sharing any
+    * 4-word shingle with the (static) held-out eval set.
+    *
+    * Scale design mirrors x_dec1: the eval side is `broadcast()` — eval
+    * benchmarks are KBs-to-MBs against an unbounded stream — so the join is
+    * map-side and the stream is never shuffled by it. The only stateful
+    * operator is the per-doc dropDuplicates collapsing multi-shingle hits;
+    * its state is proportional to CONTAMINATED doc count, not corpus size.
+    */
+  def contaminatedIds(docs: DataFrame, evalShingles: DataFrame): DataFrame =
+    shingles(docs)
+      .join(broadcast(evalShingles.select(col("s"))), Seq("s"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+
+  /** Stream-capable stratified downsampling — x_smp2's exact filter ('en'
+    * keeps 2/16 of docs, every other language 8/16, decided by a
+    * content-independent md5 bucket of the id). A pure narrow filter: runs
+    * identically over a stream with zero state, zero shuffle.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs.filter(when(col("lang") === "en", bucket.isin("0", "1"))
+        .otherwise(bucket < "8"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+}

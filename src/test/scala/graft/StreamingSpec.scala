@@ -179,6 +179,47 @@ class StreamingSpec extends SparkSuite {
     assert(out == (0L until 300L), s"got ${out.length} rows")
   }
 
+  test("streaming decontamination == batch: stream-static broadcast semi join") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    // static eval side: the x_dec1 held-out set (doc_id % 25 == 0), deduped
+    val ev = DocStreams.shingles(batchDocs.filter(col("doc_id") % 25 === 0)).distinct()
+    def corpus(df: org.apache.spark.sql.DataFrame) = df.filter(col("doc_id") % 25 =!= 0)
+    val q = DocStreams.contaminatedIds(corpus(DocStreams.readStream(spark, dir)), ev)
+      .writeStream.outputMode("append").format("memory").queryName("dec_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dec_out").collect().map(_.getLong(0)).sorted.toSeq
+      val want = DocStreams.contaminatedIds(corpus(batchDocs), ev)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // and both must agree with the oracle-checked batch probe's doc set
+      val oracle = graft.ext.PipelineOps.all.find(_.name == "x_dec1_contamination").get
+        .run(spark, dir).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+      assert(got == oracle)
+    } finally q.stop()
+  }
+
+  test("streaming stratified sample == batch x_smp2 rows (stateless filter)") {
+    import graft.streaming.DocStreams
+    val q = DocStreams.stratifiedSample(DocStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("smp_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("smp_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      val want = DocStreams.stratifiedSample(Tables(spark, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      val oracle = graft.ext.PipelineOps.all.find(_.name == "x_smp2_stratified").get
+        .run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+      assert(got == oracle)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the lag/cumsum batch form") {
     import spark.implicits._
     val events = Tables(spark, dir, "events")
