@@ -127,5 +127,52 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(dec1, smp2, pipe1)
+  /** X-DEC2 — decontamination, SHUFFLE path: identical semantics and output
+    * to x_dec1, but the join is forced to shuffle (MERGE hint) instead of
+    * broadcasting the eval side. This is the regime where the "eval" side
+    * is NOT tiny — decontaminating against another corpus shard, a
+    * multi-GB blocklist, or all previously-released training data — and a
+    * broadcast would OOM the driver (the exact failure mode VERDICT r3
+    * flagged for x_txt8's forced vocabulary broadcast). Both sides shuffle
+    * once on the shingle key; everything after the join is proportional to
+    * contamination. PlanAuditSpec pins the strategy split: x_dec1 plans a
+    * BroadcastHashJoin with zero corpus-side exchange, x_dec2 a
+    * SortMergeJoin.
+    */
+  private val dec2 = Probe(
+    "x_dec2_contamination_shuffle",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 25 = 0),
+      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
+      |SELECT corp.doc_id,
+      |  CAST(COUNT(DISTINCT corp.s) AS BIGINT) AS n_shingles_hit,
+      |  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM corp JOIN ev ON corp.s = ev.s
+      |GROUP BY corp.doc_id
+      |ORDER BY corp.doc_id""".stripMargin) { (s, dir) =>
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2),
+          |                 element_at(ws, i + 3)))""".stripMargin))
+        .as("s"))
+    val ev = sh.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("eval_id"), col("s").as("ev_s"))
+      .distinct()
+      .hint("merge") // the eval side is too big to broadcast in this regime
+    sh.filter(col("doc_id") % 25 =!= 0)
+      .join(ev, col("s") === col("ev_s"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_shingles_hit"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(dec1, dec2, smp2, pipe1)
 }
