@@ -475,5 +475,54 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded4, ded5, ded7)
+  /** X-DED9 — INCREMENTAL near-dedup: dedupe a newly-crawled shard (here
+    * doc_id % 3 == 0) against the already-released corpus (the rest) using
+    * the shared MinHash band generator. This is the regime production
+    * pipelines actually run in — the existing corpus is NOT re-deduped
+    * every crawl; only new×old candidates matter, never new×new or
+    * old×old.
+    *
+    * Scale shape: at 100 TB the old side's bands are a persisted index
+    * (written once, partitioned by band signature — exactly like
+    * `IvfIndex`), so each incremental run shuffles ONLY the new shard's
+    * bands and joins against the co-located index partitions; the old
+    * corpus text is never re-read, let alone re-shuffled. Here both sides
+    * derive from one generator call to keep the probe self-contained; the
+    * split is the semantics being checked.
+    */
+  private val ded9 = Probe(
+    "x_ded9_incremental",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |hx AS (
+      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
+      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
+      |  GROUP BY doc_id, h),
+      |bd AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
+      |  FROM hx GROUP BY doc_id, h // 4)
+      |SELECT n.doc_id AS new_id, CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_old_dups
+      |FROM bd n JOIN bd o ON n.band = o.band AND n.sig = o.sig
+      |WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      |GROUP BY n.doc_id
+      |ORDER BY new_id""".stripMargin) { (s, dir) =>
+    val bands = minhashBands(Tables(s, dir, "documents"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newSide = bands.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+    val oldSide = bands.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("old_id"), col("band").as("band_o"), col("sig").as("sig_o"))
+    newSide
+      .join(oldSide, newSide("band") === oldSide("band_o") && newSide("sig") === oldSide("sig_o"))
+      .groupBy("new_id")
+      .agg(count_distinct(col("old_id")).as("n_old_dups"))
+      .orderBy("new_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded4, ded5, ded7, ded9)
 }

@@ -65,6 +65,72 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** X-DEC3 — Bloom-filter decontamination: the FIXED-MEMORY variant of
+    * x_dec1/x_dec2. Eval shingles are folded into a partitioned Bloom
+    * filter — k = 3 hash functions, 4096 slots each (a slot is the first 3
+    * hex digits of `md5(i + '|' + shingle)`, tagged with its function
+    * index) — so the broadcast is AT MOST 12,288 short strings NO MATTER
+    * HOW LARGE the eval side grows. This is the regime between dec1
+    * (eval tiny → broadcast raw shingles) and dec2 (eval huge → shuffle
+    * both sides): a bounded-size sketch broadcast keeps the corpus scan
+    * narrow at ANY eval size, at the price of deterministic false
+    * positives, which a candidate-verify stage (x_dec1's exact join on the
+    * bloom-positive slice only) would then clear.
+    *
+    * Counts per corpus doc the distinct shingles whose k slots are ALL
+    * occupied (bloom-positive candidates, false positives included — the
+    * oracle reproduces the same slots, so FP behavior itself is checked).
+    * The corpus side is narrow until the per-doc rollup: slot computation
+    * is per-row arithmetic against the broadcast array.
+    */
+  private val dec3 = Probe(
+    "x_dec3_bloom_contamination",
+    """WITH sh AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+      |bloom AS (
+      |  SELECT DISTINCT CAST(i AS VARCHAR) || ':' ||
+      |         substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 3) AS p
+      |  FROM ev, UNNEST([0, 1, 2]) AS u(i)),
+      |corp AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      |FROM corp
+      |WHERE '0:' || substr(md5('0|' || s), 1, 3) IN (SELECT p FROM bloom)
+      |  AND '1:' || substr(md5('1|' || s), 1, 3) IN (SELECT p FROM bloom)
+      |  AND '2:' || substr(md5('2|' || s), 1, 3) IN (SELECT p FROM bloom)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2),
+          |                 element_at(ws, i + 3)))""".stripMargin))
+        .as("s"))
+    def slot(i: Int): org.apache.spark.sql.Column =
+      concat(lit(s"$i:"), substring(md5(concat(lit(s"$i|"), col("s"))), 1, 3))
+    // the filter itself: ≤ 12,288 distinct slot strings collapsed to ONE
+    // row holding the occupied-slot array — a constant-size broadcast
+    val bloom = broadcast(
+      sh.filter(col("doc_id") % 25 === 0)
+        .select(explode(array(slot(0), slot(1), slot(2))).as("p"))
+        .agg(collect_set(col("p")).as("bloom")))
+    // corpus side: narrow slot arithmetic + membership against the
+    // broadcast array; only bloom-positive rows reach the rollup shuffle
+    sh.filter(col("doc_id") % 25 =!= 0)
+      .join(bloom) // broadcast nested-loop against the single sketch row
+      .filter(array_contains(col("bloom"), slot(0)) &&
+        array_contains(col("bloom"), slot(1)) &&
+        array_contains(col("bloom"), slot(2)))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("s")).as("n_candidates"))
+      .orderBy("doc_id")
+  }
+
   /** X-SMP2 — deterministic stratified downsampling: per-language keep
     * rates (the dominant language is downsampled, the tail kept), decided
     * by a content-independent md5 bucket of the document id — reproducible
@@ -174,5 +240,5 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(dec1, dec2, smp2, pipe1)
+  val all: Seq[Probe] = Seq(dec1, dec2, dec3, smp2, pipe1)
 }

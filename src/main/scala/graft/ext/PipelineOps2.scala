@@ -59,6 +59,62 @@ object PipelineOps2 {
       .orderBy("lang", "shard", "bin")
   }
 
+  /** X-PACK2 — GLOBAL shard assignment by token budget, computed as a
+    * two-level (distributed) prefix sum: each doc's global token offset
+    * within its language decides its 4096-token output shard. The naive
+    * formulation is one `SUM OVER (PARTITION BY lang ORDER BY doc_id)` —
+    * which serializes an entire language onto a single task and is exactly
+    * what cannot run at 100 TB. The scalable identity computed here:
+    *
+    *   offset(doc) = cumsum_within(lang, grp) + exclusive_cumsum(grp totals)
+    *
+    * where grp = doc_id DIV 1000 bounds every within-window partition to
+    * ≤ 1000 rows, and the group-totals table is 1000× smaller than the
+    * corpus (at extreme scale the same identity recurses, or the totals
+    * pass becomes a driver-side scan of per-group sums — it is the
+    * classic two-pass parallel prefix sum). The oracle computes the SAME
+    * offsets with the naive single window — pinning that the two-level
+    * decomposition is exact, not approximate.
+    */
+  private val pack2 = Probe(
+    "x_pack2_token_sharding",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum_end
+      |  FROM t)
+      |SELECT lang, CAST((cum_end - n_tok) // 4096 AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("doc_id DIV 1000").as("grp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // level 1: prefix sum inside each bounded (lang, grp) window
+    val wIn = Window.partitionBy("lang", "grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = t.withColumn("cum_in", sum("n_tok").over(wIn))
+    // level 2: exclusive prefix sum over the (tiny) per-group totals
+    val wG = Window.partitionBy("lang").orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("lang", "grp").agg(sum("n_tok").as("g_tok"))
+      .withColumn("g_off", coalesce(sum("g_tok").over(wG), lit(0L)))
+      .select(col("lang").as("lang_o"), col("grp").as("grp_o"), col("g_off"))
+    // no broadcast() hint (the x_txt8 lesson): the totals table is
+    // corpus/1000 rows — AQE broadcasts it while small, shuffles when not
+    within
+      .join(offsets, within("lang") === offsets("lang_o") && within("grp") === offsets("grp_o"))
+      .withColumn("shard", expr("(g_off + cum_in - n_tok) DIV 4096"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"))
+      .orderBy("lang", "shard")
+  }
+
   /** X-DED8 — prefix dedup: documents sharing their first 8 tokens are
     * near-certain boilerplate/template duplicates (the cheap URL-prefix /
     * header-dedup pass that runs before any MinHash). One shuffle on the
@@ -166,5 +222,5 @@ object PipelineOps2 {
       .orderBy("lang")
   }
 
-  val all: Seq[Probe] = Seq(pack1, ded8, txt8, txt9)
+  val all: Seq[Probe] = Seq(pack1, pack2, ded8, txt8, txt9)
 }

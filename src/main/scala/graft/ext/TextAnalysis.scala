@@ -184,5 +184,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5, txt7)
+  /** X-TXT10 — PII redaction: the scrubbing pass every released corpus
+    * runs — emails, IPv4 addresses, and phone numbers replaced with typed
+    * placeholder tokens, with per-doc match counts (the audit trail).
+    * Purely narrow (regexp per row, no shuffle but the presentation sort).
+    *
+    * The synthetic corpus carries no PII, so a deterministic PII suffix is
+    * APPENDED per doc (id-derived email/IP/phone) before redaction —
+    * the machinery under test is the regex surface + replacement order,
+    * pinned cross-engine by hashing the fully-redacted text. Patterns are
+    * written in the RE2∩Java common dialect (no backslash classes:
+    * `[0-9]` not `\d`, `[.]` not `\.`) so both engines compile the same
+    * automaton. Replacement order (email → IP → phone) matters — an IPv4
+    * is a substring of neither, but order is part of the declared
+    * semantics and the hash would catch any divergence.
+    */
+  private val txt10 = Probe(
+    "x_txt10_pii_redact",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40) || ' mail u' || CAST(doc_id AS VARCHAR) ||
+      |    '@ex.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |    '.7 tel 512-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+      |        '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g'),
+      |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+      |  FROM aug)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(red) AS redact_hash
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val email = "[a-z0-9]+@[a-z]+[.][a-z]+"
+    val ip = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@ex.org ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel 512-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+      .withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(ip)).cast("long").as("n_ips"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+        md5(col("red")).as("redact_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5, txt7, txt10)
 }

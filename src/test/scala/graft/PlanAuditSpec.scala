@@ -45,6 +45,36 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache() // txt8 persists its tf subtree
   }
 
+  test("x_dec2: forced-shuffle regime plans a SortMergeJoin, not a broadcast") {
+    val df = SparkEntry.queries("x_dec2_contamination_shuffle")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("x_dec3: constant-size sketch broadcasts; corpus shingles never hash-shuffled") {
+    val df = SparkEntry.queries("x_dec3_bloom_contamination")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the single bloom row joins as a broadcast nested-loop (1-row build
+    // side); the corpus side stays narrow through slot arithmetic + filter
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val corpusSideShuffles = "Exchange hashpartitioning\\(s#".r.findAllIn(plan).length
+    assert(corpusSideShuffles == 0, s"corpus shingles shuffled:\n$plan")
+  }
+
+  test("x_pack2: both prefix-sum windows are keyed; no whole-language window partition") {
+    val df = SparkEntry.queries("x_pack2_token_sharding")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // level-1 window partitions by (lang, grp) — bounded at <= 1000 rows
+    assert("hashpartitioning\\(lang#\\d+, grp#\\d+".r.findFirstIn(plan).isDefined, plan)
+    // exactly two Window operators: within-group cumsum + group-offset
+    // cumsum (over the 1000x-smaller totals), never a third full-corpus one
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 2, plan)
+  }
+
   test("x_smp2 and x_txt7 are narrow: no hash exchange at all") {
     for (name <- Seq("x_smp2_stratified", "x_txt7_repetition")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
