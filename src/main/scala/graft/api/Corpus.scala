@@ -148,6 +148,101 @@ final case class Corpus(df: DataFrame) {
     d.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Remove documents sharing any 4-word shingle with an eval/benchmark
+    * set — the x_dec1/x_dec2/x_dec3 semantics as one API with an explicit
+    * size regime:
+    *
+    *  - [[Corpus.EvalBroadcast]] (eval ≪ corpus, KBs–MBs): broadcast the
+    *    raw eval shingles; corpus never shuffles. Exact.
+    *  - [[Corpus.EvalShuffle]] (eval is another corpus): merge join, both
+    *    sides shuffle once on the shingle. Exact.
+    *  - [[Corpus.EvalBloom]]: fold eval shingles into a fixed-size Bloom
+    *    sketch (k=3 × 4096 slots) — bounded broadcast at ANY eval size,
+    *    deterministic false positives (removal is conservative: a false
+    *    positive drops a clean doc, never keeps a contaminated one).
+    */
+  def decontaminate(evalDocs: DataFrame, mode: Corpus.EvalMode = Corpus.EvalBroadcast): Corpus =
+    chain { d =>
+      val sh = Corpus.shingles4(d)
+      val evSh = Corpus.shingles4(evalDocs).select(col("s")).distinct()
+      val contaminated = mode match {
+        case Corpus.EvalBroadcast =>
+          sh.join(broadcast(evSh), Seq("s"), "left_semi")
+        case Corpus.EvalShuffle =>
+          sh.join(evSh.hint("merge"), Seq("s"), "left_semi")
+        case Corpus.EvalBloom =>
+          // k=3 × 4096 slots packed into 192 longs (x_dec3's bitmap form:
+          // 1.5 KB broadcast, O(1) membership per probe)
+          def pos(i: Int): Column =
+            expr(s"CAST($i * 4096 + conv(substr(md5('$i|' || s), 1, 3), 16, 10) AS INT)")
+          def hit(i: Int): Column = {
+            val q = s"CAST($i * 4096 + conv(substr(md5('$i|' || s), 1, 3), 16, 10) AS INT)"
+            expr(s"(element_at(bloom, CAST($q DIV 64 AS INT) + 1) & shiftleft(1L, $q % 64)) <> 0L")
+          }
+          val bloom = broadcast(
+            evSh.select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+              .agg(collect_set(col("p")).as("ps"))
+              .select(expr(
+                """transform(sequence(0, 191),
+                  |  w -> aggregate(filter(ps, p -> p DIV 64 = w),
+                  |                 0L, (acc, p) -> acc | shiftleft(1L, CAST(p % 64 AS INT))))""".stripMargin)
+                .as("bloom")))
+          sh.join(bloom).filter(hit(0) && hit(1) && hit(2))
+      }
+      d.join(contaminated.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    }
+
+  /** Incremental near-dedup: drop documents of THIS corpus (the new crawl
+    * shard) that MinHash-band-collide with an already-released corpus —
+    * x_ded9's semantics. Only new×old candidates are generated; the old
+    * side is never self-joined (at scale its bands are a persisted index
+    * partitioned by signature, so each run shuffles only the new shard).
+    */
+  def dedupIncremental(oldCorpus: DataFrame): Corpus = chain { d =>
+    val newBands = graft.ext.Dedup.minhashBands(d)
+      .select(col("doc_id"), col("band"), col("sig"))
+    val oldBands = graft.ext.Dedup.minhashBands(oldCorpus)
+      .select(col("band").as("band_o"), col("sig").as("sig_o"))
+    val dropIds = newBands
+      .join(oldBands, newBands("band") === oldBands("band_o") && newBands("sig") === oldBands("sig_o"),
+        "left_semi")
+      .select("doc_id").distinct()
+    d.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Global token-budget shard assignment (adds `n_tok` and `shard`):
+    * x_pack2's exact two-level prefix sum — within-group cumsum over
+    * bounded (lang, grp) windows plus an exclusive cumsum of group totals,
+    * never a whole-language window partition.
+    */
+  def shardByTokenBudget(budgetTokens: Long, grpSize: Long = 1000L): Corpus = chain { d =>
+    val t = d.withColumn("__grp", expr(s"doc_id DIV $grpSize"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val wIn = Window.partitionBy("lang", "__grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = t.withColumn("__cum_in", sum("n_tok").over(wIn))
+    val wG = Window.partitionBy("lang").orderBy("__grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("lang", "__grp").agg(sum("n_tok").as("__g_tok"))
+      .withColumn("__g_off", coalesce(sum("__g_tok").over(wG), lit(0L)))
+      .select(col("lang").as("__lang_o"), col("__grp").as("__grp_o"), col("__g_off"))
+    within
+      .join(offsets, within("lang") === offsets("__lang_o") && within("__grp") === offsets("__grp_o"))
+      .withColumn("shard", expr(s"(__g_off + __cum_in - n_tok) DIV $budgetTokens"))
+      .drop("__grp", "__cum_in", "__lang_o", "__grp_o", "__g_off")
+  }
+
+  /** PII redaction over `text` (x_txt10's patterns: emails, IPv4, phones →
+    * typed placeholder tokens). Narrow; order email → IP → phone.
+    */
+  def redactPii(): Corpus = chain {
+    _.withColumn("text",
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[a-z0-9]+@[a-z]+[.][a-z]+", "<EMAIL>"),
+        "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+", "<IP>"),
+        "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+  }
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */
@@ -178,6 +273,25 @@ final case class Corpus(df: DataFrame) {
 }
 
 object Corpus {
+
+  /** Eval-side size regime for [[Corpus.decontaminate]]. */
+  sealed trait EvalMode
+  case object EvalBroadcast extends EvalMode
+  case object EvalShuffle extends EvalMode
+  case object EvalBloom extends EvalMode
+
+  /** 4-word shingles — the decontamination unit, shared with the
+    * oracle-checked x_dec1/x_dec2/x_dec3 probes and `DocStreams.shingles`.
+    */
+  def shingles4(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2), element_at(ws, i + 3)))""".stripMargin))
+        .as("s"))
+
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
     "with", "as", "at", "by", "an", "be", "this", "that", "from", "or")

@@ -95,6 +95,68 @@ class CorpusSpec extends SparkSuite {
     assert(v.filter(col("n2") <= 0).count() == 0)
   }
 
+  test("decontaminate: broadcast == shuffle; bloom removes a superset; all drop x_dec1's docs") {
+    val docs = Tables(spark, dir, "documents")
+    val ev = docs.filter(col("doc_id") % 25 === 0)
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    def ids(c: Corpus) = c.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bc = ids(Corpus(corpus).decontaminate(ev, Corpus.EvalBroadcast))
+    val sh = ids(Corpus(corpus).decontaminate(ev, Corpus.EvalShuffle))
+    val bl = ids(Corpus(corpus).decontaminate(ev, Corpus.EvalBloom))
+    assert(bc == sh) // join strategy must not change semantics
+    assert(bl.subsetOf(bc)) // bloom false positives only REMOVE more
+    // survivors of the exact modes = corpus minus the oracle-checked
+    // x_dec1 contaminated set
+    val contaminated = Registry.all.find(_.name == "x_dec1_contamination").get
+      .run(spark, dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bc == all -- contaminated)
+  }
+
+  test("dedupIncremental drops exactly the band-colliding new docs (x_ded9 semantics)") {
+    val docs = Tables(spark, dir, "documents")
+    val newShard = docs.filter(col("doc_id") % 3 === 0)
+    val oldCorpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val out = Corpus(newShard).dedupIncremental(oldCorpus).df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = Registry.all.find(_.name == "x_ded9_incremental").get.run(spark, dir)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    val allNew = newShard.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == allNew -- dropped)
+    spark.catalog.clearCache() // x_ded9 persists its band table
+  }
+
+  test("shardByTokenBudget equals the naive single-window shard assignment") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Corpus(spark, dir).shardByTokenBudget(4096L)
+      .df.select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naive = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = Tables(spark, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_end", sum("n_tok").over(naive))
+      .select(col("doc_id"), expr("(cum_end - n_tok) DIV 4096").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("redactPii scrubs planted emails/IPs/phones and touches nothing else") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "write to alice9@mail.com today", "en"),
+      (2L, "server at 192.168.0.12 rebooted", "en"),
+      (3L, "call 512-555-0137 or 800-555-0199", "en"),
+      (4L, "no pii here at all", "en")).toDF("doc_id", "text", "lang")
+    val out = Corpus(dirty).redactPii().df.orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq(
+      "write to <EMAIL> today",
+      "server at <IP> rebooted",
+      "call <PHONE> or <PHONE>",
+      "no pii here at all"))
+  }
+
   test("topTerms matches the oracle-checked x_txt6 probe") {
     val api = Corpus(spark, dir).topTerms(3).orderBy("doc_id", "rk")
       .collect().map(_.toSeq).toSeq
