@@ -12,6 +12,7 @@ object Registry {
     ext.Dedup.all ++
     ext.PipelineOps.all ++
     ext.PipelineOps2.all ++
+    ext.PipelineOps3.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++

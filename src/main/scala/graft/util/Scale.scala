@@ -36,6 +36,21 @@ object Scale {
     */
   def bucketOf(key: Column, buckets: Int): Column = pmod(hash(key), lit(buckets))
 
+  /** Z-order (Morton) interleave of two non-negative keys, `bits` bits
+    * each: bit i of x lands at position 2i, bit i of y at 2i+1. Sorting by
+    * this value clusters BOTH dimensions simultaneously — every contiguous
+    * 1/4^k slice of the curve is a quadrant — so range predicates on
+    * either column skip most files via parquet min/max stats. This is the
+    * layout step behind Delta/Iceberg Z-ORDER compaction; pure bit
+    * arithmetic, identical in any engine. Callers mask inputs into
+    * [0, 2^bits) first (e.g. `pmod(k, lit(1L << bits))`).
+    */
+  def zValue2(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   /** Output-size guardrail: bound rows per output file WITHOUT executing
     * the plan an extra time (a count-then-coalesce approach runs the whole
     * upstream twice — unacceptable when the upstream is a 100 TB join).
