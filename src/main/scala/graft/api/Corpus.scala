@@ -243,6 +243,42 @@ final case class Corpus(df: DataFrame) {
         "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
   }
 
+  /** Quality-rule signals (x_txt11's Gopher/C4 family: n_words,
+    * mean_len_c, alpha_ppm, stop_hits, keep) — one narrow projection,
+    * zero shuffles; shared code with the oracle-checked probe.
+    */
+  def withQualityRules(): Corpus = chain(graft.ext.PipelineOps3.addQualityRuleSignals)
+
+  /** Drop documents failing the quality rules (adds the signals if not
+    * already present, then filters on the combined verdict).
+    */
+  def filterByQualityRules(): Corpus = chain { d =>
+    val withKeep = if (d.columns.contains("keep")) d
+      else graft.ext.PipelineOps3.addQualityRuleSignals(d)
+    withKeep.filter(col("keep") === 1L)
+  }
+
+  /** Duplicated-substring signals (x_ded10: per-doc fraction of token
+    * `n`-grams shared with other docs), joined back onto the corpus.
+    * Docs shorter than `n` tokens carry zeros. The stats subtree shuffles
+    * gram DIGESTS (fixed 16-hex payload), never gram text.
+    */
+  def withSubstringDupSignals(n: Int = 8): Corpus = chain { d =>
+    val stats = graft.ext.PipelineOps3.substringDupStats(d, n)
+    d.join(stats, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_grams", "n_dup", "dup_ppm"))
+  }
+
+  /** Drop documents whose duplicated-`n`-gram fraction exceeds
+    * `maxDupPpm` — the span-level companion to whole-doc near-dedup
+    * (boilerplate and templated spans that MinHash misses).
+    */
+  def filterSubstringDups(maxDupPpm: Long, n: Int = 8): Corpus = {
+    val withStats = if (df.columns.contains("dup_ppm")) this
+      else withSubstringDupSignals(n)
+    withStats.chain(_.filter(col("dup_ppm") <= maxDupPpm))
+  }
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */

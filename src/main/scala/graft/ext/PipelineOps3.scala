@@ -55,22 +55,7 @@ object PipelineOps3 {
       |  CAST(count(s.h) * 1000000 // count(*) AS BIGINT) AS dup_ppm
       |FROM g LEFT JOIN s ON g.h = s.h
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val grams = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 emits a
-      // DESCENDING range rather than an empty one
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> substr(md5(concat_ws(' ', slice(toks, i, 8))), 1, 16))"))
-        .as("h"))
-      .distinct()
-    val shared = grams.groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"), lit(1).as("dup"))
-    grams.join(shared, Seq("h"), "left_outer")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), count(col("dup")).as("n_dup"))
-      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_grams"))
-      .orderBy("doc_id")
+    substringDupStats(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
   /** X-TXT11 — heuristic quality rules (the Gopher/C4 filter family):
@@ -79,6 +64,49 @@ object PipelineOps3 {
     * keep/drop verdict. One narrow projection, no shuffle: per-word stats
     * come from higher-order array functions, never an explode.
     */
+  /** Per-doc duplicated-8-gram stats (doc_id, n_grams, n_dup, dup_ppm) —
+    * shared by the x_ded10 probe and `api.Corpus.withSubstringDupSignals`
+    * so the two cannot drift. Docs under `n` tokens produce no rows.
+    */
+  def substringDupStats(docs: org.apache.spark.sql.DataFrame, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard BEFORE sequence(): Spark's sequence(1, m) with m < 1 emits a
+      // DESCENDING range rather than an empty one
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> substr(md5(concat_ws(' ', slice(toks, i, $n))), 1, 16))"))
+        .as("h"))
+      .distinct()
+    val shared = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1).as("dup"))
+    grams.join(shared, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("dup")).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_grams"))
+  }
+
+  /** Appends the quality-rule signal columns (n_words, mean_len_c,
+    * alpha_ppm, stop_hits, keep) to a documents frame — a pure narrow
+    * projection shared by the x_txt11 probe, `api.Corpus`, and the
+    * streaming path (`streaming.DocStreams`).
+    */
+  def addQualityRuleSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("__w", split(lower(col("text")), " "))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("mean_len_c",
+        expr("aggregate(__w, 0L, (acc, x) -> acc + length(x)) * 100 DIV size(__w)"))
+      .withColumn("alpha_ppm",
+        expr("size(filter(__w, x -> x rlike '[a-z]')) * 1000000L DIV size(__w)"))
+      .withColumn("stop_hits",
+        expr("size(filter(__w, x -> array_contains(array('the','and','of','to','a','in','is','that'), x)))")
+          .cast("long"))
+      .withColumn("keep", expr(
+        """CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+          |  AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+      .drop("__w")
+
   private val txt11 = Probe(
     "x_txt11_quality_rules",
     """WITH t AS (
@@ -94,18 +122,8 @@ object PipelineOps3 {
       |  CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
       |            AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(
-        col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        expr("aggregate(w, 0L, (acc, x) -> acc + length(x)) * 100 DIV size(w)").as("mean_len_c"),
-        expr("size(filter(w, x -> x rlike '[a-z]')) * 1000000L DIV size(w)").as("alpha_ppm"),
-        expr("size(filter(w, x -> array_contains(array('the','and','of','to','a','in','is','that'), x)))")
-          .cast("long").as("stop_hits"))
-      .withColumn("keep", expr(
-        """CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
-          |  AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+    addQualityRuleSignals(Tables(s, dir, "documents"))
+      .select("doc_id", "n_words", "mean_len_c", "alpha_ppm", "stop_hits", "keep")
       .orderBy("doc_id")
   }
 

@@ -57,6 +57,16 @@ object DocStreams {
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
 
+  /** Stream-capable quality gate — x_txt11's Gopher/C4 rule family as a
+    * pure narrow projection + filter (shared code with the oracle-checked
+    * probe via `ext.PipelineOps3.addQualityRuleSignals`): zero state, zero
+    * shuffle, so the same call runs identically over a stream.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    graft.ext.PipelineOps3.addQualityRuleSignals(docs)
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("mean_len_c"))
+
   /** Stream-capable stratified downsampling — x_smp2's exact filter ('en'
     * keeps 2/16 of docs, every other language 8/16, decided by a
     * content-independent md5 bucket of the id). A pure narrow filter: runs

@@ -157,6 +157,40 @@ class CorpusSpec extends SparkSuite {
       "no pii here at all"))
   }
 
+  test("withQualityRules / filterByQualityRules match the x_txt11 probe verdicts") {
+    val api = Corpus(spark, dir).withQualityRules().df
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probe = Registry.all.find(_.name == "x_txt11_quality_rules").get.run(spark, dir)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(api == probe)
+    val kept = Corpus(spark, dir).filterByQualityRules().df.count()
+    assert(kept == probe.values.count(_ == 1L))
+  }
+
+  test("withSubstringDupSignals matches x_ded10; short docs carry zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h tail one", "en"),
+      (2L, "a b c d e f g h tail two", "en"),
+      (3L, "tiny doc", "en")).toDF("doc_id", "text", "lang")
+    val out = Corpus(docs).withSubstringDupSignals().df
+      .select("doc_id", "n_grams", "n_dup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0, s"planted shared span not flagged: $out")
+    assert(out(3L) == ((0L, 0L)), "sub-8-token doc must carry zeros, not nulls")
+    // and the filter drops exactly the high-dup docs
+    val left = Corpus(docs).filterSubstringDups(maxDupPpm = 0L).df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L), s"got $left")
+    // API stats == probe rows on the real table
+    val api = Corpus(spark, dir).withSubstringDupSignals().df
+      .filter(col("n_grams") > 0).select("doc_id", "n_grams", "n_dup", "dup_ppm")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue()).toSeq
+    val probe = Registry.all.find(_.name == "x_ded10_substring_dup").get.run(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(api == probe)
+  }
+
   test("topTerms matches the oracle-checked x_txt6 probe") {
     val api = Corpus(spark, dir).topTerms(3).orderBy("doc_id", "rk")
       .collect().map(_.toSeq).toSeq

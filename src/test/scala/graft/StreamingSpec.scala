@@ -220,6 +220,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate == batch x_txt11 keepers (stateless projection)") {
+    import graft.streaming.DocStreams
+    val q = DocStreams.qualityFilter(DocStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("qual_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("qual_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+      val want = DocStreams.qualityFilter(Tables(spark, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+      // and both must agree with the oracle-checked probe's keep verdicts
+      // probe columns: (doc_id, n_words, mean_len_c, alpha_ppm, stop_hits, keep)
+      val oracle = graft.ext.PipelineOps3.all.find(_.name == "x_txt11_quality_rules").get
+        .run(spark, dir).filter(col("keep") === 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+      assert(got == oracle)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the lag/cumsum batch form") {
     import spark.implicits._
     val events = Tables(spark, dir, "events")
