@@ -13,6 +13,7 @@ object Registry {
     ext.PipelineOps.all ++
     ext.PipelineOps2.all ++
     ext.PipelineOps3.all ++
+    ext.PipelineOps4.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++

@@ -279,6 +279,47 @@ final case class Corpus(df: DataFrame) {
     withStats.chain(_.filter(col("dup_ppm") <= maxDupPpm))
   }
 
+  /** Source-weighted data mixing (x_smp3's semantics, generic weights):
+    * replicate each doc `weight` times — integer epochs exactly, the
+    * fractional epoch kept iff a fixed md5 prefix of (doc_id, epoch)
+    * falls under the weight's hex threshold. Fully deterministic (no
+    * rand()), content-independent, and cluster-size-independent. Weights
+    * are given in ppm (2_500_000 = 2.5 epochs); sources absent from the
+    * map keep weight 1.0. The weights table is sources-sized → joined
+    * via AQE broadcast; the expansion itself is narrow.
+    */
+  def mixBySourceWeights(weightsPpm: Map[String, Long]): Corpus = chain { d =>
+    val s = d.sparkSession
+    import s.implicits._
+    val w = weightsPpm.toSeq.map { case (src, ppm) =>
+      require(ppm >= 0, s"negative weight for $src")
+      val fullEp = (ppm / 1000000L).toInt
+      val fracHex = f"${(ppm % 1000000L) * 65536L / 1000000L}%04x"
+      (src, fullEp, if (fracHex == "0000") "" else fracHex)
+    }.toDF("source", "full_ep", "thr")
+    d.join(w, Seq("source"), "left_outer")
+      .na.fill(1, Seq("full_ep")).na.fill("", Seq("thr"))
+      .withColumn("epoch", explode(expr("sequence(0, full_ep)")))
+      .filter(expr(
+        "epoch < full_ep OR substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))), 1, 4) < thr"))
+      .drop("full_ep", "thr")
+  }
+
+  /** Context-window chunking (x_chunk1's semantics, generic sizes):
+    * overlapping token windows of `window` with stride `stride`; trailing
+    * windows keep their natural length so every token lands in a chunk.
+    * Narrow explode — no shuffle at any corpus size.
+    */
+  def chunkTokens(window: Int = 16, stride: Int = 12): Corpus =
+    chain(graft.ext.PipelineOps4.chunkTokenWindows(_, window, stride))
+
+  /** Corpus composition report (x_rep1): per (source, lang) doc/token/char
+    * volumes and corpus share in ppm — the mixture table
+    * [[mixBySourceWeights]] is tuned against.
+    */
+  def compositionReport(): Corpus =
+    chain(graft.ext.PipelineOps4.compositionReport)
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */

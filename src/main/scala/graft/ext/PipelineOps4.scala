@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.functions._
+
+/** Fourth batch of corpus-pipeline operators: context-window chunking and
+  * the corpus composition report.
+  *
+  * Scale design notes (100 TB):
+  * - Chunking is explode-only (one narrow pass, no shuffle): every doc
+  *   emits its window starts via `sequence`, each chunk is a bounded
+  *   `slice` of the token array. Output size is corpus_tokens / stride ×
+  *   window — linear, and each task holds only its own documents. The
+  *   chunk digest (16-hex of md5) keeps the shuffled payload fixed-width
+  *   when downstream ops group by chunk.
+  * - The composition report aggregates the full corpus down to a
+  *   (source × lang)-sized table FIRST (partial-combine hash agg), then
+  *   computes corpus shares with a window over that tiny aggregate — the
+  *   unpartitioned window never sees more rows than distinct
+  *   source×lang pairs, so the single-reducer stage is bounded by
+  *   metadata cardinality, not data size.
+  */
+object PipelineOps4 {
+
+  /** X-CHUNK1 — context-window chunking: split each document's tokens
+    * into windows of 16 with stride 12 (4-token overlap), the standard
+    * pretraining pre-tokenization chunking step. Trailing windows keep
+    * their natural (shorter) length; every token lands in ≥1 chunk.
+    * Chunks surface as (doc_id, chunk_idx, n_tokens, chunk_hash).
+    */
+  private val chunk1 = Probe(
+    "x_chunk1_token_windows",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s FROM t)
+      |SELECT doc_id,
+      |  CAST((s - 1) // 12 AS BIGINT) AS chunk_idx,
+      |  CAST(len(toks[s:s+15]) AS BIGINT) AS n_tokens,
+      |  substr(md5(array_to_string(toks[s:s+15], ' ')), 1, 16) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    chunkTokenWindows(Tables(s, dir, "documents"), 16, 12)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Shared implementation (also the `api.Corpus.chunkTokens` backend):
+    * narrow explode of window starts, bounded slices, no shuffle.
+    */
+  def chunkTokenWindows(docs: org.apache.spark.sql.DataFrame,
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks), $stride)")).as("s"))
+      .select(col("doc_id"),
+        expr(s"CAST((s - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
+        expr(s"CAST(size(slice(toks, s, $window)) AS BIGINT)").as("n_tokens"),
+        expr(s"substr(md5(concat_ws(' ', slice(toks, s, $window))), 1, 16)")
+          .as("chunk_hash"))
+  }
+
+  /** X-REP1 — corpus composition report: per (source, lang) document
+    * counts, token/char volumes, and the corpus share in ppm — the
+    * mixture table a training run starts from (and the input a
+    * `mixBySourceWeights` call is tuned against).
+    */
+  private val rep1 = Probe(
+    "x_rep1_composition",
+    """WITH a AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source, lang)
+      |SELECT source, lang, n_docs, n_tokens, sum_chars,
+      |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+      |  CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS share_ppm
+      |FROM a ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    compositionReport(Tables(s, dir, "documents")).orderBy("source", "lang")
+  }
+
+  def compositionReport(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("total_docs", sum(col("n_docs")).over(w))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("sum_chars"),
+        expr("CAST(n_tokens DIV n_docs AS BIGINT)").as("mean_tokens"),
+        expr("CAST(n_docs * 1000000 DIV total_docs AS BIGINT)").as("share_ppm"))
+  }
+
+  val all: Seq[Probe] = Seq(chunk1, rep1)
+}

@@ -201,4 +201,33 @@ class CorpusSpec extends SparkSuite {
     val byDoc = api.groupBy(_.head)
     assert(byDoc.values.forall(rows => rows.map(_(1)) == (1L to rows.length).toSeq))
   }
+
+  test("mixBySourceWeights: integer epochs exact, fractional deterministic, default 1.0") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val weights = Map("src0" -> 2500000L, "src1" -> 250000L, "src2" -> 0L)
+    val out = Corpus(docs).mixBySourceWeights(weights).df.cache()
+    try {
+      val perSrc = out.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // src0 ×2.5: every doc 2 or 3 times, total in (200, 300) exclusive
+      val src0PerDoc = out.filter($"source" === "src0").groupBy("doc_id").count()
+        .collect().map(_.getLong(1))
+      assert(src0PerDoc.forall(n => n == 2L || n == 3L))
+      assert(perSrc("src0") > 200L && perSrc("src0") < 300L, perSrc.toString)
+      // src1 ×0.25: strict subset, single copies only
+      assert(perSrc("src1") > 0L && perSrc("src1") < 100L, perSrc.toString)
+      // src2 ×0: gone entirely
+      assert(!perSrc.contains("src2"))
+      // src3 absent from the map: exactly one copy of each, epoch 0
+      assert(perSrc("src3") == 100L)
+      assert(out.filter($"source" === "src3" && $"epoch" =!= 0L).count() == 0L)
+      // deterministic: a second evaluation from scratch is identical
+      val again = Corpus(docs).mixBySourceWeights(weights).df
+        .orderBy("doc_id", "epoch").collect().toSeq
+      assert(out.orderBy("doc_id", "epoch").collect().toSeq == again)
+    } finally out.unpersist()
+  }
 }

@@ -96,6 +96,54 @@ class PipelineOps3Spec extends SparkSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("x_smp3: weighted mix is deterministic and matches its epoch semantics") {
+    val run1 = SparkEntry.queries("x_smp3_weighted_mix")(spark, dir).collect()
+    val run2 = SparkEntry.queries("x_smp3_weighted_mix")(spark, dir).collect()
+    assert(run1.toSeq == run2.toSeq, "weighted mix must be reproducible")
+    assert(run1.map(r => (r.getLong(0), r.getLong(1))).distinct.length == run1.length,
+      "(doc_id, epoch) must be unique")
+    val bySid = run1.groupBy(r => r.getString(2).drop(3).toInt)
+    // sid < 5: 2 full epochs always present + ~50% third epoch
+    bySid.filter(_._1 < 5).foreach { case (_, rows) =>
+      val perDoc = rows.groupBy(_.getLong(0)).values.map(_.length)
+      assert(perDoc.forall(n => n == 2 || n == 3))
+    }
+    // 5 <= sid < 10: exactly one copy, epoch 0
+    bySid.filter(kv => kv._1 >= 5 && kv._1 < 10).foreach { case (_, rows) =>
+      assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 1))
+      assert(rows.forall(_.getLong(1) == 0L))
+    }
+    // sid >= 10: downsampled to ~25% — strictly fewer rows than docs
+    val down = bySid.filter(_._1 >= 10).values.map(_.length).sum
+    val downDocs = Tables(spark, dir, "documents")
+      .filter(expr("CAST(substr(source, 4) AS INT) >= 10")).count()
+    assert(down > 0 && down < downDocs, s"downsample kept $down of $downDocs")
+  }
+
+  test("x_smp4: (shard, pos) is a total permutation, invariant to partitioning") {
+    val out = SparkEntry.queries("x_smp4_shuffle")(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+    assert(out.length == docs.count().toInt)
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "each doc exactly once")
+    // pos is dense 1..n within every shard
+    out.groupBy(_.getString(1)).foreach { case (sh, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq == (1L to rows.length.toLong), s"shard $sh positions not dense")
+    }
+    // content-independent determinism: same permutation from a 1-partition input
+    val one = docs.coalesce(1)
+    one.createOrReplaceTempView("smp4_one")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ord", "doc_id")
+    val again = one
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"),
+        substring(md5(col("doc_id").cast("string")), 3, 16).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos").orderBy("shard", "pos").collect()
+    assert(again.toSeq == out.toSeq, "permutation must not depend on input partitioning")
+  }
+
   test("x_bkt1: bucketed join plans with zero exchanges when broadcast is off") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

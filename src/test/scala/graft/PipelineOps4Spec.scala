@@ -1,0 +1,78 @@
+package graft
+
+import graft.api.Corpus
+import org.apache.spark.sql.functions._
+
+/** Round-4 batch 4: context-window chunking and the corpus composition
+  * report.
+  */
+class PipelineOps4Spec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x_chunk1: window arithmetic on a hand-built doc") {
+    val s = spark
+    import s.implicits._
+    // 30 tokens, window 16 stride 12 -> starts 1, 13, 25:
+    //   chunk 0 = t1..t16, chunk 1 = t13..t28, chunk 2 = t25..t30 (6 toks)
+    val docs = Seq((1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = ext.PipelineOps4.chunkTokenWindows(docs, 16, 12)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 16L), (1L, 16L), (2L, 6L)))
+    // overlap: chunk 0 and 1 share t13..t16 but hash differently
+    assert(d1.map(_.getString(3)).distinct.length == 3)
+    // a 1-token doc is exactly one 1-token chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
+  }
+
+  test("x_chunk1 probe: every token covered, chunk plan is shuffle-free") {
+    val docs = Tables(spark, dir, "documents")
+    val out = SparkEntry.queries("x_chunk1_token_windows")(spark, dir)
+    val rows = out.collect()
+    // every doc present; per-doc chunk count = ceil-ish starts formula
+    val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val expect = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 12 + 1)).toMap
+    assert(perDoc == expect, "chunk count must equal the number of window starts")
+    // chunk_idx dense from 0; token coverage: sum of non-overlap = n
+    rows.groupBy(_.getLong(0)).foreach { case (_, cs) =>
+      val idx = cs.map(_.getLong(1)).sorted
+      assert(idx.toSeq == (0L until idx.length))
+    }
+    // the chunk expansion itself is narrow: no exchange before the sort
+    val plan = ext.PipelineOps4
+      .chunkTokenWindows(docs, 16, 12).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("x_rep1: shares sum to ~1e6 and volumes reconcile with the corpus") {
+    val rows = SparkEntry.queries("x_rep1_composition")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    val shares = rows.map(_.getLong(6)).sum
+    // floor division: sum is within one ppm-unit-per-group of 1e6
+    assert(shares <= 1000000L && shares >= 1000000L - rows.length)
+    val chars = docs.agg(sum("n_chars")).head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == chars)
+    rows.foreach(r => assert(r.getLong(5) == r.getLong(3) / r.getLong(2)))
+  }
+
+  test("Corpus.chunkTokens / compositionReport delegate to the probe logic") {
+    val viaApi = Corpus(spark, dir).chunkTokens(16, 12).df
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    val viaProbe = SparkEntry.queries("x_chunk1_token_windows")(spark, dir)
+      .collect().toSeq
+    assert(viaApi == viaProbe)
+    val rep = Corpus(spark, dir).compositionReport().df
+      .orderBy("source", "lang").collect().toSeq
+    val repProbe = SparkEntry.queries("x_rep1_composition")(spark, dir)
+      .collect().toSeq
+    assert(rep == repProbe)
+  }
+}
