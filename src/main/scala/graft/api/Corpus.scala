@@ -305,6 +305,22 @@ final case class Corpus(df: DataFrame) {
       .drop("full_ep", "thr")
   }
 
+  /** Per-language adaptive quality floor (x_txt12): keep documents at or
+    * above their own language's median word count — no single language's
+    * length distribution sets a global bar. The threshold table is
+    * lang-count-sized (broadcast); the corpus is scanned, never shuffled.
+    */
+  def filterByLangMedian(): Corpus =
+    chain { d =>
+      val med = d
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_words"))
+        .groupBy("lang").agg(expr("percentile(n_words, 0.5)").as("lang_median"))
+      d.withColumn("_nw", size(split(col("text"), " ")).cast("long"))
+        .join(med, Seq("lang")) // lang-count-sized build side -> AQE broadcast
+        .filter(col("_nw") >= col("lang_median"))
+        .drop("_nw", "lang_median")
+    }
+
   /** Context-window chunking (x_chunk1's semantics, generic sizes):
     * overlapping token windows of `window` with stride `stride`; trailing
     * windows keep their natural length so every token lands in a chunk.

@@ -95,5 +95,41 @@ object PipelineOps4 {
         expr("CAST(n_docs * 1000000 DIV total_docs AS BIGINT)").as("share_ppm"))
   }
 
-  val all: Seq[Probe] = Seq(chunk1, rep1)
+  /** X-TXT12 — per-language adaptive quality threshold (the CCNet-style
+    * per-lang cutoff): keep documents at or above their OWN language's
+    * median word count, so no single language's length distribution sets
+    * a global bar. Thresholds come from a lang-count-sized aggregate
+    * (exact interpolated median = `percentile(…, 0.5)`, same definition
+    * as DuckDB `median`), which re-joins the corpus as a broadcast — the
+    * corpus itself is scanned, never shuffled; the agg is partial-combine.
+    */
+  private val txt12 = Probe(
+    "x_txt12_adaptive_quality",
+    """WITH wc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, median(n_words) AS lang_median FROM wc GROUP BY lang)
+      |SELECT wc.doc_id, wc.lang, wc.n_words, m.lang_median
+      |FROM wc JOIN m USING (lang)
+      |WHERE wc.n_words >= m.lang_median
+      |ORDER BY wc.doc_id""".stripMargin) { (s, dir) =>
+    filterByLangMedian(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  def filterByLangMedian(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wc = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    // lang-count-sized (bounded by metadata cardinality, NOT corpus size,
+    // unlike x_txt8's vocabulary) — AQE picks the broadcast side
+    val med = wc.groupBy("lang")
+      .agg(expr("percentile(n_words, 0.5)").as("lang_median"))
+    wc.join(med, Seq("lang"))
+      .filter(col("n_words") >= col("lang_median"))
+      .select("doc_id", "lang", "n_words", "lang_median")
+  }
+
+  val all: Seq[Probe] = Seq(chunk1, rep1, txt12)
 }

@@ -67,6 +67,22 @@ object DocStreams {
       .filter(col("keep") === 1L)
       .select(col("doc_id"), col("lang"), col("n_words"), col("mean_len_c"))
 
+  /** Stream-capable context-window chunking — x_chunk1's exact expansion
+    * (shared code with the oracle-checked probe via
+    * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero
+    * state, zero shuffle — each micro-batch chunks its own documents.
+    */
+  def chunkWindows(docs: DataFrame, window: Int = 16, stride: Int = 12): DataFrame =
+    graft.ext.PipelineOps4.chunkTokenWindows(docs, window, stride)
+
+  /** Stream-capable source-weighted mixing — `Corpus.mixBySourceWeights`'s
+    * exact expansion: the sources-sized weights table joins as a
+    * stream-static broadcast, the epoch explode and md5-threshold keep are
+    * narrow, so replication factors hold per micro-batch with zero state.
+    */
+  def weightedMix(docs: DataFrame, weightsPpm: Map[String, Long]): DataFrame =
+    graft.api.Corpus(docs).mixBySourceWeights(weightsPpm).df
+
   /** Stream-capable stratified downsampling — x_smp2's exact filter ('en'
     * keeps 2/16 of docs, every other language 8/16, decided by a
     * content-independent md5 bucket of the id). A pure narrow filter: runs

@@ -63,6 +63,36 @@ class PipelineOps4Spec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(5) == r.getLong(3) / r.getLong(2)))
   }
 
+  test("x_txt12: median math on a hand-built bilingual corpus") {
+    val s = spark
+    import s.implicits._
+    // en word counts {2, 4, 6} -> median 4; fr {10, 20} -> median 15.0
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "a b c d", "en"), (3L, "a b c d e f", "en"),
+      (4L, (1 to 10).map(_ => "w").mkString(" "), "fr"),
+      (5L, (1 to 20).map(_ => "w").mkString(" "), "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = ext.PipelineOps4.filterByLangMedian(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L),
+      "keep >= own-language median: en docs 2,3 (4,6 >= 4); fr doc 5 (20 >= 15)")
+    assert(out.find(_.getLong(0) == 5L).get.getDouble(3) == 15.0,
+      "even-count median must interpolate")
+  }
+
+  test("x_txt12 probe: at least half of each language survives; Corpus API agrees") {
+    val rows = SparkEntry.queries("x_txt12_adaptive_quality")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (lang, kept) =>
+      assert(kept.length * 2 >= total(lang), s"$lang kept ${kept.length}/${total(lang)}")
+    }
+    val viaApi = Corpus(spark, dir).filterByLangMedian().df
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaApi == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("Corpus.chunkTokens / compositionReport delegate to the probe logic") {
     val viaApi = Corpus(spark, dir).chunkTokens(16, 12).df
       .orderBy("doc_id", "chunk_idx").collect().toSeq

@@ -85,4 +85,57 @@ class PlanAuditSpec extends SparkSuite {
       assert(!plan.contains("Exchange hashpartitioning"), s"$name went wide:\n$plan")
     }
   }
+
+  test("x_smp3 and x_chunk1 are narrow: the expansion never shuffles") {
+    for (name <- Seq("x_smp3_weighted_mix", "x_chunk1_token_windows")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name went wide:\n$plan")
+    }
+  }
+
+  test("x_smp4: exactly one keyed exchange (the 256-way shard window)") {
+    val df = SparkEntry.queries("x_smp4_shuffle")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // one hashpartitioning(shard) for the window; NO SinglePartition
+    // exchange — a global-order window here would be the 100 TB killer
+    assert("Exchange hashpartitioning\\(shard#".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), s"global window:\n$plan")
+  }
+
+  test("x_rep1: corpus reduces via one keyed agg; the global window sees only the aggregate") {
+    val df = SparkEntry.queries("x_rep1_composition")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one hash exchange: the (source, lang) groupBy. The
+    // SinglePartition exchange feeding the share window sits ABOVE the
+    // final HashAggregate, i.e. it moves source×lang rows, not documents.
+    assert("Exchange hashpartitioning\\(source#\\d+, lang#".r.findAllIn(plan).length == 1, plan)
+    assert(plan.indexOf("Exchange SinglePartition") <
+      plan.indexOf("Exchange hashpartitioning"),
+      s"global window must consume the aggregate, not the corpus:\n$plan")
+  }
+
+  test("x_txt12: the lang-median table broadcasts; the corpus is never hash-shuffled") {
+    val df = SparkEntry.queries("x_txt12_adaptive_quality")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchange feeds the lang aggregate (lang-count-sized);
+    // the probe side of the join must reach it scan-direct
+    assert("Exchange hashpartitioning\\(lang#".r.findAllIn(plan).length <= 1, plan)
+    assert(!plan.contains("SortMergeJoin"), s"median join went shuffle:\n$plan")
+  }
+
+  test("mixBySourceWeights: the weights table joins as a broadcast") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = api.Corpus(docs)
+      .mixBySourceWeights(Map("src0" -> 2500000L, "src1" -> 250000L)).df
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"weights join went shuffle:\n$plan")
+  }
 }

@@ -259,4 +259,37 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("streaming chunking == batch x_chunk1 rows (stateless explode)") {
+    import graft.streaming.DocStreams
+    val q = DocStreams.chunkWindows(DocStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val got = spark.table("chunk_out").collect().map(key).sorted.toSeq
+      val oracle = graft.ext.PipelineOps4.all.find(_.name == "x_chunk1_token_windows").get
+        .run(spark, dir).collect().map(key).sorted.toSeq
+      assert(got.nonEmpty && got == oracle)
+    } finally q.stop()
+  }
+
+  test("streaming weighted mix == batch mixBySourceWeights (stream-static broadcast)") {
+    import graft.streaming.DocStreams
+    val w = Map("src0" -> 2500000L, "src1" -> 250000L, "src2" -> 0L)
+    val q = DocStreams.weightedMix(DocStreams.readStream(spark, dir), w)
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"), col("source"))
+      .writeStream.outputMode("append").format("memory").queryName("mix_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val got = spark.table("mix_out").collect().map(key).sorted.toSeq
+      val want = DocStreams.weightedMix(Tables(spark, dir, "documents"), w)
+        .select(col("doc_id"), col("epoch").cast("long").as("epoch"), col("source"))
+        .collect().map(key).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+      assert(!got.exists(_._3 == "src2"), "weight-0 source must vanish in the stream too")
+    } finally q.stop()
+  }
 }
