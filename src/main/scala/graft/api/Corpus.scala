@@ -305,6 +305,46 @@ final case class Corpus(df: DataFrame) {
       .drop("full_ep", "thr")
   }
 
+  /** Contamination scoring (x_dec4): annotate every document with the ppm
+    * of its distinct 4-word shingles found in `evalDocs` — the number a
+    * drop/flag threshold policy consumes, where [[decontaminate]] is the
+    * hard-drop endpoint. The per-doc denominator is computed in the token
+    * array domain (narrow); eval shingles broadcast; the hit table
+    * (∝ contamination, not corpus size) re-joins via AQE broadcast.
+    */
+  def scoreContamination(evalDocs: DataFrame): Corpus = chain { d =>
+    val withSh = d.withColumn("_sh", expr(
+      """CASE WHEN size(split(text, ' ')) >= 4 THEN
+        |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 3),
+        |    i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |                   element_at(split(text, ' '), i + 1),
+        |                   element_at(split(text, ' '), i + 2),
+        |                   element_at(split(text, ' '), i + 3))))
+        |ELSE array() END""".stripMargin))
+    val evSh = broadcast(Corpus.shingles4(evalDocs).select(col("s").as("ev_s")).distinct())
+    val hits = withSh.select(col("doc_id"), explode(col("_sh")).as("s"))
+      .join(evSh, col("s") === col("ev_s"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("_n_hit"))
+    withSh
+      .withColumn("_n_sh", size(col("_sh")).cast("long"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("_n_hit"))
+      .withColumn("contam_ppm",
+        expr("CASE WHEN _n_sh = 0 THEN 0L ELSE CAST(_n_hit * 1000000 DIV _n_sh AS BIGINT) END"))
+      .drop("_sh", "_n_sh", "_n_hit")
+  }
+
+  /** Exact-N deterministic sample (x_smp5): the smallest `n` documents by
+    * a content-independent hash order — reproducible at any corpus size,
+    * planned as per-partition top-k (TakeOrderedAndProject), never a
+    * global sort.
+    */
+  def sampleExactN(n: Int): Corpus = chain { d =>
+    d.withColumn("_h", md5(col("doc_id").cast("string")))
+      .orderBy(col("_h"), col("doc_id")).limit(n)
+      .drop("_h")
+  }
+
   /** Per-language adaptive quality floor (x_txt12): keep documents at or
     * above their own language's median word count — no single language's
     * length distribution sets a global bar. The threshold table is

@@ -202,6 +202,26 @@ class CorpusSpec extends SparkSuite {
     assert(byDoc.values.forall(rows => rows.map(_(1)) == (1L to rows.length).toSeq))
   }
 
+  test("scoreContamination matches x_dec4 ppm; sampleExactN matches x_smp5") {
+    val docs = Tables(spark, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val scored = Corpus(docs.filter(col("doc_id") % 25 =!= 0))
+      .scoreContamination(eval).df
+      .select("doc_id", "contam_ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probe = SparkEntry.queries("x_dec4_contamination_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // probe drops sub-4-token docs (no shingles); API scores them 0
+    assert(probe.forall { case (id, ppm) => scored.get(id).contains(ppm) })
+    assert(scored.keySet.diff(probe.keySet).forall(scored(_) == 0L))
+
+    val viaApi = Corpus(docs).sampleExactN(100).df
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val viaProbe = SparkEntry.queries("x_smp5_exact_n")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaApi == viaProbe)
+  }
+
   test("mixBySourceWeights: integer epochs exact, fractional deterministic, default 1.0") {
     val s = spark
     import s.implicits._

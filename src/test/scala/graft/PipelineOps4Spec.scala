@@ -93,6 +93,39 @@ class PipelineOps4Spec extends SparkSuite {
     assert(viaApi == rows.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("x_dec4: scores reconcile with x_dec1's detection set") {
+    val scores = SparkEntry.queries("x_dec4_contamination_score")(spark, dir).collect()
+    assert(scores.nonEmpty)
+    // every x_dec1-contaminated doc must score > 0; every other doc 0
+    val dec1Ids = SparkEntry.queries("x_dec1_contamination")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    scores.foreach { r =>
+      val (id, ppm) = (r.getLong(0), r.getLong(3))
+      assert((ppm > 0L) == dec1Ids.contains(id),
+        s"doc $id: contam_ppm=$ppm but dec1 says ${dec1Ids.contains(id)}")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed shingles")
+    }
+    // eval docs themselves are excluded from scoring
+    assert(scores.forall(_.getLong(0) % 25 != 0))
+  }
+
+  test("x_smp5: exactly N rows, stable under repartitioning, planned as top-k") {
+    val out = SparkEntry.queries("x_smp5_exact_n")(spark, dir)
+    val rows = out.collect()
+    assert(rows.length == 100)
+    // deterministic: smallest 100 by md5 recomputed independently
+    val want = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .collect().sortBy(r => (r.getString(1), r.getLong(0))).take(100)
+      .map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == want)
+    // scale shape: per-partition top-k merge, not a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort planned:\n$plan")
+  }
+
   test("Corpus.chunkTokens / compositionReport delegate to the probe logic") {
     val viaApi = Corpus(spark, dir).chunkTokens(16, 12).df
       .orderBy("doc_id", "chunk_idx").collect().toSeq

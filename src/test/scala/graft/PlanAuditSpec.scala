@@ -129,6 +129,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"median join went shuffle:\n$plan")
   }
 
+  test("x_dec4: eval side broadcasts; corpus denominator computed narrow") {
+    val df = SparkEntry.queries("x_dec4_contamination_score")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // two broadcast joins: eval shingles into the hit scan, and the
+    // (contamination-sized) hit table back onto per-doc stats
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+    // corpus shingles never hash-shuffle; the only keyed exchange is the
+    // hit rollup (matched rows only)
+    val corpusShuffles = "Exchange hashpartitioning\\(s#".r.findAllIn(plan).length
+    assert(corpusShuffles == 0, s"corpus shingles shuffled:\n$plan")
+  }
+
   test("mixBySourceWeights: the weights table joins as a broadcast") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val df = api.Corpus(docs)
