@@ -293,16 +293,23 @@ final case class Corpus(df: DataFrame) {
     import s.implicits._
     val w = weightsPpm.toSeq.map { case (src, ppm) =>
       require(ppm >= 0, s"negative weight for $src")
-      val fullEp = (ppm / 1000000L).toInt
-      val fracHex = f"${(ppm % 1000000L) * 65536L / 1000000L}%04x"
-      (src, fullEp, if (fracHex == "0000") "" else fracHex)
-    }.toDF("source", "full_ep", "thr")
-    d.join(w, Seq("source"), "left_outer")
-      .na.fill(1, Seq("full_ep")).na.fill("", Seq("thr"))
-      .withColumn("epoch", explode(expr("sequence(0, full_ep)")))
-      .filter(expr(
-        "epoch < full_ep OR substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))), 1, 4) < thr"))
-      .drop("full_ep", "thr")
+      (src, ppm)
+    }.toDF("source", "weight_ppm")
+    Corpus.mixExpand(d, w)
+  }
+
+  /** Temperature-scaled mixing (T = 1/invTemp): compute per-source
+    * upsampling weights `(n_max / n_source)^invTemp` from the corpus's own
+    * composition (x_mix2's oracle-checked rule at invTemp = 0.5), then
+    * replicate through the same deterministic epoch expansion as
+    * [[mixBySourceWeights]]. Two corpus scans (count + expand), zero
+    * corpus shuffles — the weights live on a sources-sized aggregate that
+    * joins back as a broadcast.
+    */
+  def mixByTemperature(invTemp: Double = 0.5): Corpus = chain { d =>
+    Corpus.mixExpand(d,
+      graft.ext.PipelineOps4.temperatureWeights(d, invTemp)
+        .select("source", "weight_ppm"))
   }
 
   /** Contamination scoring (x_dec4): annotate every document with the ppm
@@ -376,6 +383,17 @@ final case class Corpus(df: DataFrame) {
   def compositionReport(): Corpus =
     chain(graft.ext.PipelineOps4.compositionReport)
 
+  /** Export as JSONL (one JSON object per line) — the interchange format
+    * training loaders consume. Column-order-stable (fields in current
+    * DataFrame column order); `numFiles` controls output sharding
+    * (defaults to the current partitioning — at scale, one file per task).
+    */
+  def writeJsonl(path: String, numFiles: Option[Int] = None): Unit = {
+    val out = numFiles.fold(df)(df.repartition(_))
+    out.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */
@@ -412,6 +430,33 @@ object Corpus {
   case object EvalBroadcast extends EvalMode
   case object EvalShuffle extends EvalMode
   case object EvalBloom extends EvalMode
+
+  /** Deterministic weighted replication shared by `mixBySourceWeights`
+    * and `mixByTemperature`: a (source, weight_ppm) table — sources-sized,
+    * so the left-outer join broadcasts — drives integer-epoch explode plus
+    * an md5-threshold keep for the fractional epoch. Sources absent from
+    * the weights table keep weight 1.0; weight 0 drops the source.
+    */
+  private[api] def mixExpand(d: DataFrame, weightsPpm: DataFrame): DataFrame =
+    d.join(
+        weightsPpm.select(col("source"),
+          expr("CAST(weight_ppm DIV 1000000 AS INT)").as("full_ep"),
+          expr("""CASE WHEN weight_ppm % 1000000 = 0 THEN ''
+                 |ELSE lower(lpad(hex(weight_ppm % 1000000 * 65536 DIV 1000000), 4, '0'))
+                 |END""".stripMargin).as("thr")),
+        Seq("source"), "left_outer")
+      .na.fill(1, Seq("full_ep")).na.fill("", Seq("thr"))
+      .withColumn("epoch", explode(expr("sequence(0, full_ep)")))
+      .filter(expr(
+        "epoch < full_ep OR substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))), 1, 4) < thr"))
+      .drop("full_ep", "thr")
+
+  /** Read a [[Corpus.writeJsonl]] export back with an explicit schema
+    * (schema-on-read; no sampling inference pass over a 100 TB layout).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Corpus =
+    Corpus(spark.read.schema(schema).json(path))
 
   /** 4-word shingles — the decontamination unit, shared with the
     * oracle-checked x_dec1/x_dec2/x_dec3 probes and `DocStreams.shingles`.

@@ -203,5 +203,47 @@ object PipelineOps4 {
       .drop("h")
   }
 
-  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5)
+  /** X-MIX2 — temperature-scaled mixture weights (T = 2): per-source
+    * upsampling factors `(n_max / n_source)^(1/2)` in ppm — the standard
+    * multilingual/multi-source rebalancing rule (sampling ∝ share^(1/T)
+    * flattens the source distribution; T=2 here because `sqrt` is
+    * IEEE-correctly-rounded, so the oracle is bit-exact where a general
+    * `pow` would not be). Computed entirely on the sources-sized
+    * aggregate; the corpus contributes one partial-combine count. The
+    * output IS the weights table `Corpus.mixBySourceWeights`-style
+    * expansion consumes (see `Corpus.mixByTemperature`).
+    */
+  private val mix2 = Probe(
+    "x_mix2_temperature_weights",
+    """WITH a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs,
+      |  CAST(floor(sqrt(CAST(max(n_docs) OVER () AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      |             * 1000000) AS BIGINT) AS weight_ppm
+      |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+    temperatureWeights(Tables(s, dir, "documents"), 0.5).orderBy("source")
+  }
+
+  /** Per-source upsampling weights `(n_max / n_source)^invTemp` in ppm.
+    * invTemp = 1/T; 0.5 (T=2) is the oracle-checked case. Runs on the
+    * sources-sized aggregate — the unpartitioned max sees one row per
+    * source, never documents.
+    */
+  def temperatureWeights(docs: org.apache.spark.sql.DataFrame, invTemp: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // sqrt is IEEE-correctly-rounded, pow is not — route the T=2 case
+    // through sqrt so the cross-engine oracle stays bit-exact
+    val scaled =
+      if (invTemp == 0.5) "sqrt(CAST(max_docs AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      else s"power(CAST(max_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), $invTemp)"
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("max_docs", max(col("n_docs")).over(w))
+      .select(col("source"), col("n_docs"),
+        expr(s"CAST(floor($scaled * 1000000) AS BIGINT)").as("weight_ppm"))
+  }
+
+  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2)
 }

@@ -222,6 +222,50 @@ class CorpusSpec extends SparkSuite {
     assert(viaApi == viaProbe)
   }
 
+  test("writeJsonl / readJsonl round-trip preserves every row and column") {
+    val docs = Tables(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    try {
+      Corpus(docs).writeJsonl(path, numFiles = Some(4))
+      // files are plain text JSONL, one object per line
+      val nLines = spark.read.text(path).count()
+      assert(nLines == docs.count())
+      val back = Corpus.readJsonl(spark, path, docs.schema).df
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+      assert(back.schema == docs.schema)
+      val a = back.orderBy("doc_id").collect().toSeq
+      val b = docs.orderBy("doc_id").collect().toSeq
+      assert(a == b)
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(path).getParentFile)
+    }
+  }
+
+  test("mixByTemperature: replication tracks the x_mix2 weights; deterministic") {
+    val docs = Tables(spark, dir, "documents")
+    val weights = SparkEntry.queries("x_mix2_temperature_weights")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = Corpus(docs).mixByTemperature(0.5).df
+    val perSrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.foreach { case (src, (n, ppm)) =>
+      val full = ppm / 1000000L
+      val got = perSrc.getOrElse(src, 0L)
+      assert(got >= n * full && got <= n * (full + 1),
+        s"$src: $got copies of $n docs at $ppm ppm")
+    }
+    // majority source (weight exactly 1e6) is passed through untouched
+    val (majSrc, _) = weights.maxBy(_._2._1)
+    assert(perSrc(majSrc) == weights(majSrc)._1)
+    val again = Corpus(docs).mixByTemperature(0.5).df
+      .orderBy("doc_id", "epoch").collect().toSeq
+    assert(out.orderBy("doc_id", "epoch").collect().toSeq == again)
+  }
+
   test("mixBySourceWeights: integer epochs exact, fractional deterministic, default 1.0") {
     val s = spark
     import s.implicits._

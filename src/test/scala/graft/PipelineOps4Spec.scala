@@ -126,6 +126,24 @@ class PipelineOps4Spec extends SparkSuite {
     assert(!plan.contains("Exchange rangepartitioning"), s"global sort planned:\n$plan")
   }
 
+  test("x_mix2: weights are upsampling-only, monotone in rarity, anchored at the majority source") {
+    val rows = SparkEntry.queries("x_mix2_temperature_weights")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byN = rows.map(r => (r.getLong(1), r.getLong(2)))
+    // the most common source gets exactly 1.0 (1e6 ppm); everything else >= 1e6
+    val maxN = byN.map(_._1).max
+    assert(byN.filter(_._1 == maxN).forall(_._2 == 1000000L))
+    assert(byN.forall(_._2 >= 1000000L))
+    // rarer source -> weight at least as large (sqrt is monotone)
+    byN.sortBy(_._1).sliding(2).foreach {
+      case Array((n1, w1), (n2, w2)) => assert(n1 > n2 || w1 >= w2, s"($n1,$w1) vs ($n2,$w2)")
+      case _ =>
+    }
+    // spot-check the T=2 rule on one row
+    val (n0, w0) = byN.minBy(_._1)
+    assert(w0 == math.floor(math.sqrt(maxN.toDouble / n0.toDouble) * 1000000).toLong)
+  }
+
   test("Corpus.chunkTokens / compositionReport delegate to the probe logic") {
     val viaApi = Corpus(spark, dir).chunkTokens(16, 12).df
       .orderBy("doc_id", "chunk_idx").collect().toSeq
