@@ -245,5 +245,48 @@ object PipelineOps4 {
         expr(s"CAST(floor($scaled * 1000000) AS BIGINT)").as("weight_ppm"))
   }
 
-  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2)
+  /** X-PIPE2 — composed chunk → pack: context-window chunking (x_chunk1's
+    * exact expansion) feeding sequence packing (x_pack1's cumsum-bin
+    * rule) — chunks pack into 64-token bins per 1000-doc shard. The
+    * oracle recomputes the COMPOSITION end-to-end, pinning that the two
+    * operators fuse without an intermediate materialization changing
+    * results. Window partitions stay bounded: each (shard) holds at most
+    * 1000 docs' worth of chunks regardless of corpus size.
+    */
+  private val pipe2 = Probe(
+    "x_pipe2_chunk_pack",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s FROM t),
+      |ch AS (
+      |  SELECT doc_id, CAST((s - 1) // 12 AS BIGINT) AS chunk_idx,
+      |    CAST(len(toks[s:s+15]) AS BIGINT) AS n_tokens,
+      |    doc_id // 1000 AS shard
+      |  FROM c),
+      |p AS (
+      |  SELECT shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM ch)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST((cum - n_tokens) // 64 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Long.MinValue, 0)
+    chunkTokenWindows(Tables(s, dir, "documents"), 16, 12)
+      .withColumn("shard", expr("doc_id DIV 1000"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", expr("(cum - n_tokens) DIV 64"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("bin_tokens"))
+      .select(col("shard").cast("long").as("shard"), col("bin"),
+        col("n_chunks"), col("bin_tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2, pipe2)
 }

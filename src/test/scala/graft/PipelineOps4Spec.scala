@@ -144,6 +144,26 @@ class PipelineOps4Spec extends SparkSuite {
     assert(w0 == math.floor(math.sqrt(maxN.toDouble / n0.toDouble) * 1000000).toLong)
   }
 
+  test("x_pipe2: equals the pack rule applied by hand to x_chunk1's output") {
+    val chunks = SparkEntry.queries("x_chunk1_token_windows")(spark, dir).collect()
+    val want = chunks
+      .map(r => (r.getLong(0) / 1000, r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._2, r._3)).map { case (_, _, _, n) =>
+          val bin = cum / 64; cum += n; (shard, bin, n)
+        }
+      }
+      .groupBy(t => (t._1, t._2)).map { case ((shard, bin), ts) =>
+        (shard, bin, ts.size.toLong, ts.map(_._3).sum)
+      }.toSeq.sorted
+    val got = SparkEntry.queries("x_pipe2_chunk_pack")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // conservation: every chunk token lands in exactly one bin
+    assert(got.map(_._4).sum == chunks.map(_.getLong(2)).sum)
+  }
+
   test("Corpus.chunkTokens / compositionReport delegate to the probe logic") {
     val viaApi = Corpus(spark, dir).chunkTokens(16, 12).df
       .orderBy("doc_id", "chunk_idx").collect().toSeq
