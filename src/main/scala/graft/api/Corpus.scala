@@ -51,6 +51,22 @@ final case class Corpus(df: DataFrame) {
     d.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Canonical-form dedup with a survivor POLICY (x_ded11): group by the
+    * punctuation/case/whitespace-normalized content hash; keep the longest
+    * original (tie-break smallest id) when `keepLongest`, else first-seen —
+    * "prefer the most complete copy" for truncation-style near-dups.
+    */
+  def dedupCanonical(keepLongest: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): Corpus = chain { d =>
+    val ckey = md5(lower(regexp_replace(
+      regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val ord =
+      if (keepLongest) Seq(length(col(textCol)).desc, col(idCol).asc)
+      else Seq(col(idCol).asc)
+    val w = Window.partitionBy(ckey).orderBy(ord: _*)
+    d.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Near-dup candidate REMOVAL by MinHash-LSH: drops the higher-id doc of
     * every full-band collision (see ext.Dedup.x_ded2 for the checked
     * candidate-generation semantics).

@@ -288,5 +288,43 @@ object PipelineOps4 {
       .orderBy("shard", "bin")
   }
 
-  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2, pipe2)
+  /** X-DED11 — survivor-policy dedup: canonical-form groups (x_ded6's
+    * normalize) keeping the LONGEST original text, tie-broken by smallest
+    * id — "prefer the most complete copy" rather than first-seen, the
+    * policy real pipelines want when near-identical docs differ by
+    * truncation. One keyed window per canonical group; group sizes are
+    * duplicate-cluster sizes, bounded regardless of corpus scale.
+    */
+  private val ded11 = Probe(
+    "x_ded11_survivor_longest",
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ckey
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_chars, ckey,
+      |    row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY ckey) AS n_docs
+      |  FROM t)
+      |SELECT ckey, doc_id AS survivor_id,
+      |  CAST(n_chars AS BIGINT) AS survivor_chars,
+      |  CAST(n_docs AS BIGINT) AS n_docs
+      |FROM r WHERE rn = 1 ORDER BY ckey""".stripMargin) { (s, dir) =>
+    val ckey = md5(lower(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ckey").orderBy(col("n_chars").desc, col("doc_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("ckey")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), ckey.as("ckey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("ckey"), col("doc_id").as("survivor_id"),
+        col("n_chars").cast("long").as("survivor_chars"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy("ckey")
+  }
+
+  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2, pipe2, ded11)
 }

@@ -222,6 +222,30 @@ class CorpusSpec extends SparkSuite {
     assert(viaApi == viaProbe)
   }
 
+  test("dedupCanonical survivor policy: longest variant wins, or first-seen") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello, world!"),          // canonical "hello world", 13 chars
+      (2L, "hello world"),            // canonical "hello world", 11 chars
+      (3L, "HELLO;;; world.....!!"),  // canonical "hello world", 21 chars
+      (4L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val longest = Corpus(docs).dedupCanonical(keepLongest = true).df
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(longest == Seq(3L, 4L))
+    val first = Corpus(docs).dedupCanonical(keepLongest = false).df
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(first == Seq(1L, 4L))
+    // probe parity on real data: survivors == x_ded11's survivor set
+    val real = Tables(spark, dir, "documents")
+    val viaApi = Corpus(real).dedupCanonical(keepLongest = true).df
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaProbe = SparkEntry.queries("x_ded11_survivor_longest")(spark, dir)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(viaApi == viaProbe)
+  }
+
   test("writeJsonl / readJsonl round-trip preserves every row and column") {
     val docs = Tables(spark, dir, "documents")
     val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
