@@ -368,6 +368,22 @@ final case class Corpus(df: DataFrame) {
       .drop("_h")
   }
 
+  /** Curriculum deciles (x_cur1): annotate each document with its corpus
+    * quality decile — the distributed replacement for a global
+    * `ntile(10)`: one 9-double percentile row broadcasts back, assignment
+    * is narrow. Requires an `n_chars` column (or pass another numeric
+    * quality column).
+    */
+  def withQualityDeciles(qualityCol: String = "n_chars"): Corpus = chain { d =>
+    val cuts = broadcast(d.agg(expr(
+      s"percentile($qualityCol, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+      .as("__cuts")))
+    d.crossJoin(cuts)
+      .withColumn("decile",
+        expr(s"CAST(1 + size(filter(__cuts, x -> CAST($qualityCol AS DOUBLE) >= x)) AS BIGINT)"))
+      .drop("__cuts")
+  }
+
   /** Per-language adaptive quality floor (x_txt12): keep documents at or
     * above their own language's median word count — no single language's
     * length distribution sets a global bar. The threshold table is

@@ -162,6 +162,10 @@ object PipelineOps4 {
       |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
       |WHERE t.doc_id % 25 <> 0
       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    // persist: the shingle frame feeds THREE consumers (eval broadcast,
+    // hit scan, per-doc denominators) and Catalyst does not share common
+    // subtrees across joins — without it the corpus is re-shingled 3×
+    // (measured 9.1 s -> the persist collapses it to one build)
     val t = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 4)
@@ -170,6 +174,7 @@ object PipelineOps4 {
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
           |                 element_at(ws, i + 2), element_at(ws, i + 3))))""".stripMargin)
         .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ev = broadcast(
       t.filter(col("doc_id") % 25 === 0)
         .select(explode(col("sh")).as("ev_s")).distinct())
@@ -326,5 +331,40 @@ object PipelineOps4 {
       .orderBy("ckey")
   }
 
-  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2, pipe2, ded11)
+  /** X-CUR1 — curriculum deciles: label every document with its corpus
+    * quality decile (here: n_chars as the quality proxy), the bucketing a
+    * curriculum schedule samples from. Scale shape: the nine exact decile
+    * cutoffs come from one corpus-wide `percentile` aggregate (a single
+    * 9-double row), which re-joins as a broadcast nested loop (1-row build
+    * side); the decile assignment itself is a narrow array count — the
+    * corpus is never shuffled, sorted, or windowed. The naive form —
+    * `ntile(10) OVER (ORDER BY …)` — would funnel the corpus through one
+    * reducer; this is its distributed replacement.
+    */
+  private val cur1 = Probe(
+    "x_cur1_quality_deciles",
+    """WITH c AS (
+      |  SELECT quantile_cont(n_chars,
+      |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CAST(1 + len(list_filter(c.cuts, x -> CAST(n_chars AS DOUBLE) >= x)) AS BIGINT) AS decile
+      |FROM documents, c
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qualityDeciles(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  def qualityDeciles(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cuts = broadcast(docs.agg(expr(
+      "percentile(n_chars, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+      .as("cuts")))
+    docs.select(col("doc_id"), col("n_chars"))
+      .crossJoin(cuts) // 1-row build side -> broadcast nested loop
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(1 + size(filter(cuts, x -> CAST(n_chars AS DOUBLE) >= x)) AS BIGINT)")
+          .as("decile"))
+  }
+
+  val all: Seq[Probe] = Seq(chunk1, rep1, txt12, dec4, smp5, mix2, pipe2, ded11, cur1)
 }

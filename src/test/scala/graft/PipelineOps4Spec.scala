@@ -164,6 +164,27 @@ class PipelineOps4Spec extends SparkSuite {
     assert(got.map(_._4).sum == chunks.map(_.getLong(2)).sum)
   }
 
+  test("x_cur1: deciles are 1..10, ordered with n_chars, roughly balanced") {
+    val rows = SparkEntry.queries("x_cur1_quality_deciles")(spark, dir).collect()
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 10L))
+    // monotone: higher n_chars never gets a lower decile
+    val sorted = rows.sortBy(_.getLong(1))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(2))
+      case _ =>
+    }
+    // each decile holds about n/10 docs (ties can skew a bucket)
+    val sizes = rows.groupBy(_.getLong(2)).view.mapValues(_.length)
+    assert(sizes.values.forall(c => c >= n / 20 && c <= n / 5), sizes.toMap.toString)
+    // API parity
+    val viaApi = api.Corpus(Tables(spark, dir, "documents")).withQualityDeciles().df
+      .select("doc_id", "decile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => viaApi(r.getLong(0)) == r.getLong(2)))
+  }
+
   test("Corpus.chunkTokens / compositionReport delegate to the probe logic") {
     val viaApi = Corpus(spark, dir).chunkTokens(16, 12).df
       .orderBy("doc_id", "chunk_idx").collect().toSeq
