@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, RollingHash, SimHash32}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -33,6 +37,8 @@ object GraftExtensions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

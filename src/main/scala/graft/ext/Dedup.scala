@@ -524,5 +524,34 @@ object Dedup {
       .orderBy("new_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded4, ded5, ded7, ded9)
+  /** X-DED3c — SimHash via the NATIVE `simhash32` expression
+    * (`functions/SimHash32.scala`, doGenCode): the whole signature is one
+    * narrow per-row call inside the scan's codegen loop, replacing
+    * simhashSig's explode → corpus-wide DISTINCT → re-aggregate (two wide
+    * stages) with ZERO exchanges. Same exact oracle as x_ded3/x_ded3b —
+    * the expression must reproduce the declarative fingerprints bit for
+    * bit, and SimHashNativeSpec additionally pins expression ≡ simhashSig
+    * and interpreted ≡ codegen.
+    */
+  private val ded3c = Probe(
+    "x_ded3c_simhash_native",
+    simhashOracleSql) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    def sig = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
+    val a = sig.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("source").as("a_src"), col("simhash").as("a_sh"))
+    val b = sig.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("source").as("b_src"), col("simhash").as("b_sh"))
+    a.join(b,
+        a("a_lang") === b("b_lang") && a("a_src") === b("b_src") &&
+        a("a_id") =!= b("b_id") &&
+        expr("bit_count(a_sh ^ b_sh) <= 2"), "left")
+      .groupBy(col("a_id").as("doc_id"), col("a_sh").as("simhash"))
+      .agg(count(col("b_id")).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9)
 }
