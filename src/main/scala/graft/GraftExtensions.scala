@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, RollingHash, SimHash32}
+import graft.functions.{DotProduct, MinHashBands, RollingHash, SimHash32}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -39,6 +43,8 @@ object GraftExtensions {
       "dot_d", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs.head), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

@@ -135,6 +135,47 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** X-DED2b — MinHash LSH via the NATIVE `minhash_bands` expression
+    * (`functions/MinHashBands.scala`, doGenCode): both band signatures
+    * are emitted per row inside the scan's codegen loop, replacing the
+    * shingle explode + 8-sibling-min aggregation (a corpus-keyed shuffle)
+    * with ZERO exchanges before the band-bucket join. Same exact oracle
+    * as x_ded2; MinHashNativeSpec pins expression ≡ minhashBands.
+    */
+  private val ded2b = Probe(
+    "x_ded2b_minhash_native",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |hx AS (
+      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
+      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
+      |  GROUP BY doc_id, h),
+      |bd AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
+      |  FROM hx GROUP BY doc_id, h // 4)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
+      |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    // narrow signature generation: no persist needed — each join side
+    // recomputes a scan-local projection, no shuffle either way
+    def bands = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBands.minhash_bands(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("sig"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** X-DED3 — 32-bit SimHash over each document's distinct-word set.
     *
     * Bit j of the fingerprint is the sign of the vote sum over words: +1 if
@@ -553,5 +594,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9)
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9)
 }
