@@ -72,10 +72,10 @@ final case class Corpus(df: DataFrame) {
     * candidate-generation semantics).
     */
   def dedupNearMinHash(): Corpus = chain { d =>
-    // persist: the minhash aggregation feeds both self-join sides (Catalyst
-    // does not share common subtrees across a join)
-    val bands = graft.ext.Dedup.minhashBands(d) // the oracle-checked generator
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // native zero-exchange signatures (MinHashNativeSpec: identical to the
+    // oracle-checked declarative generator); each join side recomputes a
+    // scan-local projection, so no persist is needed
+    val bands = graft.ext.Dedup.minhashBandsNative(d)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
       col("sig").as("sig_b"))
@@ -99,8 +99,7 @@ final case class Corpus(df: DataFrame) {
     *   executor loss late in the loop cannot recompute the whole chain.
     */
   def dedupNearClustered(checkpointEvery: Int = 0): Corpus = chain { d =>
-    val bands = graft.ext.Dedup.minhashBands(d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.ext.Dedup.minhashBandsNative(d)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
       col("sig").as("sig_b"))
@@ -128,8 +127,7 @@ final case class Corpus(df: DataFrame) {
       minJaccardPpm: Long = 800000L,
       checkpointEvery: Int = 0): Corpus = chain { d =>
     import org.apache.spark.storage.StorageLevel
-    val bands = graft.ext.Dedup.minhashBands(d)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.ext.Dedup.minhashBandsNative(d)
     val ba = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val bb = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
       col("sig").as("sig_b"))
@@ -215,9 +213,8 @@ final case class Corpus(df: DataFrame) {
     * partitioned by signature, so each run shuffles only the new shard).
     */
   def dedupIncremental(oldCorpus: DataFrame): Corpus = chain { d =>
-    val newBands = graft.ext.Dedup.minhashBands(d)
-      .select(col("doc_id"), col("band"), col("sig"))
-    val oldBands = graft.ext.Dedup.minhashBands(oldCorpus)
+    val newBands = graft.ext.Dedup.minhashBandsNative(d)
+    val oldBands = graft.ext.Dedup.minhashBandsNative(oldCorpus)
       .select(col("band").as("band_o"), col("sig").as("sig_o"))
     val dropIds = newBands
       .join(oldBands, newBands("band") === oldBands("band_o") && newBands("sig") === oldBands("sig_o"),

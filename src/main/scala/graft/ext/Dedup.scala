@@ -102,6 +102,18 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Native-expression variant of [[minhashBands]]: identical signatures
+    * (MinHashNativeSpec pins them equal), generated per row with ZERO
+    * exchanges. The production `api.Corpus` chain consumes this form; the
+    * declarative form above remains the oracle-checked reference shape.
+    */
+  def minhashBandsNative(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBands.minhash_bands(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("sig"))
+  }
+
   private val ded2 = Probe(
     "x_ded2_minhash_lsh",
     """WITH w AS (
