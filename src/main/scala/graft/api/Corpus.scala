@@ -85,6 +85,36 @@ final case class Corpus(df: DataFrame) {
     d.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup candidate REMOVAL by SimHash: drops the higher-id doc of
+    * every pair within `maxHamming` (default 2) on the native 32-bit
+    * `simhash32` fingerprint. Candidates come from the x_ded3b 3-band
+    * pigeonhole split (recall-lossless for Hamming ≤ 2): signature
+    * generation is a zero-exchange per-row call, candidate generation a
+    * linear band-bucket join, and the exact bit_count filter runs only on
+    * band collisions.
+    */
+  def dedupNearSimHash(maxHamming: Int = 2): Corpus = chain { d =>
+    GraftExtensions.register(d.sparkSession)
+    def sig = d.select(col("doc_id"),
+      graft.functions.SimHash32.simhash32(col("text")).as("sh"))
+    def banded = sig.select(col("doc_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("bi"), expr("sh & 2047").as("bv")),
+        struct(lit(1).as("bi"), expr("shiftright(sh, 11) & 2047").as("bv")),
+        struct(lit(2).as("bi"), expr("shiftright(sh, 22) & 1023").as("bv")))).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("bi"), col("bv"))
+    val b = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("bi").as("bi_b"), col("bv").as("bv_b"))
+    val losers = a.join(b,
+        a("bi") === b("bi_b") && a("bv") === b("bv_b") &&
+        a("a_id") < b("b_id") &&
+        expr(s"bit_count(a_sh ^ b_sh) <= $maxHamming"))
+      .select(col("b_id").as("doc_id")).distinct()
+    d.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Near-dup removal by CLUSTER, not by pair: connected components over
     * the MinHash-LSH candidate pairs, keep only each component's min-id
     * doc. Strictly stronger than [[dedupNearMinHash]]: pair-based removal

@@ -222,6 +222,27 @@ class CorpusSpec extends SparkSuite {
     assert(viaApi == viaProbe)
   }
 
+  test("dedupNearSimHash drops planted exact copies, keeps distinct docs") {
+    val docs = Tables(spark, dir, "documents").limit(50)
+    val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val out = Corpus(planted).dedupNearSimHash().df
+    // every planted copy has Hamming distance 0 to its original -> dropped
+    assert(out.filter(col("doc_id") >= 10000L).count() == 0)
+    // survivors are original docs (the synthetic corpus's small shared
+    // vocabulary makes many GENUINE sub-2-Hamming pairs, so the count
+    // collapses well below 50 — that is the operator working)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.subsetOf(docs.collect().map(_.getLong(0)).toSet))
+    // the guarantee: no surviving pair is within the Hamming threshold
+    GraftExtensions.register(spark)
+    val sigs = Corpus(docs).df
+      .select(col("doc_id"), graft.functions.SimHash32.simhash32(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- kept; b <- kept if a < b)
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) > 2,
+        s"survivors $a and $b are within Hamming 2")
+  }
+
   test("dedupCanonical survivor policy: longest variant wins, or first-seen") {
     val s = spark
     import s.implicits._
