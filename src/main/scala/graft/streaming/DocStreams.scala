@@ -67,6 +67,16 @@ object DocStreams {
       .filter(col("keep") === 1L)
       .select(col("doc_id"), col("lang"), col("n_words"), col("mean_len_c"))
 
+  /** Stream-capable exact dedup: one surviving row per distinct content
+    * hash, first-seen in micro-batch arrival order — the streaming
+    * analogue of x_ded1b's grouped form. Stateful: one fingerprint per
+    * distinct document; on an unbounded ingest pair this with a watermark
+    * on ingestion time (or periodic state TTL) so state stays bounded —
+    * the fixture corpus here is finite.
+    */
+  def dedupExactStream(docs: DataFrame): DataFrame =
+    docs.withColumn("content_fp", md5(col("text"))).dropDuplicates("content_fp")
+
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via
     * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero

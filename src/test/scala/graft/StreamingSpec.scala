@@ -260,6 +260,36 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming exact dedup: planted duplicate files collapse to distinct contents") {
+    import graft.streaming.DocStreams
+    val docs = Tables(spark, dir, "documents").limit(40)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    try {
+      // two files with identical text content under different doc_ids
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      docs.withColumn("doc_id", col("doc_id") + 10000L)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.dedupExactStream(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_stream_out").start()
+      try {
+        q.processAllAvailable()
+        val out = spark.table("dedup_stream_out")
+        val nDistinct = docs.select(md5(col("text"))).distinct().count()
+        assert(out.count() == nDistinct)
+        assert(out.select("content_fp").distinct().count() == nDistinct)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming chunking == batch x_chunk1 rows (stateless explode)") {
     import graft.streaming.DocStreams
     val q = DocStreams.chunkWindows(DocStreams.readStream(spark, dir))
