@@ -24,6 +24,25 @@ final case class Corpus(df: DataFrame) {
 
   private def chain(f: DataFrame => DataFrame): Corpus = Corpus(f(df))
 
+  /** Stage boundary: persist and materialize the pipeline so far, cutting
+    * the plan tower. Stages like [[filterByLangMedian]] or
+    * [[dedupNearVerified]] embed aggregates/joins OVER their input — every
+    * downstream rescan of an unmaterialized chain re-runs those subplans,
+    * and plan size (hence optimizer time) compounds per stage. Insert
+    * `materialize()` after the heavy filters in a multi-stage pipeline —
+    * the in-JVM analogue of the checkpoint-to-parquet a 100 TB run places
+    * between stages. Remember to [[unmaterialize]] (or let the job end)
+    * when the frame is no longer needed.
+    */
+  def materialize(): Corpus = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    Corpus(cached)
+  }
+
+  /** Release a [[materialize]]d stage's cache. */
+  def unmaterialize(): Corpus = { df.unpersist(); this }
+
   /** Whitespace tokenization column (idempotent). */
   def withTokens(col_ : String = "text"): Corpus =
     chain(_.withColumn("ws", split(col(col_), " ")))

@@ -222,6 +222,47 @@ class CorpusSpec extends SparkSuite {
     assert(viaApi == viaProbe)
   }
 
+  test("README pipeline executes end-to-end: quality -> dedup -> decon -> mix -> chunk -> JSONL") {
+    // a slice, and pair-based near-dedup instead of the Verified chain:
+    // the synthetic corpus's tiny shared vocabulary makes every doc an LSH
+    // near-collision of every other, so candidates (and the component
+    // graph the Verified chain then closes over) grow ~quadratically in
+    // fixture size — a property of THIS fixture, not the operators, each
+    // of which has its own planted-dup spec above
+    val docs = Tables(spark, dir, "documents").limit(120)
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString + "/shards"
+    try {
+      Corpus(docs.filter(col("doc_id") % 25 =!= 0))
+        .withQualityRules()
+        .filterByQualityRules()
+        .filterByLangMedian()
+        .materialize()      // stage boundary: cut the plan tower before dedup
+        .dedupExact()
+        .dedupNearMinHash()
+        .decontaminate(eval)
+        .materialize()      // and again before the fan-out stages
+        .redactPii()
+        .mixByTemperature(0.5)
+        .chunkTokens(window = 16, stride = 12)
+        .writeJsonl(out)
+      val back = spark.read.text(out)
+      val n = back.count()
+      assert(n > 0, "pipeline produced no training chunks")
+      // every line is a JSON object with the chunk schema
+      val parsed = spark.read.json(out)
+      assert(Seq("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
+        .forall(parsed.columns.contains))
+      assert(parsed.filter(col("chunk_hash").isNull).count() == 0)
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(out).getParentFile)
+    }
+  }
+
   test("dedupNearSimHash drops planted exact copies, keeps distinct docs") {
     val docs = Tables(spark, dir, "documents").limit(50)
     val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
