@@ -61,24 +61,32 @@ object Bench {
             None // a fast failure must not be reported as a fast query
         }
       }
-      // (min, first): min is steady-state; first additionally carries JIT /
-      // codegen-compile / cache-build cost. Reporting both stops min-of-N
-      // from systematically penalizing persist-based probes (which pay
-      // their cache build EVERY repeat under clearCache) relative to
-      // stateless probes (whose variance min forgives).
+      // (min, first, all): min is steady-state; first additionally carries
+      // JIT / codegen-compile / cache-build cost. Reporting both stops
+      // min-of-N from systematically penalizing persist-based probes (which
+      // pay their cache build EVERY repeat under clearCache) relative to
+      // stateless probes (whose variance min forgives). The full repeats
+      // array makes contention-vs-regression forensics one-glance: uniform
+      // inflation across repeats = environment; a fast min with slow
+      // outliers = scheduling noise; a slow min = the code.
       (name, if (times.nonEmpty) times.min else -1.0,
-             if (times.nonEmpty) times.head else -1.0)
+             if (times.nonEmpty) times.head else -1.0,
+             times)
     }
     def f3(v: Double): String = // Locale.ROOT: a comma decimal separator would break JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query maps go to a repo FILE; the printed line stays short.
     // Rounds 1 & 2 both printed the whole 95-entry map on the stdout line
     // and the driver's bounded tail capture truncated it -> parsed:null.
-    def mapJson(f: ((String, Double, Double)) => Double): String =
-      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f3(f(t)) }
+    def mapJson(f: ((String, Double, Double, Seq[Double])) => Double): String =
+      results.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f3(f(t)) }
         .mkString("{", ",", "}")
+    val repeatsJson = results
+      .map { case (k, _, _, ts) =>
+        "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val detailJson =
-      s"""{"steady_sec":${mapJson(_._2)},"first_sec":${mapJson(_._3)}}"""
+      s"""{"steady_sec":${mapJson(_._2)},"first_sec":${mapJson(_._3)},"repeats_sec":$repeatsJson}"""
     val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -87,7 +95,7 @@ object Bench {
     // worst-3 inline under the driver's expected "queries" key: a dict that
     // stays ~150 bytes at any query count, so the line can never be truncated.
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
-      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$worst,"n_queries":$ok,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // Print once before stop (in case stop() throws) and once AFTER, so the

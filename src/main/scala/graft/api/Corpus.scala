@@ -45,7 +45,7 @@ final case class Corpus(df: DataFrame) {
 
   /** Whitespace tokenization column (idempotent). */
   def withTokens(col_ : String = "text"): Corpus =
-    chain(_.withColumn("ws", split(col(col_), " ")))
+    chain(_.withColumn("ws", graft.clean.CleanFns.tokens(col(col_))))
 
   /** Quality signals: char/word counts, letter ratio and English-stopword
     * ratio (both exact ppm; NULL — not a crash — on empty text under ANSI
@@ -116,12 +116,7 @@ final case class Corpus(df: DataFrame) {
     GraftExtensions.register(d.sparkSession)
     def sig = d.select(col("doc_id"),
       graft.functions.SimHash32.simhash32(col("text")).as("sh"))
-    def banded = sig.select(col("doc_id"), col("sh"),
-      explode(array(
-        struct(lit(0).as("bi"), expr("sh & 2047").as("bv")),
-        struct(lit(1).as("bi"), expr("shiftright(sh, 11) & 2047").as("bv")),
-        struct(lit(2).as("bi"), expr("shiftright(sh, 22) & 1023").as("bv")))).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    def banded = graft.ext.Dedup.simhash3Bands(sig)
     val a = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
       col("bi"), col("bv"))
     val b = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
@@ -171,24 +166,49 @@ final case class Corpus(df: DataFrame) {
     * semi-join-bounded slice of the corpus), and the quadratic work is
     * per-candidate, linear in candidate count. Probabilistic recall comes
     * from the bands (like every production LSH dedup); precision is exact.
+    *
+    * `maxCandidatesPerDoc` is the adversarial-input guard: on a template
+    * storm (parked domains, mirrors — thousands of near-identical docs) the
+    * band buckets degenerate and the candidate set grows quadratically in
+    * the storm size; the cap keeps verification work ≤ K pairs per doc
+    * (ranked by band-collision count desc, then id — the strongest
+    * candidates verify first). Transitive connected-components still merge
+    * a storm into ONE component through chained pairs, so dedup of large
+    * dup clusters survives the cap; what is (deliberately) bounded is how
+    * many DIRECT pairs each doc verifies. Recall note: a true near-dup pair
+    * can be missed only when a doc already has K stronger band collisions —
+    * at the default K=64 that only happens inside dup clusters larger than
+    * K, where the cluster is dropped to one survivor anyway. Set ≤ 0 to
+    * disable the cap (exact x_ded4-style candidate set).
     */
   def dedupNearVerified(
       minJaccardPpm: Long = 800000L,
-      checkpointEvery: Int = 0): Corpus = chain { d =>
+      checkpointEvery: Int = 0,
+      maxCandidatesPerDoc: Int = 64): Corpus = chain { d =>
     import org.apache.spark.storage.StorageLevel
     val bands = graft.ext.Dedup.minhashBandsNative(d)
     val ba = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val bb = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
       col("sig").as("sig_b"))
-    val cand = ba.join(bb,
+    // (a_id, b_id) + collision strength in one aggregation — the same
+    // shuffle the old pair-distinct paid, now carrying the cap's rank key
+    val rawCand = ba.join(bb,
         ba("band") === bb("band_b") && ba("sig") === bb("sig_b") && ba("a_id") < bb("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__nb"))
+    val capped =
+      if (maxCandidatesPerDoc > 0) {
+        val wCap = Window.partitionBy(col("a_id"))
+          .orderBy(col("__nb").desc, col("b_id"))
+        rawCand.withColumn("__rk", row_number().over(wCap))
+          .filter(col("__rk") <= maxCandidatesPerDoc)
+      } else rawCand
+    val cand = capped.select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     // bigram sets ONLY for candidate docs (left-semi bound)
     val bg = d.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
@@ -272,6 +292,20 @@ final case class Corpus(df: DataFrame) {
     d.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental near-dedup against a PERSISTED band index
+    * (`ext.BandIndex.build`): same drop semantics as
+    * [[dedupIncremental(oldCorpus*]], but the released corpus's bands are
+    * READ from their prefix-partitioned parquet instead of recomputed —
+    * the daily-crawl run never re-reads (let alone re-hashes) the old
+    * corpus text, and dynamic partition pruning bounds the index scan to
+    * the signature prefixes this shard collides with. BandIndexSpec pins
+    * index-read drops == recompute drops.
+    */
+  def dedupIncremental(indexDir: String): Corpus = chain { d =>
+    val index = graft.ext.BandIndex.load(d.sparkSession, indexDir)
+    d.join(graft.ext.BandIndex.collidingNewIds(d, index), Seq("doc_id"), "left_anti")
+  }
+
   /** Global token-budget shard assignment (adds `n_tok` and `shard`):
     * x_pack2's exact two-level prefix sum — within-group cumsum over
     * bounded (lang, grp) windows plus an exclusive cumsum of group totals,
@@ -279,7 +313,7 @@ final case class Corpus(df: DataFrame) {
     */
   def shardByTokenBudget(budgetTokens: Long, grpSize: Long = 1000L): Corpus = chain { d =>
     val t = d.withColumn("__grp", expr(s"doc_id DIV $grpSize"))
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tok", size(graft.clean.CleanFns.tokens(col("text"))).cast("long"))
     val wIn = Window.partitionBy("lang", "__grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = t.withColumn("__cum_in", sum("n_tok").over(wIn))
@@ -382,13 +416,15 @@ final case class Corpus(df: DataFrame) {
     * (∝ contamination, not corpus size) re-joins via AQE broadcast.
     */
   def scoreContamination(evalDocs: DataFrame): Corpus = chain { d =>
-    val withSh = d.withColumn("_sh", expr(
-      """CASE WHEN size(split(text, ' ')) >= 4 THEN
-        |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 3),
-        |    i -> concat_ws(' ', element_at(split(text, ' '), i),
-        |                   element_at(split(text, ' '), i + 1),
-        |                   element_at(split(text, ' '), i + 2),
-        |                   element_at(split(text, ' '), i + 3))))
+    val withSh = d
+      .withColumn("_ws", graft.clean.CleanFns.tokens(col("text")))
+      .withColumn("_sh", expr(
+      """CASE WHEN size(_ws) >= 4 THEN
+        |  array_distinct(transform(sequence(1, size(_ws) - 3),
+        |    i -> concat_ws(' ', element_at(_ws, i),
+        |                   element_at(_ws, i + 1),
+        |                   element_at(_ws, i + 2),
+        |                   element_at(_ws, i + 3))))
         |ELSE array() END""".stripMargin))
     val evSh = broadcast(Corpus.shingles4(evalDocs).select(col("s").as("ev_s")).distinct())
     val hits = withSh.select(col("doc_id"), explode(col("_sh")).as("s"))
@@ -400,7 +436,7 @@ final case class Corpus(df: DataFrame) {
       .na.fill(0L, Seq("_n_hit"))
       .withColumn("contam_ppm",
         expr("CASE WHEN _n_sh = 0 THEN 0L ELSE CAST(_n_hit * 1000000 DIV _n_sh AS BIGINT) END"))
-      .drop("_sh", "_n_sh", "_n_hit")
+      .drop("_ws", "_sh", "_n_sh", "_n_hit")
   }
 
   /** Exact-N deterministic sample (x_smp5): the smallest `n` documents by
@@ -438,9 +474,9 @@ final case class Corpus(df: DataFrame) {
   def filterByLangMedian(): Corpus =
     chain { d =>
       val med = d
-        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_words"))
+        .select(col("lang"), size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_words"))
         .groupBy("lang").agg(expr("percentile(n_words, 0.5)").as("lang_median"))
-      d.withColumn("_nw", size(split(col("text"), " ")).cast("long"))
+      d.withColumn("_nw", size(graft.clean.CleanFns.tokens(col("text"))).cast("long"))
         .join(med, Seq("lang")) // lang-count-sized build side -> AQE broadcast
         .filter(col("_nw") >= col("lang_median"))
         .drop("_nw", "lang_median")
@@ -479,7 +515,7 @@ final case class Corpus(df: DataFrame) {
     GraftExtensions.register(d.sparkSession)
     d.withColumn("content_fp", expr("rolling_hash(text)"))
       .withColumn("bow_fp",
-        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+        md5(array_join(array_sort(array_distinct(graft.clean.CleanFns.tokens(col("text")))), " ")))
   }
 
   /** Keep documents whose declared language is in the allow-list. */
@@ -492,7 +528,7 @@ final case class Corpus(df: DataFrame) {
     * so the shuffle carries k rows per doc, not all tokens.
     */
   def topTerms(k: Int, stopwords: Seq[String] = Corpus.defaultStopwords): DataFrame = {
-    val tf = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = df.select(col("doc_id"), explode(graft.clean.CleanFns.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0 && !col("tok").isInCollection(stopwords))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("tok"))
@@ -540,7 +576,7 @@ object Corpus {
     * oracle-checked x_dec1/x_dec2/x_dec3 probes and `DocStreams.shingles`.
     */
   def shingles4(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    docs.select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 4)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 3),

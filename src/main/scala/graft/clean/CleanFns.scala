@@ -80,6 +80,29 @@ object CleanFns {
   /** F5 — 'TX' → 'Texas', all else unchanged (ref: Step_2:276-279). */
   def state(c: Column): Column = when(c === "TX", "Texas").otherwise(c)
 
+  /** THE corpus tokenizer — split on any whitespace RUN (spaces, tabs,
+    * newlines), empty tokens dropped. Every text operator (shingles,
+    * MinHash/SimHash signatures, token counts, packing budgets) tokenizes
+    * through this one definition so real-corpus whitespace (tabs,
+    * double-spaces, trailing newlines) cannot silently join shingles or
+    * inflate token counts — and so batch, streaming, the native codegen
+    * expressions, and the DuckDB oracles cannot drift from each other.
+    * `tokensDuck` is the same definition in DuckDB's dialect for oracle
+    * SQL; `tokensSpark` the Spark-SQL-dialect fragment for expr() strings.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), tkn => length(tkn) > 0)
+
+  /** Spark-SQL fragment of [[tokens]] for use inside expr() strings. */
+  def tokensSpark(e: String): String =
+    s"filter(split($e, '\\\\s+'), tkn -> length(tkn) > 0)"
+
+  /** DuckDB fragment of [[tokens]] for oracle SQL (`tkn`, not `t`: several
+    * oracles alias a CTE `t`, and the lambda parameter must not shadow it).
+    */
+  def tokensDuck(e: String): String =
+    s"list_filter(string_split_regex($e, '\\s+'), tkn -> tkn <> '')"
+
   /** PROBLEMCHARS (ref: Step_2:21) — tag keys matching this are dropped (P3). */
   val problemCharsRe = "[=+/&<>;'\"?%#$@,. \\t\\r\\n]"
 

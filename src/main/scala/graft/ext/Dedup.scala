@@ -72,7 +72,7 @@ object Dedup {
     */
   def minhashBands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val words = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
     // NO shingle-level distinct: min() is idempotent over duplicates, so
     // deduplicating first would only add a full shuffle of every shingle
@@ -114,26 +114,42 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("sig"))
   }
 
+  /** Shared DuckDB band-generation CTE (w → sh → hx → bd): the oracle-side
+    * mirror of [[minhashBands]], tokenized through `CleanFns.tokensDuck` —
+    * one definition for the four probes (x_ded2/2b/7/9) that consume it.
+    */
+  private def bandCteSql(recursive: Boolean): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    val toks = graft.clean.CleanFns.tokensDuck("text")
+    s"""$kw w AS (
+       |  SELECT doc_id, $toks AS ws FROM documents
+       |  WHERE len($toks) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+       |hx AS (
+       |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
+       |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
+       |  GROUP BY doc_id, h),
+       |bd AS (
+       |  SELECT doc_id, h // 4 AS band,
+       |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
+       |  FROM hx GROUP BY doc_id, h // 4)""".stripMargin
+  }
+
+  /** The x_ded2 pair query over the shared band CTE — x_ded2b runs the
+    * identical oracle (the native expression must reproduce it exactly).
+    */
+  private def lshPairsOracleSql: String =
+    s"""${bandCteSql(recursive = false)}
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
+       |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   private val ded2 = Probe(
     "x_ded2_minhash_lsh",
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-      |hx AS (
-      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
-      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
-      |  GROUP BY doc_id, h),
-      |bd AS (
-      |  SELECT doc_id, h // 4 AS band,
-      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
-      |  FROM hx GROUP BY doc_id, h // 4)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
-      |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id
-      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    lshPairsOracleSql) { (s, dir) =>
     // Catalyst does NOT dedupe common subtrees across a self-join: without
     // the persist the whole shingle->minhash aggregation (the dominant
     // cost) executes once per side. At 100 TB this is a checkpoint to
@@ -156,24 +172,7 @@ object Dedup {
     */
   private val ded2b = Probe(
     "x_ded2b_minhash_native",
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-      |hx AS (
-      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
-      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
-      |  GROUP BY doc_id, h),
-      |bd AS (
-      |  SELECT doc_id, h // 4 AS band,
-      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
-      |  FROM hx GROUP BY doc_id, h // 4)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
-      |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id
-      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    lshPairsOracleSql) { (s, dir) =>
     graft.GraftExtensions.register(s)
     // narrow signature generation: no persist needed — each join side
     // recomputes a scan-local projection, no shuffle either way
@@ -209,7 +208,7 @@ object Dedup {
   def simhashSig(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dw = docs
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(split(col("text"), " ")).as("w"))
+        explode(graft.clean.CleanFns.tokens(col("text"))).as("w"))
       .distinct()
       .withColumn("m", md5(col("w")))
     val chunks = (0 to 3).map(c =>
@@ -233,9 +232,9 @@ object Dedup {
     * candidate generation) — both must produce the identical exact answer.
     */
   private val simhashOracleSql =
-    """WITH dw AS (
+    s"""WITH dw AS (
       |  SELECT DISTINCT doc_id, lang, source, w
-      |  FROM (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |  FROM (SELECT doc_id, lang, source, unnest(${graft.clean.CleanFns.tokensDuck("text")}) AS w FROM documents)),
       |bits AS (
       |  SELECT doc_id, lang, source, j,
       |    SUM(CASE WHEN substr(md5(w), j, 1) IN ('8','9','a','b','c','d','e','f')
@@ -289,6 +288,22 @@ object Dedup {
     * a pair-level distinct (a pair can collide in several bands). x_ded3's
     * quadratic within-bucket pair join never happens.
     */
+  /** 3-band pigeonhole split (11+11+10 bits) of a (doc_id, sh) simhash
+    * frame → (doc_id, sh, bi, bv). By pigeonhole any pair within Hamming
+    * distance 2 agrees on at least one full band, so an equi-join on
+    * (bi, bv) is recall-lossless for the ≤2 threshold. Shared by
+    * `Corpus.dedupNearSimHash` (both self-join sides) and
+    * `DocStreams.nearDupSimHashIds` (stream side + static index side) so
+    * the band layout cannot drift between batch and streaming.
+    */
+  def simhash3Bands(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sig.select(col("doc_id"), col("sh"),
+        explode(array(
+          struct(lit(0).as("bi"), expr("sh & 2047").as("bv")),
+          struct(lit(1).as("bi"), expr("shiftright(sh, 11) & 2047").as("bv")),
+          struct(lit(2).as("bi"), expr("shiftright(sh, 22) & 1023").as("bv")))).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+
   /** Banded near-neighbor counting over a (doc_id, lang, source, simhash)
     * signature frame; exact for Hamming ≤ 2 (see x_ded3b doc). Callers
     * should persist `sig` — it feeds both join sides plus the final
@@ -353,14 +368,29 @@ object Dedup {
     *   behind except in the reliable case the edge table (unpersisted on
     *   exit) — `getPersistentRDDs` drains back to empty.
     */
+  /** Re-root a MATERIALIZED (persisted + computed) frame's logical plan to
+    * its own RDD: the data still reads from cache and the RDD keeps full
+    * lineage (executor-loss recompute works), but the SQL plan becomes a
+    * leaf. Without this, every propagation round's plan EMBEDS the entire
+    * upstream pipeline (for `dedupNearVerified`: band self-join → window →
+    * bigram verification) plus all previous rounds, and the analyzer
+    * re-walks that tower once per round — measured MINUTES of driver-side
+    * planning (zero tasks running) on a 200-doc adversarial fixture before
+    * this cut, while the actual data movement was milliseconds.
+    */
+  private def planReset(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame,
       checkpointEvery: Int = 0): org.apache.spark.sql.DataFrame = {
     val reliable = checkpointEvery > 0 &&
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    val edges = pairs.select(col("a"), col("b"))
+    val edgesCached = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesCached.count() // materialize, then cut the upstream plan out of every round
+    val edges = planReset(edgesCached)
     // ONE propagation step per action; the convergence count doubles as
     // the round's cache materialization. Actions (plan+codegen+job cycles)
     // dominate wall time at near-dup cluster sizes, so the tempting
@@ -368,8 +398,17 @@ object Dedup {
     // fused plan re-executes its uncached intermediate and thrashes the
     // cache — measured 4-10× slower than this simple loop. Rounds needed
     // = component diameter + 1 (shallow for dup clusters: 3-4 total).
-    var cached = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    //
+    // Round-0 seeding: label = min(id, min(neighbor)) straight off the edge
+    // pass — the same groupBy shuffle the old `distinct()` vertex
+    // derivation paid, but it bakes the first propagation hop into the
+    // seed, so diameter-1 clusters (complete dup groups — the common case)
+    // converge on the FIRST convergence check. Safe: every label is still
+    // the id of an in-component vertex, so the monotone min-propagation
+    // fixpoint (= component min) is unchanged.
+    var cached = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("__nb"))
+      .select(col("a").as("id"), least(col("a"), col("__nb")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cached
     var converged = false
@@ -391,9 +430,14 @@ object Dedup {
       converged = updated.filter(col("comp2") < col("comp")).count() == 0
       cached.unpersist() // updated is materialized; drop the parent round
       cached = updated
-      labels = updated.select(col("id"), col("comp2").as("comp"))
+      // materialized by the convergence count -> safe to cut the plan; a
+      // checkpointed round is already a leaf
+      val flat =
+        if (checkpointEvery > 0 && round % checkpointEvery == 0) updated
+        else planReset(updated)
+      labels = flat.select(col("id"), col("comp2").as("comp"))
     }
-    edges.unpersist() // labels are materialized; the edge cache is dead
+    edgesCached.unpersist() // labels are materialized; the edge cache is dead
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_reach"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("n_reach"))
@@ -409,20 +453,7 @@ object Dedup {
     */
   private val ded7 = Probe(
     "x_ded7_components",
-    """WITH RECURSIVE w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-      |hx AS (
-      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
-      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
-      |  GROUP BY doc_id, h),
-      |bd AS (
-      |  SELECT doc_id, h // 4 AS band,
-      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
-      |  FROM hx GROUP BY doc_id, h // 4),
+    s"""${bandCteSql(recursive = true)},
       |pr AS (
       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -447,10 +478,10 @@ object Dedup {
     */
   private val ded4 = Probe(
     "x_ded4_ngram_jaccard",
-    """WITH bg AS (
+    s"""WITH bg AS (
       |  SELECT DISTINCT doc_id, lang, source, ws[i] || ' ' || ws[i+1] AS g
-      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents
-      |        WHERE len(string_split(text, ' ')) >= 2),
+      |  FROM (SELECT doc_id, lang, source, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents
+      |        WHERE len(${graft.clean.CleanFns.tokensDuck("text")}) >= 2),
       |       UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
       |shared AS (
@@ -464,7 +495,8 @@ object Dedup {
       |WHERE (c * 1000000) // (sa.n + sb.n - c) >= 300000
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     val bg = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"), col("source"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
@@ -545,20 +577,7 @@ object Dedup {
     */
   private val ded9 = Probe(
     "x_ded9_incremental",
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-      |hx AS (
-      |  SELECT doc_id, h, MIN(md5(h || '|' || s)) AS mh
-      |  FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h)
-      |  GROUP BY doc_id, h),
-      |bd AS (
-      |  SELECT doc_id, h // 4 AS band,
-      |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
-      |  FROM hx GROUP BY doc_id, h // 4)
+    s"""${bandCteSql(recursive = false)}
       |SELECT n.doc_id AS new_id, CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_old_dups
       |FROM bd n JOIN bd o ON n.band = o.band AND n.sig = o.sig
       |WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
@@ -574,6 +593,31 @@ object Dedup {
       .join(oldSide, newSide("band") === oldSide("band_o") && newSide("sig") === oldSide("sig_o"))
       .groupBy("new_id")
       .agg(count_distinct(col("old_id")).as("n_old_dups"))
+      .orderBy("new_id")
+  }
+
+  /** X-DED12 — incremental near-dedup THROUGH THE PERSISTED BAND INDEX
+    * (`BandIndex`): same new-vs-old semantics as x_ded9, but the old
+    * corpus's bands are written once as prefix-partitioned parquet and the
+    * probe joins the new shard against the index READ, never recomputing
+    * (or re-reading) the old corpus text. The oracle is the pure x_ded9
+    * band algebra — hash-match proves the persisted layout is lossless and
+    * the index read path drops exactly the docs the recompute path drops.
+    * (BandIndexSpec additionally pins partition pruning on the index scan.)
+    */
+  private val ded12 = Probe(
+    "x_ded12_band_index",
+    s"""${bandCteSql(recursive = false)}
+      |SELECT DISTINCT n.doc_id AS new_id
+      |FROM bd n JOIN bd o ON n.band = o.band AND n.sig = o.sig
+      |WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      |ORDER BY new_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ded12_idx").toString
+    BandIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+    BandIndex.collidingNewIds(
+        docs.filter(col("doc_id") % 3 === 0), BandIndex.load(s, idxDir))
+      .select(col("doc_id").as("new_id"))
       .orderBy("new_id")
   }
 
@@ -606,5 +650,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9)
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9, ded12)
 }

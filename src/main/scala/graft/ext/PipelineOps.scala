@@ -30,8 +30,8 @@ object PipelineOps {
     "x_dec1_contamination",
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |        WHERE len(string_split(text, ' ')) >= 4),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents
+      |        WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 4),
       |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 25 = 0),
       |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
@@ -46,7 +46,7 @@ object PipelineOps {
     // the exact cost this operator's broadcast design avoids. Only the
     // tiny eval side is deduplicated (to shrink the broadcast).
     val sh = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 4)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 3),
@@ -87,8 +87,8 @@ object PipelineOps {
     "x_dec3_bloom_contamination",
     """WITH sh AS (
       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |        WHERE len(string_split(text, ' ')) >= 4),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents
+      |        WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 4),
       |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
       |bloom AS (
@@ -104,7 +104,7 @@ object PipelineOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sh = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 4)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 3),
@@ -183,12 +183,12 @@ object PipelineOps {
     "x_pipe1_corpus_end_to_end",
     """WITH q AS (
       |  SELECT doc_id, text,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) AS BIGINT) AS n_words,
       |    (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 1000000)
       |      // nullif(length(text), 0) AS letter_ppm,
-      |    (CAST(len(list_filter(string_split(text, ' '),
+      |    (CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> ''),
       |                          w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 1000000)
-      |      // nullif(len(string_split(text, ' ')), 0) AS stop_ppm
+      |      // nullif(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')), 0) AS stop_ppm
       |  FROM documents),
       |f AS (SELECT * FROM q WHERE n_words BETWEEN 5 AND 2000),
       |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
@@ -222,8 +222,8 @@ object PipelineOps {
     "x_dec2_contamination_shuffle",
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |        WHERE len(string_split(text, ' ')) >= 4),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents
+      |        WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 4),
       |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 25 = 0),
       |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
@@ -234,7 +234,7 @@ object PipelineOps {
       |GROUP BY corp.doc_id
       |ORDER BY corp.doc_id""".stripMargin) { (s, dir) =>
     val sh = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 4)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 3),

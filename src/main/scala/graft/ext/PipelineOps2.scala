@@ -34,7 +34,7 @@ object PipelineOps2 {
     "x_pack1_sequence_packing",
     """WITH t AS (
       |  SELECT doc_id, lang, doc_id // 10000 AS shard,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) AS BIGINT) AS n_tok
       |  FROM documents),
       |c AS (
       |  SELECT lang, shard, n_tok,
@@ -51,7 +51,7 @@ object PipelineOps2 {
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         expr("doc_id DIV 10000").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("bin", expr("(cum - n_tok) DIV 256"))
       .groupBy("lang", "shard", "bin")
@@ -80,7 +80,7 @@ object PipelineOps2 {
     "x_pack2_token_sharding",
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) AS BIGINT) AS n_tok
       |  FROM documents),
       |c AS (
       |  SELECT lang, n_tok,
@@ -94,7 +94,7 @@ object PipelineOps2 {
     val t = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         expr("doc_id DIV 1000").as("grp"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_tok"))
     // level 1: prefix sum inside each bounded (lang, grp) window
     val wIn = Window.partitionBy("lang", "grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -125,7 +125,7 @@ object PipelineOps2 {
     "x_ded8_prefix_dedup",
     """WITH p AS (
       |  SELECT doc_id,
-      |    list_aggregate(string_split(text, ' ')[1:8], 'string_agg', ' ') AS prefix
+      |    list_aggregate(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')[1:8], 'string_agg', ' ') AS prefix
       |  FROM documents)
       |SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
       |  CAST(count(*) AS BIGINT) AS n_dups, prefix
@@ -133,7 +133,7 @@ object PipelineOps2 {
       |ORDER BY survivor_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("prefix"))
+        concat_ws(" ", slice(graft.clean.CleanFns.tokens(col("text")), 1, 8)).as("prefix"))
       .groupBy("prefix")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
@@ -162,7 +162,7 @@ object PipelineOps2 {
     "x_txt8_tfidf",
     """WITH tok AS (
       |  SELECT doc_id, u.term
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents),
       |       UNNEST(ws) AS u(term)),
       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -177,7 +177,7 @@ object PipelineOps2 {
       |SELECT doc_id, term, tf, df, score_ppm FROM r WHERE rn = 1
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val tf = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), explode(graft.clean.CleanFns.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -202,7 +202,7 @@ object PipelineOps2 {
     "x_txt9_vocab",
     """WITH tok AS (
       |  SELECT lang, u.term
-      |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+      |  FROM (SELECT lang, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents),
       |       UNNEST(ws) AS u(term)),
       |tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2)
       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
@@ -211,7 +211,7 @@ object PipelineOps2 {
       |  CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm
       |FROM tc GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents")
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), explode(graft.clean.CleanFns.tokens(col("text"))).as("term"))
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("lang")

@@ -41,8 +41,8 @@ object PipelineOps3 {
   private val ded10 = Probe(
     "x_ded10_substring_dup",
     """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 8),
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS toks FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 8),
       |g AS (
       |  SELECT DISTINCT doc_id,
       |    unnest([substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) for i in range(1, len(toks) - 6)]) AS h
@@ -70,7 +70,7 @@ object PipelineOps3 {
     */
   def substringDupStats(docs: org.apache.spark.sql.DataFrame, n: Int = 8): org.apache.spark.sql.DataFrame = {
     val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("toks"))
       // guard BEFORE sequence(): Spark's sequence(1, m) with m < 1 emits a
       // DESCENDING range rather than an empty one
       .filter(size(col("toks")) >= n)
@@ -93,12 +93,12 @@ object PipelineOps3 {
     */
   def addQualityRuleSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .withColumn("__w", split(lower(col("text")), " "))
+      .withColumn("__w", graft.clean.CleanFns.tokens(lower(col("text"))))
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("mean_len_c",
-        expr("aggregate(__w, 0L, (acc, x) -> acc + length(x)) * 100 DIV size(__w)"))
+        expr("aggregate(__w, 0L, (acc, x) -> acc + length(x)) * 100 DIV nullif(size(__w), 0)"))
       .withColumn("alpha_ppm",
-        expr("size(filter(__w, x -> x rlike '[a-z]')) * 1000000L DIV size(__w)"))
+        expr("size(filter(__w, x -> x rlike '[a-z]')) * 1000000L DIV nullif(size(__w), 0)"))
       .withColumn("stop_hits",
         expr("size(filter(__w, x -> array_contains(array('the','and','of','to','a','in','is','that'), x)))")
           .cast("long"))
@@ -110,12 +110,12 @@ object PipelineOps3 {
   private val txt11 = Probe(
     "x_txt11_quality_rules",
     """WITH t AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), tkn -> tkn <> '') AS w FROM documents),
       |m AS (
       |  SELECT doc_id,
       |    CAST(len(w) AS BIGINT) AS n_words,
-      |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // len(w) AS BIGINT) AS mean_len_c,
-      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // len(w) AS BIGINT) AS alpha_ppm,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
       |  FROM t)
       |SELECT doc_id, n_words, mean_len_c, alpha_ppm, stop_hits,

@@ -31,7 +31,7 @@ object PipelineOps4 {
   private val chunk1 = Probe(
     "x_chunk1_token_windows",
     """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS toks FROM documents),
       |c AS (
       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s FROM t)
       |SELECT doc_id,
@@ -50,7 +50,7 @@ object PipelineOps4 {
       window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(window > 0 && stride > 0, s"window=$window stride=$stride")
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(1, size(toks), $stride)")).as("s"))
       .select(col("doc_id"),
@@ -69,7 +69,7 @@ object PipelineOps4 {
     "x_rep1_composition",
     """WITH a AS (
       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> ''))) AS BIGINT) AS n_tokens,
       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |  FROM documents GROUP BY source, lang)
       |SELECT source, lang, n_docs, n_tokens, sum_chars,
@@ -86,7 +86,7 @@ object PipelineOps4 {
     docs
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        sum(size(graft.clean.CleanFns.tokens(col("text")))).cast("long").as("n_tokens"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .withColumn("total_docs", sum(col("n_docs")).over(w))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
@@ -107,7 +107,7 @@ object PipelineOps4 {
     "x_txt12_adaptive_quality",
     """WITH wc AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) AS BIGINT) AS n_words
       |  FROM documents),
       |m AS (
       |  SELECT lang, median(n_words) AS lang_median FROM wc GROUP BY lang)
@@ -121,7 +121,7 @@ object PipelineOps4 {
   def filterByLangMedian(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wc = docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_words"))
+      size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_words"))
     // lang-count-sized (bounded by metadata cardinality, NOT corpus size,
     // unlike x_txt8's vocabulary) — AQE picks the broadcast side
     val med = wc.groupBy("lang")
@@ -147,8 +147,8 @@ object PipelineOps4 {
       |  SELECT doc_id,
       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
       |                   for i in range(1, len(ws) - 2)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |        WHERE len(string_split(text, ' ')) >= 4)),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents
+      |        WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 4)),
       |ev AS (
       |  SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 25 = 0),
       |hits AS (
@@ -167,7 +167,7 @@ object PipelineOps4 {
     // subtrees across joins — without it the corpus is re-shingled 3×
     // (measured 9.1 s -> the persist collapses it to one build)
     val t = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 4)
       .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(1, size(ws) - 3),
@@ -261,7 +261,7 @@ object PipelineOps4 {
   private val pipe2 = Probe(
     "x_pipe2_chunk_pack",
     """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS toks FROM documents),
       |c AS (
       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS s FROM t),
       |ch AS (

@@ -25,7 +25,7 @@ object TextAnalysis {
   private val txt1 = Probe(
     "x_txt1_lang_id",
     s"""WITH t AS (
-       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), tkn -> tkn <> '') AS ws FROM documents),
        |h AS (
        |  SELECT doc_id, lang,
        |    CAST(len(list_filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT) AS en_hits,
@@ -41,7 +41,7 @@ object TextAnalysis {
        |       ELSE 'fr' END AS pred_lang
        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws", graft.clean.CleanFns.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         expr(s"CAST(size(filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT)").as("en_hits"),
         expr(s"CAST(size(filter(ws, w -> w IN ${inList(esStop)})) AS BIGINT)").as("es_hits"),
@@ -63,7 +63,7 @@ object TextAnalysis {
   private val txt2 = Probe(
     "x_txt2_quality",
     s"""WITH t AS (
-       |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS ws,
+       |  SELECT doc_id, n_chars, text, list_filter(string_split_regex(text, '\\s+'), tkn -> tkn <> '') AS ws,
        |         CAST(length(text) AS BIGINT) AS len_chars,
        |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_letters
        |  FROM documents),
@@ -74,12 +74,12 @@ object TextAnalysis {
        |  FROM t)
        |SELECT doc_id, n_chars, len_chars, n_words, n_letters,
        |  (n_letters * 1000000) // len_chars AS letter_ppm,
-       |  (n_stop * 1000000) // n_words AS stop_ppm,
+       |  (n_stop * 1000000) // nullif(n_words, 0) AS stop_ppm,
        |  (len_chars = n_chars) AS len_matches,
        |  (n_words >= 5 AND n_words <= 2000) AS len_ok
        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws", graft.clean.CleanFns.tokens(col("text")))
       .withColumn("len_chars", length(col("text")).cast("long"))
       .withColumn("n_letters",
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
@@ -88,7 +88,7 @@ object TextAnalysis {
         expr(s"CAST(size(filter(ws, w -> w IN ${inList(enStop)})) AS BIGINT)"))
       .select(col("doc_id"), col("n_chars"), col("len_chars"), col("n_words"), col("n_letters"),
         expr("(n_letters * 1000000) DIV len_chars").as("letter_ppm"),
-        expr("(n_stop * 1000000) DIV n_words").as("stop_ppm"),
+        expr("(n_stop * 1000000) DIV nullif(n_words, 0)").as("stop_ppm"),
         (col("len_chars") === col("n_chars")).as("len_matches"),
         (col("n_words") >= 5 && col("n_words") <= 2000).as("len_ok"))
       .orderBy("doc_id")
@@ -100,16 +100,16 @@ object TextAnalysis {
   private val txt3 = Probe(
     "x_txt3_token_count",
     """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) AS BIGINT) AS n_ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
-      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> ''))) AS BIGINT) AS n_distinct
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents").select(
       col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_ws_tokens"),
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
         .as("n_re_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+      size(array_distinct(graft.clean.CleanFns.tokens(col("text")))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
   }
 
@@ -120,11 +120,11 @@ object TextAnalysis {
   private val txt4 = Probe(
     "x_txt4_fingerprint",
     """SELECT doc_id, md5(text) AS content_fp,
-      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+      |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> ''))), ' ')) AS bow_fp
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents").select(
       col("doc_id"), md5(col("text")).as("content_fp"),
-      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("bow_fp"))
+      md5(array_join(array_sort(array_distinct(graft.clean.CleanFns.tokens(col("text")))), " ")).as("bow_fp"))
       .orderBy("doc_id")
   }
 
@@ -169,11 +169,11 @@ object TextAnalysis {
       |  ((len(bg) - len(list_distinct(bg))) * 1000000) // len(bg) AS rep_ppm
       |FROM (SELECT doc_id,
       |        list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) AS bg
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |            WHERE len(string_split(text, ' ')) >= 2))
+      |      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents
+      |            WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 2))
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .withColumn("bg", expr(
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))

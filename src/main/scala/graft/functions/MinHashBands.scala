@@ -10,9 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** MinHash LSH band signatures of a document, computed per row in ONE
   * narrow pass — exactly `ext.Dedup.minhashBands`'s semantics:
   *
-  *   - 3-word shingles over `split(text, ' ')`; docs under 3 words yield
-  *     an EMPTY array (explode then produces no rows, matching the
-  *     declarative `size >= 3` filter);
+  *   - 3-word shingles over the shared whitespace tokenizer
+  *     (`Tok.split` ≡ `CleanFns.tokens`: split on whitespace runs, empty
+  *     tokens dropped); docs under 3 tokens yield an EMPTY array (explode
+  *     then produces no rows, matching the declarative `size >= 3` filter);
   *   - 8 min-hashes: per shingle s and hash h in 0..7, md5 of "h|s"; the
   *     min is over the lowercase-hex strings, which equals unsigned
   *     byte-wise comparison on the raw 16-byte digests (computed that
@@ -84,7 +85,7 @@ object MinHashBands {
 
   /** Shared by the interpreted and codegen paths — they cannot diverge. */
   def compute(s: UTF8String): ArrayData = {
-    val words = s.toString.split(" ", -1)
+    val words = Tok.split(s.toString)
     if (words.length < 3) return new GenericArrayData(Array.empty[Any])
     val digest = md5.get()
     val mins = new Array[Array[Byte]](8)

@@ -9,8 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** 32-bit SimHash of a document, computed per row in ONE narrow pass.
   *
   * Exactly `ext.Dedup.simhashSig`'s semantics (same fingerprints, bit for
-  * bit): split the text on single spaces (trailing empties kept, matching
-  * Spark `split`), take the DISTINCT word set, and for hex digit j of each
+  * bit): tokenize through the shared whitespace tokenizer (`Tok.split` ≡
+  * `CleanFns.tokens`), take the DISTINCT word set, and for hex digit j of each
   * word's md5 vote +1 if the digit's high bit is set else −1; fingerprint
   * bit j−1 is set iff the vote sum is positive (ties clear).
   *
@@ -57,7 +57,7 @@ object SimHash32 {
 
   /** Shared by the interpreted and codegen paths — they cannot diverge. */
   def compute(s: UTF8String): Long = {
-    val words = s.toString.split(" ", -1) // Spark split semantics: keep trailing empties
+    val words = Tok.split(s.toString) // shared tokenizer ≡ CleanFns.tokens
     val seen = new java.util.HashSet[String](words.length * 2)
     val votes = new Array[Int](32)
     val digest = md5.get()

@@ -225,7 +225,7 @@ object Breadth {
   private val xTxt6 = Probe(
     "x_txt6_top_terms",
     s"""WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), tkn -> tkn <> '')) AS tok FROM documents),
       |tf AS (
       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks
       |  WHERE len(tok) > 0 AND tok NOT IN (${graft.api.Corpus.defaultStopwords.map("'" + _ + "'").mkString(",")})

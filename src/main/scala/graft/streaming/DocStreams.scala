@@ -34,7 +34,7 @@ object DocStreams {
     * decontamination path so the two cannot drift.
     */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    docs.select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 4)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 3),
@@ -76,6 +76,45 @@ object DocStreams {
     */
   def dedupExactStream(docs: DataFrame): DataFrame =
     docs.withColumn("content_fp", md5(col("text"))).dropDuplicates("content_fp")
+
+  /** Static SimHash band index for [[nearDupSimHashIds]]: (doc_id, sh)
+    * signatures of an already-released corpus, computed with the native
+    * zero-exchange `simhash32`. At scale this is built once and persisted
+    * (signatures are 12 bytes/doc — the aggregate is ~10⁻⁴ of corpus
+    * text size, which is what makes the stream-side broadcast viable).
+    */
+  def simhashIndex(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"), graft.functions.SimHash32.simhash32(col("text")).as("sh"))
+  }
+
+  /** Stream-capable SimHash NEAR-dedup: doc_ids of streaming documents
+    * within Hamming ≤ `maxHamming` of any doc in a STATIC band index —
+    * the incremental near-dedup regime (new crawl vs released corpus) as
+    * a stream.
+    *
+    * Scale design mirrors the batch x_ded3b shape: the stream side's
+    * signature is the native `simhash32` (narrow, per-row, zero
+    * exchanges); candidates come from the shared 3-band pigeonhole split
+    * (`Dedup.simhash3Bands` — recall-lossless for Hamming ≤ 2) joined
+    * stream-static against the broadcast index bands, so the stream is
+    * never shuffled by the join. The only stateful operator is the
+    * per-doc dropDuplicates collapsing multi-band hits; its state is
+    * proportional to FLAGGED doc count, not stream size.
+    */
+  def nearDupSimHashIds(docs: DataFrame, indexSigs: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val banded = graft.ext.Dedup.simhash3Bands(
+      docs.select(col("doc_id"), graft.functions.SimHash32.simhash32(col("text")).as("sh")))
+    val idx = graft.ext.Dedup.simhash3Bands(indexSigs)
+      .select(col("bi").as("bi_i"), col("bv").as("bv_i"), col("sh").as("sh_i"))
+    banded.join(broadcast(idx),
+        col("bi") === col("bi_i") && col("bv") === col("bv_i") &&
+        expr(s"bit_count(sh ^ sh_i) <= $maxHamming"))
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
 
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via

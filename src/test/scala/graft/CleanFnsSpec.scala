@@ -101,4 +101,45 @@ class CleanFnsSpec extends SparkSuite {
     bad.foreach(k => assert(m(k), s"$k should be flagged"))
     good.foreach(k => assert(!m(k), s"$k should pass"))
   }
+
+  test("shared tokenizer: dirty whitespace (tabs, runs, trailing newline) is robust") {
+    // the pinned dirty-whitespace fixture: tabs, double spaces, leading
+    // whitespace, trailing newline — real-corpus text, not the synthetic
+    // single-space ideal
+    val dirty = "alpha\tbeta  gamma delta epsilon zeta\n"
+    val clean = "alpha beta gamma delta epsilon zeta"
+    val df = Seq((1L, dirty), (2L, clean), (3L, ""), (4L, " \t\n ")).toDF("doc_id", "text")
+      .select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    assert(m(1L) == m(2L), "dirty and clean twins must tokenize identically")
+    assert(m(3L).isEmpty && m(4L).isEmpty, "empty/whitespace-only text yields NO tokens")
+
+    // the native codegen expressions share the tokenizer: a dirty doc and
+    // its clean twin produce IDENTICAL minhash bands and simhash
+    GraftExtensions.register(spark)
+    val sigs = Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.MinHashBands.minhash_bands(col("text")).as("bands"),
+        graft.functions.SimHash32.simhash32(col("text")).as("sh"))
+      .collect().map(r => (r.getSeq[String](1), r.getLong(2)))
+    assert(sigs(0) == sigs(1), "native signatures differ between dirty and clean twins")
+    // JVM-side helper == the Column-level tokenizer on the same inputs
+    assert(graft.functions.Tok.split(dirty).toSeq == m(1L))
+    assert(graft.functions.Tok.split("").isEmpty && graft.functions.Tok.split(" \t ").isEmpty)
+
+    // and the declarative generators agree with the native ones on dirty text
+    val docs = Seq((1L, dirty, "en", "web"), (2L, clean, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val decl = graft.ext.Dedup.minhashBands(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val nat = graft.ext.Dedup.minhashBandsNative(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(decl == nat && decl.nonEmpty)
+    val declSh = graft.ext.Dedup.simhashSig(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val natSh = docs.select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(declSh == natSh)
+  }
 }

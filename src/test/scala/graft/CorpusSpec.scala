@@ -72,6 +72,35 @@ class CorpusSpec extends SparkSuite {
     assert(n >= 45 && n <= 50, s"unexpected survivor count $n")
   }
 
+  test("dedupNearVerified candidate cap: template storm bounded, cap-on == cap-off on normal data") {
+    val s = spark
+    import s.implicits._
+    // adversarial fixture (the PERF.md template-storm input): 200 docs
+    // sharing one 40-word template with a unique tail. Pairs verify at
+    // Jaccard 39/41 ≈ 951k ppm, and the UNCAPPED candidate set is nearly
+    // all ~19900 pairs; the default cap bounds verification to ≤ 64 pairs
+    // per doc, and the capped pair graph still chains the storm into one
+    // component. (A doc whose unique tail shingle wins the min-hash in
+    // BOTH bands is isolated by LSH recall itself — P ≈ (1-(38/39)⁴)² ≈ 1%
+    // per doc, independent of the cap — hence the small survivor slack.)
+    val template = (1 to 40).map(j => s"w$j").mkString(" ")
+    val storm = (1L to 200L).map(i => (i, s"$template tail$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val survivors = api.Corpus(storm).dedupNearVerified(800000L).df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the storm collapses to one survivor plus the rare LSH-isolated docs
+    assert(survivors.contains(1L) && survivors.size <= 10, s"got $survivors")
+    // parity: on the normal planted fixture the cap must be invisible
+    val docs = Tables(spark, dir, "documents").limit(30)
+    val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val withCap = api.Corpus(planted).dedupNearVerified(900000L).df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val noCap = api.Corpus(planted)
+      .dedupNearVerified(900000L, maxCandidatesPerDoc = 0).df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withCap == noCap, "K=64 changed survivors on the non-adversarial fixture")
+  }
+
   test("quality gate boundaries are inclusive and empty text is safe") {
     import spark.implicits._
     val df = Seq(
@@ -134,7 +163,7 @@ class CorpusSpec extends SparkSuite {
     val naive = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val want = Tables(spark, dir, "documents")
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tok", size(graft.clean.CleanFns.tokens(col("text"))).cast("long"))
       .withColumn("cum_end", sum("n_tok").over(naive))
       .select(col("doc_id"), expr("(cum_end - n_tok) DIV 4096").as("shard"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

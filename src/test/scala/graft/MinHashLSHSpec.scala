@@ -13,7 +13,7 @@ class MinHashLSHSpec extends SparkSuite {
   test("approxSimilarityJoin finds planted exact duplicates at distance 0") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
 
     val tf = new HashingTF().setInputCol("ws").setOutputCol("features")
       .setNumFeatures(1 << 14).setBinary(true)

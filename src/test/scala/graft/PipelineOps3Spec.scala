@@ -22,7 +22,7 @@ class PipelineOps3Spec extends SparkSuite {
 
     // same logic as the probe, against the fixture
     val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 7), i -> substr(md5(concat_ws(' ', slice(toks, i, 8))), 1, 16))"))
@@ -55,7 +55,7 @@ class PipelineOps3Spec extends SparkSuite {
     ).toDF("doc_id", "text")
     docs.createOrReplaceTempView("documents_txt11") // not used by probe; local calc
 
-    val w = docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val w = docs.select(col("doc_id"), graft.clean.CleanFns.tokens(lower(col("text"))).as("w"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         expr("aggregate(w, 0L, (acc, x) -> acc + length(x)) * 100 DIV size(w)").as("mean_len_c"),

@@ -35,7 +35,7 @@ class PipelineOps4Spec extends SparkSuite {
     val rows = out.collect()
     // every doc present; per-doc chunk count = ceil-ish starts formula
     val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
-    val expect = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val expect = docs.select(col("doc_id"), size(graft.clean.CleanFns.tokens(col("text"))).as("n"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 12 + 1)).toMap
     assert(perDoc == expect, "chunk count must equal the number of window starts")
     // chunk_idx dense from 0; token coverage: sum of non-overlap = n

@@ -142,6 +142,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(corpusShuffles == 0, s"corpus shingles shuffled:\n$plan")
   }
 
+  test("native minhash band path: zero exchanges before the bucket join") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // the signature generator itself must be completely narrow — a future
+    // regression (e.g. re-adding a shingle-level distinct or aggregate)
+    // would reintroduce the corpus-keyed shuffle the native expression
+    // exists to remove
+    val bands = ext.Dedup.minhashBandsNative(docs)
+    bands.write.format("noop").mode("overwrite").save()
+    val bandPlan = bands.queryExecution.executedPlan.toString
+    assert(!bandPlan.contains("Exchange"), s"band generation went wide:\n$bandPlan")
+
+    // full dedupNearMinHash: the ONLY data exchanges are the (band, sig)
+    // bucket self-join (reused across both sides — same scan subtree) and
+    // the loser-id distinct; the anti join broadcasts. No exchange may
+    // carry shingles or any other pre-signature stream.
+    val df = api.Corpus(docs).dedupNearMinHash().df
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning\\(([a-zA-Z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keyed.toSet.subsetOf(Set("band", "doc_id", "b_id")),
+      s"unexpected exchange keys $keyed:\n$plan")
+    assert(keyed.count(_ == "band") <= 2, s"bucket join shuffled more than its two sides:\n$plan")
+  }
+
   test("mixBySourceWeights: the weights table joins as a broadcast") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val df = api.Corpus(docs)

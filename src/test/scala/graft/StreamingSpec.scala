@@ -290,6 +290,48 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming SimHash near-dedup == batch against the same static band index") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    // static index: the "released corpus" = docs 0..249; the stream plants
+    // exact copies of 50 index docs under new ids — each is Hamming 0 to
+    // its original and MUST be flagged
+    val released = batchDocs.filter(col("doc_id") < 250)
+    val idx = DocStreams.simhashIndex(released)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simhash_stream").toString
+    try {
+      val planted = batchDocs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      batchDocs.filter(col("doc_id") >= 250).unionAll(planted)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.nearDupSimHashIds(stream, idx)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("simdedup_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("simdedup_out")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        // parity: the SAME transform over a batch read of the same files
+        val want = DocStreams.nearDupSimHashIds(
+            spark.read.parquet(s"$tmp/in"), idx)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        // every planted copy is Hamming 0 to an indexed doc -> flagged
+        val plantedIds = (10000L until 10050L).toSet
+        assert(plantedIds.subsetOf(got.toSet),
+          s"missing planted dups: ${plantedIds -- got.toSet}")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming chunking == batch x_chunk1 rows (stateless explode)") {
     import graft.streaming.DocStreams
     val q = DocStreams.chunkWindows(DocStreams.readStream(spark, dir))
