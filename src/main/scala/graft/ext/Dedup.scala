@@ -464,7 +464,9 @@ object Dedup {
       |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
       |SELECT a AS doc_id, MIN(b) AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_reach
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val bands = minhashBands(Tables(s, dir, "documents"))
+    // native band generation: zero exchanges before the bucket self-join
+    // (MinHashNativeSpec pins native == declarative signatures)
+    val bands = minhashBandsNative(Tables(s, dir, "documents"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
@@ -583,7 +585,8 @@ object Dedup {
       |WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
       |GROUP BY n.doc_id
       |ORDER BY new_id""".stripMargin) { (s, dir) =>
-    val bands = minhashBands(Tables(s, dir, "documents"))
+    // native band generation, as in the production Corpus chain
+    val bands = minhashBandsNative(Tables(s, dir, "documents"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newSide = bands.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("new_id"), col("band"), col("sig"))
