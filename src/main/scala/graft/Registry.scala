@@ -14,6 +14,7 @@ object Registry {
     ext.PipelineOps2.all ++
     ext.PipelineOps3.all ++
     ext.PipelineOps4.all ++
+    ext.PipelineOps5.all ++
     ext.Similarity.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++

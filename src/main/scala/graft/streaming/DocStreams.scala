@@ -116,6 +116,36 @@ object DocStreams {
       .dropDuplicates("doc_id")
   }
 
+  /** Stream-capable MinHash NEAR-dedup against a persisted [[graft.ext.BandIndex]]:
+    * doc_ids of streaming documents whose full band signature collides
+    * with any band of the released corpus — the daily-crawl incremental
+    * regime (x_ded9 / x_ded12 semantics) as a stream.
+    *
+    * Scale design: the stream side's band signatures come from the native
+    * zero-exchange `minhash_bands` expression (narrow per-row generate),
+    * and the static side is the index SCAN, not a recompute — the released
+    * corpus text is never re-read. Unlike the SimHash variant the index
+    * here is band rows (10 per doc), so it is joined stream-static as a
+    * relation rather than force-broadcast: Spark picks BHJ while the index
+    * is small and falls back to shuffling the MICRO-BATCH (bounded) plus
+    * the pruned index scan when it is not. The only stateful operator is
+    * the per-doc dropDuplicates; its state is proportional to flagged doc
+    * count, not stream size.
+    */
+  def nearDupMinHashIds(docs: DataFrame, index: DataFrame,
+      prefixChars: Int = graft.ext.BandIndex.defaultPrefixChars): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val bands = graft.ext.Dedup.minhashBandsNative(docs)
+      .withColumn("sig_p", substring(col("sig"), 1, prefixChars))
+    val idx = index.select(col("sig_p").as("sig_p_i"), col("band").as("band_i"),
+      col("sig").as("sig_i"))
+    bands.join(idx,
+        col("sig_p") === col("sig_p_i") && col("band") === col("band_i") &&
+        col("sig") === col("sig_i"))
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via
     * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero

@@ -364,4 +364,45 @@ class StreamingSpec extends SparkSuite {
       assert(!got.exists(_._3 == "src2"), "weight-0 source must vanish in the stream too")
     } finally q.stop()
   }
+
+  test("streaming MinHash near-dedup == batch against the same persisted band index") {
+    import graft.streaming.DocStreams
+    import graft.ext.BandIndex
+    val batchDocs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_minhash_stream").toString
+    try {
+      // persisted index: the "released corpus" = docs 0..249, built ONCE;
+      // the stream plants exact copies of 50 index docs under new ids —
+      // every band signature matches, so each MUST be flagged
+      BandIndex.build(batchDocs.filter(col("doc_id") < 250), s"$tmp/idx")
+      val index = BandIndex.load(spark, s"$tmp/idx")
+      val planted = batchDocs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      batchDocs.filter(col("doc_id") >= 250).unionAll(planted)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.nearDupMinHashIds(stream, index)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mhdedup_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("mhdedup_out")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val want = DocStreams.nearDupMinHashIds(
+            spark.read.parquet(s"$tmp/in"), index)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        val plantedIds = (10000L until 10050L).toSet
+        assert(plantedIds.subsetOf(got.toSet),
+          s"missing planted dups: ${plantedIds -- got.toSet}")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
 }
