@@ -450,6 +450,30 @@ final case class Corpus(df: DataFrame) {
       .drop("_h")
   }
 
+  /** Per-domain document cap (x_cur2): keep at most `n` documents per
+    * `groupCol`, preferring higher `orderCol` (doc_id tiebreak) — the
+    * "at most N pages per domain" rule that stops template-heavy domains
+    * dominating the mix. Runs the skew-safe two-phase rank
+    * (`ext.PipelineOps5.cappedPerGroup`): no reducer ever sees a whole
+    * mega-domain. Adds a `rnk` column (1..n within the group).
+    */
+  def capPerGroup(n: Int, groupCol: String = "source",
+      orderCol: String = "n_chars"): Corpus = chain { d =>
+    graft.ext.PipelineOps5.cappedPerGroup(d, group = col(groupCol),
+      order = Seq(col(orderCol).desc, col("doc_id")), key = col("doc_id"), n = n)
+  }
+
+  /** Corpus boilerplate score (x_txt13): annotate each document with the
+    * ppm of its trigram positions drawn from corpus-frequent trigrams
+    * (document frequency >= `minDf`) — the template text (nav chrome,
+    * license footers) that near-dedup misses. One gram-keyed shuffle; the
+    * frequent-gram set broadcasts as a single array row; scoring is
+    * computed in place (no doc-keyed join, the corpus is never
+    * doc-shuffled). Documents with fewer than 3 tokens are dropped.
+    */
+  def withBoilerplateScore(minDf: Int = 5): Corpus =
+    chain(graft.ext.PipelineOps5.withBoilerplate(_, minDf))
+
   /** Curriculum deciles (x_cur1): annotate each document with its corpus
     * quality decile — the distributed replacement for a global
     * `ntile(10)`: one 9-double percentile row broadcasts back, assignment

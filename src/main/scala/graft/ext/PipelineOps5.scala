@@ -75,24 +75,32 @@ object PipelineOps5 {
     * pattern). Scoring is then a narrow per-row array filter: the corpus
     * is never shuffled by doc_id, sorted, or windowed.
     */
-  def boilerplateScore(docs: DataFrame, minDf: Int): DataFrame = {
+  def boilerplateScore(docs: DataFrame, minDf: Int): DataFrame =
+    withBoilerplate(docs, minDf)
+      .select(col("doc_id"), col("n_tri"), col("n_common"), col("bp_ppm"))
+
+  /** [[boilerplateScore]] keeping every input column — the Corpus
+    * annotation form. No doc-keyed join anywhere: the score is computed
+    * in place on each row against the broadcast commons array.
+    */
+  def withBoilerplate(docs: DataFrame, minDf: Int): DataFrame = {
     val tris = docs
-      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
-        .as("tris"))
+      .withColumn("__ws", graft.clean.CleanFns.tokens(col("text")))
+      .filter(size(col("__ws")) >= 3)
+      .withColumn("__tris", expr(
+        "transform(sequence(1, size(__ws) - 2), i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1), element_at(__ws, i + 2)))"))
+      .drop("__ws")
     val common = tris
-      .select(col("doc_id"), explode(array_distinct(col("tris"))).as("g"))
+      .select(col("doc_id"), explode(array_distinct(col("__tris"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .agg(sort_array(collect_list(col("g"))).as("commons"))
+      .agg(sort_array(collect_list(col("g"))).as("__commons"))
     tris.crossJoin(broadcast(common)) // 1-row build side -> broadcast nested loop
-      .select(col("doc_id"),
-        size(col("tris")).cast("long").as("n_tri"),
-        expr("CAST(size(filter(tris, g -> array_contains(commons, g))) AS BIGINT)")
-          .as("n_common"))
+      .withColumn("n_tri", size(col("__tris")).cast("long"))
+      .withColumn("n_common",
+        expr("CAST(size(filter(__tris, g -> array_contains(__commons, g))) AS BIGINT)"))
       .withColumn("bp_ppm", expr("(n_common * 1000000) DIV n_tri"))
+      .drop("__tris", "__commons")
   }
 
   /** X-TXT13 — boilerplate scoring over the documents table (df >= 5). */

@@ -409,4 +409,26 @@ class CorpusSpec extends SparkSuite {
       assert(out.orderBy("doc_id", "epoch").collect().toSeq == again)
     } finally out.unpersist()
   }
+
+  test("capPerGroup matches x_cur2; withBoilerplateScore matches x_txt13 ppm") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val got = Corpus(docs).capPerGroup(15).df
+      .select("doc_id", "source", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = SparkEntry.queries("x_cur2_domain_cap")(spark, dir)
+      .select("doc_id", "source", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    val gotBp = Corpus(docs).withBoilerplateScore().df
+      .select("doc_id", "bp_ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantBp = SparkEntry.queries("x_txt13_boilerplate")(spark, dir)
+      .select("doc_id", "bp_ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBp.nonEmpty && gotBp == wantBp)
+    // annotation form keeps every input column
+    val cols = Corpus(docs).withBoilerplateScore().df.columns.toSet
+    assert(docs.columns.toSet.subsetOf(cols))
+  }
 }
