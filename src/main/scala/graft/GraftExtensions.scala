@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_count_in"),
+      new ExpressionInfo(classOf[graft.functions.SortedCountIn].getName, "sorted_count_in"),
+      (exprs: Seq[Expression]) => graft.functions.SortedCountIn(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -45,6 +49,9 @@ object GraftExtensions {
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_count_in",
+      exprs => graft.functions.SortedCountIn(exprs.head, exprs(1)), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

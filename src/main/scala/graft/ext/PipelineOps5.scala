@@ -81,9 +81,15 @@ object PipelineOps5 {
 
   /** [[boilerplateScore]] keeping every input column — the Corpus
     * annotation form. No doc-keyed join anywhere: the score is computed
-    * in place on each row against the broadcast commons array.
+    * in place on each row against the broadcast commons array, with the
+    * membership count as the native `sorted_count_in` binary search —
+    * `array_contains` in a per-position lambda is a linear scan whose
+    * O(positions x |commons|) cost was measured at 300+ s the moment the
+    * common-gram set reached 25k entries (sf0.1); binary search keeps the
+    * identical zero-doc-shuffle plan at O(positions x log |commons|).
     */
   def withBoilerplate(docs: DataFrame, minDf: Int): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
     val tris = docs
       .withColumn("__ws", graft.clean.CleanFns.tokens(col("text")))
       .filter(size(col("__ws")) >= 3)
@@ -97,8 +103,7 @@ object PipelineOps5 {
       .agg(sort_array(collect_list(col("g"))).as("__commons"))
     tris.crossJoin(broadcast(common)) // 1-row build side -> broadcast nested loop
       .withColumn("n_tri", size(col("__tris")).cast("long"))
-      .withColumn("n_common",
-        expr("CAST(size(filter(__tris, g -> array_contains(__commons, g))) AS BIGINT)"))
+      .withColumn("n_common", expr("sorted_count_in(__tris, __commons)"))
       .withColumn("bp_ppm", expr("(n_common * 1000000) DIV n_tri"))
       .drop("__tris", "__commons")
   }

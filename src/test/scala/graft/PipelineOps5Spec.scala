@@ -59,6 +59,32 @@ class PipelineOps5Spec extends SparkSuite {
     assert(got(12L)._1 == 5 && got(12L)._2 == 2, s"dirty doc: ${got(12L)}")
   }
 
+  test("sorted_count_in: known values, duplicates counted, codegen == interpreted == array_contains") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq("b", "a", "b", "z", "q"), Seq("a", "b", "c")),
+      (Seq("x", "y"), Seq("a", "b", "c")),
+      (Seq[String](), Seq("a")),
+      (Seq("a"), Seq[String]())).toDF("arr", "st")
+    def run() = df.select(expr("sorted_count_in(arr, st)"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaCodegen = run()
+    assert(viaCodegen == Seq(3L, 0L, 0L, 0L)) // b,a,b all members; dups counted
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == viaCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // agrees with the linear-scan HOF it replaces
+    val hof = df.select(
+      expr("CAST(size(filter(arr, x -> array_contains(st, x))) AS BIGINT)"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hof == viaCodegen)
+  }
+
   test("x_cur2 cap: every source capped at 15, priority respected") {
     val out = SparkEntry.queries("x_cur2_domain_cap")(spark, "/root/testdata/sf0.001")
       .collect()
