@@ -176,4 +176,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"weights join went shuffle:\n$plan")
   }
+
+  test("x_txt13: commons broadcast as BNLJ; the corpus is never doc-shuffled") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = ext.PipelineOps5.withBoilerplate(docs, minDf = 5)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row commons array joins as a broadcast nested loop
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only keyed exchange is the gram-df aggregation (key g); scoring
+    // must never shuffle the corpus by doc_id
+    val keyed = "Exchange hashpartitioning\\(([a-zA-Z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(keyed.forall(_ == "g"), s"unexpected exchange keys $keyed:\n$plan")
+    // membership runs through the native binary search, not array_contains
+    assert(plan.contains("sorted_count_in"), plan)
+  }
+
+  test("x_cur2: both rank phases pre-limit with WindowGroupLimit before their exchange") {
+    val df = SparkEntry.queries("x_cur2_domain_cap")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // two-phase rank: phase 1 on (source, salt), phase 2 on source — each
+    // with Spark's rank-limit pushdown so no partition materializes whole
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 4,
+      s"missing partial/final WindowGroupLimit pairs:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"cap should be pure window work, no joins:\n$plan")
+  }
 }
