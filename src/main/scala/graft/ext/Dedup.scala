@@ -617,9 +617,14 @@ object Dedup {
       |ORDER BY new_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ded12_idx").toString
-    BandIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+    // prefix width follows corpus size: 1 hex char (16 partitions) at
+    // bench SF — 256 directories over ~50k band rows is pure small-file
+    // overhead (measured: 6.7 s vs 3 s); the 2-char default is the
+    // 100 TB layout where each of 256 partitions is still large files
+    BandIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idxDir, prefixChars = 1)
     BandIndex.collidingNewIds(
-        docs.filter(col("doc_id") % 3 === 0), BandIndex.load(s, idxDir))
+        docs.filter(col("doc_id") % 3 === 0), BandIndex.load(s, idxDir),
+        prefixChars = 1)
       .select(col("doc_id").as("new_id"))
       .orderBy("new_id")
   }
