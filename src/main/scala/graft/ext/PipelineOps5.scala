@@ -88,20 +88,40 @@ object PipelineOps5 {
     * common-gram set reached 25k entries (sf0.1); binary search keeps the
     * identical zero-doc-shuffle plan at O(positions x log |commons|).
     */
-  def withBoilerplate(docs: DataFrame, minDf: Int): DataFrame = {
-    graft.GraftExtensions.register(docs.sparkSession)
-    val tris = docs
-      .withColumn("__ws", graft.clean.CleanFns.tokens(col("text")))
-      .filter(size(col("__ws")) >= 3)
-      .withColumn("__tris", expr(
-        "transform(sequence(1, size(__ws) - 2), i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1), element_at(__ws, i + 2)))"))
-      .drop("__ws")
-    val common = tris
+  def withBoilerplate(docs: DataFrame, minDf: Int): DataFrame =
+    scoreAgainstCommons(docs, boilerplateCommons(docs, minDf))
+
+  /** Per-doc trigram-array annotation (`__tris`), shared by commons
+    * extraction and scoring. Docs under 3 tokens are dropped.
+    */
+  private def withTris(docs: DataFrame): DataFrame = docs
+    .withColumn("__ws", graft.clean.CleanFns.tokens(col("text")))
+    .filter(size(col("__ws")) >= 3)
+    .withColumn("__tris", expr(
+      "transform(sequence(1, size(__ws) - 2), i -> concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1), element_at(__ws, i + 2)))"))
+    .drop("__ws")
+
+  /** The corpus-frequent trigram set as ONE sorted-array row — built
+    * batch-side (one gram-keyed shuffle with partial counts), then
+    * reusable as the broadcast side of [[scoreAgainstCommons]], including
+    * as the STATIC side of the streaming scorer
+    * (`streaming.DocStreams.boilerplateScored`).
+    */
+  def boilerplateCommons(docs: DataFrame, minDf: Int): DataFrame =
+    withTris(docs)
       .select(col("doc_id"), explode(array_distinct(col("__tris"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .agg(sort_array(collect_list(col("g"))).as("__commons"))
-    tris.crossJoin(broadcast(common)) // 1-row build side -> broadcast nested loop
+
+  /** Score `docs` against a pre-built commons row: a stateless narrow
+    * transform (trigram expansion + native binary-search count against
+    * the broadcast array) — stream-capable, zero doc shuffles.
+    */
+  def scoreAgainstCommons(docs: DataFrame, commons: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    withTris(docs)
+      .crossJoin(broadcast(commons)) // 1-row build side -> broadcast nested loop
       .withColumn("n_tri", size(col("__tris")).cast("long"))
       .withColumn("n_common", expr("sorted_count_in(__tris, __commons)"))
       .withColumn("bp_ppm", expr("(n_common * 1000000) DIV n_tri"))

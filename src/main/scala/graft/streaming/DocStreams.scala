@@ -146,6 +146,17 @@ object DocStreams {
       .dropDuplicates("doc_id")
   }
 
+  /** Stream-capable boilerplate scoring — x_txt13's scoring stage against
+    * a STATIC commons set (built batch-side from a released corpus with
+    * `ext.PipelineOps5.boilerplateCommons`; corpus-wide document
+    * frequencies are not a streaming quantity). The scorer itself is a
+    * stateless narrow transform: trigram expansion + the native
+    * `sorted_count_in` binary search against the broadcast commons row —
+    * each micro-batch scores its own documents, zero state, zero shuffle.
+    */
+  def boilerplateScored(docs: DataFrame, commons: DataFrame): DataFrame =
+    graft.ext.PipelineOps5.scoreAgainstCommons(docs, commons)
+
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via
     * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero

@@ -365,6 +365,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate scoring == batch against the same static commons") {
+    import graft.streaming.DocStreams
+    import graft.ext.PipelineOps5
+    val batchDocs = Tables(spark, dir, "documents")
+    // commons from the full corpus (batch side); stream re-scores half
+    val commons = PipelineOps5.boilerplateCommons(batchDocs, minDf = 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bp_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.boilerplateScored(stream, commons)
+        .select(col("doc_id"), col("bp_ppm"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bp_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("bp_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val want = PipelineOps5.scoreAgainstCommons(
+            spark.read.parquet(s"$tmp/in"), commons)
+          .select(col("doc_id"), col("bp_ppm"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        assert(got.exists(_._2 > 0L), "expected some nonzero boilerplate scores")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming MinHash near-dedup == batch against the same persisted band index") {
     import graft.streaming.DocStreams
     import graft.ext.BandIndex
