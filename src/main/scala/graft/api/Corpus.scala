@@ -255,22 +255,26 @@ final case class Corpus(df: DataFrame) {
           sh.join(evSh.hint("merge"), Seq("s"), "left_semi")
         case Corpus.EvalBloom =>
           // k=3 × 4096 slots packed into 192 longs (x_dec3's bitmap form:
-          // 1.5 KB broadcast, O(1) membership per probe)
+          // 1.5 KB broadcast, O(1) membership per probe). The 3 slots are
+          // disjoint 3-hex windows of ONE md5(shingle) — one digest per
+          // shingle yields all k probes (x_dec3's exact construction).
           def pos(i: Int): Column =
-            expr(s"CAST($i * 4096 + conv(substr(md5('$i|' || s), 1, 3), 16, 10) AS INT)")
+            expr(s"CAST($i * 4096 + conv(substr(__h, ${1 + 3 * i}, 3), 16, 10) AS INT)")
           def hit(i: Int): Column = {
-            val q = s"CAST($i * 4096 + conv(substr(md5('$i|' || s), 1, 3), 16, 10) AS INT)"
+            val q = s"CAST($i * 4096 + conv(substr(__h, ${1 + 3 * i}, 3), 16, 10) AS INT)"
             expr(s"(element_at(bloom, CAST($q DIV 64 AS INT) + 1) & shiftleft(1L, $q % 64)) <> 0L")
           }
           val bloom = broadcast(
-            evSh.select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+            evSh.withColumn("__h", md5(col("s")))
+              .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
               .agg(collect_set(col("p")).as("ps"))
               .select(expr(
                 """transform(sequence(0, 191),
                   |  w -> aggregate(filter(ps, p -> p DIV 64 = w),
                   |                 0L, (acc, p) -> acc | shiftleft(1L, CAST(p % 64 AS INT))))""".stripMargin)
                 .as("bloom")))
-          sh.join(bloom).filter(hit(0) && hit(1) && hit(2))
+          sh.withColumn("__h", md5(col("s")))
+            .join(bloom).filter(hit(0) && hit(1) && hit(2))
       }
       d.join(contaminated.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     }

@@ -67,10 +67,14 @@ object PipelineOps {
 
   /** X-DEC3 — Bloom-filter decontamination: the FIXED-MEMORY variant of
     * x_dec1/x_dec2. Eval shingles are folded into a partitioned Bloom
-    * filter — k = 3 hash functions, 4096 slots each (a slot is the first 3
-    * hex digits of `md5(i + '|' + shingle)`, tagged with its function
-    * index) — so the broadcast is AT MOST 12,288 short strings NO MATTER
-    * HOW LARGE the eval side grows. This is the regime between dec1
+    * filter — k = 3 slot functions, 4096 slots each; the 3 slots are
+    * DISJOINT 3-hex-digit windows of ONE `md5(shingle)` (hex chars 1-3,
+    * 4-6, 7-9), tagged with the window index. One digest yields all k
+    * probes — the corpus-side hash cost is the dominant narrow cost of
+    * this operator at any scale, and a window split of a uniform digest
+    * is the standard k-from-one-hash Bloom construction. The broadcast is
+    * AT MOST 12,288 short strings NO MATTER HOW LARGE the eval side
+    * grows. This is the regime between dec1
     * (eval tiny → broadcast raw shingles) and dec2 (eval huge → shuffle
     * both sides): a bounded-size sketch broadcast keeps the corpus scan
     * narrow at ANY eval size, at the price of deterministic false
@@ -93,14 +97,14 @@ object PipelineOps {
       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
       |bloom AS (
       |  SELECT DISTINCT CAST(i AS VARCHAR) || ':' ||
-      |         substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 3) AS p
+      |         substr(md5(s), 1 + 3 * i, 3) AS p
       |  FROM ev, UNNEST([0, 1, 2]) AS u(i)),
       |corp AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
       |FROM corp
-      |WHERE '0:' || substr(md5('0|' || s), 1, 3) IN (SELECT p FROM bloom)
-      |  AND '1:' || substr(md5('1|' || s), 1, 3) IN (SELECT p FROM bloom)
-      |  AND '2:' || substr(md5('2|' || s), 1, 3) IN (SELECT p FROM bloom)
+      |WHERE '0:' || substr(md5(s), 1, 3) IN (SELECT p FROM bloom)
+      |  AND '1:' || substr(md5(s), 4, 3) IN (SELECT p FROM bloom)
+      |  AND '2:' || substr(md5(s), 7, 3) IN (SELECT p FROM bloom)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sh = Tables(s, dir, "documents")
@@ -111,11 +115,14 @@ object PipelineOps {
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2),
           |                 element_at(ws, i + 3)))""".stripMargin))
         .as("s"))
-    // slot = function-index tag + first 3 md5 hex digits, materialized as
-    // an INTEGER position i*4096 + hexval (bijective with the oracle's
-    // string slot '<i>:<hex3>' — membership is representation-independent)
+      // ONE digest per shingle; the 3 slot probes are substrings of it
+      .withColumn("h", md5(col("s")))
+    // slot = window-index tag + 3 md5 hex digits (window i = hex chars
+    // 1+3i .. 3+3i), materialized as an INTEGER position i*4096 + hexval
+    // (bijective with the oracle's string slot '<i>:<hex3>' — membership
+    // is representation-independent)
     def pos(i: Int): org.apache.spark.sql.Column =
-      expr(s"CAST($i * 4096 + conv(substr(md5('$i|' || s), 1, 3), 16, 10) AS INT)")
+      expr(s"CAST($i * 4096 + conv(substr(h, ${1 + 3 * i}, 3), 16, 10) AS INT)")
     // the filter itself: the 12,288 possible slots packed into 192 LONGS —
     // a 1.5 KB bitmap row, O(1) membership per probe. (A first cut kept
     // the occupied-slot set as an array and probed with array_contains —
@@ -131,7 +138,7 @@ object PipelineOps {
             |                 0L, (acc, p) -> acc | shiftleft(1L, CAST(p % 64 AS INT))))""".stripMargin)
           .as("bloom")))
     def hit(i: Int): org.apache.spark.sql.Column = {
-      val q = s"CAST($i * 4096 + conv(substr(md5('$i|' || s), 1, 3), 16, 10) AS INT)"
+      val q = s"CAST($i * 4096 + conv(substr(h, ${1 + 3 * i}, 3), 16, 10) AS INT)"
       expr(s"(element_at(bloom, CAST($q DIV 64 AS INT) + 1) & shiftleft(1L, $q % 64)) <> 0L")
     }
     // corpus side: narrow slot arithmetic + O(1) bit tests against the
