@@ -157,4 +157,25 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("sorted_count_in == reference count over random arrays and sets") {
+    GraftExtensions.register(spark)
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6))
+    val rows: Seq[(Seq[String], Seq[String])] = samples(
+      for {
+        arr <- Gen.listOf(token)
+        set <- Gen.listOf(token)
+      } yield (arr, set.distinct.sorted), 60)
+    val withEdges = rows ++ Seq(
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "a", "a"), Seq.empty[String]),
+      (Seq("a", "a", "a"), Seq("a")))
+    val got = withEdges.toDF("arr", "st")
+      .select(expr("sorted_count_in(arr, st)"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = withEdges.map { case (arr, set) =>
+      arr.count(set.toSet.contains).toLong
+    }
+    assert(got == want)
+  }
 }
