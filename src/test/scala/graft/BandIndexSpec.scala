@@ -57,4 +57,22 @@ class BandIndexSpec extends SparkSuite {
       assert(plan.contains("PartitionFilters: [isnotnull(sig_p"), plan)
     } finally rmr(new java.io.File(idxDir))
   }
+
+  test("collidingNewIds: DYNAMIC partition pruning fires on the index scan") {
+    val docs = Tables(spark, dir, "documents")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_band_idx3").toString
+    try {
+      BandIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+      val idx = BandIndex.load(spark, idxDir)
+      // a 1-doc new shard names at most 2 sig_p prefixes — the index scan
+      // must be restricted to those partitions at RUNTIME via the
+      // broadcast build side (the claim in collidingNewIds' contract:
+      // footprint follows collision density, not released-corpus size)
+      val out = BandIndex.collidingNewIds(docs.filter(col("doc_id") === 0L), idx)
+      out.write.format("noop").mode("overwrite").save()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the index scan:\n$plan")
+    } finally rmr(new java.io.File(idxDir))
+  }
 }
