@@ -85,8 +85,10 @@ object Bench {
       .map { case (k, _, _, ts) =>
         "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      s"""{"steady_sec":${mapJson(_._2)},"first_sec":${mapJson(_._3)},"repeats_sec":$repeatsJson}"""
+      s"""{"steady_sec":${mapJson(_._2)},"first_sec":${mapJson(_._3)},"repeats_sec":$repeatsJson,"failed":$failedJson}"""
     val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -96,8 +98,12 @@ object Bench {
     // stays ~150 bytes at any query count, so the line can never be truncated.
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // n_failed is in the line (not just the detail file) so any tooling that
+    // only reads the one-line summary can see partial runs; a nonzero exit
+    // below makes rc-checking tooling see them too. A total over a shrunken
+    // query set must never pass for a speedup.
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$worst,"n_queries":$ok,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$worst,"n_queries":$ok,"n_failed":${failed.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // Print once before stop (in case stop() throws) and once AFTER, so the
     // bare JSON object is the LAST stdout line even if Spark's shutdown
     // path logs anything. Combined with build.sbt's StdoutOutput fork
@@ -107,5 +113,9 @@ object Bench {
     spark.stop()
     println(line)
     System.out.flush()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1) // a run with errored queries must not report rc=0
+    }
   }
 }

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   * All reads go through here so filter pushdown / column pruning apply to a
@@ -14,13 +16,39 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and convert (values are
-      // µs-aligned, so DIV 1000 is lossless).
+      // events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+      // generations (which Spark's vectorized reader can only surface as a
+      // raw int64 under nanosAsLong) and as TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false) in others (which reads as TIMESTAMP_NTZ).
+      // Dispatch on the type the scan ACTUALLY produced and normalize to a
+      // session-tz TIMESTAMP either way, so a regenerated file can never
+      // silently change query semantics again; anything unexpected fails
+      // loudly here at load rather than per-query downstream.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  /** The type the parquet scan surfaces for events.ts in this testdata
+    * generation (requires nanosAsLong so a NANOS file is readable at all —
+    * set it session-wide here, harmless for every other type).
+    */
+  def eventsTsScanType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** ts normalized to a session-tz TIMESTAMP from whichever encoding the
+    * scan produced. Shared by the batch loader and the streaming source so
+    * the two can never diverge on a testdata regeneration.
+    */
+  def normalizeEventsTs(scanned: org.apache.spark.sql.types.DataType): Column = scanned match {
+    case LongType         => expr("timestamp_micros(ts DIV 1000)") // ns → µs, lossless (values µs-aligned)
+    case TimestampNTZType => col("ts").cast(TimestampType) // value-preserving under UTC session tz
+    case TimestampType    => col("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts: expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP; scan produced $other")
+  }
 }

@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
       .foreach { case (name, fn) =>
@@ -25,6 +26,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         // never leave stale/partial output behind — a leftover dir from a
         // previous run would make a broken query look green downstream.
         // Recursive: failed writes leave nested _temporary/... dirs.
@@ -54,6 +56,15 @@ object Verify {
       .filter { case (k, _) => only.forall(k.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Every attempted-but-failed query is recorded with its error, so a
+    // round where N queries crash can never masquerade as an all-green run
+    // with a smaller inventory (round-5 lesson: 17 silent absences).
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

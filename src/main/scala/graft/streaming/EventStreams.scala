@@ -14,24 +14,30 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as stored (ts is int64 TIMESTAMP(NANOS) in the parquet;
-    * read as long and converted, matching graft.Tables).
+  /** events schema as stored, with ts at whatever type this testdata
+    * generation's encoding scans as (int64-nanos → LongType under
+    * nanosAsLong; TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ).
+    * The streaming file source needs an explicit schema, so probe the batch
+    * scan once — a fixed guess here is exactly what broke when the data was
+    * regenerated with a different encoding.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming scan of the events parquet (file-source; at scale this is a
     * directory the ingest keeps appending to, or a Kafka source with the
-    * same downstream plan).
+    * same downstream plan). ts is normalized to a session-tz TIMESTAMP via
+    * the same dispatch as the batch loader (graft.Tables), so batch and
+    * stream can never disagree on event time.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).format("parquet")
+    val tsType = graft.Tables.eventsTsScanType(spark, dir)
+    spark.readStream.schema(rawSchema(tsType)).format("parquet")
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
       .load(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizeEventsTs(tsType))
   }
 
   /** Tumbling 5-minute windowed aggregate with a 10-minute watermark.
