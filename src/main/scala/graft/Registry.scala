@@ -15,7 +15,9 @@ object Registry {
     ext.PipelineOps3.all ++
     ext.PipelineOps4.all ++
     ext.PipelineOps5.all ++
+    ext.PipelineOps6.all ++
     ext.Similarity.all ++
+    ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++
     osm.OsmProbes.all

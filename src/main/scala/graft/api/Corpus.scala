@@ -467,6 +467,30 @@ final case class Corpus(df: DataFrame) {
       order = Seq(col(orderCol).desc, col("doc_id")), key = col("doc_id"), n = n)
   }
 
+  /** Leakage-safe deterministic split (x_smp6): adds a `split` column so
+    * every document whose `groupCol` hashes alike lands in the same split —
+    * near-duplicates sharing a domain/source can never straddle train and
+    * test. Pure per-row hash algebra: no shuffle, reproducible across
+    * re-crawls. `cuts` are cumulative percent cut-points (Seq(80, 90) =
+    * 80/10/10).
+    */
+  def splitByGroup(groupCol: String = "source",
+      names: Seq[String] = Seq("train", "val", "test"),
+      cuts: Seq[Int] = Seq(80, 90)): Corpus = chain { d =>
+    graft.ext.PipelineOps6.splitByGroup(d, col(groupCol), names, cuts)
+  }
+
+  /** Greedy token-budget fill (x_mix3): keep documents per `groupCol` (in a
+    * deterministic md5 permutation) while the running token total stays
+    * within `budget` — "take ~N tokens of each language", the mixing
+    * primitive data recipes express in tokens, not documents. Adds
+    * `cum_tok`. One keyed window shuffle.
+    */
+  def takeTokenBudget(budget: Long, groupCol: String = "lang"): Corpus = chain { d =>
+    graft.ext.PipelineOps6.takeTokenBudget(d, col(groupCol),
+      size(graft.clean.CleanFns.tokens(col("text"))).cast("long"), budget)
+  }
+
   /** Corpus boilerplate score (x_txt13): annotate each document with the
     * ppm of its trigram positions drawn from corpus-frequent trigrams
     * (document frequency >= `minDf`) — the template text (nav chrome,
@@ -629,4 +653,11 @@ object Corpus {
       .select(col("vec_id"), col("label"), expr(Similarity.intVec).as("v"))
       .withColumn("n2", expr("dot_d(v, v)"))
   }
+
+  /** Embedding near-duplicate pairs (x_ded13): banded sign-LSH candidates
+    * verified by exact integer-quantized cosine at `tau` — the scale path
+    * for embedding-space dedup (the brute-force x_ded5 join is quadratic).
+    */
+  def nearDupVectors(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
+    graft.ext.EmbedDedup.nearDupPairs(graft.Tables(spark, dir, "embeddings"), tau)
 }

@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Probe, Tables}
+
+/** Embedding near-duplicate detection at scale: banded sign-random-
+  * projection LSH for candidate generation, exact integer-quantized cosine
+  * for verification.
+  *
+  * x_ded5 (the declared exact baseline) joins all same-label pairs —
+  * quadratic in corpus size. This operator is its scale path, the
+  * vector-space sibling of the MinHash chain (x_ded2 → dedupNearVerified):
+  *
+  *  1. 16 hyperplane sign bits per vector. The hyperplane matrix is
+  *     data-independent and derived from md5(plane, dim) — deterministic,
+  *     engine-portable, and tiny (16×64 ±1 entries), so it rides into the
+  *     signature expression as a broadcast literal and the signature is a
+  *     NARROW per-row fold: zero exchanges, no 1024× row explosion (the
+  *     x_sim2 probe form), stream-compatible.
+  *  2. 4 bands × 4 bits: vectors sharing any band value become candidates
+  *     (one band-keyed shuffle — the only exchange in candidate
+  *     generation, same shape as the MinHash band join).
+  *  3. Exact verification: cosine over the shared floor(x*1e6) integer
+  *     quantization (Similarity.intVec), pairs kept at >= tau.
+  *
+  * Recall is the standard banded-LSH curve (P[candidate] =
+  * 1-(1-p^4)^4 with p = 1 - theta/pi); raise bands or lower band width for
+  * higher recall — the oracle replicates whatever the parameters are.
+  */
+object EmbedDedup {
+
+  val planes = 16
+  val dims = 64
+  val bandsN = 4
+  val bandBits = 4
+
+  /** The ±1 hyperplane matrix, row-major (plane-major): entry for plane bb
+    * (1-based) and dim i (1-based) sits at index (bb-1)*dims + (i-1).
+    * Sign rule shared with x_sim2's oracle: +1 iff hex digit
+    * 1 + ((i*7 + bb*13) mod 32) of md5("bb_i") is >= '8'. Computed once
+    * driver-side (java MD5 == Spark md5 == DuckDB md5 on the same ASCII
+    * input) and shipped as a literal array.
+    */
+  lazy val signs: Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (bb <- 1 to planes; i <- 1 to dims) yield {
+      val hex = md.digest(s"${bb}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      md.reset()
+      if (hex.charAt((i * 7 + bb * 13) % 32) >= '8') 1.0 else -1.0
+    }
+  }
+
+  /** (vec_id, v, n2, bits): quantized vector, self-dot, and the 16 sign
+    * bits as an int array — one narrow projection, zero exchanges.
+    */
+  def signatures(embeddings: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    embeddings
+      .withColumn("v", expr(Similarity.intVec))
+      .withColumn("n2", expr("dot_d(v, v)"))
+      .withColumn("__signs", typedlit(signs))
+      .withColumn("bits", expr(
+        s"""transform(sequence(1, $planes), bb ->
+           |  CASE WHEN aggregate(sequence(1, $dims), CAST(0 AS DOUBLE),
+           |           (acc, i) -> acc + element_at(v, i) * element_at(__signs, (bb - 1) * $dims + i),
+           |           acc -> acc) > 0
+           |       THEN 1 ELSE 0 END)""".stripMargin))
+      .drop("__signs")
+  }
+
+  /** Near-duplicate pairs (a_id, b_id, cos): banded LSH candidates,
+    * exact-cosine verified at `tau`.
+    */
+  def nearDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val sig = signatures(embeddings)
+      .select(col("vec_id"), col("v"), col("n2"), expr(
+        s"""transform(sequence(1, $bandsN), k ->
+           |  aggregate(sequence(1, $bandBits), 0,
+           |    (acc, j) -> acc + element_at(bits, (k - 1) * $bandBits + j)
+           |                      * CAST(round(pow(2, j - 1)) AS INT)))""".stripMargin)
+        .as("bands"))
+    val banded = sig.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bval")))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct() // a pair may collide in several bands; verify it once
+    val va = sig.select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
+    val vb = sig.select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cos", expr("dot_d(av, bv)") / sqrt(col("an2") * col("bn2")))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** X-DED13 — the banded chain over the embeddings table at tau = 0.35
+    * (x_ded5's threshold: every surviving pair is also an x_ded5 pair; the
+    * delta is the declared LSH recall, which the oracle replicates
+    * band-for-band).
+    */
+  private val ded13 = Probe(
+    "x_ded13_embed_lsh",
+    """WITH iv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM iv),
+      |d AS (
+      |  SELECT vec_id, bb,
+      |    SUM(CASE WHEN substr(md5(bb || '_' || i), 1 + ((i * 7 + bb * 13) % 32), 1)
+      |             IN ('8','9','a','b','c','d','e','f') THEN v[i] ELSE -v[i] END) AS dot
+      |  FROM iv, UNNEST(generate_series(1, 16)) AS t1(bb), UNNEST(generate_series(1, 64)) AS t2(i)
+      |  GROUP BY vec_id, bb),
+      |bands AS (
+      |  SELECT vec_id, (bb - 1) // 4 AS band,
+      |         SUM(CASE WHEN dot > 0 THEN CAST(power(2, (bb - 1) % 4) AS BIGINT) ELSE 0 END) AS bval
+      |  FROM d GROUP BY vec_id, (bb - 1) // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+      |SELECT c.a_id, c.b_id,
+      |       round(list_sum(list_transform(list_zip(na.v, nb.v), z -> z[1] * z[2])) /
+      |             sqrt(na.n2 * nb.n2), 6) AS cos
+      |FROM cand c JOIN n na ON na.vec_id = c.a_id JOIN n nb ON nb.vec_id = c.b_id
+      |WHERE list_sum(list_transform(list_zip(na.v, nb.v), z -> z[1] * z[2])) /
+      |      sqrt(na.n2 * nb.n2) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    nearDupPairs(Tables(s, dir, "embeddings"), tau = 0.35)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded13)
+}

@@ -204,4 +204,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"cap should be pure window work, no joins:\n$plan")
   }
+
+  test("x_smp6: split assignment is narrow — no hash exchange at all") {
+    val df = SparkEntry.queries("x_smp6_group_split")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"split went wide:\n$plan")
+  }
+
+  test("x_mix3: exactly one keyed exchange (the per-lang budget window)") {
+    val df = SparkEntry.queries("x_mix3_token_budget")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(lang#".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), s"global window:\n$plan")
+  }
+
+  test("x_ded13: keyed band join, no cartesian; verification joins are keyed too") {
+    val df = SparkEntry.queries("x_ded13_embed_lsh")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$plan")
+  }
 }
