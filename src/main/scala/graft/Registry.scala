@@ -16,6 +16,7 @@ object Registry {
     ext.PipelineOps4.all ++
     ext.PipelineOps5.all ++
     ext.PipelineOps6.all ++
+    ext.PipelineOps7.all ++
     ext.Similarity.all ++
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++

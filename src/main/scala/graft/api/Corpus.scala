@@ -560,6 +560,39 @@ final case class Corpus(df: DataFrame) {
       .write.mode("overwrite").text(path)
   }
 
+  /** Per-document 4-gram novelty score (x_txt14): exact-ppm fraction of a
+    * document's distinct 4-grams first seen (min doc_id) in that document.
+    * Flags derivative-but-not-duplicate content stitched from many earlier
+    * documents. Joined back onto the corpus by doc_id.
+    */
+  def withNoveltyScore(): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps7.noveltyScores(d)
+        .select(col("doc_id"), col("novelty_ppm")), Seq("doc_id"), "left")
+  }
+
+  /** Token-entropy information-density score (x_txt15): Shannon entropy in
+    * nats of each document's token distribution; low entropy = templated/
+    * repetitive text. Joined back by doc_id.
+    */
+  def withTokenEntropy(): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps7.tokenEntropy(d)
+        .select(col("doc_id"), col("entropy")), Seq("doc_id"), "left")
+  }
+
+  /** Length-bucketed batch layout (x_pack3): per-(bucket, batch) padding
+    * accounting for dynamic batching; bucketWidth bounds padding waste per
+    * sequence by construction, so no global sort is needed.
+    */
+  def lengthBatches(bucketWidth: Int = 16, batchSize: Int = 8): DataFrame =
+    graft.ext.PipelineOps7.lengthBatches(df, bucketWidth, batchSize)
+
+  /** Per-epoch deterministic sharded data order (x_smp7): each epoch a
+    * different reproducible permutation, ordered within epoch x shard —
+    * no RNG state, no global sort.
+    */
+  def epochOrder(epochs: Int, shards: Int = 64): DataFrame =
+    graft.ext.PipelineOps7.epochOrder(df, epochs, shards)
+
   /** Content + bag-of-words fingerprints (rolling_hash needs
     * GraftExtensions registered on the session).
     */

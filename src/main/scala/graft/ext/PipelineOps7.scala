@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Probe, Tables}
+
+/** Round-6 curation operators: corpus-level novelty scoring, information-
+  * density (token-entropy) scoring, length-bucketed batch assembly, and
+  * per-epoch sharded data ordering — the remaining curation/assembly steps
+  * between a deduplicated corpus and a training run.
+  */
+object PipelineOps7 {
+
+  /** Per-document 4-gram novelty: the fraction (exact ppm) of a document's
+    * DISTINCT word 4-grams whose earliest corpus occurrence (minimum
+    * doc_id) is this document. Mirror-heavy or boilerplate-derivative
+    * documents — the ones near-dedup keeps because they are not similar
+    * to any SINGLE earlier document but are stitched from many — score
+    * low; original content scores high. The standard curation signal for
+    * "derivative but not duplicate" content.
+    *
+    * Scale shape: grams travel as fixed-width md5 digests, never raw
+    * strings, so every shuffle is O(32 bytes x grams). Three keyed
+    * exchanges — (doc, gram) distinct, gram-keyed first-occurrence
+    * window, doc-keyed rollup — each with map-side combine; nothing is
+    * quadratic and no task ever holds more than one gram bucket.
+    */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    val grams = graft.api.Corpus.shingles4(docs)
+      .select(col("doc_id"), md5(col("s")).as("g"))
+      .distinct()
+    val firstDoc = grams
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("g")))
+    firstDoc.groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        expr("novel * 1000000 DIV n_grams").as("novelty_ppm"))
+  }
+
+  /** X-TXT14 — novelty over the documents table; exact integer ppm so the
+    * result is bit-identical under any partitioning. The oracle recomputes
+    * the same distinct-gram / min-doc_id / truncating-division algebra.
+    */
+  private val txt14 = Probe(
+    "x_txt14_novelty",
+    s"""WITH gr AS (
+      |  SELECT DISTINCT doc_id,
+      |         md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g
+      |  FROM (SELECT doc_id, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents
+      |        WHERE len(${graft.clean.CleanFns.tokensDuck("text")}) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY g)
+      |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 1000000
+      |            // count(*) AS BIGINT) AS novelty_ppm
+      |FROM gr JOIN f USING (g)
+      |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    noveltyScores(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Per-document Shannon entropy (nats) of the token distribution — the
+    * information-density signal: low entropy flags repetitive/templated
+    * text that per-token quality rules miss. H = ln(n) - sum(c ln c)/n
+    * computed from per-token counts, so the whole thing is two hash
+    * aggregations with map-side combine: (doc, token)-keyed term counts,
+    * then a doc-keyed rollup. No window, no sort, no token list ever
+    * materialized per row.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(graft.clean.CleanFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id").agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * log(col("c"))).as("clnc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+        round(log(col("n")) - col("clnc") / col("n"), 6).as("entropy"))
+  }
+
+  /** X-TXT15 — token entropy over the documents table. Surfaced rounded to
+    * 6 decimals (§8.4 double rule): the sum-of-c·ln(c) reduction is
+    * order-dependent at the 1e-13 relative level under double arithmetic,
+    * and rounding makes the result partitioning-independent.
+    */
+  private val txt15 = Probe(
+    "x_txt15_token_entropy",
+    s"""WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(${graft.clean.CleanFns.tokensDuck("text")}) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+      |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    tokenEntropy(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** Length-bucketed batch assembly: documents are ranged into token-count
+    * buckets of width `bucketWidth`, ordered (n_tok, doc_id) inside each
+    * bucket, and grouped into batches of `batchSize`; per batch the
+    * padding waste (docs x max_len - sum_len) is reported. This is the
+    * dynamic-batching layout step of an inference/training pipeline: the
+    * bucket bound caps padding waste at (bucketWidth - 1) per sequence by
+    * CONSTRUCTION, so the expensive exact global sort is unnecessary.
+    *
+    * Scale shape: the only exchange is the bucket-keyed window shuffle,
+    * and buckets are numerous and balanced (length distribution over
+    * width-16 ranges), so the per-bucket ordered scan parallelizes across
+    * the cluster — this is precisely why the operator buckets FIRST
+    * instead of running one global row_number, which would funnel the
+    * corpus through a single task.
+    */
+  def lengthBatches(docs: DataFrame, bucketWidth: Int = 16, batchSize: Int = 8): DataFrame = {
+    val d = docs.select(col("doc_id"),
+        size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok DIV $bucketWidth"))
+    d.withColumn("batch", expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1) DIV $batchSize"))
+      .groupBy("bucket", "batch").agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(col("bucket"), col("batch"), col("n_docs").cast("long").as("n_docs"),
+        col("max_tok"), col("sum_tok"),
+        (col("n_docs") * col("max_tok") - col("sum_tok")).as("pad_waste"))
+  }
+
+  /** X-PACK3 — length-bucketed batches of the documents table (width-16
+    * buckets, batches of 8). The oracle runs the identical bucket /
+    * row_number / batch arithmetic.
+    */
+  private val pack3 = Probe(
+    "x_pack3_length_batching",
+    s"""WITH d AS (
+      |  SELECT doc_id, len(${graft.clean.CleanFns.tokensDuck("text")}) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+      |         (row_number() OVER (PARTITION BY n_tok // 16 ORDER BY n_tok, doc_id) - 1) // 8 AS batch
+      |  FROM d)
+      |SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(n_tok) AS BIGINT) AS max_tok,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+      |FROM b GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin) { (s, dir) =>
+    lengthBatches(Tables(s, dir, "documents")).orderBy("bucket", "batch")
+  }
+
+  /** Per-epoch sharded data order: each training epoch gets its own
+    * deterministic permutation by hashing (epoch, doc_id) into `shards`
+    * md5 buckets and ordering within each (epoch, shard) by the same
+    * digest — the multi-epoch form of the x_smp4 sharded shuffle. Epochs
+    * see genuinely different orders (the digest mixes the epoch into
+    * every decision) yet the whole schedule is reproducible algebra: no
+    * RNG state, no global sort — shard count bounds the window width, so
+    * ordering parallelizes across epochs x shards.
+    */
+  def epochOrder(docs: DataFrame, epochs: Int, shards: Int): DataFrame = {
+    val d = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("key", md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("key"), 1, 4), 16, 10).cast("long") % shards)
+    d.withColumn("rk",
+        row_number().over(Window.partitionBy("epoch", "shard").orderBy(col("key"), col("doc_id"))))
+      .select(col("epoch").cast("long").as("epoch"), col("shard"),
+        col("doc_id"), col("rk").cast("long").as("rk"))
+  }
+
+  /** X-SMP7 — 3-epoch, 8-shard order over the documents table; the oracle
+    * recomputes the identical digest/bucket/rank algebra.
+    */
+  private val smp7 = Probe(
+    "x_smp7_epoch_order",
+    """WITH e AS (
+      |  SELECT doc_id, epoch,
+      |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS key
+      |  FROM documents, UNNEST(generate_series(0, 2)) AS t(epoch)),
+      |s AS (
+      |  SELECT doc_id, epoch, key,
+      |         ('0x' || substr(key, 1, 4))::BIGINT % 8 AS shard
+      |  FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, shard, doc_id,
+      |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY key, doc_id) AS BIGINT) AS rk
+      |FROM s ORDER BY epoch, shard, rk""".stripMargin) { (s, dir) =>
+    epochOrder(Tables(s, dir, "documents").select("doc_id"), epochs = 3, shards = 8)
+      .orderBy("epoch", "shard", "rk")
+  }
+
+  val all: Seq[Probe] = Seq(txt14, txt15, pack3, smp7)
+}

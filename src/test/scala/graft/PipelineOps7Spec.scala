@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.PipelineOps7
+
+/** Novelty, entropy, length batching, epoch ordering: hand-built fixture
+  * semantics plus invariants on the real tables.
+  */
+class PipelineOps7Spec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+
+  private def mkDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("noveltyScores: copies score 0, originals 1e6, partial copies exact ppm") {
+    val d = mkDocs(
+      1L -> "a b c d e",         // grams {a b c d, b c d e} — both first here
+      2L -> "a b c d e",         // exact copy — zero novel
+      3L -> "a b c d x y z w",   // {a b c d}(seen) + 4 new of 5 distinct
+      4L -> "p q r")             // < 4 tokens — excluded entirely
+    val out = PipelineOps7.noveltyScores(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 1000000L)))
+    assert(out(2L) == ((2L, 0L)))
+    assert(out(3L) == ((5L, 800000L)))
+    assert(!out.contains(4L))
+  }
+
+  test("noveltyScores: novelty is over DISTINCT grams (repeats don't inflate)") {
+    val d = mkDocs(1L -> "a b c d a b c d a b c d") // many positions, few grams
+    val out = PipelineOps7.noveltyScores(d).collect()
+    assert(out.length == 1)
+    // distinct grams of the repeated text: a b c d / b c d a / c d a b / d a b c
+    assert(out.head.getLong(1) == 4L)
+    assert(out.head.getLong(2) == 1000000L)
+  }
+
+  test("tokenEntropy: uniform text 0, two equiprobable tokens ln 2") {
+    val d = mkDocs(1L -> "a a a a", 2L -> "a b", 3L -> "x")
+    val out = PipelineOps7.tokenEntropy(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 0.0)
+    assert(out(2L)._2 == BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(3L)._2 == 0.0)
+  }
+
+  test("tokenEntropy: whitespace-robust via the shared tokenizer") {
+    val d = mkDocs(1L -> "a\t b\n\nb   a", 2L -> "a b b a")
+    val out = PipelineOps7.tokenEntropy(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == out(2L)) // dirty whitespace must not mint empty tokens
+  }
+
+  test("lengthBatches: bucket/batch arithmetic and padding accounting") {
+    // n_tok: 3,3,3 in bucket 0; 17,18,19,20 in bucket 1 (width 16, batch 2)
+    val d = mkDocs(
+      1L -> "a b c", 2L -> "d e f", 3L -> "g h i",
+      4L -> Seq.fill(17)("w").mkString(" "), 5L -> Seq.fill(18)("w").mkString(" "),
+      6L -> Seq.fill(19)("w").mkString(" "), 7L -> Seq.fill(20)("w").mkString(" "))
+    val out = PipelineOps7.lengthBatches(d, bucketWidth = 16, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((0L, 0L)) == ((2L, 3L, 6L, 0L)))   // two 3-token docs, no padding
+    assert(out((0L, 1L)) == ((1L, 3L, 3L, 0L)))   // trailing singleton batch
+    assert(out((1L, 0L)) == ((2L, 18L, 35L, 1L))) // (17,18): waste 2*18-35
+    assert(out((1L, 1L)) == ((2L, 20L, 39L, 1L))) // (19,20): waste 2*20-39
+  }
+
+  test("lengthBatches: waste bounded by construction on the real corpus") {
+    val out = PipelineOps7.lengthBatches(docs, bucketWidth = 16, batchSize = 8).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, waste) = (r.getLong(2), r.getLong(5))
+      assert(nDocs <= 8L)
+      assert(waste <= (16L - 1L) * nDocs, s"padding bound violated: $r")
+    }
+  }
+
+  test("epochOrder: epochs permute differently, ranks contiguous, deterministic") {
+    val base = docs.select("doc_id")
+    val n = base.count()
+    val out = PipelineOps7.epochOrder(base, epochs = 3, shards = 8)
+    assert(out.count() == 3 * n)
+    // each (epoch, shard) ranks exactly 1..count
+    val bad = out.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("c"), max("rk").as("m"), min("rk").as("lo"))
+      .filter(col("m") =!= col("c") || col("lo") =!= 1L).count()
+    assert(bad == 0L)
+    // the same document lands in different shard/rank positions across epochs
+    val perDoc = out.groupBy("doc_id")
+      .agg(countDistinct(concat_ws(":", col("shard"), col("rk"))).as("pos"))
+    assert(perDoc.filter(col("pos") > 1).count() > n / 2)
+    // reproducible algebra: two plans, identical schedule
+    val again = PipelineOps7.epochOrder(base, epochs = 3, shards = 8)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("Corpus API forms match the probe outputs") {
+    import graft.api.Corpus
+    val novProbe = SparkEntry.queries("x_txt14_novelty")(spark, dir)
+      .select("doc_id", "novelty_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val novApi = Corpus(spark, dir).withNoveltyScore().df
+      .select("doc_id", "novelty_ppm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(novApi.filter(_._2 >= 0L) == novProbe)
+    val entProbe = SparkEntry.queries("x_txt15_token_entropy")(spark, dir)
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val entApi = Corpus(spark, dir).withTokenEntropy().df
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(entApi == entProbe)
+    val lbApi = Corpus(spark, dir).lengthBatches().orderBy("bucket", "batch").collect().toSeq
+    val lbProbe = SparkEntry.queries("x_pack3_length_batching")(spark, dir).collect().toSeq
+    assert(lbApi == lbProbe)
+  }
+}

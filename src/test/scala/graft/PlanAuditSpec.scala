@@ -220,6 +220,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Exchange SinglePartition"), s"global window:\n$plan")
   }
 
+  test("x_txt15: pure two-level hash aggregation — no global funnel, no join") {
+    val df = SparkEntry.queries("x_txt15_token_entropy")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"global funnel:\n$plan")
+    assert(!plan.contains("Join"), s"entropy needs no join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, // partial+final x 2 levels
+      s"missing map-side combine:\n$plan")
+  }
+
+  test("x_pack3: ONE keyed exchange (bucket window), no global row_number") {
+    val df = SparkEntry.queries("x_pack3_length_batching")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // hashpartitioning(bucket) serves both the window and the (bucket,
+    // batch) aggregation — a second exchange would mean the agg re-shuffled
+    assert("Exchange hashpartitioning\\(bucket#".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), s"global window funnel:\n$plan")
+  }
+
+  test("x_smp7: ordering parallelizes across epoch x shard — no global sort") {
+    val df = SparkEntry.queries("x_smp7_epoch_order")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(epoch#\\d+L?, shard#".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), s"global window funnel:\n$plan")
+  }
+
+  test("x_txt14: digests only in the wide stages, no funnel, keyed window") {
+    val df = SparkEntry.queries("x_txt14_novelty")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"global funnel:\n$plan")
+    // three keyed exchanges: (doc,gram) distinct, gram-keyed first-doc
+    // window, doc-keyed rollup — anything more means a redundant shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan)
+  }
+
   test("x_ded13: keyed band join, no cartesian; verification joins are keyed too") {
     val df = SparkEntry.queries("x_ded13_embed_lsh")(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
