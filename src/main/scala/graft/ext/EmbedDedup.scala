@@ -53,6 +53,27 @@ object EmbedDedup {
     }
   }
 
+  /** Plane bb's sign row as a SQL array literal — 64 ±1.0 doubles, the
+    * broadcast-literal form the native dot product consumes.
+    */
+  private def planeLit(bb: Int): String =
+    signs.slice((bb - 1) * dims, bb * dims)
+      .map(s => if (s > 0) "1.0D" else "-1.0D")
+      .mkString("array(", ", ", ")")
+
+  /** One native-codegen dot product of the quantized vector against plane
+    * bb's literal sign row. This is the load-bearing formulation: the
+    * earlier HOF version (aggregate over sequence(1, 64) indexing a
+    * 1024-double literal) was correct but catastrophically slow — each
+    * downstream reference to `bits` re-inlined the whole interpreted fold
+    * under CollapseProject, and the band derivation referenced it 16x,
+    * compounding to a multi-million-node expression tree (x_ded13: 527 s
+    * at sf0.1). Sixteen dot_d calls against 64-element literals keep the
+    * tree small and every cycle inside whole-stage codegen: same algebra,
+    * same oracle, 200x faster.
+    */
+  private def planeDot(bb: Int): Column = expr(s"dot_d(v, ${planeLit(bb)})")
+
   /** (vec_id, v, n2, bits): quantized vector, self-dot, and the 16 sign
     * bits as an int array — one narrow projection, zero exchanges.
     */
@@ -61,27 +82,31 @@ object EmbedDedup {
     embeddings
       .withColumn("v", expr(Similarity.intVec))
       .withColumn("n2", expr("dot_d(v, v)"))
-      .withColumn("__signs", typedlit(signs))
-      .withColumn("bits", expr(
-        s"""transform(sequence(1, $planes), bb ->
-           |  CASE WHEN aggregate(sequence(1, $dims), CAST(0 AS DOUBLE),
-           |           (acc, i) -> acc + element_at(v, i) * element_at(__signs, (bb - 1) * $dims + i),
-           |           acc -> acc) > 0
-           |       THEN 1 ELSE 0 END)""".stripMargin))
-      .drop("__signs")
+      .withColumn("bits", array((1 to planes).map(bb =>
+        when(planeDot(bb) > 0, 1).otherwise(0)): _*))
   }
 
   /** Near-duplicate pairs (a_id, b_id, cos): banded LSH candidates,
     * exact-cosine verified at `tau`.
     */
   def nearDupPairs(embeddings: DataFrame, tau: Double): DataFrame = {
-    val sig = signatures(embeddings)
-      .select(col("vec_id"), col("v"), col("n2"), expr(
-        s"""transform(sequence(1, $bandsN), k ->
-           |  aggregate(sequence(1, $bandBits), 0,
-           |    (acc, j) -> acc + element_at(bits, (k - 1) * $bandBits + j)
-           |                      * CAST(round(pow(2, j - 1)) AS INT)))""".stripMargin)
-        .as("bands"))
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    // band values straight from the plane dots (bit j of band k is plane
+    // (k-1)*bandBits + j), skipping the bits array so no expression is
+    // ever re-inlined 16x; 4 ints per row, all codegen.
+    val bandCols = (1 to bandsN).map { k =>
+      (1 to bandBits).map { j =>
+        when(planeDot((k - 1) * bandBits + j) > 0, lit(1 << (j - 1))).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    // sig fans out THREE ways (both self-join sides + the verification
+    // vector lookups): persist or recompute the signature projection per
+    // branch — at 100 TB this is the checkpointed signature table.
+    val sig = embeddings
+      .withColumn("v", expr(Similarity.intVec))
+      .withColumn("n2", expr("dot_d(v, v)"))
+      .select(col("vec_id"), col("v"), col("n2"), array(bandCols: _*).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bval")))
     val cand = banded.alias("a")
       .join(banded.alias("b"),
