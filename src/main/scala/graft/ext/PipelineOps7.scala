@@ -40,6 +40,48 @@ object PipelineOps7 {
         expr("novel * 1000000 DIV n_grams").as("novelty_ppm"))
   }
 
+  /** The released corpus' distinct 4-gram digest set as ONE sorted-array
+    * row — the STATIC side of the streaming novelty scorer
+    * (`streaming.DocStreams.noveltyScored`), built batch-side with one
+    * digest-keyed shuffle. Broadcast-regime: viable while the released
+    * index fits a broadcast (every gram digest of the corpus — MBs to
+    * low GBs for snapshot-sized reference sets). Beyond that the
+    * incremental-novelty regimes are the batch [[noveltyScores]] join or
+    * a Bloom sketch of this set (the x_dec3 bounded-bitmap pattern, at
+    * the cost of a small seen-side false-positive rate).
+    */
+  def gramSet(docs: DataFrame): DataFrame =
+    graft.api.Corpus.shingles4(docs)
+      .select(md5(col("s")).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("__grams"))
+
+  /** Score `docs` against a pre-built released-corpus gram set: novelty =
+    * ppm of each document's DISTINCT 4-grams absent from the set. A
+    * stateless narrow transform (gram digests + native binary-search
+    * count against the broadcast array) — stream-capable, zero doc
+    * shuffles, zero state; the incremental-crawl regime of [[noveltyScores]]
+    * ("how much of this new document is new content").
+    */
+  def scoreNoveltyAgainst(docs: DataFrame, gramSet: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    // per-ROW distinct-gram digest array (no explode + per-doc aggregation:
+    // an agg would make the stage stateful under streaming; this keeps it a
+    // pure projection). The transform is referenced once downstream of its
+    // projection — not the x_ded13 16x re-inline shape.
+    docs
+      .withColumn("__ws", graft.clean.CleanFns.tokens(col("text")))
+      .filter(size(col("__ws")) >= 4)
+      .withColumn("__g", expr(
+        """array_sort(array_distinct(transform(sequence(1, size(__ws) - 3),
+          |  i -> md5(concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1),
+          |                     element_at(__ws, i + 2), element_at(__ws, i + 3))))))""".stripMargin))
+      .crossJoin(broadcast(gramSet)) // 1-row build side -> broadcast nested loop
+      .withColumn("n_grams", size(col("__g")).cast("long"))
+      .withColumn("n_seen", expr("CAST(sorted_count_in(__g, __grams) AS BIGINT)"))
+      .withColumn("novelty_ppm", expr("(n_grams - n_seen) * 1000000 DIV n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"), col("novelty_ppm"))
+  }
+
   /** X-TXT14 — novelty over the documents table; exact integer ppm so the
     * result is bit-identical under any partitioning. The oracle recomputes
     * the same distinct-gram / min-doc_id / truncating-division algebra.

@@ -157,6 +157,18 @@ object DocStreams {
   def boilerplateScored(docs: DataFrame, commons: DataFrame): DataFrame =
     graft.ext.PipelineOps5.scoreAgainstCommons(docs, commons)
 
+  /** Stream-capable novelty scoring — x_txt14's semantics in the
+    * incremental-crawl regime: each streamed document's novelty is the
+    * ppm of its DISTINCT 4-grams absent from a STATIC released-corpus
+    * gram set (built batch-side with `ext.PipelineOps7.gramSet`). A
+    * stateless narrow transform (per-row gram digests + native
+    * `sorted_count_in` binary search against the broadcast set) — zero
+    * state, zero shuffle, same regime note as the batch helper: broadcast
+    * while the index fits, Bloom sketch or batch join beyond.
+    */
+  def noveltyScored(docs: DataFrame, gramSet: DataFrame): DataFrame =
+    graft.ext.PipelineOps7.scoreNoveltyAgainst(docs, gramSet)
+
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via
     * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero

@@ -98,6 +98,20 @@ class PipelineOps7Spec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("incremental novelty (static gram set) == batch novelty for a newer doc") {
+    val released = mkDocs(
+      1L -> "a b c d e",
+      2L -> "m n o p q r")
+    val newDoc = mkDocs(10L -> "a b c d x y z w")
+    val incr = PipelineOps7.scoreNoveltyAgainst(newDoc, PipelineOps7.gramSet(released))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val batch = PipelineOps7.noveltyScores(released.unionByName(newDoc))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a doc with the highest id: "first seen here" == "absent from index"
+    assert(incr(10L) == batch(10L))
+    assert(incr(10L) == ((5L, 800000L))) // {a b c d} seen, 4 of 5 novel
+  }
+
   test("Corpus API forms match the probe outputs") {
     import graft.api.Corpus
     val novProbe = SparkEntry.queries("x_txt14_novelty")(spark, dir)

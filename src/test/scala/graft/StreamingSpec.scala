@@ -401,6 +401,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming novelty scoring == batch against the same static gram set") {
+    import graft.streaming.DocStreams
+    import graft.ext.PipelineOps7
+    val batchDocs = Tables(spark, dir, "documents")
+    // released-corpus gram set from the even docs; stream the odd docs
+    // (plus nothing guarantees disjoint grams, which is the point)
+    val grams = PipelineOps7.gramSet(batchDocs.filter(col("doc_id") % 2 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nov_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.noveltyScored(stream, grams)
+        .select(col("doc_id"), col("n_grams"), col("n_seen"), col("novelty_ppm"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("nov_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("nov_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted.toSeq
+        val want = PipelineOps7.scoreNoveltyAgainst(
+            spark.read.parquet(s"$tmp/in"), grams)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        // a doc whose grams all occur in the released half would be 0;
+        // the synthetic corpus guarantees both seen and novel grams exist
+        assert(got.exists(_._3 > 0L), "expected some seen grams")
+        assert(got.exists(_._4 > 0L), "expected some novelty")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming MinHash near-dedup == batch against the same persisted band index") {
     import graft.streaming.DocStreams
     import graft.ext.BandIndex
