@@ -231,5 +231,47 @@ object PipelineOps7 {
       .orderBy("epoch", "shard", "rk")
   }
 
-  val all: Seq[Probe] = Seq(txt14, txt15, pack3, smp7)
+  /** X-PIPE3 — the round-6 assembly chain composed end to end through the
+    * Corpus API and oracle-checked as a WHOLE: leakage-safe 80/10/10
+    * source split → train split only → ~3000-token greedy budget per
+    * language → length-bucketed batch layout. Each stage is individually
+    * oracle-green (x_smp6 / x_mix3 / x_pack3); this pins that their
+    * COMPOSITION is too — deterministic hash algebra survives chaining,
+    * which is the property that lets a recipe be re-run to the same
+    * shards on a re-crawl. Exchanges: the per-lang budget window and the
+    * bucket window; the split is narrow.
+    */
+  private val pipe3 = Probe(
+    "x_pipe3_split_budget_batch",
+    s"""WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |         ('0x' || substr(md5(source), 1, 4))::BIGINT % 100 AS sb
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, lang, len(${graft.clean.CleanFns.tokensDuck("text")}) AS n_tok
+      |  FROM b WHERE sb < 80),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY lang
+      |                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+      |  FROM d),
+      |k AS (SELECT doc_id, n_tok FROM c WHERE cum_tok <= 3000),
+      |bb AS (
+      |  SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+      |         (row_number() OVER (PARTITION BY n_tok // 16 ORDER BY n_tok, doc_id) - 1) // 8 AS batch
+      |  FROM k)
+      |SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(n_tok) AS BIGINT) AS max_tok,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+      |FROM bb GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin) { (s, dir) =>
+    val train = graft.api.Corpus(s, dir).splitByGroup()
+    graft.api.Corpus(train.df.filter(col("split") === "train"))
+      .takeTokenBudget(3000L)
+      .lengthBatches()
+      .orderBy("bucket", "batch")
+  }
+
+  val all: Seq[Probe] = Seq(txt14, txt15, pack3, smp7, pipe3)
 }

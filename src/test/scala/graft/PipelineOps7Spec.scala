@@ -98,6 +98,30 @@ class PipelineOps7Spec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("corpus invariants: first doc fully novel, ppm bounded, entropy bounded") {
+    val nov = PipelineOps7.noveltyScores(docs).collect()
+    val firstId = nov.map(_.getLong(0)).min
+    assert(nov.find(_.getLong(0) == firstId).get.getLong(2) == 1000000L,
+      "the corpus' earliest doc must be 100% novel")
+    assert(nov.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 1000000L))
+    val ent = PipelineOps7.tokenEntropy(docs).collect()
+    assert(ent.forall { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      // the surfaced value is round(H, 6): HALF_UP can sit up to 5e-7
+      // above the true bound when H == ln(n) exactly (all tokens distinct)
+      h >= -1e-6 && h <= math.log(n.toDouble) + 1e-6
+    }, "entropy must sit in [0, ln n_tok] up to the 6-decimal rounding")
+  }
+
+  test("lengthBatches: token mass is conserved across the layout") {
+    val total = docs
+      .select(sum(size(graft.clean.CleanFns.tokens(col("text")))).cast("long"))
+      .collect().head.getLong(0)
+    val packed = PipelineOps7.lengthBatches(docs)
+      .agg(sum("sum_tok").cast("long")).collect().head.getLong(0)
+    assert(packed == total)
+  }
+
   test("incremental novelty (static gram set) == batch novelty for a newer doc") {
     val released = mkDocs(
       1L -> "a b c d e",
