@@ -169,6 +169,40 @@ object PipelineOps7 {
         (col("n_docs") * col("max_tok") - col("sum_tok")).as("pad_waste"))
   }
 
+  /** X-TXT16 — the incremental-novelty regime oracle-checked: documents
+    * with odd doc_ids scored against the even-doc_id half as the released
+    * corpus. The Spark side is the stream-capable broadcast +
+    * `sorted_count_in` binary-search path ([[scoreNoveltyAgainst]] — the
+    * exact code `DocStreams.noveltyScored` runs); the oracle computes the
+    * same membership with a plain relational anti-join, so the native
+    * expression's binary-search semantics are hash-checked against
+    * first-principles SQL.
+    */
+  private val txt16 = Probe(
+    "x_txt16_incremental_novelty",
+    s"""WITH rel AS (
+      |  SELECT DISTINCT md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g
+      |  FROM (SELECT ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents
+      |        WHERE doc_id % 2 = 0 AND len(${graft.clean.CleanFns.tokensDuck("text")}) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |nd AS (
+      |  SELECT DISTINCT doc_id,
+      |         md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g
+      |  FROM (SELECT doc_id, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents
+      |        WHERE doc_id % 2 = 1 AND len(${graft.clean.CleanFns.tokensDuck("text")}) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i))
+      |SELECT nd.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(count(rel.g) AS BIGINT) AS n_seen,
+      |       CAST((count(*) - count(rel.g)) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+      |FROM nd LEFT JOIN rel ON nd.g = rel.g
+      |GROUP BY nd.doc_id ORDER BY nd.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    scoreNoveltyAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        gramSet(docs.filter(col("doc_id") % 2 === 0)))
+      .orderBy("doc_id")
+  }
+
   /** X-PACK3 — length-bucketed batches of the documents table (width-16
     * buckets, batches of 8). The oracle runs the identical bucket /
     * row_number / batch arithmetic.
@@ -273,5 +307,5 @@ object PipelineOps7 {
       .orderBy("bucket", "batch")
   }
 
-  val all: Seq[Probe] = Seq(txt14, txt15, pack3, smp7, pipe3)
+  val all: Seq[Probe] = Seq(txt14, txt15, txt16, pack3, smp7, pipe3)
 }
