@@ -22,6 +22,10 @@ object Bench {
       // 50+ distinct queries x several codegen stages each blow through the
       // default 100-entry generated-class cache -> recompiles mid-suite.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // session-build-time, not read-time (ADVICE r5): a NANOS-encoded
+      // events file must be readable from the first scan; Tables still
+      // sets it defensively for sessions built elsewhere.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     // ERROR, not WARN: per-query function registration logs one WARN line
     // each, and at 109 queries those lines crowd the driver's bounded

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // session-build-time, not read-time (ADVICE r5): a NANOS-encoded
+      // events file must be readable from the first scan; Tables still
+      // sets it defensively for sessions built elsewhere.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
