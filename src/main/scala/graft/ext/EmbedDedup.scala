@@ -158,5 +158,58 @@ object EmbedDedup {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Probe] = Seq(ded13)
+  /** Near-dup RESOLUTION for vectors: LSH-verified pairs clustered into
+    * connected components (transitive closure — A≈B, B≈C groups all
+    * three), each vector labeled with its component (min vec_id) and
+    * cluster size; the survivor policy is then "keep comp_id". Reuses the
+    * text chain's iterative `Dedup.connectedComponents` — same
+    * action-bound cost model, rounds = cluster diameter.
+    */
+  def dedupClusters(embeddings: DataFrame, tau: Double): DataFrame =
+    graft.ext.Dedup.connectedComponents(
+        nearDupPairs(embeddings, tau)
+          .select(col("a_id").as("a"), col("b_id").as("b")))
+      .select(col("doc_id").as("vec_id"), col("comp_id"), col("n_reach"))
+
+  /** X-DED14 — embedding dedup resolved end to end: x_ded13's verified
+    * pair set → components → (vec_id, comp_id, n_reach), hash-matched
+    * against the DuckDB WITH RECURSIVE closure over the identical banded
+    * pair SQL. The vector-space completion of the x_ded7 text form.
+    */
+  private val ded14 = Probe(
+    "x_ded14_embed_clusters",
+    """WITH RECURSIVE iv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM iv),
+      |d AS (
+      |  SELECT vec_id, bb,
+      |    SUM(CASE WHEN substr(md5(bb || '_' || i), 1 + ((i * 7 + bb * 13) % 32), 1)
+      |             IN ('8','9','a','b','c','d','e','f') THEN v[i] ELSE -v[i] END) AS dot
+      |  FROM iv, UNNEST(generate_series(1, 16)) AS t1(bb), UNNEST(generate_series(1, 64)) AS t2(i)
+      |  GROUP BY vec_id, bb),
+      |bands AS (
+      |  SELECT vec_id, (bb - 1) // 4 AS band,
+      |         SUM(CASE WHEN dot > 0 THEN CAST(power(2, (bb - 1) % 4) AS BIGINT) ELSE 0 END) AS bval
+      |  FROM d GROUP BY vec_id, (bb - 1) // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
+      |pr AS (
+      |  SELECT c.a_id AS a, c.b_id AS b
+      |  FROM cand c JOIN n na ON na.vec_id = c.a_id JOIN n nb ON nb.vec_id = c.b_id
+      |  WHERE list_sum(list_transform(list_zip(na.v, nb.v), z -> z[1] * z[2])) /
+      |        sqrt(na.n2 * nb.n2) >= 0.35),
+      |ed AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM ed
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
+      |SELECT a AS vec_id, MIN(b) AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_reach
+      |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    dedupClusters(Tables(s, dir, "embeddings"), tau = 0.35).orderBy("vec_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded13, ded14)
 }

@@ -57,6 +57,23 @@ class EmbedDedupSpec extends SparkSuite {
     assert(lsh.size >= brute.size / 4, s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
+  test("dedupClusters: component labels are transitive and minimal") {
+    val clusters = EmbedDedup.dedupClusters(emb, tau = 0.35).collect()
+    assert(clusters.nonEmpty)
+    val byComp = clusters.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      // the label IS the minimum member id, and every member agrees on size
+      assert(members.map(_.getLong(0)).min == comp)
+      assert(members.forall(_.getLong(2) == members.length.toLong))
+    }
+    // resolution is consistent with the pair set: every paired vector is
+    // labeled, and both ends of every pair share a component
+    val pairs = EmbedDedup.nearDupPairs(emb, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val label = clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+  }
+
   test("signature stage is narrow: zero exchanges") {
     val plan = EmbedDedup.signatures(emb).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
