@@ -381,6 +381,28 @@ object Dedup {
   private def planReset(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Two-level distributed connected components over an undirected pair
+    * list `(a, b)`:
+    *
+    *  1. CONTRACT — seed every vertex with `min(id, min(neighbor))` (one
+    *     groupBy over the symmetric edge list), then collapse the graph to
+    *     edges BETWEEN DISTINCT LABELS. Dense near-dup clusters (the
+    *     common case) collapse to single contracted vertices here, and
+    *     the contracted edge set is typically orders of magnitude smaller
+    *     than the input (sf0.1 embedding graph: 1722 vertices / ~100k
+    *     symmetric edges → 854 labels / 4.2k contracted edges).
+    *  2. ITERATE — min-label propagation WITH pointer halving on the
+    *     contracted graph only ([[iterate]]); every round is cheap
+    *     because the data is small, and rounds are few because halving
+    *     makes convergence logarithmic in the contracted diameter.
+    *  3. EXPAND — map each vertex through its seed label to the
+    *     contracted component (one broadcast-sized join).
+    *
+    * The fixpoint is unchanged by contraction: every seed label is the id
+    * of an in-component vertex, the global min vertex m of a component is
+    * its own seed (`l1(m) = m`, nothing adjacent is smaller), so the
+    * contracted component min IS the component min.
+    */
   def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame,
       checkpointEvery: Int = 0): org.apache.spark.sql.DataFrame = {
@@ -391,21 +413,61 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesCached.count() // materialize, then cut the upstream plan out of every round
     val edges = planReset(edgesCached)
-    // ONE propagation step per action; the convergence count doubles as
-    // the round's cache materialization. Actions (plan+codegen+job cycles)
-    // dominate wall time at near-dup cluster sizes, so the tempting
-    // "fuse 2 steps per action" variant was tried and REVERTED: the
-    // fused plan re-executes its uncached intermediate and thrashes the
-    // cache — measured 4-10× slower than this simple loop. Rounds needed
-    // = component diameter + 1 (shallow for dup clusters: 3-4 total).
-    //
-    // Round-0 seeding: label = min(id, min(neighbor)) straight off the edge
-    // pass — the same groupBy shuffle the old `distinct()` vertex
-    // derivation paid, but it bakes the first propagation hop into the
-    // seed, so diameter-1 clusters (complete dup groups — the common case)
-    // converge on the FIRST convergence check. Safe: every label is still
-    // the id of an in-component vertex, so the monotone min-propagation
-    // fixpoint (= component min) is unchanged.
+    // reliable-checkpoint regime: every intermediate materialization is
+    // file-backed so a converged call leaves NOTHING in the block manager
+    // (DedupSpec pins this); otherwise persist + drop when consumed.
+    def materialize(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, () => Unit) =
+      if (reliable) (df.checkpoint(), () => ())
+      else {
+        val c = df.persist(StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        (planReset(c), () => { c.unpersist(); () })
+      }
+    // l1 feeds the RETURNED lazy plan: under checkpointing it is a file-
+    // backed leaf (nothing cached — the leak-free property DedupSpec
+    // pins); otherwise its cache stays to pay for the caller's execution,
+    // the same contract as the loop's final round.
+    val (l1, _) = materialize(edges.groupBy(col("a"))
+      .agg(min(col("b")).as("__nb"))
+      .select(col("a").as("id"), least(col("a"), col("__nb")).as("comp")))
+    // the contracted graph: one edge per adjacent label pair
+    val (ce, dropCe) = materialize(edges
+      .join(l1.select(col("id").as("__ca"), col("comp").as("__la")), col("a") === col("__ca"))
+      .join(l1.select(col("id").as("__cb"), col("comp").as("__lb")), col("b") === col("__cb"))
+      .filter(col("__la") =!= col("__lb"))
+      .select(col("__la").as("a"), col("__lb").as("b"))
+      .distinct())
+    val nCe = ce.count()
+    edgesCached.unpersist() // the loop only ever sees the contracted graph
+    val labels =
+      if (nCe == 0) l1 // every cluster collapsed at the seed — done
+      else {
+        val l2 = iterate(ce, checkpointEvery, reliable)
+        dropCe() // l2 is materialized; the contracted graph is dead
+        l1.join(l2.select(col("id").as("__lid"), col("comp").as("__lcomp")),
+            col("comp") === col("__lid"), "left")
+          .select(col("id"), coalesce(col("__lcomp"), col("comp")).as("comp"))
+      }
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_reach"))
+    val out = labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("n_reach"))
+    if (nCe == 0) dropCe()
+    out
+  }
+
+  /** Min-label propagation with pointer halving until fixpoint; `edges`
+    * must be symmetric. Returns (id, comp). ONE propagation step per
+    * action; the convergence count doubles as the round's cache
+    * materialization. Actions (plan+codegen+job cycles) dominate wall
+    * time at contracted-graph sizes, so the tempting "fuse 2 steps per
+    * action" variant was tried and REVERTED: the fused plan re-executes
+    * its uncached intermediate and thrashes the cache — measured 4-10×
+    * slower than this simple loop.
+    */
+  private def iterate(
+      edges: org.apache.spark.sql.DataFrame,
+      checkpointEvery: Int,
+      reliable: Boolean): org.apache.spark.sql.DataFrame = {
     var cached = edges.groupBy(col("a"))
       .agg(min(col("b")).as("__nb"))
       .select(col("a").as("id"), least(col("a"), col("__nb")).as("comp"))
@@ -415,19 +477,39 @@ object Dedup {
     var round = 0
     while (!converged) {
       round += 1
-      val step = labels.join(
+      val prop = labels.join(
           edges.join(labels, edges("b") === labels("id"))
             .groupBy(edges("a").as("nid")).agg(min(col("comp")).as("ncomp")),
           labels("id") === col("nid"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp1"))
+        // referenced by BOTH sides of the halving join below — cache or
+        // the neighbor-min join+agg executes twice per round
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Pointer halving: additionally follow the new label's OWN label.
+      // Every label is an in-component vertex id, so the lookup is a
+      // self-join on the same round's frame; the min fixpoint (=
+      // component min) is untouched, but label chains shorten
+      // super-linearly per round — convergence logarithmic in diameter
+      // instead of linear (the sf0.1 embedding graph's near-threshold
+      // pairs chain into long paths: ~25 rounds neighbor-min only, 10
+      // with halving, and a handful once contraction shrinks the graph).
+      val step = prop.alias("x").join(
+          prop.select(col("id").as("pid"), col("comp1").as("pcomp")).alias("p"),
+          col("x.comp1") === col("pid"), "left")
+        .select(col("x.id").as("id"), col("x.comp"),
+          least(col("x.comp1"), coalesce(col("pcomp"), col("x.comp1"))).as("comp2"))
       val updated =
         if (checkpointEvery > 0 && round % checkpointEvery == 0)
           // eager: materializes AND truncates lineage; reliable checkpoints
           // are file-backed (no cache entry), local ones persist internally
           if (reliable) step.checkpoint() else step.localCheckpoint()
         else step.persist(StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
       converged = updated.filter(col("comp2") < col("comp")).count() == 0
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(f"[cc] round $round ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
+      prop.unpersist() // updated is materialized; drop the round's halves
       cached.unpersist() // updated is materialized; drop the parent round
       cached = updated
       // materialized by the convergence count -> safe to cut the plan; a
@@ -437,10 +519,7 @@ object Dedup {
         else planReset(updated)
       labels = flat.select(col("id"), col("comp2").as("comp"))
     }
-    edgesCached.unpersist() // labels are materialized; the edge cache is dead
-    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_reach"))
-    labels.join(sizes, "comp")
-      .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("n_reach"))
+    labels
   }
 
   /** X-DED7 — near-dup CLUSTERING: connected components over the MinHash-
