@@ -157,6 +157,16 @@ object DocStreams {
   def boilerplateScored(docs: DataFrame, commons: DataFrame): DataFrame =
     graft.ext.PipelineOps5.scoreAgainstCommons(docs, commons)
 
+  /** Stream-capable leakage-safe split assignment — x_smp6's semantics at
+    * ingest time: each arriving document is tagged train/val/test by the
+    * md5 bucket of its GROUP (source/domain), so a crawl tagged as it
+    * lands agrees exactly with any batch re-run. Pure per-row hash
+    * algebra: stateless, zero shuffle.
+    */
+  def withSplit(docs: DataFrame): DataFrame =
+    graft.ext.PipelineOps6.splitByGroup(docs, col("source"),
+      Seq("train", "val", "test"), Seq(80, 90))
+
   /** Stream-capable novelty scoring — x_txt14's semantics in the
     * incremental-crawl regime: each streamed document's novelty is the
     * ppm of its DISTINCT 4-grams absent from a STATIC released-corpus

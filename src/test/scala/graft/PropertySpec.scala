@@ -178,4 +178,48 @@ class PropertySpec extends SparkSuite {
     }
     assert(got == want)
   }
+
+  test("connectedComponents == in-memory union-find on random graphs") {
+    // random graphs drawn to stress the two-level algorithm's regimes:
+    // long chains (deep contracted diameter), dense cliques (collapse at
+    // the seed), isolated pairs, and mixtures
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 60)            // vertex universe
+      m <- Gen.choose(1, 120)           // edge count
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    // plus deterministic adversarial shapes: a pure 40-chain and a
+    // 20-clique + 20-chain mixture (ids descending so min-labels travel
+    // the full length)
+    val chain = (0L until 40L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val cliqueChain =
+      (for (i <- 40L until 60L; j <- (i + 1) until 60L) yield (i, j)) ++ chain
+    val cases = samples(edgeGen, 12).filter(_.nonEmpty) ++ Seq(chain, cliqueChain)
+    cases.foreach { edges =>
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.map { v =>
+        val root = find(v)
+        // canonical label = min vertex of the component
+        (v, verts.filter(u => find(u) == root).min)
+      }.groupBy(_._2).flatMap { case (comp, members) =>
+        members.map { case (v, _) => (v, comp, members.size.toLong) }
+      }.toSet
+      val got = graft.ext.Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"edges=$edges")
+    }
+  }
 }

@@ -401,6 +401,36 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming split assignment == batch x_smp6 (stateless hash algebra)") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_stream").toString
+    try {
+      batchDocs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.withSplit(stream)
+        .select(col("doc_id"), col("split"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("split_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("split_out")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        val want = SparkEntry.queries("x_smp6_group_split")(spark, dir)
+          .select("doc_id", "split")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming novelty scoring == batch against the same static gram set") {
     import graft.streaming.DocStreams
     import graft.ext.PipelineOps7
