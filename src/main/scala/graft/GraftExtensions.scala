@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_count_in"),
       new ExpressionInfo(classOf[graft.functions.SortedCountIn].getName, "sorted_count_in"),
       (exprs: Seq[Expression]) => graft.functions.SortedCountIn(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("ngram_md5"),
+      new ExpressionInfo(classOf[graft.functions.NgramMd5].getName, "ngram_md5"),
+      (exprs: Seq[Expression]) => graft.functions.NgramMd5(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -52,6 +56,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_count_in",
       exprs => graft.functions.SortedCountIn(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_md5",
+      exprs => graft.functions.NgramMd5(exprs.head, exprs(1)), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

@@ -50,10 +50,14 @@ object PipelineOps7 {
     * a Bloom sketch of this set (the x_dec3 bounded-bitmap pattern, at
     * the cost of a small seen-side false-positive rate).
     */
-  def gramSet(docs: DataFrame): DataFrame =
-    graft.api.Corpus.shingles4(docs)
-      .select(md5(col("s")).as("g")).distinct()
+  def gramSet(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    // native ngram_md5 dedupes per-doc BEFORE the explode, so the
+    // distinct's shuffle carries each doc's digest set, not every gram
+    // position
+    docs.select(explode(expr("ngram_md5(text, 4)")).as("g")).distinct()
       .agg(sort_array(collect_list(col("g"))).as("__grams"))
+  }
 
   /** Score `docs` against a pre-built released-corpus gram set: novelty =
     * ppm of each document's DISTINCT 4-grams absent from the set. A
@@ -66,15 +70,14 @@ object PipelineOps7 {
     graft.GraftExtensions.register(docs.sparkSession)
     // per-ROW distinct-gram digest array (no explode + per-doc aggregation:
     // an agg would make the stage stateful under streaming; this keeps it a
-    // pure projection). The transform is referenced once downstream of its
-    // projection — not the x_ded13 16x re-inline shape.
+    // pure projection). Native `ngram_md5` — one tight JVM pass per row
+    // instead of an interpreted HOF lambda per gram position; NgramMd5Spec
+    // pins it ≡ the declarative sort(distinct(transform(md5))) form. Docs
+    // under 4 tokens yield an empty array and are dropped, exactly the
+    // declarative size(ws) >= 4 filter.
     docs
-      .withColumn("__ws", graft.clean.CleanFns.tokens(col("text")))
-      .filter(size(col("__ws")) >= 4)
-      .withColumn("__g", expr(
-        """array_sort(array_distinct(transform(sequence(1, size(__ws) - 3),
-          |  i -> md5(concat_ws(' ', element_at(__ws, i), element_at(__ws, i + 1),
-          |                     element_at(__ws, i + 2), element_at(__ws, i + 3))))))""".stripMargin))
+      .withColumn("__g", expr("ngram_md5(text, 4)"))
+      .filter(size(col("__g")) > 0)
       .crossJoin(broadcast(gramSet)) // 1-row build side -> broadcast nested loop
       .withColumn("n_grams", size(col("__g")).cast("long"))
       .withColumn("n_seen", expr("CAST(sorted_count_in(__g, __grams) AS BIGINT)"))
