@@ -24,7 +24,7 @@ object Tables {
       // session-tz TIMESTAMP either way, so a regenerated file can never
       // silently change query semantics again; anything unexpected fails
       // loudly here at load rather than per-query downstream.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      setEventsConfs(spark)
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType))
     } else {
@@ -36,8 +36,19 @@ object Tables {
     * set it session-wide here, harmless for every other type).
     */
   def eventsTsScanType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    setEventsConfs(spark)
     spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** Session confs the events load depends on: nanosAsLong (a NANOS file is
+    * unreadable without it) and UTC session timezone — the NTZ→TIMESTAMP
+    * cast in [[normalizeEventsTs]] is value-preserving ONLY under UTC, so a
+    * foreign session (built outside Bench/Verify/tests) with a local tz
+    * must not silently shift every event time relative to the oracle.
+    */
+  private def setEventsConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** ts normalized to a session-tz TIMESTAMP from whichever encoding the

@@ -28,6 +28,11 @@ object PipelineOps6 {
   def splitByGroup(df: DataFrame, group: Column, names: Seq[String],
       cuts: Seq[Int]): DataFrame = {
     require(names.size == cuts.size + 1, "need one more name than cut-point")
+    // the foldRight when-chain below is only correct for ascending in-range
+    // cut-points; a recipe like Seq(90, 80) must fail loudly, not mislabel
+    require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 100),
+      s"cuts must be strictly ascending percentages in (0, 100); got $cuts")
+    require(cuts.distinct == cuts, s"cuts must be distinct; got $cuts")
     val bucket =
       conv(substring(md5(group.cast("string")), 1, 4), 16, 10).cast("long") % 100
     val split = cuts.zip(names).foldRight(lit(names.last): Column) {

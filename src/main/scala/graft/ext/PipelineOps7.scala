@@ -237,6 +237,10 @@ object PipelineOps7 {
     * ordering parallelizes across epochs x shards.
     */
   def epochOrder(docs: DataFrame, epochs: Int, shards: Int): DataFrame = {
+    // sequence(0, epochs - 1) with epochs <= 0 would emit a DESCENDING
+    // range (implicit -1 step) — bogus negative epochs — instead of erroring
+    require(epochs >= 1, s"epochs must be >= 1; got $epochs")
+    require(shards >= 1, s"shards must be >= 1; got $shards")
     val d = docs.select(col("doc_id"),
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
       .withColumn("key", md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))

@@ -49,6 +49,22 @@ class PipelineOps6Spec extends SparkSuite {
     assert(mixApi == mixProbe)
   }
 
+  test("splitByGroup: malformed cut-points fail loudly, not mislabel") {
+    val d = docs.select(col("doc_id"), col("source"))
+    intercept[IllegalArgumentException] {
+      PipelineOps6.splitByGroup(d, col("source"), Seq("a", "b", "c"), Seq(90, 80))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps6.splitByGroup(d, col("source"), Seq("a", "b"), Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps6.splitByGroup(d, col("source"), Seq("a", "b"), Seq(100))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineOps6.splitByGroup(d, col("source"), Seq("a", "b", "c"), Seq(80, 80))
+    }
+  }
+
   test("takeTokenBudget: per-group total within budget, greedy-maximal") {
     val budget = 800L
     val withTok = docs.select(col("doc_id"), col("lang"),

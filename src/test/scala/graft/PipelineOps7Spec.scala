@@ -98,6 +98,13 @@ class PipelineOps7Spec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("epochOrder: non-positive epochs/shards fail loudly") {
+    val base = docs.select("doc_id")
+    intercept[IllegalArgumentException] { PipelineOps7.epochOrder(base, epochs = 0, shards = 8) }
+    intercept[IllegalArgumentException] { PipelineOps7.epochOrder(base, epochs = -1, shards = 8) }
+    intercept[IllegalArgumentException] { PipelineOps7.epochOrder(base, epochs = 3, shards = 0) }
+  }
+
   test("corpus invariants: first doc fully novel, ppm bounded, entropy bounded") {
     val nov = PipelineOps7.noveltyScores(docs).collect()
     val firstId = nov.map(_.getLong(0)).min
