@@ -405,7 +405,8 @@ object Dedup {
     */
   def connectedComponents(
       pairs: org.apache.spark.sql.DataFrame,
-      checkpointEvery: Int = 0): org.apache.spark.sql.DataFrame = {
+      checkpointEvery: Int = 0,
+      localFinishMaxEdges: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     val reliable = checkpointEvery > 0 &&
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     val edgesCached = pairs.select(col("a"), col("b"))
@@ -442,8 +443,24 @@ object Dedup {
     val labels =
       if (nCe == 0) l1 // every cluster collapsed at the seed — done
       else {
-        val l2 = iterate(ce, checkpointEvery, reliable)
-        dropCe() // l2 is materialized; the contracted graph is dead
+        // Size-gated endgame: the contracted graph is typically orders of
+        // magnitude smaller than the input (sf0.1 embedding graph: ~100k
+        // symmetric edges → 4.2k contracted). Iterating THAT as ~6 full
+        // distributed rounds pays plan+schedule+codegen cycles to shuffle
+        // kilobytes; when it fits the explicit bound, collect once and
+        // union-find on the driver — the standard two-level CC endgame.
+        // Fixpoint provably identical (localClosure keeps min-roots), and
+        // DedupSpec pins both sides of the gate to the same labels.
+        val l2 =
+          if (nCe <= localFinishMaxEdges) {
+            val r = localClosure(ce)
+            dropCe()
+            broadcast(r) // label map is bounded by the gate — map-side join
+          } else {
+            val r = iterate(ce, checkpointEvery, reliable)
+            dropCe() // l2 is materialized; the contracted graph is dead
+            r
+          }
         l1.join(l2.select(col("id").as("__lid"), col("comp").as("__lcomp")),
             col("comp") === col("__lid"), "left")
           .select(col("id"), coalesce(col("__lcomp"), col("comp")).as("comp"))
@@ -520,6 +537,43 @@ object Dedup {
       labels = flat.select(col("id"), col("comp2").as("comp"))
     }
     labels
+  }
+
+  /** Driver union-find over a bounded contracted edge list — the endgame of
+    * [[connectedComponents]] once contraction has shrunk the graph under
+    * the explicit gate. Roots stay set-minima by construction (every union
+    * points the larger root at the smaller, under the same ordering Spark's
+    * min/least uses for these key types: numeric, or lexicographic for
+    * strings), so the returned (id, comp) fixpoint is exactly what
+    * [[iterate]] converges to. Returns one row per contracted vertex.
+    */
+  private def localClosure(ce: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = ce.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    ce.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { k => out += org.apache.spark.sql.Row(k, find(k)) }
+    val dt = ce.schema("a").dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("comp", dt))))
   }
 
   /** X-DED7 — near-dup CLUSTERING: connected components over the MinHash-

@@ -97,6 +97,21 @@ class DedupSpec extends SparkSuite {
       spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
   }
 
+  test("connectedComponents gate parity: local union-find endgame == distributed loop") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // deep chain + clique + pairs: contraction leaves a nonempty contracted
+    // graph, so the gate genuinely chooses between endgames
+    val pairs = ((0L until 30L).sliding(2).map(s => (s(1), s(0))).toSeq ++
+      Seq((40L, 41L), (41L, 42L), (40L, 42L), (50L, 51L))).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = Dedup.connectedComponents(pairs, localFinishMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(local == dist)
+    assert(local.filter(_._1 < 30L).forall(t => t._2 == 0L && t._3 == 30L))
+  }
+
   test("x_ded1 survivor is the newest event, ties broken by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -78,4 +78,83 @@ class EmbedDedupSpec extends SparkSuite {
     val plan = EmbedDedup.signatures(emb).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("sign matrix parameterizes: 128-dim matrix matches Spark's md5 derivation") {
+    val cfg = graft.ext.EmbedLsh(dims = 128)
+    val viaSpark = spark.sql(
+      s"""SELECT bb, i,
+         |  CASE WHEN substr(md5(concat(cast(bb AS STRING), '_', cast(i AS STRING))),
+         |                   cast(1 + (i * 7 + bb * 13) % 32 AS INT), 1)
+         |            IN ('8','9','a','b','c','d','e','f')
+         |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+         |FROM (SELECT explode(sequence(1, ${cfg.planes})) AS bb)
+         |LATERAL VIEW explode(sequence(1, ${cfg.dims})) AS i""".stripMargin)
+      .collect().map(r => ((r.getInt(0) - 1) * cfg.dims + r.getInt(1) - 1, r.getDouble(2)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(viaSpark == EmbedDedup.signsFor(cfg))
+    // geometry validation fires on inconsistent parameters
+    intercept[IllegalArgumentException] { graft.ext.EmbedLsh(planes = 16, bands = 3) }
+  }
+
+  // ---- adversarial fixtures: the degenerate corpora a real ANN-dedup user
+  // hits first (broken-encoder all-zero vectors, template-storm embeddings).
+  // Every vector of a storm lands in ONE (band, bval) bucket in every band,
+  // so the uncapped candidate join is quadratic in the storm size; the cap
+  // must bound it at K·n without disconnecting the storm's cluster.
+
+  private def storm(n: Int, base: Int => Float): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map { k =>
+      (k, Array.tabulate(64)(i => base(i) * (k + 1))) // scaled copies: cos = 1
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("candidate cap bounds a template storm at K*n; uncapped is quadratic") {
+    val n = 200
+    val df = storm(n, i => math.sin(i + 1).toFloat)
+    val k = 8
+    val capped = EmbedDedup.candidatePairs(df, cap = k).count()
+    val uncapped = EmbedDedup.candidatePairs(df, cap = 0).count()
+    assert(uncapped == n.toLong * (n - 1) / 2, s"storm not degenerate: $uncapped")
+    assert(capped <= k.toLong * n, s"cap did not bound candidates: $capped")
+    assert(capped >= n - k, s"cap overshot — storm chain broken: $capped")
+  }
+
+  test("all-zero vectors (broken encoder): capped candidates, no verified pairs") {
+    val n = 100
+    val df = storm(n, _ => 0.0f)
+    val k = 8
+    assert(EmbedDedup.candidatePairs(df, cap = 0).count() == n.toLong * (n - 1) / 2)
+    assert(EmbedDedup.candidatePairs(df, cap = k).count() <= k.toLong * n)
+    // n2 = 0 → cos is null → exact verification drops every pair
+    assert(EmbedDedup.nearDupPairs(df, tau = 0.35, maxCandidatesPerVec = k).count() == 0)
+  }
+
+  test("capped clusters still merge a storm into ONE component via chained pairs") {
+    val n = 60
+    val df = storm(n, i => math.cos(i * 3 + 1).toFloat)
+    val out = EmbedDedup.dedupClusters(df, tau = 0.35, maxCandidatesPerVec = 4)
+      .collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L), "not one component")
+    assert(out.forall(_.getLong(2) == n.toLong))
+  }
+
+  test("cache contract: signature cache never outlives the call; release drops pairs") {
+    spark.catalog.clearCache()
+    val (pairs, release) = EmbedDedup.nearDupPairsReleasable(emb, tau = 0.35)
+    assert(pairs.count() > 0)
+    // only the verified pair set is cached — the signature cache is gone
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // the end-to-end cluster chain leaves only connectedComponents'
+    // documented final-round cache behind, never the signature fan-out
+    spark.catalog.clearCache()
+    EmbedDedup.dedupClusters(emb, tau = 0.35).count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 2,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
+    spark.catalog.clearCache()
+  }
 }

@@ -217,9 +217,15 @@ class PropertySpec extends SparkSuite {
       }.groupBy(_._2).flatMap { case (comp, members) =>
         members.map { case (v, _) => (v, comp, members.size.toLong) }
       }.toSet
+      // both sides of the size gate: bounded local union-find endgame
+      // (default) and the fully distributed halving loop (gate = 0)
       val got = graft.ext.Dedup.connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == want, s"edges=$edges")
+      val gotDist = graft.ext.Dedup
+        .connectedComponents(edges.toDF("a", "b"), localFinishMaxEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotDist == want, s"distributed gate side, edges=$edges")
     }
   }
 }
