@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ngram_md5"),
       new ExpressionInfo(classOf[graft.functions.NgramMd5].getName, "ngram_md5"),
       (exprs: Seq[Expression]) => graft.functions.NgramMd5(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("quality_signals"),
+      new ExpressionInfo(classOf[graft.functions.QualitySignals].getName, "quality_signals"),
+      (exprs: Seq[Expression]) => graft.functions.QualitySignals(exprs.head)))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -59,6 +63,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_md5",
       exprs => graft.functions.NgramMd5(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quality_signals",
+      exprs => graft.functions.QualitySignals(exprs.head), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

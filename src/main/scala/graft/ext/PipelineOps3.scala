@@ -91,21 +91,22 @@ object PipelineOps3 {
     * projection shared by the x_txt11 probe, `api.Corpus`, and the
     * streaming path (`streaming.DocStreams`).
     */
-  def addQualityRuleSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def addQualityRuleSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
     docs
-      .withColumn("__w", graft.clean.CleanFns.tokens(lower(col("text"))))
-      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__qs",
+        graft.functions.QualitySignals.quality_signals(lower(col("text"))))
+      .withColumn("n_words", col("__qs.n_words"))
       .withColumn("mean_len_c",
-        expr("aggregate(__w, 0L, (acc, x) -> acc + length(x)) * 100 DIV nullif(size(__w), 0)"))
+        expr("__qs.sum_len * 100 DIV nullif(__qs.n_words, 0)"))
       .withColumn("alpha_ppm",
-        expr("size(filter(__w, x -> x rlike '[a-z]')) * 1000000L DIV nullif(size(__w), 0)"))
-      .withColumn("stop_hits",
-        expr("size(filter(__w, x -> array_contains(array('the','and','of','to','a','in','is','that'), x)))")
-          .cast("long"))
+        expr("__qs.n_alpha * 1000000L DIV nullif(__qs.n_words, 0)"))
+      .withColumn("stop_hits", col("__qs.n_stop"))
       .withColumn("keep", expr(
         """CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
           |  AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
-      .drop("__w")
+      .drop("__qs")
+  }
 
   private val txt11 = Probe(
     "x_txt11_quality_rules",
