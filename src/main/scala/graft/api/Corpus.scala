@@ -484,10 +484,13 @@ final case class Corpus(df: DataFrame) {
     * deterministic md5 permutation) while the running token total stays
     * within `budget` — "take ~N tokens of each language", the mixing
     * primitive data recipes express in tokens, not documents. Adds
-    * `cum_tok`. One keyed window shuffle.
+    * `cum_tok`. Routed through the SHARDED two-level prefix sum
+    * (x_mix3b): identical result to the single-window form, but a
+    * mega-group ("all of English") never funnels through one task and
+    * shards past the budget boundary are pruned before the window.
     */
   def takeTokenBudget(budget: Long, groupCol: String = "lang"): Corpus = chain { d =>
-    graft.ext.PipelineOps6.takeTokenBudget(d, col(groupCol),
+    graft.ext.PipelineOps6.takeTokenBudgetSharded(d, col(groupCol),
       size(graft.clean.CleanFns.tokens(col("text"))).cast("long"), budget)
   }
 

@@ -73,9 +73,10 @@ object PipelineOps6 {
     *
     * Scale shape: one shuffle (the per-group window). The running sum is a
     * per-group ordered prefix sum, so a mega-group funnels through one
-    * task — same caveat as any ordered window; when a single group
-    * outgrows a task, pre-aggregate per (group, salt) shard to running
-    * shard subtotals first (the x_pack2 two-level prefix-sum shape).
+    * task — same caveat as any ordered window. This form is the
+    * oracle-parity twin; the production route for real recipes ("take 5T
+    * tokens of English" IS a mega-group) is [[takeTokenBudgetSharded]],
+    * which computes the identical result as a two-level prefix sum.
     */
   def takeTokenBudget(df: DataFrame, group: Column, tokens: Column,
       budget: Long): DataFrame = {
@@ -86,6 +87,63 @@ object PipelineOps6 {
       .withColumn("cum_tok", sum(col("__tok")).over(w))
       .filter(col("cum_tok") <= budget)
       .drop("__tok")
+  }
+
+  /** [[takeTokenBudget]] without the mega-group funnel: the identical
+    * greedy fill as a TWO-LEVEL prefix sum (the x_pack2 shape, adapted to
+    * a hashed permutation order). The key identity: the per-group order IS
+    * `(md5(doc_id), doc_id)`, so sharding on the first `shardChars` hex
+    * characters of that same md5 yields shards that are CONTIGUOUS ranges
+    * of the global order — which makes
+    *
+    *   cum_tok(doc) = cumsum_within(group, shard) + exclusive_cumsum(shard totals)
+    *
+    * exact, not approximate. Three consequences for 100 TB:
+    *
+    *   - no within-window partition holds more than ~1/16^shardChars of a
+    *     group (md5 prefixes are uniform), so "take N tokens of English"
+    *     never serializes English onto one task;
+    *   - the shard-totals table is |groups| * 16^shardChars rows — tiny;
+    *     its own window is per-group over ≤ 16^shardChars rows, and the
+    *     offsets join is AQE-broadcast while small;
+    *   - shards whose EXCLUSIVE offset already exceeds the budget are
+    *     pruned before the expensive window runs (every row in them has
+    *     cum_tok ≥ offset > budget, tokens being non-negative), so the
+    *     window's work scales with the budget boundary, not the corpus.
+    *
+    * Requires `tokens` non-negative (token counts are). Same output
+    * contract as [[takeTokenBudget]]: input columns + `cum_tok`;
+    * TokenBudgetShardedSpec and the x_mix3b oracle pin sharded ≡ single
+    * window.
+    */
+  def takeTokenBudgetSharded(df: DataFrame, group: Column, tokens: Column,
+      budget: Long, shardChars: Int = 2): DataFrame = {
+    require(shardChars >= 1 && shardChars <= 8,
+      s"shardChars must be in [1, 8]; got $shardChars")
+    val outCols = df.columns
+    val base = df
+      .withColumn("__g", group)
+      .withColumn("__tok", tokens)
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__shard", substring(col("__h"), 1, shardChars))
+    // level 2 first: per-(group, shard) totals -> exclusive prefix offsets
+    val wS = Window.partitionBy("__g_o").orderBy("__shard_o")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__g").as("__g_o"), col("__shard").as("__shard_o"))
+      .agg(sum(col("__tok")).as("__s_tok"))
+      .withColumn("__off", coalesce(sum(col("__s_tok")).over(wS), lit(0L)))
+      .drop("__s_tok")
+    // budget-boundary pruning + level 1 inside each bounded shard
+    val wIn = Window.partitionBy(col("__g"), col("__shard"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(offsets,
+        base("__g") <=> offsets("__g_o") && base("__shard") === offsets("__shard_o"))
+      .filter(col("__off") <= budget)
+      .withColumn("cum_tok", col("__off") + sum(col("__tok")).over(wIn))
+      .filter(col("cum_tok") <= budget)
+      .select(outCols.map(col) :+ col("cum_tok"): _*)
   }
 
   /** X-MIX3 — ~2000 tokens of every language: the greedy budget fill over
@@ -116,5 +174,36 @@ object PipelineOps6 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(smp6, mix3)
+  /** X-MIX3B — the SAME greedy budget fill as x_mix3, computed by the
+    * scalable two-level sharded prefix sum, checked against the naive
+    * single-window oracle — pinning that the shard decomposition is exact.
+    * TokenBudgetShardedSpec additionally pins the plan (every window
+    * partitions by (group, shard); no single-task funnel for a planted
+    * mega-group).
+    */
+  private val mix3b = Probe(
+    "x_mix3b_token_budget_sharded",
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |         len(${graft.clean.CleanFns.tokensDuck("text")}) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY lang
+      |                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+      |  FROM d)
+      |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+      |       CAST(cum_tok AS BIGINT) AS cum_tok
+      |FROM c WHERE cum_tok <= 2000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    takeTokenBudgetSharded(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_tok")),
+        group = col("lang"), tokens = col("n_tok"), budget = 2000L)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(smp6, mix3, mix3b)
 }
