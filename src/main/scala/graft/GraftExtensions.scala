@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("quality_signals"),
       new ExpressionInfo(classOf[graft.functions.QualitySignals].getName, "quality_signals"),
       (exprs: Seq[Expression]) => graft.functions.QualitySignals(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_hits"),
+      new ExpressionInfo(classOf[graft.functions.BloomHits].getName, "bloom_hits"),
+      (exprs: Seq[Expression]) => graft.functions.BloomHits(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int])))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -66,6 +71,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quality_signals",
       exprs => graft.functions.QualitySignals(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_hits",
+      exprs => graft.functions.BloomHits(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

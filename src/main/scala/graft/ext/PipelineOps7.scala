@@ -314,5 +314,105 @@ object PipelineOps7 {
       .orderBy("bucket", "batch")
   }
 
-  val all: Seq[Probe] = Seq(txt14, txt15, txt16, pack3, smp7, pipe3)
+  /** The released corpus' gram membership as a BOUNDED Bloom bitmap —
+    * the beyond-broadcast regime of [[gramSet]]. Slot function `i` is the
+    * disjoint `hexChars`-wide hex window of each gram's md5 digest
+    * (k-from-one-hash, the x_dec3 construction), tagged by `i`; the
+    * bitmap is k * 16^hexChars BITS — at the default (4, 3): 24 KiB —
+    * NO MATTER how many grams the released corpus holds, at the price of
+    * a deterministic false-positive rate on the seen side (novelty is
+    * never overstated; a "novel" verdict can only be stolen by an FP).
+    *
+    * Build shape: the gram stream shuffles once keyed on slot id (map-side
+    * combined distinct), per-64-bit-word OR aggregation, then one tiny
+    * (≤ k*16^hexChars/64 row) collapse into the single bitmap row —
+    * nothing in the build is proportional to corpus size except the one
+    * gram-keyed exchange every membership build pays.
+    */
+  def gramBloom(docs: DataFrame, hexChars: Int = 4, k: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7, s"hexChars must be in [1, 7]; got $hexChars")
+    require(k >= 1 && k * hexChars <= 32, s"need 1 <= k and k*hexChars <= 32; got k=$k")
+    graft.GraftExtensions.register(docs.sparkSession)
+    val slotsPerFn = 1L << (4 * hexChars)
+    val nWords = (k * slotsPerFn + 63) / 64
+    def pos(i: Int) =
+      expr(s"$i * ${slotsPerFn}L + conv(substr(g, ${1 + hexChars * i}, $hexChars), 16, 10)")
+    docs.select(explode(expr("ngram_md5(text, 4)")).as("g"))
+      .select(explode(array((0 until k).map(pos): _*)).as("p"))
+      .distinct()
+      .groupBy(expr("p DIV 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("bits"))
+      .agg(expr("map_from_arrays(collect_list(w), collect_list(bits))").as("m"))
+      .select(expr(
+        s"transform(sequence(0L, ${nWords - 1}L), w -> coalesce(element_at(m, w), 0L))")
+        .as("__bloom"))
+  }
+
+  /** Score `docs` against a released-corpus Bloom bitmap: `n_seen_bloom` =
+    * the document's distinct grams that are bloom-POSITIVE (true members
+    * plus deterministic false positives — the oracle reproduces the same
+    * slots, so FP behavior itself is hash-checked), novelty as exact ppm.
+    * Stateless narrow transform: per-row native `ngram_md5` digests +
+    * native O(1)-per-window `bloom_hits` bit probes against the broadcast
+    * bitmap row — stream-capable with a memory bound INDEPENDENT of the
+    * released corpus size, which is exactly what [[gramSet]]'s broadcast
+    * array cannot promise.
+    */
+  def scoreNoveltyBloom(docs: DataFrame, bloom: DataFrame,
+      hexChars: Int = 4, k: Int = 3): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
+      .withColumn("__g", expr("ngram_md5(text, 4)"))
+      .filter(size(col("__g")) > 0)
+      .crossJoin(broadcast(bloom)) // 1-row bitmap build side -> broadcast NLJ
+      .withColumn("n_grams", size(col("__g")).cast("long"))
+      .withColumn("n_seen_bloom", expr(s"bloom_hits(__g, __bloom, $hexChars, $k)"))
+      .withColumn("novelty_ppm", expr("(n_grams - n_seen_bloom) * 1000000 DIV n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen_bloom"), col("novelty_ppm"))
+  }
+
+  /** X-TXT17 — the beyond-broadcast incremental-novelty regime
+    * oracle-checked: odd doc_ids scored against a 24 KiB Bloom bitmap of
+    * the even-doc_id half's grams. The oracle rebuilds the identical slot
+    * algebra relationally (window substrings of the same md5 digests as
+    * tagged strings, membership via IN), so the bitmap packing, the
+    * k-from-one-hash window split, AND the deterministic false positives
+    * all hash-check against first-principles SQL. StreamingSpec pins that
+    * `DocStreams.noveltyScoredBloom` (the same code over a stream) agrees
+    * row-for-row.
+    */
+  private val txt17 = Probe(
+    "x_txt17_novelty_bloom",
+    s"""WITH rel AS (
+      |  SELECT DISTINCT md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g
+      |  FROM (SELECT ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents
+      |        WHERE doc_id % 2 = 0 AND len(${graft.clean.CleanFns.tokensDuck("text")}) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |bloom AS (
+      |  SELECT DISTINCT CAST(i AS VARCHAR) || ':' || substr(g, 1 + 4 * i, 4) AS p
+      |  FROM rel, UNNEST([0, 1, 2]) AS u(i)),
+      |nd AS (
+      |  SELECT DISTINCT doc_id,
+      |         md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS g
+      |  FROM (SELECT doc_id, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents
+      |        WHERE doc_id % 2 = 1 AND len(${graft.clean.CleanFns.tokensDuck("text")}) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(count(CASE WHEN '0:' || substr(g, 1, 4) IN (SELECT p FROM bloom)
+      |                        AND '1:' || substr(g, 5, 4) IN (SELECT p FROM bloom)
+      |                        AND '2:' || substr(g, 9, 4) IN (SELECT p FROM bloom)
+      |                  THEN 1 END) AS BIGINT) AS n_seen_bloom,
+      |       CAST((count(*) - count(CASE WHEN '0:' || substr(g, 1, 4) IN (SELECT p FROM bloom)
+      |                        AND '1:' || substr(g, 5, 4) IN (SELECT p FROM bloom)
+      |                        AND '2:' || substr(g, 9, 4) IN (SELECT p FROM bloom)
+      |                  THEN 1 END)) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+      |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    scoreNoveltyBloom(
+        docs.filter(col("doc_id") % 2 === 1),
+        gramBloom(docs.filter(col("doc_id") % 2 === 0)))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt14, txt15, txt16, txt17, pack3, smp7, pipe3)
 }

@@ -179,6 +179,21 @@ object DocStreams {
   def noveltyScored(docs: DataFrame, gramSet: DataFrame): DataFrame =
     graft.ext.PipelineOps7.scoreNoveltyAgainst(docs, gramSet)
 
+  /** Stream-capable novelty BEYOND broadcast size — x_txt17's scorer: the
+    * released corpus' gram membership is a BOUNDED Bloom bitmap (24 KiB
+    * at the defaults, independent of corpus size — the x_dec3 pattern),
+    * so the stream side stays a stateless narrow projection (native
+    * `ngram_md5` digests + native O(1) `bloom_hits` bit probes) at ANY
+    * released-corpus size, at the price of a deterministic seen-side
+    * false-positive rate (novelty is never overstated). This closes the
+    * [[noveltyScored]] broadcast-regime caveat: build the bitmap batch-side
+    * with `ext.PipelineOps7.gramBloom`, hand it here, and the stream never
+    * holds more than the bitmap.
+    */
+  def noveltyScoredBloom(docs: DataFrame, bloom: DataFrame,
+      hexChars: Int = 4, k: Int = 3): DataFrame =
+    graft.ext.PipelineOps7.scoreNoveltyBloom(docs, bloom, hexChars, k)
+
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via
     * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero

@@ -472,6 +472,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming Bloom novelty == batch against the same bounded bitmap") {
+    import graft.streaming.DocStreams
+    import graft.ext.PipelineOps7
+    val batchDocs = Tables(spark, dir, "documents")
+    // the beyond-broadcast regime: the released half's membership as a
+    // 24 KiB bitmap; the streamed half must score identically to batch
+    val bloom = PipelineOps7.gramBloom(batchDocs.filter(col("doc_id") % 2 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomnov_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.noveltyScoredBloom(stream, bloom)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bloomnov_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("bloomnov_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted.toSeq
+        val want = PipelineOps7.scoreNoveltyBloom(
+            spark.read.parquet(s"$tmp/in"), bloom)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        assert(got.exists(_._3 > 0L), "expected some bloom-positive grams")
+        assert(got.exists(_._4 > 0L), "expected some novelty despite FPs")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming MinHash near-dedup == batch against the same persisted band index") {
     import graft.streaming.DocStreams
     import graft.ext.BandIndex
