@@ -8,11 +8,20 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, with decode/feature-extract as batched
   * per-partition transforms.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — but the Spark-side plumbing is real:
-  * the schema convention, the Dataset[MediaRow] encoder, the mapPartitions
-  * batch shape (one codec init per partition, NOT per row — the pattern
-  * that matters at 100 TB), and the metadata-only pushdown path.
+  * Two regimes:
+  *   - PNG (round 7): a REAL codec path — `pngTable` encodes actual PNG
+  *     bytes (javax.imageio, public JDK) from a closed-form pixel
+  *     function of doc_id, and `decodePngStats` decodes them back and
+  *     computes exact integer pixel statistics. PNG being lossless,
+  *     decode(encode(gen)) ≡ gen, which is what lets a real binary codec
+  *     round-trip be hash-checked against a relational oracle that
+  *     recomputes the closed form (x_mm2b).
+  *   - audio/video codecs are NOT in this container, so those decodes
+  *     remain clearly-marked deterministic fakes (`extractFeatures`,
+  *     `resizeStub`) — but the Spark-side plumbing is real: the schema
+  *     convention, the Dataset[MediaRow] encoder, the mapPartitions batch
+  *     shape (one codec init per partition, NOT per row — the pattern
+  *     that matters at 100 TB), and the metadata-only pushdown path.
   */
 object Multimodal {
 
@@ -123,6 +132,110 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  case class PixelStats(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, sum_gray: Long, n_bright: Long)
+
+  /** Deterministic 8-bit grayscale image per document, as REAL PNG bytes
+    * (javax.imageio): width 8 + doc_id%9, height 8 + doc_id%7, pixel
+    * value v(x,y) = (doc_id*31 + x*7 + y*13) % 256. The closed form is
+    * what makes a genuine binary codec oracle-checkable — the DuckDB
+    * side recomputes the same arithmetic with no PNG in sight, and PNG's
+    * losslessness guarantees the decoded raster equals the generator.
+    * Encoding is batched per partition (ImageIO writer machinery warmed
+    * once per task); at 100 TB the equivalent is
+    * `spark.read.format("binaryFile")` over an image lake.
+    */
+  def pngTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          digest.reset()
+          val sha = digest.digest(bytes).take(4).map("%02x".format(_)).mkString
+          MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, sha))
+        }
+      }
+  }
+
+  /** REAL decode: parse each row's PNG bytes back to a raster
+    * (javax.imageio, one reader init per partition) and compute exact
+    * integer pixel statistics — dimensions, total gray mass, count of
+    * bright (≥128) pixels. Exact integers so the result is
+    * partitioning-independent and hash-checkable; reads the raster's
+    * stored samples directly (no getRGB color-profile conversion).
+    */
+  def decodePngStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"doc ${r.doc_id}: content is not a decodable image")
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var bright = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v >= 128) bright += 1
+            x += 1
+          }
+          y += 1
+        }
+        PixelStats(r.doc_id, w.toLong, h.toLong, w.toLong * h, sum, bright)
+      }
+    }
+  }
+
+  /** X-MM2B — the PIXEL-BACKED binary pipeline (vs x_mm2's stub): real
+    * PNG encode → real javax.imageio decode → exact integer pixel stats,
+    * hash-matched against a DuckDB oracle that recomputes the generating
+    * closed form relationally (no codec on the oracle side — PNG
+    * losslessness is the bridge). This is the concrete form of the
+    * multimodal-column claim: a genuine binary codec runs inside the
+    * batched mapPartitions contract and its output survives the same
+    * oracle gate as every relational operator.
+    */
+  private val mm2b = Probe(
+    "x_mm2b_png_pixel_stats",
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+      |  FROM dims,
+      |       UNNEST(generate_series(0, w - 1)) AS tx(x),
+      |       UNNEST(generate_series(0, h - 1)) AS ty(y))
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(v) AS BIGINT) AS sum_gray,
+      |  CAST(count(CASE WHEN v >= 128 THEN 1 END) AS BIGINT) AS n_bright
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodePngStats(pngTable(s, dir)).toDF().orderBy("doc_id")
+  }
+
   /** STUB resize: a real implementation decodes, scales, re-encodes. The
     * deterministic fake preserves the plumbing contract: metadata-driven,
     * per-row, output carries the requested dimensions plus a content tag.
@@ -138,5 +251,5 @@ object Multimodal {
     }
   }
 
-  val all: Seq[Probe] = Seq(mm1, mm2, mm3)
+  val all: Seq[Probe] = Seq(mm1, mm2, mm2b, mm3)
 }
