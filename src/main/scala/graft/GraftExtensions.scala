@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BloomHits].getName, "bloom_hits"),
       (exprs: Seq[Expression]) => graft.functions.BloomHits(exprs.head, exprs(1),
         exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
+      (exprs: Seq[Expression]) => graft.functions.BpeCount(exprs.head)))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -75,6 +79,9 @@ object GraftExtensions {
       "bloom_hits",
       exprs => graft.functions.BloomHits(exprs.head, exprs(1),
         exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_count",
+      exprs => graft.functions.BpeCount(exprs.head), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

@@ -489,6 +489,19 @@ final case class Corpus(df: DataFrame) {
     * mega-group ("all of English") never funnels through one task and
     * shards past the budget boundary are pruned before the window.
     */
+  /** Honest subword token accounting (x_tok1): adds `n_tok_bpe`, the
+    * byte-level BPE count under the checked-in vocabulary — the
+    * token-denominated operators' alternative to whitespace word counts
+    * (which undercount code/CJK by multiples). A pure narrow native
+    * expression; feed it to [[takeTokenBudget]]-class operators via
+    * `PipelineOps6.takeTokenBudgetSharded(df, g, col("n_tok_bpe"), b)`
+    * or [[lengthBatches]]' tokens argument.
+    */
+  def withBpeTokenCount(): Corpus = chain { d =>
+    GraftExtensions.register(d.sparkSession)
+    d.withColumn("n_tok_bpe", expr("CAST(bpe_count(text) AS BIGINT)"))
+  }
+
   def takeTokenBudget(budget: Long, groupCol: String = "lang"): Corpus = chain { d =>
     graft.ext.PipelineOps6.takeTokenBudgetSharded(d, col(groupCol),
       size(graft.clean.CleanFns.tokens(col("text"))).cast("long"), budget)

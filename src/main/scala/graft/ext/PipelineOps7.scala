@@ -414,5 +414,27 @@ object PipelineOps7 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt14, txt15, txt16, txt17, pack3, smp7, pipe3)
+  /** X-TOK1 — honest subword token accounting (round 7, the declared
+    * stretch): per-document whitespace word count vs byte-level BPE
+    * subword count under the checked-in vocabulary (`graft.BpeTrain`
+    * recipe; Sennrich et al. 2016 greedy merges). Iterative greedy
+    * merging has no DuckDB-expressible form, so this is the registry's
+    * one `unchecked` entry (rows-only driver check) — correctness is
+    * pinned by BpeSpec instead: encode round-trips, count bounds,
+    * cross-partitioning determinism, interpreted ≡ codegen, trainer
+    * determinism. The column exists precisely to re-denominate the
+    * token-budget/packing operators (`Corpus.withBpeTokenCount` feeds
+    * `takeTokenBudget*` / `lengthBatches` via their `tokens` argument),
+    * where whitespace counts undercount code/CJK by multiples.
+    */
+  private val tok1 = Probe.unchecked("x_tok1_bpe_token_counts") { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_words"),
+        expr("CAST(bpe_count(text) AS BIGINT)").as("n_tok_bpe"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt14, txt15, txt16, txt17, pack3, smp7, pipe3, tok1)
 }
