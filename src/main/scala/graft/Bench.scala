@@ -96,6 +96,15 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // round-stamped archive (VERDICT r6 item 8): cross-round per-query
+    // comparison should not require git archaeology. SPARK_GRAFT_ROUND is
+    // set by the repo's own sweeps; absent (e.g. the driver's bench run),
+    // the plain BENCH_DETAIL.json above still updates.
+    sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/root/repo/BENCH_DETAIL_r$r.json"), detailJson + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] detail archive failed: $e") }
+    }
     val total = results.map(_._2).filter(_ >= 0).sum // failed queries excluded
     val ok = results.count(_._2 >= 0)
     // worst-3 inline under the driver's expected "queries" key: a dict that
