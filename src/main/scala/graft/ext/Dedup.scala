@@ -412,8 +412,22 @@ object Dedup {
     val edgesCached = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edgesCached.count() // materialize, then cut the upstream plan out of every round
+    val nE = edgesCached.count() // materialize, then cut the upstream plan out of every round
     val edges = planReset(edgesCached)
+    if (nE <= localFinishMaxEdges) {
+      // EARLY endgame (round 7): the raw symmetric edge set already fits
+      // the local bound, so the contraction pipeline would pay three more
+      // distributed materialization barriers only to shrink a graph the
+      // driver can close directly (1M edges = 16 MB of longs — the same
+      // bounded collect the contracted gate already performs). Same
+      // union-find, same min-root labels; PropertySpec pins this route ≡
+      // the distributed loop on both sides of the gate.
+      val labels = broadcast(localClosure(edges))
+      edgesCached.unpersist()
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_reach"))
+      return labels.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("n_reach"))
+    }
     // reliable-checkpoint regime: every intermediate materialization is
     // file-backed so a converged call leaves NOTHING in the block manager
     // (DedupSpec pins this); otherwise persist + drop when consumed.

@@ -172,35 +172,30 @@ object EmbedDedup {
       cap: Int = defaultCap): DataFrame =
     cappedCandidates(bandSignatures(embeddings, cfg), cap)
 
-  /** Cuts a frame's lineage to its (cached) RDD so downstream plans never
-    * re-walk the producing subplan. Same helper as Dedup.planReset.
-    */
-  private def planReset(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
-
   /** Near-duplicate pairs (a_id, b_id, cos): banded LSH candidates, capped
-    * per vector, exact-cosine verified at `tau`, plus a release handle.
+    * per vector, exact-cosine verified at `tau`.
     *
-    * Cache contract (mirrors Dedup.connectedComponents): the signature
-    * projection fans out THREE ways (both self-join sides + the
-    * verification vector lookups), so it is persisted, counted, and
-    * UNPERSISTED before returning — nothing of the big signature cache
-    * outlives the call. The verified pair set itself stays cached to pay
-    * for the caller's execution (the returned frame is its plan-reset
-    * read); `release()` drops it once the caller has materialized
-    * downstream state. At 100 TB these two materializations are the
-    * checkpointed signature/pair tables between pipeline stages.
+    * FULLY LAZY — no persist, no materialization barrier, so one caller
+    * action runs the whole chain as one pipelined job and NOTHING can
+    * leak into the block manager (the round-6 ADVICE leak is impossible
+    * by construction; EmbedDedupSpec pins zero cached RDDs). The
+    * signature projection appears three times in the plan (both
+    * self-join sides + the verification vector lookups), but the band
+    * self-join's two identical shuffle subtrees collapse to one
+    * ReusedExchange, and the narrow va/vb recompute (a scan plus `planes`
+    * codegen dot products) is cheaper than the persist-count-unpersist
+    * barrier cycle it would replace — measured at sf0.1 the eager
+    * variant cost 4x (PERF.md round 7). Consumers that iterate the pair
+    * set (connectedComponents) materialize their OWN edge cache first,
+    * so laziness never multiplies the chain.
     */
-  def nearDupPairsReleasable(embeddings: DataFrame, tau: Double,
-      cfg: EmbedLsh = default, maxCandidatesPerVec: Int = defaultCap)
-      : (DataFrame, () => Unit) = {
-    val sig = bandSignatures(embeddings, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
-    val sigR = planReset(sig)
-    val cand = cappedCandidates(sigR, maxCandidatesPerVec)
-    val va = sigR.select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
-    val vb = sigR.select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
-    val verified = cand.join(va, "a_id").join(vb, "b_id")
+  def nearDupPairs(embeddings: DataFrame, tau: Double,
+      cfg: EmbedLsh = default, maxCandidatesPerVec: Int = defaultCap): DataFrame = {
+    val sig = bandSignatures(embeddings, cfg)
+    val cand = cappedCandidates(sig, maxCandidatesPerVec)
+    val va = sig.select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"))
+    val vb = sig.select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"))
+    cand.join(va, "a_id").join(vb, "b_id")
       // zero-norm vectors (broken encoder) have no cosine: drop BEFORE the
       // division — ANSI mode throws on /0 where the oracle's NaN comparison
       // would merely evaluate false
@@ -208,19 +203,16 @@ object EmbedDedup {
       .withColumn("cos", expr("dot_d(av, bv)") / sqrt(col("an2") * col("bn2")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verified.count()
-    sig.unpersist()
-    (planReset(verified), () => { verified.unpersist(); () })
   }
 
-  /** [[nearDupPairsReleasable]] without the handle — the pair cache lives
-    * until session end (or `spark.catalog.clearCache`), the same contract
-    * as connectedComponents' final round.
+  /** Back-compat form of the pre-lazy API: the pair frame plus a release
+    * handle. With the lazy rewrite there is nothing to release — the
+    * handle is a no-op kept so staged callers read naturally.
     */
-  def nearDupPairs(embeddings: DataFrame, tau: Double,
-      cfg: EmbedLsh = default, maxCandidatesPerVec: Int = defaultCap): DataFrame =
-    nearDupPairsReleasable(embeddings, tau, cfg, maxCandidatesPerVec)._1
+  def nearDupPairsReleasable(embeddings: DataFrame, tau: Double,
+      cfg: EmbedLsh = default, maxCandidatesPerVec: Int = defaultCap)
+      : (DataFrame, () => Unit) =
+    (nearDupPairs(embeddings, tau, cfg, maxCandidatesPerVec), () => ())
 
   /** Near-dup RESOLUTION for vectors: LSH-verified pairs clustered into
     * connected components (transitive closure — A≈B, B≈C groups all
@@ -238,7 +230,7 @@ object EmbedDedup {
     val cc = graft.ext.Dedup.connectedComponents(
         pairs.select(col("a_id").as("a"), col("b_id").as("b")))
       .select(col("doc_id").as("vec_id"), col("comp_id"), col("n_reach"))
-    release() // connectedComponents has materialized its own edge cache
+    release() // no-op since the lazy rewrite; components cached its own edges
     cc
   }
 

@@ -140,12 +140,13 @@ class EmbedDedupSpec extends SparkSuite {
     assert(out.forall(_.getLong(2) == n.toLong))
   }
 
-  test("cache contract: signature cache never outlives the call; release drops pairs") {
+  test("cache contract: the pair chain is lazy and caches NOTHING; release is a no-op") {
     spark.catalog.clearCache()
     val (pairs, release) = EmbedDedup.nearDupPairsReleasable(emb, tau = 0.35)
     assert(pairs.count() > 0)
-    // only the verified pair set is cached — the signature cache is gone
-    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+    // fully lazy: no block-manager footprint at all (the round-6 leak is
+    // impossible by construction)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
     release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
