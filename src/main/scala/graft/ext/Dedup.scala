@@ -150,12 +150,12 @@ object Dedup {
   private val ded2 = Probe(
     "x_ded2_minhash_lsh",
     lshPairsOracleSql) { (s, dir) =>
-    // Catalyst does NOT dedupe common subtrees across a self-join: without
-    // the persist the whole shingle->minhash aggregation (the dominant
-    // cost) executes once per side. At 100 TB this is a checkpoint to
-    // parquet; in one JVM MEMORY_AND_DISK is the same cut.
+    // lazy on purpose (round 7): the minhash aggregation sits below the
+    // band self-join's two IDENTICAL exchanges, which collapse to one
+    // ReusedExchange — it executes once with no block-manager round-trip
+    // and nothing can leak. At 100 TB this is where a checkpoint to
+    // parquet would slot in between pipeline stages.
     val bands = minhashBands(Tables(s, dir, "documents"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
@@ -259,9 +259,9 @@ object Dedup {
     // One row per distinct (doc, word), md5 computed once, integer-only
     // vote sums (simhashSig; the DuckDB oracle keeps the exploded substr
     // formulation — results are identical).
+    // computed once anyway: both self-join sides end in identical
+    // exchanges -> ReusedExchange (round 7; no cache, no leak)
     val sig = simhashSig(Tables(s, dir, "documents"))
-      // computed ONCE; both self-join sides read the cached signature
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("source").as("a_src"), col("simhash").as("a_sh"))
     val b = sig.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -337,9 +337,11 @@ object Dedup {
   private val ded3b = Probe(
     "x_ded3b_simhash_banded",
     simhashOracleSql) { (s, dir) =>
-    val sig = simhashSig(Tables(s, dir, "documents"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    simhashBandedCounts(sig)
+    // lazy on purpose (round 7, the x_ded13 lesson): the band self-join's
+    // identical subtrees collapse to one ReusedExchange, and the one
+    // extra narrow signature recompute on the count-join side is cheaper
+    // than a block-manager round-trip — and nothing can leak
+    simhashBandedCounts(simhashSig(Tables(s, dir, "documents")))
   }
 
   /** Connected components over an undirected pair list by iterative
@@ -651,9 +653,9 @@ object Dedup {
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
         .as("g"))
       .distinct()
-      // bg feeds THREE branches (a, b, sz) — persist or pay the bigram
-      // explode+distinct three times
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // bg feeds THREE branches (a, b, sz), but all three sit above the
+      // distinct's own exchange -> one ReusedExchange serves them all
+      // (round 7; no cache, no leak)
     val sz = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("g"))
     val b = bg.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
@@ -696,7 +698,9 @@ object Dedup {
       .select(col("vec_id"), col("label"),
         expr(Similarity.intVec).as("v"))
       .withColumn("n2", expr("dot_d(v, v)"))
-      // same self-join pattern: quantization + self-dot computed once
+      // persisted: unlike the banded chains, the two all-pairs join sides
+      // are NOT identical subtrees once the a/b blocks diverge, so
+      // ReusedExchange cannot serve them (measured 2x lazily, round 7)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = n.select(col("vec_id").as("a_id"), col("label"),
       col("v").as("av"), col("n2").as("an2"))
@@ -732,7 +736,9 @@ object Dedup {
       |WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
       |GROUP BY n.doc_id
       |ORDER BY new_id""".stripMargin) { (s, dir) =>
-    // native band generation, as in the production Corpus chain
+    // native band generation, as in the production Corpus chain.
+    // Persisted: new/old are DIFFERENT filters of the frame — no shared
+    // exchange below them, so laziness recomputes the scan twice
     val bands = minhashBandsNative(Tables(s, dir, "documents"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newSide = bands.filter(col("doc_id") % 3 === 0)
