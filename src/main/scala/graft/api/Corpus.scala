@@ -156,6 +156,29 @@ final case class Corpus(df: DataFrame) {
     d.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupNearClustered]] with a QUALITY-AWARE survivor (x_ded17): each
+    * near-dup cluster keeps its highest-quality member — ordered
+    * (keep DESC, n_words DESC, doc_id ASC) over the native one-pass
+    * quality signals — instead of the min id, so a clean original never
+    * loses to a boilerplate-ridden copy. Deterministic even between
+    * quality ties; one extra narrow projection + a comp-keyed window
+    * bounded by cluster sizes.
+    */
+  def dedupNearQualitySurvivor(checkpointEvery: Int = 0): Corpus = chain { d =>
+    val bands = graft.ext.Dedup.minhashBandsNative(d)
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    val pairs = a.join(b,
+        a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+    // same labeling code as the oracle-checked x_ded17 probe
+    val losers = graft.ext.Dedup.qualitySurvivorLabels(d, pairs, checkpointEvery)
+      .filter(col("is_survivor") =!= 1L)
+      .select(col("doc_id"))
+    d.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** The full production near-dup chain: LSH candidates → EXACT bigram-
     * Jaccard verification computed only on candidate docs → connected
     * components over verified pairs → keep each component's min-id doc.

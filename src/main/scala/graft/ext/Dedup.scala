@@ -811,5 +811,84 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9, ded12)
+  /** X-DED17 — QUALITY-AWARE survivor selection (round 7): production
+    * dedup keeps the highest-quality member of each near-dup cluster, not
+    * the min id — dropping a clean original in favor of a boilerplate-
+    * ridden copy is a real corpus-quality bug the min-id policy commits
+    * silently. Composition: MinHash-LSH pairs → connected components →
+    * the native one-pass quality signals → one row_number window per
+    * component ordered (keep DESC, n_words DESC, doc_id ASC) — the
+    * survivor is deterministic even between quality ties. Scale shape:
+    * the only cost beyond x_ded7 is a narrow quality projection and one
+    * comp_id-keyed window bounded by cluster sizes (shallow for dup
+    * groups). Oracle: the recursive closure + a relational replication of
+    * the full quality-rule algebra + the same argmax window.
+    */
+  /** Shared by the x_ded17 probe and `Corpus.dedupNearQualitySurvivor`:
+    * label every clustered doc with its component and whether it is the
+    * cluster's QUALITY survivor — argmax over (keep DESC, n_words DESC,
+    * doc_id ASC), deterministic even between quality ties.
+    */
+  def qualitySurvivorLabels(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      checkpointEvery: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs, checkpointEvery)
+    val q = graft.ext.PipelineOps3.addQualityRuleSignals(docs)
+      .select(col("doc_id"), col("n_words"), col("keep"))
+    val wS = Window.partitionBy(col("comp_id"))
+      .orderBy(col("keep").desc, col("n_words").desc, col("doc_id").asc)
+    comps.join(q, "doc_id")
+      .withColumn("is_survivor", (row_number().over(wS) === 1).cast("long"))
+      .select(col("doc_id"), col("comp_id"), col("n_reach"),
+        col("keep"), col("n_words"), col("is_survivor"))
+  }
+
+  private val ded17 = Probe(
+    "x_ded17_quality_survivor",
+    s"""${bandCteSql(recursive = true)},
+      |pr AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |ed AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM ed
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, MIN(b) AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_reach
+      |  FROM reach GROUP BY a),
+      |tq AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS wq
+      |  FROM documents),
+      |mq AS (
+      |  SELECT doc_id,
+      |    CAST(len(wq) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(wq, x -> length(x))) * 100 // nullif(len(wq), 0) AS BIGINT) AS mean_len_c,
+      |    CAST(len(list_filter(wq, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(wq), 0) AS BIGINT) AS alpha_ppm,
+      |    CAST(len(list_filter(wq, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+      |  FROM tq),
+      |q AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+      |              AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |  FROM mq)
+      |SELECT c.doc_id, c.comp_id, c.n_reach, q.keep, q.n_words,
+      |  CAST(CASE WHEN row_number() OVER (
+      |         PARTITION BY c.comp_id
+      |         ORDER BY q.keep DESC, q.n_words DESC, c.doc_id ASC) = 1
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+      |FROM comp c JOIN q USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val bands = minhashBandsNative(docs)
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+    qualitySurvivorLabels(docs, pairs).orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9, ded12, ded17)
 }

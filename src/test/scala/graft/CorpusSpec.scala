@@ -57,6 +57,49 @@ class CorpusSpec extends SparkSuite {
     assert(n >= 40 && n <= 50, s"unexpected survivor count $n")
   }
 
+  test("dedupNearQualitySurvivor keeps the HIGHEST-QUALITY cluster member, not the min id") {
+    val docs = Tables(spark, dir, "documents").limit(50)
+    // planted copy of each doc at id+10000 whose text is TRUNCATED to 5
+    // words (fails the n_words >= 10 keep rule), and one at id+20000 with
+    // identical text: the cluster {d, d+10000, d+20000} must keep d (same
+    // keep as d+20000, tie broken by id) — and crucially, NEVER d+10000
+    // even where near-dup banding still groups it
+    val truncated = docs.withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("text", expr(
+        "concat_ws(' ', slice(filter(split(text, '\\\\s+'), t -> length(t) > 0), 1, 5))"))
+    val planted = docs
+      .unionAll(truncated)
+      .unionAll(docs.withColumn("doc_id", col("doc_id") + 20000L))
+    val out = Corpus(planted).dedupNearQualitySurvivor().df
+    // exact copies at +20000 tie on quality -> min id (the original) wins
+    assert(out.filter(col("doc_id") >= 20000L).count() == 0)
+    // originals survive their clusters (a couple may lose to a genuine
+    // cross-doc near-dup inside the natural corpus — same tolerance as the
+    // dedupNearClustered test); crucially, wherever a truncated low-quality
+    // copy DID cluster with its full original, the original won
+    val originals = out.filter(col("doc_id") < 10000L).count()
+    assert(originals >= 45 && originals <= 50, s"originals kept: $originals")
+    // every surviving truncated copy is a SINGLETON (no band collision with
+    // its original) — no cluster ever elected the low-quality member while
+    // its high-quality original was present
+    val labels = graft.ext.Dedup.qualitySurvivorLabels(
+      planted,
+      {
+        val bands = graft.ext.Dedup.minhashBandsNative(planted)
+        val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+        val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+        a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+          .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+      })
+    val badWins = labels.alias("l")
+      .filter(col("l.is_survivor") === 1L && col("l.doc_id") >= 10000L && col("l.doc_id") < 20000L)
+      .join(labels.alias("o").filter(col("o.doc_id") < 10000L)
+          .select(col("o.comp_id").as("oc"), col("o.keep").as("ok")),
+        col("l.comp_id") === col("oc") && col("ok") > col("l.keep"))
+      .count()
+    assert(badWins == 0, s"$badWins low-quality docs beat a higher-quality clustermate")
+  }
+
   test("dedupNearVerified removes exact dups but keeps sub-threshold docs") {
     val docs = Tables(spark, dir, "documents").limit(50)
     val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))
