@@ -21,5 +21,6 @@ object Registry {
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++
+    sources.Roundtrips.all ++
     osm.OsmProbes.all
 }
