@@ -128,14 +128,19 @@ object PipelineOps {
     // the occupied-slot set as an array and probed with array_contains —
     // an O(12k) linear scan per probe that cost 46 s at sf0.1; the bitmap
     // is the actual Bloom-filter representation and is 100× faster.)
+    // build shape (round 7): per-word bit_or aggregation — ONE map-side-
+    // combined exchange keyed on the word index (bit_or is idempotent, so
+    // no distinct is needed), then a tiny (≤192-row) collapse into the
+    // bitmap row. The previous single-row collect_set + per-word
+    // aggregate(filter(...)) walked 192 × |slots| interpreted HOF ops.
     val bloom = broadcast(
       sh.filter(col("doc_id") % 25 === 0)
         .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
-        .agg(collect_set(col("p")).as("ps"))
+        .groupBy(expr("p DIV 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, p % 64))").as("bits"))
+        .agg(expr("map_from_arrays(collect_list(w), collect_list(bits))").as("m"))
         .select(expr(
-          """transform(sequence(0, 191),
-            |  w -> aggregate(filter(ps, p -> p DIV 64 = w),
-            |                 0L, (acc, p) -> acc | shiftleft(1L, CAST(p % 64 AS INT))))""".stripMargin)
+          "transform(sequence(0, 191), w -> coalesce(element_at(m, w), 0L))")
           .as("bloom")))
     def hit(i: Int): org.apache.spark.sql.Column = {
       val q = s"CAST($i * 4096 + conv(substr(h, ${1 + 3 * i}, 3), 16, 10) AS INT)"

@@ -323,11 +323,11 @@ object PipelineOps7 {
     * a deterministic false-positive rate on the seen side (novelty is
     * never overstated; a "novel" verdict can only be stolen by an FP).
     *
-    * Build shape: the gram stream shuffles once keyed on slot id (map-side
-    * combined distinct), per-64-bit-word OR aggregation, then one tiny
-    * (≤ k*16^hexChars/64 row) collapse into the single bitmap row —
-    * nothing in the build is proportional to corpus size except the one
-    * gram-keyed exchange every membership build pays.
+    * Build shape: the gram stream shuffles ONCE, keyed on the 64-bit word
+    * index with map-side-combined bit_or (idempotent, so no distinct
+    * pass), then one tiny (≤ k*16^hexChars/64 row) collapse into the
+    * single bitmap row — nothing in the build is proportional to corpus
+    * size except that one exchange, which every membership build pays.
     */
   def gramBloom(docs: DataFrame, hexChars: Int = 4, k: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 7, s"hexChars must be in [1, 7]; got $hexChars")
@@ -337,9 +337,10 @@ object PipelineOps7 {
     val nWords = (k * slotsPerFn + 63) / 64
     def pos(i: Int) =
       expr(s"$i * ${slotsPerFn}L + conv(substr(g, ${1 + hexChars * i}, $hexChars), 16, 10)")
+    // bit_or is idempotent -> no distinct: ONE map-side-combined exchange
+    // keyed on the word index, not two (slot-distinct + word)
     docs.select(explode(expr("ngram_md5(text, 4)")).as("g"))
       .select(explode(array((0 until k).map(pos): _*)).as("p"))
-      .distinct()
       .groupBy(expr("p DIV 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("bits"))
       .agg(expr("map_from_arrays(collect_list(w), collect_list(bits))").as("m"))
