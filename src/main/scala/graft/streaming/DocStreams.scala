@@ -194,6 +194,17 @@ object DocStreams {
       hexChars: Int = 4, k: Int = 3): DataFrame =
     graft.ext.PipelineOps7.scoreNoveltyBloom(docs, bloom, hexChars, k)
 
+  /** Stream-capable BPE token accounting — x_tok1's subword counter as a
+    * pure narrow native expression (checked-in vocabulary, per-executor
+    * word memo): zero state, zero shuffle, each micro-batch annotates its
+    * own documents — so token-budget decisions downstream are denominated
+    * identically batch and stream.
+    */
+  def bpeCounted(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.withColumn("n_tok_bpe", expr("CAST(bpe_count(text) AS BIGINT)"))
+  }
+
   /** Stream-capable context-window chunking — x_chunk1's exact expansion
     * (shared code with the oracle-checked probe via
     * `ext.PipelineOps4.chunkTokenWindows`): a pure narrow explode, zero

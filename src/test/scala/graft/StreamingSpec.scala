@@ -510,6 +510,36 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming BPE token counts == batch (stateless native expression)") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_stream").toString
+    try {
+      batchDocs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.bpeCounted(stream)
+        .select(col("doc_id"), col("n_tok_bpe"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bpe_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("bpe_out")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+        val want = DocStreams.bpeCounted(spark.read.parquet(s"$tmp/in"))
+          .select(col("doc_id"), col("n_tok_bpe"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming MinHash near-dedup == batch against the same persisted band index") {
     import graft.streaming.DocStreams
     import graft.ext.BandIndex
