@@ -143,14 +143,8 @@ final case class Corpus(df: DataFrame) {
     *   executor loss late in the loop cannot recompute the whole chain.
     */
   def dedupNearClustered(checkpointEvery: Int = 0): Corpus = chain { d =>
-    val bands = graft.ext.Dedup.minhashBandsNative(d)
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
-      col("sig").as("sig_b"))
-    val pairs = a.join(b,
-        a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
-      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
-    val losers = graft.ext.Dedup.connectedComponents(pairs, checkpointEvery)
+    val losers = graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.minhashPairs(d), checkpointEvery)
       .filter(col("doc_id") =!= col("comp_id"))
       .select(col("doc_id"))
     d.join(losers, Seq("doc_id"), "left_anti")
@@ -165,15 +159,9 @@ final case class Corpus(df: DataFrame) {
     * bounded by cluster sizes.
     */
   def dedupNearQualitySurvivor(checkpointEvery: Int = 0): Corpus = chain { d =>
-    val bands = graft.ext.Dedup.minhashBandsNative(d)
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
-      col("sig").as("sig_b"))
-    val pairs = a.join(b,
-        a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
-      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
     // same labeling code as the oracle-checked x_ded17 probe
-    val losers = graft.ext.Dedup.qualitySurvivorLabels(d, pairs, checkpointEvery)
+    val losers = graft.ext.Dedup.qualitySurvivorLabels(
+        d, graft.ext.Dedup.minhashPairs(d), checkpointEvery)
       .filter(col("is_survivor") =!= 1L)
       .select(col("doc_id"))
     d.join(losers, Seq("doc_id"), "left_anti")
@@ -208,7 +196,6 @@ final case class Corpus(df: DataFrame) {
       minJaccardPpm: Long = 800000L,
       checkpointEvery: Int = 0,
       maxCandidatesPerDoc: Int = 64): Corpus = chain { d =>
-    import org.apache.spark.storage.StorageLevel
     val bands = graft.ext.Dedup.minhashBandsNative(d)
     val ba = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val bb = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"),
@@ -225,8 +212,15 @@ final case class Corpus(df: DataFrame) {
         rawCand.withColumn("__rk", row_number().over(wCap))
           .filter(col("__rk") <= maxCandidatesPerDoc)
       } else rawCand
+    // lazy throughout (round 7, the x_ded13 lesson): cand's multi-way
+    // fan-out (candDocs semi-join bound + both verification sides) all
+    // sits above the candidate aggregation/window EXCHANGES, which
+    // canonicalize identically -> ReusedExchange computes them once; only
+    // narrow tails re-run. connectedComponents then materializes the
+    // whole verified chain ONCE into its own edge cache, so nothing here
+    // needs a persist and nothing can leak into the block manager for the
+    // session lifetime (the round-6 ADVICE leak class).
     val cand = capped.select(col("a_id"), col("b_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     // bigram sets ONLY for candidate docs (left-semi bound)
@@ -236,8 +230,8 @@ final case class Corpus(df: DataFrame) {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
         .as("g"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct() // ends in its own exchange -> one ReusedExchange serves
+                  // sz and both verification joins
     val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
       .join(bg.withColumnRenamed("doc_id", "a_id"), "a_id")

@@ -600,6 +600,21 @@ object Dedup {
     * pairs alone under-merge when A~B and B~C but A≁C. Oracle: DuckDB
     * WITH RECURSIVE reachability closure over the same pairs.
     */
+  /** Shared LSH candidate-pair generator: the native band projection
+    * self-joined on (band, sig) with a pair-level distinct — one
+    * (band,sig)-keyed exchange serves both sides (ReusedExchange; the
+    * narrow native signature needs no cache). Consumed by the x_ded7 and
+    * x_ded17 probes and the Corpus dedupNearClustered /
+    * dedupNearQualitySurvivor routes.
+    */
+  def minhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = minhashBandsNative(docs)
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
+  }
+
   private val ded7 = Probe(
     "x_ded7_components",
     s"""${bandCteSql(recursive = true)},
@@ -613,15 +628,7 @@ object Dedup {
       |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
       |SELECT a AS doc_id, MIN(b) AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_reach
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // native band generation: zero exchanges before the bucket self-join
-    // (MinHashNativeSpec pins native == declarative signatures)
-    val bands = minhashBandsNative(Tables(s, dir, "documents"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
-      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
-    connectedComponents(pairs).orderBy("doc_id")
+    connectedComponents(minhashPairs(Tables(s, dir, "documents"))).orderBy("doc_id")
   }
 
   /** X-DED4 — word-bigram Jaccard near-dup pairs within (lang, source)
@@ -882,12 +889,7 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, dir, "documents")
-    val bands = minhashBandsNative(docs)
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
-      .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
-    qualitySurvivorLabels(docs, pairs).orderBy("doc_id")
+    qualitySurvivorLabels(docs, minhashPairs(docs)).orderBy("doc_id")
   }
 
   val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9, ded12, ded17)

@@ -83,14 +83,7 @@ class CorpusSpec extends SparkSuite {
     // its original) — no cluster ever elected the low-quality member while
     // its high-quality original was present
     val labels = graft.ext.Dedup.qualitySurvivorLabels(
-      planted,
-      {
-        val bands = graft.ext.Dedup.minhashBandsNative(planted)
-        val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-        val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
-        a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
-          .select(col("a_id").as("a"), col("b_id").as("b")).distinct()
-      })
+      planted, graft.ext.Dedup.minhashPairs(planted))
     val badWins = labels.alias("l")
       .filter(col("l.is_survivor") === 1L && col("l.doc_id") >= 10000L && col("l.doc_id") < 20000L)
       .join(labels.alias("o").filter(col("o.doc_id") < 10000L)
