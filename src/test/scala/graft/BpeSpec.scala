@@ -91,6 +91,23 @@ class BpeSpec extends SparkSuite {
     assert(rows(3L)._2 > rows(3L)._1, s"code barely counted: ${rows(3L)}")
   }
 
+  test("BPE-denominated budget fill: sharded == single-window (the x_mix3b identity holds for any token column)") {
+    GraftExtensions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(bpe_count(text) AS BIGINT)").as("n_tok_bpe"))
+    for (budget <- Seq(300L, 5000L)) {
+      val a = graft.ext.PipelineOps6
+        .takeTokenBudget(d, col("lang"), col("n_tok_bpe"), budget)
+        .select("doc_id", "lang", "n_tok_bpe", "cum_tok")
+      val b = graft.ext.PipelineOps6
+        .takeTokenBudgetSharded(d, col("lang"), col("n_tok_bpe"), budget)
+        .select("doc_id", "lang", "n_tok_bpe", "cum_tok")
+      assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L,
+        s"budget=$budget: BPE-denominated sharded fill diverged")
+    }
+  }
+
   test("trainer is deterministic; render/parse is a bijection") {
     val freqs = Tables(spark, dir, "documents")
       .select(explode(graft.clean.CleanFns.tokens(col("text"))).as("w"))
