@@ -84,5 +84,43 @@ object Modern {
         |FROM events_var ORDER BY event_id""".stripMargin)
   }
 
-  val all: Seq[Probe] = Seq(pRec, pLat2, pVar)
+  /** P-GRPALL — `GROUP BY ALL` (Spark 4 / modern-SQL sugar: every
+    * non-aggregate select item becomes a grouping key). The oracle spells
+    * the keys out — pinning that the sugar resolves to exactly that.
+    */
+  private val pGrpAll = Probe(
+    "p_grpall_group_by_all",
+    """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |       MIN(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_ga")
+    s.sql(
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(n_name) AS first_name
+        |FROM nation_ga GROUP BY ALL
+        |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  /** P-STR5 — ordered string aggregation: Spark 4's `listagg(...) WITHIN
+    * GROUP (ORDER BY ...)` vs DuckDB's `string_agg(... ORDER BY ...)`.
+    * Deterministic only BECAUSE of the explicit within-group order — the
+    * point of the probe: unordered listagg would be partition-order-
+    * dependent and could never pass a cross-engine hash.
+    */
+  private val pStr5 = Probe(
+    "p_str5_listagg",
+    """SELECT n_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_la")
+    s.sql(
+      """SELECT n_regionkey,
+        |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation_la GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  val all: Seq[Probe] = Seq(pRec, pLat2, pVar, pGrpAll, pStr5)
 }
