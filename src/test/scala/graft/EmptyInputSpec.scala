@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.Corpus
+import graft.ext.{Dedup, EmbedDedup, PipelineOps6, PipelineOps7}
+
+/** Empty-input robustness: at 100 TB an operator routinely receives an
+  * EMPTY frame (a filter that matched nothing, an empty partition of a
+  * date range, a first-run incremental diff) — and under ANSI mode the
+  * latent failure shapes are runtime errors (DIV by zero, element_at on
+  * empty, collect-to-nothing), not silent wrong answers. Every major
+  * operator must return an empty (or well-defined) result, not throw.
+  */
+class EmptyInputSpec extends SparkSuite {
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def emptyEmb: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Array[Float])].toDF("vec_id", "label", "embedding")
+  }
+
+  test("quality signals, novelty, entropy, token counts on an empty corpus") {
+    assert(graft.ext.PipelineOps3.addQualityRuleSignals(emptyDocs).count() == 0)
+    assert(PipelineOps7.noveltyScores(emptyDocs).count() == 0)
+    assert(PipelineOps7.tokenEntropy(emptyDocs).count() == 0)
+    GraftExtensions.register(spark)
+    assert(emptyDocs.select(expr("bpe_count(text)")).count() == 0)
+  }
+
+  test("dedup chains on an empty corpus") {
+    assert(Corpus(emptyDocs).dedupExact().df.count() == 0)
+    assert(Corpus(emptyDocs).dedupNearMinHash().df.count() == 0)
+    assert(Corpus(emptyDocs).dedupNearClustered().df.count() == 0)
+    assert(Corpus(emptyDocs).dedupNearQualitySurvivor().df.count() == 0)
+    assert(Corpus(emptyDocs).dedupNearVerified(800000L).df.count() == 0)
+    assert(Dedup.minhashPairs(emptyDocs).count() == 0)
+  }
+
+  test("connected components on an empty pair list") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+  }
+
+  test("embedding chain on an empty vector table") {
+    assert(EmbedDedup.nearDupPairs(emptyEmb, tau = 0.35).count() == 0)
+    assert(EmbedDedup.dedupClusters(emptyEmb, tau = 0.35).count() == 0)
+  }
+
+  test("token budget (both forms), split, epoch order on an empty corpus") {
+    val d = emptyDocs.select(col("doc_id"), col("lang"), lit(1L).as("n_tok"))
+    assert(PipelineOps6.takeTokenBudget(d, col("lang"), col("n_tok"), 100L).count() == 0)
+    assert(PipelineOps6.takeTokenBudgetSharded(d, col("lang"), col("n_tok"), 100L).count() == 0)
+    assert(PipelineOps6.splitByGroup(emptyDocs, col("source"),
+      Seq("train", "val", "test"), Seq(80, 90)).count() == 0)
+    assert(PipelineOps7.epochOrder(emptyDocs, epochs = 2, shards = 4).count() == 0)
+  }
+
+  test("Bloom build and scoring against an EMPTY released corpus") {
+    val bloom = PipelineOps7.gramBloom(emptyDocs)
+    // the bitmap row exists (all zeros) even when the corpus is empty
+    val row = bloom.collect()
+    assert(row.length == 1 && row.head.getSeq[Long](0).forall(_ == 0L))
+    // scoring real docs against the empty bitmap: everything is novel
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    val scored = PipelineOps7.scoreNoveltyBloom(docs, bloom).collect()
+    assert(scored.nonEmpty && scored.forall(_.getAs[Long]("n_seen_bloom") == 0L))
+    // and scoring an empty stream against a real bitmap yields nothing
+    assert(PipelineOps7.scoreNoveltyBloom(emptyDocs,
+      PipelineOps7.gramBloom(docs)).count() == 0)
+  }
+
+  test("exact gram set + sorted_count_in novelty against an empty release") {
+    val gs = PipelineOps7.gramSet(emptyDocs)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    val scored = PipelineOps7.scoreNoveltyAgainst(docs, gs).collect()
+    assert(scored.nonEmpty && scored.forall(_.getAs[Long]("n_seen") == 0L))
+  }
+}
