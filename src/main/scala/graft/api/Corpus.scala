@@ -302,6 +302,15 @@ final case class Corpus(df: DataFrame) {
     * side is never self-joined (at scale its bands are a persisted index
     * partitioned by signature, so each run shuffles only the new shard).
     */
+  /** Per-document status vs an older snapshot (x_cur3): added / removed /
+    * changed / unchanged by content fingerprint — the audit every corpus
+    * iteration runs, and the feed for incremental pipelines (only
+    * added+changed need re-scoring). Returns the REPORT (not a Corpus):
+    * one doc_id-keyed full-outer join over fingerprints, never text.
+    */
+  def diffAgainst(oldCorpus: DataFrame): DataFrame =
+    graft.ext.PipelineOps7.corpusDiff(oldCorpus, df)
+
   def dedupIncremental(oldCorpus: DataFrame): Corpus = chain { d =>
     val newBands = graft.ext.Dedup.minhashBandsNative(d)
     val oldBands = graft.ext.Dedup.minhashBandsNative(oldCorpus)

@@ -437,5 +437,59 @@ object PipelineOps7 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt14, txt15, txt16, txt17, pack3, smp7, pipe3, tok1)
+  /** Corpus version diff: per-document status between two snapshots of a
+    * corpus (crawl N vs N+1) — `added` (new only), `removed` (old only),
+    * `changed` (both, content hash differs), `unchanged`. The audit step
+    * every corpus iteration runs before re-training decisions ("how much
+    * actually moved?"), and the input feed for incremental pipelines
+    * (only `added`+`changed` need re-scoring/re-dedup).
+    *
+    * Scale shape: one full-outer equi-join on doc_id (both sides shuffle
+    * once on the key — or zero exchanges if both snapshots are bucketed
+    * by doc_id), comparing md5 fingerprints, never text; the status is
+    * narrow arithmetic on the join result.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("__old_fp"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("__new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") === col("__new_fp"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+  }
+
+  /** X-CUR3 — corpus diff over a synthetic two-snapshot fixture: old =
+    * doc_id % 3 ≠ 0, new = doc_id % 5 ≠ 0 with every doc_id % 7 = 0
+    * rewritten — so all four statuses occur. The oracle recomputes the
+    * identical full-outer fingerprint algebra.
+    */
+  private val cur3 = Probe(
+    "x_cur3_corpus_diff",
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.fp IS NULL THEN 'added'
+      |            WHEN n.fp IS NULL THEN 'removed'
+      |            WHEN o.fp = n.fp THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    corpusDiff(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt14, txt15, txt16, txt17, pack3, smp7, pipe3, tok1, cur3)
 }
