@@ -47,10 +47,20 @@ class BpeSpec extends SparkSuite {
   }
 
   test("trained merges compress the training corpus' own words") {
-    // the corpus vocabulary should encode in far fewer symbols than bytes
-    val words = Seq("table", "customer", "window", "stream", "value")
+    // corpus-independent (the driver may regenerate testdata with a new
+    // vocabulary): train merges on whatever the corpus holds TODAY, then
+    // its own frequent multi-byte words must encode in far fewer symbols
+    // than bytes
+    val freqs = Tables(spark, dir, "documents")
+      .select(explode(graft.clean.CleanFns.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(1000)
+      .collect().map(r => (lat1(r.getString(0)), r.getLong(1))).toSeq
+    val ranks = Bpe.ranksOf(Bpe.train(freqs, 500))
+    val words = freqs.map(_._1).filter(_.length >= 3).take(5)
+    assert(words.nonEmpty)
     val ratio = words.map { w =>
-      Bpe.countWord(w, Bpe.defaultRanks).toDouble / w.length
+      Bpe.countWord(w, ranks).toDouble / w.length
     }.sum / words.size
     assert(ratio <= 0.5, s"expected >=2x compression on in-vocab words, got $ratio")
   }
