@@ -533,6 +533,56 @@ object Probes {
       .orderBy("user_id", "sess")
   }
 
+  /** P-EVT4 — strict-ordered conversion funnel (round 7): per user, the
+    * first `view`, the first `click` strictly after it, the first
+    * `purchase` strictly after that — the canonical product-analytics
+    * query. Three filtered min-aggregations chained by user-keyed joins:
+    * everything shuffles on ONE key (user_id), so AQE coalesces the
+    * stages and the plan holds at any user count; no window over the raw
+    * event stream, no per-user sort.
+    */
+  private val pEvt4 = Probe(
+    "p_evt4_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT v.user_id,
+      |  CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage,
+      |  CAST(epoch_us(v.v_ts) AS BIGINT) AS v_us,
+      |  CAST(epoch_us(c.c_ts) AS BIGINT) AS c_us,
+      |  CAST(epoch_us(p.p_ts) AS BIGINT) AS p_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), "user_id")
+      .filter(col("e.ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("e.ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), "user_id")
+      .filter(col("e.ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("e.ts")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + col("c_ts").isNotNull.cast("long")
+          + col("p_ts").isNotNull.cast("long")).as("stage"),
+        unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("c_ts")).as("c_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+      .orderBy("user_id")
+  }
+
   /** P-STAT — statistical aggregates. These are floating-point co-moment
     * computations whose low bits vary with partition merge order, so
     * outputs are rounded to 6 significant decimals (noise is ~1e-12
@@ -589,5 +639,5 @@ object Probes {
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
     pWin1, pWin2, pWin3, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
-    pJson, pStat)
+    pEvt4, pJson, pStat)
 }
