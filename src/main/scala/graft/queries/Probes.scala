@@ -583,6 +583,40 @@ object Probes {
       .orderBy("user_id")
   }
 
+  /** P-EVT5 — cohort retention (round 7): users grouped by first-activity
+    * week; for each (cohort, week-offset) the distinct users active that
+    * week — the standard retention matrix. Two aggregations (first-seen
+    * per user; distinct user-weeks) joined on user_id, then a
+    * count-distinct rollup; week offsets computed as integer epoch
+    * arithmetic on the truncated weeks so both engines agree exactly
+    * (p_dt3 already pins the truncation semantics).
+    */
+  private val pEvt5 = Probe(
+    "p_evt5_retention_cohorts",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT CAST(epoch_us(f.cohort) AS BIGINT) AS cohort_us,
+      |  CAST((epoch_us(a.w) - epoch_us(f.cohort)) // 604800000000 AS BIGINT) AS week_offset,
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_us, week_offset""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+    val f = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val a = e.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+    a.join(f, "user_id")
+      .select(unix_micros(col("cohort")).as("cohort_us"),
+        ((unix_micros(col("w")) - unix_micros(col("cohort"))) / 604800000000L)
+          .cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_us", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_us", "week_offset")
+  }
+
   /** P-STAT — statistical aggregates. These are floating-point co-moment
     * computations whose low bits vary with partition merge order, so
     * outputs are rounded to 6 significant decimals (noise is ~1e-12
@@ -639,5 +673,5 @@ object Probes {
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
     pWin1, pWin2, pWin3, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
-    pEvt4, pJson, pStat)
+    pEvt4, pEvt5, pJson, pStat)
 }
