@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
       (exprs: Seq[Expression]) => graft.functions.BpeCount(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("lev_bytes"),
+      new ExpressionInfo(classOf[graft.functions.LevBytes].getName, "lev_bytes"),
+      (exprs: Seq[Expression]) => graft.functions.LevBytes(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -82,6 +86,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_count",
       exprs => graft.functions.BpeCount(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lev_bytes",
+      exprs => graft.functions.LevBytes(exprs.head, exprs(1)), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

@@ -17,6 +17,7 @@ object Registry {
     ext.PipelineOps5.all ++
     ext.PipelineOps6.all ++
     ext.PipelineOps7.all ++
+    ext.PipelineOps8.all ++
     ext.Similarity.all ++
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++

@@ -296,6 +296,55 @@ final case class Corpus(df: DataFrame) {
       d.join(contaminated.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     }
 
+  /** FUZZY decontamination (x_dec5): drop documents whose edit-distance
+    * similarity to ANY eval doc reaches `minSim` (sim = 1 - lev/max(len)),
+    * with candidates from the exact shingle hit so the O(len^2) verify
+    * only ever touches the candidate slice. Catches light paraphrase that
+    * exact-overlap [[decontaminate]] misses. `lev_bytes` is byte-level —
+    * == codepoint distance on single-byte text; see LevBytes.
+    */
+  def decontaminateFuzzy(evalDocs: DataFrame, minSim: Double = 0.30): Corpus =
+    chain { d =>
+      GraftExtensions.register(d.sparkSession)
+      val verifyParallelism =
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val sh = Corpus.shingles4(d)
+      val evSh = broadcast(
+        Corpus.shingles4(evalDocs)
+          .select(col("doc_id").as("__eval_id"), col("s")).distinct())
+      val cand = sh.join(evSh, Seq("s"))
+        .select(col("doc_id"), col("__eval_id"))
+        .distinct()
+        // expensive-scalar stage over a small-byte row set: explicit
+        // parallelism floor (see PipelineOps8.dec5 / PERF.md round 7)
+        .repartition(verifyParallelism, col("doc_id"))
+      val evTexts = broadcast(
+        evalDocs.select(col("doc_id").as("__eval_id"), col("text").as("__ev_text")))
+      val hits = cand
+        .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .join(evTexts, Seq("__eval_id"))
+        .withColumn("__sim", lit(1.0) -
+          expr("lev_bytes(text, __ev_text)").cast("double") /
+            greatest(length(col("text")), length(col("__ev_text"))))
+        .filter(col("__sim") >= minSim)
+        .select(col("doc_id")).distinct()
+      d.join(hits, Seq("doc_id"), "left_anti")
+    }
+
+  /** Cross-document segment dedup (x_ded18): consecutive 16-word segments,
+    * first-occurrence survivor, text rebuilt from surviving segments in
+    * original order. Documents whose every segment is a repeat are DROPPED
+    * (the web-pipeline line-dedup semantics). `text` is replaced by the
+    * reassembled text; all other columns ride along.
+    */
+  def dedupSegments(): Corpus = chain { d =>
+    val kept = graft.ext.PipelineOps8.segmentDedup(d)
+      .select(col("doc_id"), col("text_kept"))
+    d.join(kept, Seq("doc_id"))
+      .withColumn("text", col("text_kept"))
+      .drop("text_kept")
+  }
+
   /** Incremental near-dedup: drop documents of THIS corpus (the new crawl
     * shard) that MinHash-band-collide with an already-released corpus —
     * x_ded9's semantics. Only new×old candidates are generated; the old
@@ -735,4 +784,11 @@ object Corpus {
     */
   def nearDupVectors(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
     graft.ext.EmbedDedup.nearDupPairs(graft.Tables(spark, dir, "embeddings"), tau)
+
+  /** Cluster-scoped semantic dedup (x_ded19, SemDeDup shape): IVF cell
+    * assignment, then within-cell cosine domination by lower id. Returns
+    * (vec_id, cell, n_close, keep) — filter keep = 1 for the survivor set.
+    */
+  def semDedupVectors(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
+    graft.ext.PipelineOps8.semDedup(spark, graft.Tables(spark, dir, "embeddings"), tau)
 }

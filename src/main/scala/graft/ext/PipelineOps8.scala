@@ -1,0 +1,347 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions (second wave): segment-level dedup with document
+  * reconstruction, cluster-scoped semantic dedup (SemDeDup shape), fuzzy
+  * edit-distance decontamination, and a count-min heavy-hitter sketch.
+  *
+  * Scale design notes per operator are on each probe; the shared theme is
+  * that every candidate-generation stage is bounded (segment digests,
+  * IVF cells, shingle hits, fixed-width sketches) — nothing here pairs the
+  * corpus with itself globally.
+  */
+object PipelineOps8 {
+
+  private val segWords = 16
+
+  /** Segment a token array into consecutive `segWords`-word chunks,
+    * rendered back to strings — the deterministic stand-in for "lines /
+    * paragraphs" on a corpus whose synthetic text has no newlines. The
+    * plumbing (segment → first-occurrence window → ordered reassembly) is
+    * exactly the line-dedup stage of a web-crawl pipeline.
+    */
+  private def segsSpark: Column = expr(
+    s"""transform(sequence(1, CAST(ceil(size(ws) / $segWords.0) AS INT)),
+       |  k -> concat_ws(' ', slice(ws, (k - 1) * $segWords + 1, $segWords)))""".stripMargin)
+
+  private def segsDuck: String =
+    s"""list_transform(generate_series(1, CAST(ceil(len(ws) / $segWords.0) AS BIGINT)),
+       |  k -> array_to_string(ws[((k - 1) * $segWords + 1):(k * $segWords)], ' '))""".stripMargin
+
+  /** X-DED18 — cross-document SEGMENT dedup with document reconstruction
+    * (the "remove duplicated lines across the crawl, keep the rest of the
+    * page" stage): each document is split into consecutive 16-word
+    * segments; a segment survives only at its FIRST corpus occurrence
+    * (min (doc_id, seg_idx)); each document is then rebuilt from its
+    * surviving segments in original order.
+    *
+    * Scale shape: two exchanges. (1) the first-occurrence window keyed on
+    * `md5(segment)` — a FIXED-WIDTH shuffle key regardless of segment
+    * length (the x_ded10 gram-digest lesson), with a per-key payload of
+    * (doc_id, seg_idx) only; (2) the group-back by doc_id to reassemble.
+    * Both are map-side-combinable aggregations/windows over keys with
+    * corpus-proportional cardinality — no self-join, nothing quadratic.
+    * Documents whose every segment is a repeat vanish (n_kept would be 0),
+    * exactly the line-dedup drop semantics.
+    */
+  private val ded18 = Probe(
+    "x_ded18_segment_dedup",
+    s"""WITH w AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents
+       |  WHERE len(${CleanFns.tokensDuck("text")}) > 0),
+       |s0 AS (SELECT doc_id, ${segsDuck} AS segs FROM w),
+       |seg AS (
+       |  SELECT doc_id, len(segs) AS n_segs, k AS seg_idx, segs[k] AS seg
+       |  FROM s0, UNNEST(generate_series(1, len(segs))) AS t(k)),
+       |first AS (
+       |  SELECT doc_id, n_segs, seg_idx, seg FROM (
+       |    SELECT doc_id, n_segs, seg_idx, seg,
+       |           row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+       |    FROM seg)
+       |  WHERE rn = 1)
+       |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |       string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+       |FROM first GROUP BY doc_id, n_segs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    segmentDedup(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** The reusable operator behind x_ded18: (doc_id, n_segs, n_kept,
+    * text_kept) for every document with at least one surviving segment.
+    */
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val seg = docs
+      .select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), segsSpark.as("segs"))
+      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+        posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+    val firstWin = Window.partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("seg_idx"))
+    seg
+      .withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("n_segs"))
+      .agg(count(lit(1)).as("n_kept"),
+        // ordered reassembly without a sort exchange: collect + in-place
+        // array_sort on (seg_idx, seg) structs, the cent1/x_sim4 pattern
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(seg_idx, seg))), p -> p.seg))")
+          .as("text_kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("text_kept"))
+  }
+
+  private val semTau = 0.35
+
+  /** X-DED19 — SemDeDup-shaped semantic dedup: embeddings are assigned to
+    * IVF cells (x_sim3's deterministic coarse quantizer — centroids = the
+    * first 8 vectors, exact-integer L2), and WITHIN each cell any vector
+    * whose cosine to a lower-id cell-mate reaches tau is dropped. Survivors
+    * = vectors with no lower-id in-cell neighbor at >= tau.
+    *
+    * This is the cluster-scoped regime of semantic dedup (SemDeDup,
+    * Abbas et al. 2023, public): the LSH chain (x_ded13+) bounds candidates
+    * by hash-bucket collisions; this one bounds them by cluster membership,
+    * which a pipeline that ALREADY clusters for curriculum/mixing gets for
+    * free. All-pairs cost is sum over cells of |cell|^2 — bounded by the
+    * quantizer's balance, and the quantizer is trainable (x_sim4's Lloyd
+    * step) when natural clusters skew. Cell assignment itself is a narrow
+    * map against broadcast centroids: the corpus is shuffled once, by cell.
+    *
+    * Output: every vector with its cell, the count of lower-id in-cell
+    * near-neighbors, and the keep verdict.
+    */
+  private val ded19 = Probe(
+    "x_ded19_semdedup",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM iv WHERE vec_id < 8),
+       |ad AS (
+       |  SELECT iv.vec_id, cent.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |n AS (SELECT a.vec_id, a.cell, iv.v,
+       |             list_sum(list_transform(iv.v, x -> x * x)) AS n2
+       |      FROM assign a JOIN iv ON iv.vec_id = a.vec_id),
+       |close AS (
+       |  SELECT x.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
+       |  FROM n x JOIN n y ON x.cell = y.cell AND y.vec_id < x.vec_id
+       |  WHERE y.n2 > 0 AND x.n2 > 0
+       |    AND list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) /
+       |        sqrt(x.n2 * y.n2) >= $semTau
+       |  GROUP BY x.vec_id)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |       COALESCE(c.n_close, 0) AS n_close,
+       |       CAST(CASE WHEN c.n_close IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM assign a LEFT JOIN close c ON c.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+    semDedup(s, Tables(s, dir, "embeddings"), semTau).orderBy("vec_id")
+  }
+
+  /** The reusable operator behind x_ded19: (vec_id, cell, n_close, keep)
+    * for every embedding, `keep = 1` iff no lower-id vector in the same
+    * IVF cell has cosine >= tau.
+    */
+  def semDedup(s: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      tau: Double): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val iv = embeddings.select(col("vec_id"), expr(Similarity.intVec).as("v"))
+    val cent = iv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    val assign = iv.crossJoin(broadcast(cent))
+      .withColumn("d2", expr("dot_d(v, v) - 2 * dot_d(v, cv) + dot_d(cv, cv)"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"),
+        expr("dot_d(v, v)").as("n2"))
+    val x = assign.select(col("vec_id"), col("cell"), col("v").as("xv"), col("n2").as("xn2"))
+    val y = assign.select(col("vec_id").as("y_id"), col("cell"), col("v").as("yv"),
+      col("n2").as("yn2"))
+    val close = x.join(y, Seq("cell"))
+      .filter(col("y_id") < col("vec_id") && col("xn2") > 0 && col("yn2") > 0)
+      .filter(expr("dot_d(xv, yv)") / sqrt(col("xn2") * col("yn2")) >= tau)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
+    assign.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        when(col("n_close").isNull, 1).otherwise(0).cast("int").as("keep"))
+  }
+
+  /** X-DEC5 — FUZZY decontamination: eval overlap that survives light
+    * paraphrase. Candidates come from the exact 4-word-shingle hit (the
+    * x_dec1 broadcast join — corpus never shuffles, matches are
+    * proportional to contamination), then each candidate (corpus doc, eval
+    * doc) pair is verified with FULL edit distance and kept at normalized
+    * similarity >= 0.30 (sim = 1 - lev / max(len)). Exact-match
+    * decontamination misses "the benchmark answer with two words changed";
+    * this is the standard candidates-then-verify fix, with the expensive
+    * O(len^2) levenshtein confined to the candidate slice — never the
+    * corpus cross eval product.
+    */
+  private val dec5 = Probe(
+    "x_dec5_fuzzy_decontamination",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '') AS ws FROM documents
+      |        WHERE len(list_filter(string_split_regex(text, '\s+'), tkn -> tkn <> '')) >= 4),
+      |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+      |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 25 = 0),
+      |cand AS (
+      |  SELECT DISTINCT corp.doc_id, ev.eval_id
+      |  FROM sh corp JOIN ev ON corp.s = ev.s
+      |  WHERE corp.doc_id % 25 <> 0),
+      |scored AS (
+      |  SELECT c.doc_id, c.eval_id,
+      |         levenshtein(d.text, e.text) AS lev,
+      |         1 - CAST(levenshtein(d.text, e.text) AS DOUBLE) /
+      |             GREATEST(length(d.text), length(e.text)) AS sim
+      |  FROM cand c
+      |  JOIN documents d ON d.doc_id = c.doc_id
+      |  JOIN documents e ON e.doc_id = c.eval_id)
+      |SELECT doc_id, eval_id, CAST(lev AS BIGINT) AS lev, round(sim, 6) AS sim
+      |FROM scored WHERE sim >= 0.30
+      |ORDER BY doc_id, eval_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val sh = docs
+      .select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2),
+          |                 element_at(ws, i + 3)))""".stripMargin)).as("s"))
+    val ev = broadcast(
+      sh.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("eval_id"), col("s").as("ev_s"))
+        .distinct())
+    // The candidate set is tiny in BYTES but each row's verify is O(len^2)
+    // — the regime where AQE's size-based coalesce is WRONG: it folded the
+    // whole verify stage into one task (2,874 pairs x ~0.4 ms/levenshtein
+    // x filter+projection re-evaluation x the sort's re-execution = 13 s
+    // single-threaded at sf0.1). Two fixes, both general patterns for
+    // expensive-scalar stages over small-byte row sets:
+    //  - lev_bytes, a native primitive-int byte DP (1.6x the built-in's
+    //    per-pair speed, and codegen-friendly);
+    //  - an explicitly-NUMBERED repartition on a key subset DIFFERENT from
+    //    the distinct's grouping keys. Same-keys-same-N would be removed
+    //    as a no-op (leaving only the aggregate's ENSURE_REQUIREMENTS
+    //    exchange, which AQE coalesces to 1); a REPARTITION_BY_NUM
+    //    exchange on doc_id survives both the optimizer and AQE.
+    graft.GraftExtensions.register(s)
+    val verifyParallelism =
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cand = sh.filter(col("doc_id") % 25 =!= 0)
+      .join(ev, col("s") === col("ev_s"))
+      .select(col("doc_id"), col("eval_id"))
+      .distinct()
+      .repartition(verifyParallelism, col("doc_id"))
+    val evalTexts = broadcast(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("eval_id"), col("text").as("ev_text")))
+    cand
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(evalTexts, Seq("eval_id"))
+      .withColumn("lev", expr("lev_bytes(text, ev_text)"))
+      .withColumn("sim",
+        lit(1.0) - col("lev").cast("double") / greatest(length(col("text")), length(col("ev_text"))))
+      .filter(col("sim") >= 0.30)
+      .select(col("doc_id"), col("eval_id"), col("lev"), round(col("sim"), 6).as("sim"))
+      .orderBy("doc_id", "eval_id")
+  }
+
+  // --------------------------------------------------------- count-min
+
+  private val cmsRows = 3 // k hash rows, disjoint 2-hex-digit windows of one md5
+  private val cmsSlotHex = 2 // 2 hex digits -> 256 slots per row
+
+  /** Spark-SQL fragment: row r's slot (0-255) for token column `tkn` —
+    * hex window r of one md5, the x_dec3 k-from-one-hash construction.
+    */
+  private def slotSpark(r: Int): String =
+    s"CAST(conv(substr(md5(tkn), ${1 + cmsSlotHex * r}, $cmsSlotHex), 16, 10) AS INT)"
+
+  /** DuckDB keeps the slot as the raw hex window (membership/grouping is
+    * representation-independent; Spark groups on the integer form).
+    */
+  private def slotDuck(r: Int): String =
+    s"substr(md5(tkn), ${1 + cmsSlotHex * r}, $cmsSlotHex)"
+
+  /** X-SKT1 — count-min sketch heavy hitters: token frequencies estimated
+    * from a FIXED-SIZE sketch (3 rows x 256 slots), surfaced next to the
+    * exact counts for the exact top-10 tokens so the one-sided sketch error
+    * (estimate >= exact, never under) is visible in the checked output.
+    *
+    * Scale story: the sketch build is ONE map-side-combined aggregation of
+    * the token stream into <= 768 cells — the shuffle moves at most 768
+    * rows per mapper no matter the corpus size, and sketches merge by cell
+    * addition (associative), so a 1000-executor build is the same plan.
+    * The exact top-10 here is the oracle-side ground truth; at 100 TB the
+    * sketch IS the product (exact per-token counts need a corpus-wide
+    * groupBy on a potentially huge vocabulary; the sketch answers point
+    * queries from kilobytes). Slot functions are disjoint hex windows of
+    * one md5 per token — deterministic and engine-portable, so the
+    * estimate column (collisions included) is itself oracle-checked.
+    */
+  private val skt1 = Probe(
+    "x_skt1_countmin_heavy",
+    s"""WITH tok AS (
+       |  SELECT tkn FROM (SELECT ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |       UNNEST(ws) AS u(tkn)),
+       |cms AS (
+       |  SELECT r, slot, COUNT(*) AS c FROM (
+       |    SELECT 0 AS r, ${slotDuck(0)} AS slot, tkn FROM tok
+       |    UNION ALL SELECT 1, ${slotDuck(1)}, tkn FROM tok
+       |    UNION ALL SELECT 2, ${slotDuck(2)}, tkn FROM tok)
+       |  GROUP BY r, slot),
+       |exact AS (
+       |  SELECT tkn, COUNT(*) AS n_exact FROM tok GROUP BY tkn),
+       |top AS (
+       |  SELECT tkn, n_exact FROM (
+       |    SELECT tkn, n_exact, row_number() OVER (ORDER BY n_exact DESC, tkn) AS rn FROM exact)
+       |  WHERE rn <= 10),
+       |est AS (
+       |  SELECT t.tkn, t.n_exact, MIN(m.c) AS n_est
+       |  FROM top t
+       |  JOIN cms m ON (m.r = 0 AND m.slot = ${slotDuck(0).replace("md5(tkn)", "md5(t.tkn)")})
+       |             OR (m.r = 1 AND m.slot = ${slotDuck(1).replace("md5(tkn)", "md5(t.tkn)")})
+       |             OR (m.r = 2 AND m.slot = ${slotDuck(2).replace("md5(tkn)", "md5(t.tkn)")})
+       |  GROUP BY t.tkn, t.n_exact)
+       |SELECT tkn, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
+       |FROM est ORDER BY n_exact DESC, tkn""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents")
+      .select(explode(CleanFns.tokens(col("text"))).as("tkn"))
+    // sketch build: token stream -> (r, slot) cells, map-side combined;
+    // the exchange carries <= cmsRows * 256 rows per mapper
+    val cms = tok
+      .select(explode(array((0 until cmsRows).map(r =>
+        struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("rs"))
+      .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("c"))
+    val exact = tok.groupBy("tkn").agg(count(lit(1)).as("n_exact"))
+    // top-k via orderBy+limit -> TakeOrderedAndProject, not a global-window
+    // SinglePartition shuffle (same deterministic (count desc, token) order
+    // as the oracle's row_number)
+    val top = exact
+      .orderBy(col("n_exact").desc, col("tkn"))
+      .limit(10)
+      .select(col("tkn"), col("n_exact"),
+        explode(array((0 until cmsRows).map(r =>
+          struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("q"))
+    top
+      .join(broadcast(cms),
+        col("q.r") === col("r") && col("q.slot") === col("slot"))
+      .groupBy(col("tkn"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("tkn"), col("n_exact"), col("n_est"))
+      .orderBy(col("n_exact").desc, col("tkn"))
+  }
+
+  val all: Seq[Probe] = Seq(ded18, ded19, dec5, skt1)
+}

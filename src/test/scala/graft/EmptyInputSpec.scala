@@ -77,6 +77,17 @@ class EmptyInputSpec extends SparkSuite {
       PipelineOps7.gramBloom(docs)).count() == 0)
   }
 
+  test("segment dedup, semdedup, fuzzy decontamination on empty inputs") {
+    assert(graft.ext.PipelineOps8.segmentDedup(emptyDocs).count() == 0)
+    assert(Corpus(emptyDocs).dedupSegments().df.count() == 0)
+    assert(graft.ext.PipelineOps8.semDedup(spark, emptyEmb, tau = 0.35).count() == 0)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    // empty eval set: nothing is contaminated, corpus passes through
+    assert(Corpus(docs).decontaminateFuzzy(emptyDocs).df.count() == 10)
+    // empty corpus against a real eval set: empty out
+    assert(Corpus(emptyDocs).decontaminateFuzzy(docs).df.count() == 0)
+  }
+
   test("exact gram set + sorted_count_in novelty against an empty release") {
     val gs = PipelineOps7.gramSet(emptyDocs)
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
