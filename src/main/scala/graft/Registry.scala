@@ -18,6 +18,7 @@ object Registry {
     ext.PipelineOps6.all ++
     ext.PipelineOps7.all ++
     ext.PipelineOps8.all ++
+    ext.PipelineOps9.all ++
     ext.Similarity.all ++
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++

@@ -1,0 +1,242 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions (third wave): KMV distinct-count sketch, duplicated-
+  * span extraction, and Johnson-Lindenstrauss random projection — the
+  * remaining sketch/measurement tools of a corpus-statistics layer.
+  */
+object PipelineOps9 {
+
+  // ----------------------------------------------------------------- KMV
+
+  private val kmvK = 64
+
+  /** X-SKT2 — KMV (k-minimum-values) distinct-count sketch: per language,
+    * the number of DISTINCT token bigrams estimated from only the k = 64
+    * smallest md5 fractions, surfaced next to the exact count so the
+    * estimation error is visible in the checked output.
+    *
+    * The estimator is the classic (k-1)/h_(k) with h the hash mapped to
+    * (0,1); when a group has <= k distinct values the sketch IS the exact
+    * set. The hash fraction is the first 12 md5 hex digits over 2^48 —
+    * integer-exact on both engines, and the division by a power of two is
+    * exact in doubles, so even the ESTIMATE hash-matches cross-engine.
+    *
+    * Scale story: KMV state is k values per group, merge = k-smallest of
+    * the union (associative/commutative), so shards sketch independently
+    * and combine without re-reading text — the spec pins merge == direct.
+    * The declarative form here ranks the distinct stream with a window (its
+    * exact-oracle twin); a production aggregate holds a bounded k-heap, but
+    * the algebra and the result are identical by the merge property.
+    */
+  private val skt2 = Probe(
+    "x_skt2_kmv_distinct",
+    s"""WITH bg AS (
+       |  SELECT DISTINCT lang, ws[i] || ' ' || ws[i+1] AS b
+       |  FROM (SELECT lang, ${CleanFns.tokensDuck("text")} AS ws FROM documents
+       |        WHERE len(${CleanFns.tokensDuck("text")}) >= 2),
+       |       UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+       |h AS (
+       |  SELECT lang, b,
+       |         CAST(CAST('0x' || substr(md5(b), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656 AS f
+       |  FROM bg),
+       |r AS (
+       |  SELECT lang, f, row_number() OVER (PARTITION BY lang ORDER BY f, b) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n_exact
+       |  FROM h)
+       |SELECT lang, CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+       |       CAST(CASE WHEN MAX(n_exact) <= $kmvK THEN MAX(n_exact)
+       |                 ELSE CAST(round(($kmvK - 1) / MAX(CASE WHEN rn = $kmvK THEN f END), 0) AS BIGINT)
+       |            END AS BIGINT) AS n_est
+       |FROM r WHERE rn <= $kmvK
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    kmvDistinctBigrams(Tables(s, dir, "documents")).orderBy("lang")
+  }
+
+  /** Distinct bigrams per language with KMV hash fractions — shared by the
+    * probe and the spec's merge-property pin.
+    */
+  def bigramFractions(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), CleanFns.tokens(col("text")).as("ws"))
+    .filter(size(col("ws")) >= 2)
+    .select(col("lang"), explode(expr(
+      "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+      .as("b"))
+    .distinct()
+    .withColumn("f",
+      expr("CAST(conv(substr(md5(b), 1, 12), 16, 10) AS DOUBLE) / 281474976710656"))
+
+  /** (lang, n_exact, n_est): exact distinct-bigram count next to the KMV
+    * k=64 estimate.
+    */
+  def kmvDistinctBigrams(docs: DataFrame, k: Int = kmvK): DataFrame = {
+    val h = bigramFractions(docs)
+    val w = Window.partitionBy(col("lang")).orderBy(col("f"), col("b"))
+    val wAll = Window.partitionBy(col("lang"))
+    h.withColumn("rn", row_number().over(w))
+      .withColumn("n_exact", count(lit(1)).over(wAll))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang"))
+      .agg(max(col("n_exact")).cast("long").as("n_exact"),
+        max(when(col("rn") === k, col("f"))).as("__fk"))
+      .withColumn("n_est",
+        when(col("n_exact") <= k, col("n_exact"))
+          .otherwise(round(lit(k - 1) / col("__fk"), 0).cast("long")))
+      .select(col("lang"), col("n_exact"), col("n_est"))
+  }
+
+  // ------------------------------------------------------ duplicate spans
+
+  private val spanN = 8
+
+  /** X-DED20 — duplicated-SPAN extraction: per document, the longest run
+    * of CONSECUTIVE 8-grams that also occur in at least one other document
+    * (plus the total duplicated-position count). x_ded10 measures how MUCH
+    * of a doc is duplicated; this measures how LONG the shared spans are —
+    * the signal that separates "quotes a common phrase" (short spans) from
+    * "embeds a whole boilerplate paragraph" (long spans), which is what
+    * span-based dedup policies cut on.
+    *
+    * Shape: grams travel as fixed-width 16-hex digests (the x_ded10
+    * lesson); the shared set is one digest-keyed aggregation; runs are the
+    * classic islands construction (pos - row_number) inside a doc-keyed
+    * window — no self-join, nothing quadratic. A run of R grams covers
+    * R + 7 words.
+    */
+  private val ded20 = Probe(
+    "x_ded20_dup_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS toks FROM documents
+       |  WHERE len(${CleanFns.tokensDuck("text")}) >= $spanN),
+       |p AS (
+       |  SELECT doc_id, i, substr(md5(array_to_string(toks[i:i+${spanN - 1}], ' ')), 1, 16) AS h
+       |  FROM t, UNNEST(generate_series(1, len(toks) - ${spanN - 1})) AS u(i)),
+       |s AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM p) GROUP BY h HAVING COUNT(*) >= 2),
+       |d AS (SELECT p.doc_id, p.i FROM p JOIN s ON p.h = s.h),
+       |r AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM d),
+       |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM r GROUP BY doc_id, grp)
+       |SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run_grams,
+       |       CAST(MAX(run) + ${spanN - 1} AS BIGINT) AS span_words,
+       |       CAST(SUM(run) AS BIGINT) AS n_dup_positions
+       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    dupSpans(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** (doc_id, max_run_grams, span_words, n_dup_positions) for every doc
+    * with at least one cross-document duplicated `n`-gram.
+    */
+  def dupSpans(docs: DataFrame, n: Int = spanN): DataFrame = {
+    val p = docs
+      .select(col("doc_id"), CleanFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> substr(md5(concat_ws(' ', slice(toks, i, $n))), 1, 16))"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("h"))
+    val shared = p.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val d = p.join(shared, Seq("h"), "left_semi")
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    d.withColumn("grp", col("i") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run_grams"),
+        (max(col("run")) + (n - 1)).as("span_words"),
+        sum(col("run")).as("n_dup_positions"))
+  }
+
+  // ------------------------------------------------- JL random projection
+
+  private val jlDims = 64
+  private val jlPlanes = 16
+
+  /** X-SIM6 — Johnson-Lindenstrauss random projection: 64-dim quantized
+    * vectors compressed to 16 signed-projection coordinates (the
+    * EmbedDedup md5 hyperplane matrix — shared sign rule, so the
+    * "random" directions are deterministic and engine-portable), with the
+    * ORIGINAL cosine surfaced next to the PROJECTED cosine for every
+    * (query, candidate) pair so the distance distortion is visible and
+    * checked.
+    *
+    * This is the ANN prefilter regime between x_sim5 (int8: same dims,
+    * narrower values) and x_ded13 (1-bit signs): 4x fewer dims with real
+    * magnitudes. The projection is a narrow per-row fold against literal
+    * sign rows — zero exchanges, stream-compatible.
+    *
+    * Numeric portability: each coordinate is an exact-integer dot over
+    * floor-quantized values divided by 64 (a power of two — exact in
+    * doubles), so products and partial sums in BOTH the projected and
+    * original cosine stay exactly representable; the final divide/sqrt is
+    * one IEEE op on identical inputs.
+    */
+  private val sim6 = Probe(
+    "x_sim6_jl_projection",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+       |  FROM embeddings WHERE vec_id < 50),
+       |d AS (
+       |  SELECT vec_id, bb,
+       |    SUM(CASE WHEN substr(md5(bb || '_' || i), 1 + ((i * 7 + bb * 13) % 32), 1)
+       |             IN ('8','9','a','b','c','d','e','f') THEN v[i] ELSE -v[i] END) / 64.0 AS c
+       |  FROM iv, UNNEST(generate_series(1, $jlPlanes)) AS t1(bb),
+       |       UNNEST(generate_series(1, $jlDims)) AS t2(i)
+       |  GROUP BY vec_id, bb),
+       |pr AS (SELECT vec_id, list(c ORDER BY bb) AS p FROM d GROUP BY vec_id),
+       |n AS (
+       |  SELECT iv.vec_id, iv.v, pr.p,
+       |         list_sum(list_transform(iv.v, x -> x * x)) AS n2,
+       |         list_sum(list_transform(pr.p, x -> x * x)) AS n2p
+       |  FROM iv JOIN pr ON pr.vec_id = iv.vec_id)
+       |SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |       round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+       |             sqrt(a.n2 * b.n2), 6) AS cos_orig,
+       |       round(list_sum(list_transform(list_zip(a.p, b.p), z -> z[1] * z[2])) /
+       |             sqrt(a.n2p * b.n2p), 6) AS cos_proj
+       |FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id > a.vec_id
+       |ORDER BY q_id, c_id""".stripMargin) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    val cfg = EmbedLsh(dims = jlDims, planes = jlPlanes)
+    val iv = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), expr(Similarity.intVec).as("v"))
+      .withColumn("p", jlProject(cfg))
+      .withColumn("n2", expr("dot_d(v, v)"))
+      .withColumn("n2p", expr("dot_d(p, p)"))
+    val a = iv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("av"), col("p").as("ap"),
+        col("n2").as("an2"), col("n2p").as("an2p"))
+    val b = iv.select(col("vec_id").as("c_id"), col("v").as("bv"), col("p").as("bp"),
+      col("n2").as("bn2"), col("n2p").as("bn2p"))
+    broadcast(a).join(b, col("c_id") > col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(expr("dot_d(av, bv)") / sqrt(col("an2") * col("bn2")), 6).as("cos_orig"),
+        round(expr("dot_d(ap, bp)") / sqrt(col("an2p") * col("bn2p")), 6).as("cos_proj"))
+      .orderBy("q_id", "c_id")
+  }
+
+  /** The 16-coordinate JL projection of quantized vector column `v` as a
+    * narrow per-row expression (literal sign rows, shared with EmbedDedup's
+    * hyperplane matrix). Coordinates are divided by 64 = 2^6 (exact in
+    * doubles) to keep downstream norms inside the 2^53 exact-integer range.
+    */
+  def jlProject(cfg: EmbedLsh): Column = {
+    val signs = EmbedDedup.signsFor(cfg)
+    val planeCols = (1 to cfg.planes).map { bb =>
+      val lit = signs.slice((bb - 1) * cfg.dims, bb * cfg.dims)
+        .map(s => if (s > 0) "1.0D" else "-1.0D")
+        .mkString("array(", ", ", ")")
+      expr(s"dot_d(v, $lit) / 64.0")
+    }
+    array(planeCols: _*)
+  }
+
+  val all: Seq[Probe] = Seq(skt2, ded20, sim6)
+}
