@@ -232,4 +232,83 @@ object DocStreams {
         .otherwise(bucket < "8"))
       .select(col("doc_id"), col("lang"), col("source"))
   }
+
+  /** Stream-capable SEGMENT dedup — x_ded18's first-occurrence semantics
+    * at ingest: each arriving document explodes into its 16-word segments
+    * (narrow), and only segments whose digest has never been seen pass
+    * (stateful dropDuplicates on the digest — one 16-hex fingerprint per
+    * distinct segment, the same state-per-distinct-content budget as
+    * [[dedupExactStream]]). Emits surviving (doc_id, seg_idx, seg) rows;
+    * document reassembly is a sink-side concern (it needs the doc's full
+    * segment set, which an append stream by definition has not closed).
+    * Within one micro-batch the survivor among simultaneous duplicates is
+    * arrival-order (batch x_ded18 pins min (doc_id, seg_idx)); the
+    * SURVIVING SEGMENT SET is identical, which StreamingSpec pins.
+    */
+  def segmentsFirstSeen(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, CAST(ceil(size(ws) / 16.0) AS INT)),
+          |  k -> concat_ws(' ', slice(ws, (k - 1) * 16 + 1, 16)))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_fp", substring(md5(col("seg")), 1, 16))
+      .dropDuplicates("seg_fp")
+
+  /** Stream-capable count-min sketch build — x_skt1's sketch as a
+    * STREAMING AGGREGATION: each micro-batch's tokens fold into the same
+    * (r, slot) cells (update mode). The state IS the sketch — at most
+    * 3 x 256 cells no matter how much text has streamed through, the
+    * textbook case of a streaming summary whose state is bounded by
+    * construction (no watermark needed). Cells merge by addition, so the
+    * final table equals the batch build cell-for-cell (StreamingSpec).
+    */
+  def countMinCells(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.clean.CleanFns.tokens(col("text"))).as("tkn"))
+      .select(explode(expr(
+        """array(named_struct('r', 0, 'slot', CAST(conv(substr(md5(tkn), 1, 2), 16, 10) AS INT)),
+          |      named_struct('r', 1, 'slot', CAST(conv(substr(md5(tkn), 3, 2), 16, 10) AS INT)),
+          |      named_struct('r', 2, 'slot', CAST(conv(substr(md5(tkn), 5, 2), 16, 10) AS INT)))""".stripMargin))
+        .as("rs"))
+      .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Stream-capable FUZZY decontamination — x_dec5 at ingest: candidates
+    * from the stream-static broadcast shingle join (the corpus side is
+    * never shuffled), verified per candidate pair with the native
+    * `lev_bytes` edit distance against the broadcast eval texts. Stateless
+    * except the final per-doc dropDuplicates (state proportional to
+    * FLAGGED docs, not stream size). Emits contaminated doc_ids.
+    */
+  def fuzzyContaminatedIds(docs: DataFrame, evalDocs: DataFrame,
+      minSim: Double = 0.30): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val evSh = broadcast(
+      graft.api.Corpus.shingles4(evalDocs)
+        .select(col("doc_id").as("eval_id"), col("s")).distinct())
+    val evTexts = broadcast(
+      evalDocs.select(col("doc_id").as("eval_id"), col("text").as("ev_text")))
+    // text rides THROUGH the shingle explode: re-joining `docs` for the
+    // text would be a stream-stream self-join. A (doc, eval) pair hit by
+    // several shingles verifies once per hit — bounded by hit count, and
+    // lev_bytes is cheap; the batch path's pair-distinct would be state.
+    docs
+      .select(col("doc_id"), col("text"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), col("text"), explode(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2), element_at(ws, i + 3)))""".stripMargin))
+        .as("s"))
+      .join(evSh, Seq("s"))
+      .join(evTexts, Seq("eval_id"))
+      .withColumn("sim", lit(1.0) -
+        expr("lev_bytes(text, ev_text)").cast("double") /
+          greatest(length(col("text")), length(col("ev_text"))))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
 }

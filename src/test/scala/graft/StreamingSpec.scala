@@ -580,4 +580,114 @@ class StreamingSpec extends SparkSuite {
       rmr(new java.io.File(tmp))
     }
   }
+
+  test("streaming segment dedup: surviving segment SET == batch x_ded18 survivors") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seg_stream").toString
+    try {
+      batchDocs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.segmentsFirstSeen(stream)
+        .select(col("seg_fp"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("seg_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("seg_out").collect().map(_.getString(0)).toSeq
+        // exactly-once per distinct segment
+        assert(got.nonEmpty && got.distinct.size == got.size)
+        // same surviving segment COUNT as the batch first-occurrence form
+        // (the batch survivor is min (doc_id, seg_idx); the stream's is
+        // arrival order — identities may differ, the distinct segment
+        // population cannot, and both emit exactly one row per segment)
+        val gotSegs = spark.table("seg_out").count()
+        val batchSegs = graft.ext.PipelineOps8.segmentDedup(spark.read.parquet(s"$tmp/in"))
+          .agg(sum(col("n_kept"))).collect().head.getLong(0)
+        assert(gotSegs == batchSegs,
+          s"stream survivors $gotSegs != batch survivors $batchSegs")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
+  test("streaming count-min sketch cells == batch build (state IS the sketch)") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    try {
+      // two files -> two micro-batches: the sketch must accumulate across
+      // batches, not reset (cells merge by addition)
+      batchDocs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      batchDocs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.countMinCells(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("cms_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("cms_out")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        val want = DocStreams.countMinCells(spark.read.parquet(s"$tmp/in"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        // bounded state: never more than 3 rows x 256 slots
+        assert(got.size <= 3 * 256)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
+  test("streaming fuzzy decontamination == batch hit set (stream-static verify)") {
+    import graft.streaming.DocStreams
+    val batchDocs = Tables(spark, dir, "documents")
+    val evalDocs = batchDocs.filter(col("doc_id") % 25 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy_stream").toString
+    try {
+      // stream the non-eval docs plus one planted near-copy of an eval doc
+      val evText = evalDocs.orderBy("doc_id").select("text")
+        .collect().head.getString(0)
+      val near = evText.replaceFirst("\\w+", "zz")
+      import spark.implicits._
+      batchDocs.filter(col("doc_id") % 25 =!= 0)
+        .unionByName(Seq((9001L, near, "en", "srcX", near.length.toLong))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.fuzzyContaminatedIds(stream, evalDocs, minSim = 0.30)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("fuzzy_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("fuzzy_out").collect().map(_.getLong(0)).sorted.toSeq
+        val want = DocStreams.fuzzyContaminatedIds(
+            spark.read.parquet(s"$tmp/in"), evalDocs, minSim = 0.30)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        assert(got.contains(9001L), "planted near-copy must be flagged")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
 }
