@@ -238,5 +238,85 @@ object PipelineOps9 {
     array(planeCols: _*)
   }
 
-  val all: Seq[Probe] = Seq(skt2, ded20, sim6)
+  // ---------------------------------------------------- composed pipeline
+
+  /** X-PIPE4 — the round-7 stages composed END-TO-END: segment dedup over
+    * the whole corpus → fuzzy decontamination of the non-eval half against
+    * the raw eval set → quality-rule gate over the CLEANED, SEGMENT-DEDUPED
+    * text. Oracle-checking the composition (not just each stage) pins the
+    * interactions: the quality signals are computed on the reassembled
+    * text (so segment drops legitimately change n_words/stop_hits), and
+    * the fuzzy verify compares deduped corpus text against untouched eval
+    * text — the real deployment shape, where the eval set is external and
+    * never preprocessed.
+    */
+  private val pipe4 = Probe(
+    "x_pipe4_segment_decon_quality",
+    s"""WITH w0 AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents
+       |  WHERE len(${CleanFns.tokensDuck("text")}) > 0),
+       |s0 AS (
+       |  SELECT doc_id, list_transform(generate_series(1, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
+       |                                k -> array_to_string(ws[((k - 1) * 16 + 1):(k * 16)], ' ')) AS segs
+       |  FROM w0),
+       |seg AS (
+       |  SELECT doc_id, k AS seg_idx, segs[k] AS seg
+       |  FROM s0, UNNEST(generate_series(1, len(segs))) AS t(k)),
+       |first AS (
+       |  SELECT doc_id, seg_idx, seg FROM (
+       |    SELECT doc_id, seg_idx, seg,
+       |           row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+       |    FROM seg)
+       |  WHERE rn = 1),
+       |kept AS (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+       |  FROM first GROUP BY doc_id),
+       |corp AS (SELECT doc_id, text FROM kept WHERE doc_id % 25 <> 0),
+       |shc AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+       |  FROM (SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM corp
+       |        WHERE len(${CleanFns.tokensDuck("text")}) >= 4),
+       |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+       |she AS (
+       |  SELECT DISTINCT doc_id AS eval_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+       |  FROM (SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents
+       |        WHERE doc_id % 25 = 0 AND len(${CleanFns.tokensDuck("text")}) >= 4),
+       |       UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+       |cand AS (SELECT DISTINCT c.doc_id, e.eval_id FROM shc c JOIN she e ON c.s = e.s),
+       |hit AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM cand c JOIN corp d ON d.doc_id = c.doc_id
+       |       JOIN documents e ON e.doc_id = c.eval_id
+       |  WHERE 1 - CAST(levenshtein(d.text, e.text) AS DOUBLE) /
+       |            GREATEST(length(d.text), length(e.text)) >= 0.30),
+       |clean AS (SELECT * FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+       |t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w FROM clean),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_len_c, alpha_ppm, stop_hits
+       |FROM m
+       |WHERE n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+       |  AND alpha_ppm >= 600000 AND stop_hits >= 2
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val deduped = PipelineOps8.segmentDedup(docs)
+      .select(col("doc_id"), col("text_kept").as("text"))
+    val corp = deduped.filter(col("doc_id") % 25 =!= 0)
+    val ev = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text"))
+    val cleaned = graft.api.Corpus(corp).decontaminateFuzzy(ev, minSim = 0.30).df
+    graft.ext.PipelineOps3.addQualityRuleSignals(cleaned)
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("n_words"), col("mean_len_c"),
+        col("alpha_ppm"), col("stop_hits"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(skt2, ded20, sim6, pipe4)
 }

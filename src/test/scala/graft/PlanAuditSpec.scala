@@ -265,4 +265,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$plan")
   }
+
+  test("x_dec5: the verify stage keeps its explicit parallelism floor") {
+    // The expensive-scalar verify must fan out through the user-numbered
+    // repartition — losing it (e.g. by re-keying it to the distinct's
+    // grouping keys, which the optimizer removes as a no-op) re-serializes
+    // the levenshtein stage into one AQE-coalesced task (PERF.md round 7:
+    // 13.4 s vs 1.5 s at sf0.1).
+    val df = SparkEntry.queries("x_dec5_fuzzy_decontamination")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"), s"parallelism floor lost:\n$plan")
+    // and the verify itself runs on the native expression, not the builtin
+    assert(plan.contains("lev_bytes"), plan)
+  }
+
+  test("x_ded18: fixed-width digest window key; two keyed exchanges + presentation sort") {
+    val df = SparkEntry.queries("x_ded18_segment_dedup")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"global funnel:\n$plan")
+    // first-occurrence window keyed on md5(seg), doc-keyed reassembly —
+    // anything beyond those two hash exchanges is a redundant shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert(plan.contains("md5"), s"window must key on the digest:\n$plan")
+  }
+
+  test("x_skt1: sketch build is map-side combined (partial aggregate below the exchange)") {
+    val df = SparkEntry.queries("x_skt1_countmin_heavy")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_count under the (r, slot) exchange = each mapper ships at
+    // most 768 cells, the property that makes the sketch build O(1) network
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x_ded19: cell assignment broadcasts centroids; within-cell join is keyed by cell") {
+    val df = SparkEntry.queries("x_ded19_semdedup")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 8-row centroid table must ride a broadcast (assignment is narrow)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
