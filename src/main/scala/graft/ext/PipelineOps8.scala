@@ -264,8 +264,64 @@ object PipelineOps8 {
   /** Spark-SQL fragment: row r's slot (0-255) for token column `tkn` —
     * hex window r of one md5, the x_dec3 k-from-one-hash construction.
     */
-  private def slotSpark(r: Int): String =
+  private[ext] def slotSpark(r: Int): String =
     s"CAST(conv(substr(md5(tkn), ${1 + cmsSlotHex * r}, $cmsSlotHex), 16, 10) AS INT)"
+
+  /** The count-min sketch cells (r, slot, c) of a documents frame — ONE
+    * map-side-combined aggregation of the token stream into <= 768 cells.
+    * Shared by the x_skt1 probe, the streaming build
+    * (`DocStreams.countMinCells`), and the persisted [[SketchStore]].
+    */
+  def countMinCells(docs: DataFrame): DataFrame = docs
+    .select(explode(CleanFns.tokens(col("text"))).as("tkn"))
+    .select(explode(array((0 until cmsRows).map(r =>
+      struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("rs"))
+    .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
+    .agg(count(lit(1)).as("c"))
+
+  /** The exact top-10 tokens with their per-row sketch slots — the query
+    * side of the count-min probes.
+    */
+  private[ext] def topTokensWithSlots(docs: DataFrame): DataFrame = {
+    val tok = docs.select(explode(CleanFns.tokens(col("text"))).as("tkn"))
+    tok.groupBy("tkn").agg(count(lit(1)).as("n_exact"))
+      // top-k via orderBy+limit -> TakeOrderedAndProject, not a
+      // global-window SinglePartition shuffle
+      .orderBy(col("n_exact").desc, col("tkn"))
+      .limit(10)
+      .select(col("tkn"), col("n_exact"),
+        explode(array((0 until cmsRows).map(r =>
+          struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("q"))
+  }
+
+  /** x_skt1's oracle SQL — shared verbatim with x_skt1b (the persisted-
+    * sketch route must produce the identical table).
+    */
+  private[ext] lazy val countMinOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT tkn FROM (SELECT ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |       UNNEST(ws) AS u(tkn)),
+       |cms AS (
+       |  SELECT r, slot, COUNT(*) AS c FROM (
+       |    SELECT 0 AS r, ${slotDuck(0)} AS slot, tkn FROM tok
+       |    UNION ALL SELECT 1, ${slotDuck(1)}, tkn FROM tok
+       |    UNION ALL SELECT 2, ${slotDuck(2)}, tkn FROM tok)
+       |  GROUP BY r, slot),
+       |exact AS (
+       |  SELECT tkn, COUNT(*) AS n_exact FROM tok GROUP BY tkn),
+       |top AS (
+       |  SELECT tkn, n_exact FROM (
+       |    SELECT tkn, n_exact, row_number() OVER (ORDER BY n_exact DESC, tkn) AS rn FROM exact)
+       |  WHERE rn <= 10),
+       |est AS (
+       |  SELECT t.tkn, t.n_exact, MIN(m.c) AS n_est
+       |  FROM top t
+       |  JOIN cms m ON (m.r = 0 AND m.slot = ${slotDuck(0).replace("md5(tkn)", "md5(t.tkn)")})
+       |             OR (m.r = 1 AND m.slot = ${slotDuck(1).replace("md5(tkn)", "md5(t.tkn)")})
+       |             OR (m.r = 2 AND m.slot = ${slotDuck(2).replace("md5(tkn)", "md5(t.tkn)")})
+       |  GROUP BY t.tkn, t.n_exact)
+       |SELECT tkn, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
+       |FROM est ORDER BY n_exact DESC, tkn""".stripMargin
 
   /** DuckDB keeps the slot as the raw hex window (membership/grouping is
     * representation-independent; Spark groups on the integer form).
@@ -290,58 +346,23 @@ object PipelineOps8 {
     * estimate column (collisions included) is itself oracle-checked.
     */
   private val skt1 = Probe(
-    "x_skt1_countmin_heavy",
-    s"""WITH tok AS (
-       |  SELECT tkn FROM (SELECT ${CleanFns.tokensDuck("text")} AS ws FROM documents),
-       |       UNNEST(ws) AS u(tkn)),
-       |cms AS (
-       |  SELECT r, slot, COUNT(*) AS c FROM (
-       |    SELECT 0 AS r, ${slotDuck(0)} AS slot, tkn FROM tok
-       |    UNION ALL SELECT 1, ${slotDuck(1)}, tkn FROM tok
-       |    UNION ALL SELECT 2, ${slotDuck(2)}, tkn FROM tok)
-       |  GROUP BY r, slot),
-       |exact AS (
-       |  SELECT tkn, COUNT(*) AS n_exact FROM tok GROUP BY tkn),
-       |top AS (
-       |  SELECT tkn, n_exact FROM (
-       |    SELECT tkn, n_exact, row_number() OVER (ORDER BY n_exact DESC, tkn) AS rn FROM exact)
-       |  WHERE rn <= 10),
-       |est AS (
-       |  SELECT t.tkn, t.n_exact, MIN(m.c) AS n_est
-       |  FROM top t
-       |  JOIN cms m ON (m.r = 0 AND m.slot = ${slotDuck(0).replace("md5(tkn)", "md5(t.tkn)")})
-       |             OR (m.r = 1 AND m.slot = ${slotDuck(1).replace("md5(tkn)", "md5(t.tkn)")})
-       |             OR (m.r = 2 AND m.slot = ${slotDuck(2).replace("md5(tkn)", "md5(t.tkn)")})
-       |  GROUP BY t.tkn, t.n_exact)
-       |SELECT tkn, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est
-       |FROM est ORDER BY n_exact DESC, tkn""".stripMargin) { (s, dir) =>
-    val tok = Tables(s, dir, "documents")
-      .select(explode(CleanFns.tokens(col("text"))).as("tkn"))
-    // sketch build: token stream -> (r, slot) cells, map-side combined;
-    // the exchange carries <= cmsRows * 256 rows per mapper
-    val cms = tok
-      .select(explode(array((0 until cmsRows).map(r =>
-        struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("rs"))
-      .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
-      .agg(count(lit(1)).as("c"))
-    val exact = tok.groupBy("tkn").agg(count(lit(1)).as("n_exact"))
-    // top-k via orderBy+limit -> TakeOrderedAndProject, not a global-window
-    // SinglePartition shuffle (same deterministic (count desc, token) order
-    // as the oracle's row_number)
-    val top = exact
-      .orderBy(col("n_exact").desc, col("tkn"))
-      .limit(10)
-      .select(col("tkn"), col("n_exact"),
-        explode(array((0 until cmsRows).map(r =>
-          struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("q"))
-    top
+    "x_skt1_countmin_heavy", countMinOracleSql) { (s, dir) =>
+    estimateTopTokens(Tables(s, dir, "documents"),
+      countMinCells(Tables(s, dir, "documents")))
+  }
+
+  /** Estimate the exact top-10 tokens' counts from a cells frame — the
+    * query stage shared by x_skt1 (inline build) and x_skt1b (persisted
+    * sketch).
+    */
+  def estimateTopTokens(docs: DataFrame, cms: DataFrame): DataFrame =
+    topTokensWithSlots(docs)
       .join(broadcast(cms),
         col("q.r") === col("r") && col("q.slot") === col("slot"))
       .groupBy(col("tkn"), col("n_exact"))
       .agg(min(col("c")).as("n_est"))
       .select(col("tkn"), col("n_exact"), col("n_est"))
       .orderBy(col("n_exact").desc, col("tkn"))
-  }
 
   val all: Seq[Probe] = Seq(ded18, ded19, dec5, skt1)
 }

@@ -265,15 +265,7 @@ object DocStreams {
     * final table equals the batch build cell-for-cell (StreamingSpec).
     */
   def countMinCells(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(graft.clean.CleanFns.tokens(col("text"))).as("tkn"))
-      .select(explode(expr(
-        """array(named_struct('r', 0, 'slot', CAST(conv(substr(md5(tkn), 1, 2), 16, 10) AS INT)),
-          |      named_struct('r', 1, 'slot', CAST(conv(substr(md5(tkn), 3, 2), 16, 10) AS INT)),
-          |      named_struct('r', 2, 'slot', CAST(conv(substr(md5(tkn), 5, 2), 16, 10) AS INT)))""".stripMargin))
-        .as("rs"))
-      .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
-      .agg(count(lit(1)).as("c"))
+    graft.ext.PipelineOps8.countMinCells(docs) // shared build, cannot drift
 
   /** Stream-capable FUZZY decontamination — x_dec5 at ingest: candidates
     * from the stream-static broadcast shingle join (the corpus side is
