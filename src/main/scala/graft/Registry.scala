@@ -20,6 +20,7 @@ object Registry {
     ext.PipelineOps8.all ++
     ext.PipelineOps9.all ++
     ext.SketchStore.all ++
+    ext.SegIndex.all ++
     ext.Similarity.all ++
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++

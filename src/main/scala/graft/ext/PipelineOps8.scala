@@ -70,16 +70,22 @@ object PipelineOps8 {
     segmentDedup(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
+  /** (doc_id, n_segs, seg_idx, seg): every document's 16-word segments —
+    * the shared segmentation stage of x_ded18, the streaming first-seen
+    * form, and the persisted [[SegIndex]].
+    */
+  def segments(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+    .filter(size(col("ws")) > 0)
+    .select(col("doc_id"), segsSpark.as("segs"))
+    .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+      posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+
   /** The reusable operator behind x_ded18: (doc_id, n_segs, n_kept,
     * text_kept) for every document with at least one surviving segment.
     */
   def segmentDedup(docs: DataFrame): DataFrame = {
-    val seg = docs
-      .select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), segsSpark.as("segs"))
-      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
-        posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+    val seg = segments(docs)
     val firstWin = Window.partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("seg_idx"))
     seg
       .withColumn("rn", row_number().over(firstWin))

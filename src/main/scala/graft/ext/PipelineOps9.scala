@@ -238,6 +238,92 @@ object PipelineOps9 {
     array(planeCols: _*)
   }
 
+  // ----------------------------------------------------- histogram sketch
+
+  private val histBins = 32
+  private val histWidth = 20 // n_chars domain [0, 640); overflow clamps
+
+  /** X-SKT3 — histogram quantile sketch: per-language p50/p90 of document
+    * length estimated from a FIXED 32-bin equi-width histogram (bin
+    * addition = merge, like the count-min cells), surfaced next to the
+    * exact percentiles so the binning error is visible in the checked
+    * output.
+    *
+    * The estimator is standard linear interpolation inside the bin that
+    * crosses the target rank: est = lo + width * (q*n - cum_below) / c.
+    * The histogram state is 32 longs per group at ANY corpus size, and the
+    * bin domain is FIXED (not data-dependent) so the sketch needs no
+    * pre-pass and merges across shards/epochs — the property t-digest
+    * buys with far more machinery. Exact percentiles need a per-group
+    * sort; the sketch answers from kilobytes.
+    */
+  private val skt3 = Probe(
+    "x_skt3_histogram_quantiles",
+    s"""WITH h AS (
+       |  SELECT lang, LEAST(CAST(n_chars // $histWidth AS INT), ${histBins - 1}) AS bin, COUNT(*) AS c
+       |  FROM documents GROUP BY lang, LEAST(CAST(n_chars // $histWidth AS INT), ${histBins - 1})),
+       |cum AS (
+       |  SELECT lang, bin, c, SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cs,
+       |         SUM(c) OVER (PARTITION BY lang) AS n
+       |  FROM h),
+       |est AS (
+       |  SELECT q.q, cum.lang,
+       |         bin * $histWidth + $histWidth * (q.q * n - (cs - c)) / c AS e,
+       |         row_number() OVER (PARTITION BY q.q, lang ORDER BY bin) AS rn
+       |  FROM cum, (SELECT UNNEST([0.5, 0.9]) AS q) q
+       |  WHERE cs >= q.q * n),
+       |ex AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS p50x,
+       |         percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars) AS p90x
+       |  FROM documents GROUP BY lang)
+       |SELECT ex.lang, ex.n_docs,
+       |       round(ex.p50x, 4) AS p50_exact, round(MAX(CASE WHEN e50.rn = 1 THEN e50.e END), 4) AS p50_est,
+       |       round(ex.p90x, 4) AS p90_exact, round(MAX(CASE WHEN e90.rn = 1 THEN e90.e END), 4) AS p90_est
+       |FROM ex
+       |JOIN est e50 ON e50.lang = ex.lang AND e50.q = 0.5
+       |JOIN est e90 ON e90.lang = ex.lang AND e90.q = 0.9
+       |GROUP BY ex.lang, ex.n_docs, ex.p50x, ex.p90x
+       |ORDER BY ex.lang""".stripMargin) { (s, dir) =>
+    histogramQuantiles(Tables(s, dir, "documents")).orderBy("lang")
+  }
+
+  /** The 32-cell per-group histogram (lang, bin, c) — the mergeable sketch
+    * state (bin addition), shared by the probe and the spec's merge pin.
+    */
+  def histCells(docs: DataFrame): DataFrame = docs
+    .groupBy(col("lang"),
+      least((col("n_chars") / histWidth).cast("int"), lit(histBins - 1)).as("bin"))
+    .agg(count(lit(1)).as("c"))
+
+  /** (lang, n_docs, p50_exact, p50_est, p90_exact, p90_est). */
+  def histogramQuantiles(docs: DataFrame): DataFrame = {
+    val cum = histCells(docs)
+      .withColumn("cs", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val qs = docs.sparkSession.range(1)
+      .select(explode(array(lit(0.5), lit(0.9))).as("q"))
+    val est = cum.join(broadcast(qs))
+      .filter(col("cs") >= col("q") * col("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q"), col("lang")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .withColumn("e",
+        col("bin") * histWidth + lit(histWidth) * (col("q") * col("n") - (col("cs") - col("c"))) / col("c"))
+      .select(col("q"), col("lang"), col("e"))
+    val ex = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50x"),
+        expr("percentile(n_chars, 0.9)").as("p90x"))
+    ex
+      .join(est.filter(col("q") === 0.5).select(col("lang"), col("e").as("e50")), "lang")
+      .join(est.filter(col("q") === 0.9).select(col("lang"), col("e").as("e90")), "lang")
+      .select(col("lang"), col("n_docs"),
+        round(col("p50x"), 4).as("p50_exact"), round(col("e50"), 4).as("p50_est"),
+        round(col("p90x"), 4).as("p90_exact"), round(col("e90"), 4).as("p90_est"))
+  }
+
   // ---------------------------------------------------- composed pipeline
 
   /** X-PIPE4 — the round-7 stages composed END-TO-END: segment dedup over
@@ -318,5 +404,5 @@ object PipelineOps9 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(skt2, ded20, sim6, pipe4)
+  val all: Seq[Probe] = Seq(skt2, skt3, ded20, sim6, pipe4)
 }

@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SEGMENT-digest index: incremental segment dedup's write-once /
+  * probe-many side — the [[BandIndex]] pattern at segment granularity.
+  *
+  * The daily-crawl regime: the released corpus's distinct 16-word-segment
+  * digests are written ONCE as parquet partitioned by a digest prefix;
+  * each new shard then counts (or drops) segments already seen WITHOUT
+  * re-reading any released text. The index holds one 16-hex fingerprint
+  * per distinct segment — ~1e-3 of corpus text bytes — and the prefix
+  * partitioning lets the probing join prune to the directories the new
+  * shard actually names.
+  */
+object SegIndex {
+
+  val defaultPrefixChars = 1
+
+  /** One pass over `docs`: distinct segment digests → prefix-partitioned
+    * parquet at `dir/segs`.
+    */
+  def build(docs: DataFrame, dir: String,
+      prefixChars: Int = defaultPrefixChars): Unit = {
+    PipelineOps8.segments(docs)
+      .select(substring(md5(col("seg")), 1, 16).as("fp"))
+      .distinct()
+      .withColumn("fp_p", substring(col("fp"), 1, prefixChars))
+      .repartition(col("fp_p"))
+      .write.mode("overwrite").partitionBy("fp_p")
+      .parquet(s"$dir/segs")
+  }
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/segs")
+
+  /** Per-new-doc segment accounting against the index: (doc_id, n_segs,
+    * n_new) where n_new counts segments whose digest the released corpus
+    * has never seen. Join shape mirrors BandIndex: the INDEX streams (it
+    * is the big side), the new shard's distinct digests broadcast, and the
+    * fp_p partition column in the equi-key lets dynamic pruning restrict
+    * the index scan. Intra-shard duplicates are NOT collapsed here — the
+    * full incremental run chains [[PipelineOps8.segmentDedup]] within the
+    * shard first, then this count against history.
+    */
+  def newSegmentCounts(newDocs: DataFrame, index: DataFrame,
+      prefixChars: Int = defaultPrefixChars): DataFrame = {
+    val segs = PipelineOps8.segments(newDocs)
+      .select(col("doc_id"), substring(md5(col("seg")), 1, 16).as("fp"))
+    val newFps = segs.select(col("fp").as("fp_n"))
+      .distinct()
+      .withColumn("fp_p_n", substring(col("fp_n"), 1, prefixChars))
+    val seen = index.join(broadcast(newFps),
+        index("fp_p") === newFps("fp_p_n") && index("fp") === newFps("fp_n"))
+      .select(col("fp_n").as("seen_fp")).distinct()
+    segs.join(broadcast(seen), col("fp") === col("seen_fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("seen_fp").isNull, 1L).otherwise(0L)).as("n_new"))
+  }
+
+  /** X-DED21 — incremental segment dedup through the persisted index: the
+    * released corpus (doc_id % 3 != 0) is indexed once; the new shard
+    * (doc_id % 3 == 0) is scored against the index — per new doc, total
+    * segments and how many the released corpus has never seen. The oracle
+    * is the pure relational formulation over the same md5 segment algebra,
+    * so index-vs-recompute equivalence is hash-checked, not assumed.
+    */
+  private val ded21 = Probe(
+    "x_ded21_segment_incremental",
+    s"""WITH w AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents
+       |  WHERE len(${CleanFns.tokensDuck("text")}) > 0),
+       |s0 AS (
+       |  SELECT doc_id, list_transform(generate_series(1, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
+       |                                k -> array_to_string(ws[((k - 1) * 16 + 1):(k * 16)], ' ')) AS segs
+       |  FROM w),
+       |seg AS (
+       |  SELECT doc_id, substr(md5(segs[k]), 1, 16) AS fp
+       |  FROM s0, UNNEST(generate_series(1, len(segs))) AS t(k)),
+       |rel AS (SELECT DISTINCT fp FROM seg WHERE doc_id % 3 <> 0),
+       |new AS (SELECT doc_id, fp FROM seg WHERE doc_id % 3 = 0)
+       |SELECT new.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |       CAST(SUM(CASE WHEN rel.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |FROM new LEFT JOIN rel ON new.fp = rel.fp
+       |GROUP BY new.doc_id ORDER BY new.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_seg_idx").toString
+    build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+    newSegmentCounts(docs.filter(col("doc_id") % 3 === 0), load(s, idxDir))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded21)
+}

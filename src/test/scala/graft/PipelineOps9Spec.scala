@@ -89,6 +89,57 @@ class PipelineOps9Spec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------ histogram sketch
+
+  test("histogram cells merge by addition: sharded build == whole build") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val merged = PipelineOps9.histCells(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(PipelineOps9.histCells(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy(col("lang"), col("bin")).agg(sum(col("c")).as("c"))
+    assert(cells(merged) == cells(PipelineOps9.histCells(docs)))
+  }
+
+  test("histogram quantile estimates land within one bin width of exact") {
+    val out = PipelineOps9.histogramQuantiles(
+      Tables(spark, "/root/testdata/sf0.01", "documents")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 20.0,
+        s"p50 off by more than a bin: $r")
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) <= 20.0,
+        s"p90 off by more than a bin: $r")
+    }
+  }
+
+  // -------------------------------------------------------- segment index
+
+  test("SegIndex: planted all-seen and all-novel shards count correctly") {
+    import graft.ext.SegIndex
+    val a = w(16, "a"); val b = w(16, "b"); val n = w(16, "n")
+    val released = Seq((1L, s"$a $b")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_segidx_spec").toString
+    try {
+      SegIndex.build(released, tmp)
+      val idx = SegIndex.load(spark, tmp)
+      val newShard = Seq(
+        (10L, s"$b $a"), // both segments released (order differs, segments equal)
+        (11L, n), // fully novel
+        (12L, s"$a $n")) // half and half
+        .toDF("doc_id", "text")
+      val out = SegIndex.newSegmentCounts(newShard, idx).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq((10L, 2L, 0L), (11L, 1L, 1L), (12L, 2L, 1L)))
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   // -------------------------------------------------------- JL projection
 
   test("JL projection: identical vectors project identically; cos_proj(self-clone) = 1") {
