@@ -345,6 +345,42 @@ final case class Corpus(df: DataFrame) {
       .drop("text_kept")
   }
 
+  /** Duplicated-span signals (x_ded20): max_run_grams / span_words /
+    * n_dup_positions appended per doc (0 for docs with no cross-document
+    * duplicated 8-gram).
+    */
+  def withDupSpans(n: Int = 8): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps9.dupSpans(d, n), Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("max_run_grams", "span_words", "n_dup_positions"))
+      // a doc with no duplicated gram has span 0, not the gram width
+      .withColumn("span_words",
+        when(col("max_run_grams") === 0L, 0L).otherwise(col("span_words")))
+  }
+
+  /** Drop documents embedding a shared span of at least `maxSpanWords`
+    * words (x_ded20's policy form): "quoting a phrase is fine, embedding a
+    * boilerplate paragraph is not."
+    */
+  def filterDupSpans(maxSpanWords: Long, n: Int = 8): Corpus = chain { d =>
+    val long = graft.ext.PipelineOps9.dupSpans(d, n)
+      .filter(col("span_words") >= maxSpanWords)
+      .select(col("doc_id"))
+    d.join(long, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-language length-quantile report (x_skt3): exact p50/p90 next to
+    * the 32-bin histogram-sketch estimates. Returns the REPORT, not a
+    * Corpus.
+    */
+  def lengthQuantiles(): DataFrame =
+    graft.ext.PipelineOps9.histogramQuantiles(df)
+
+  /** Per-language distinct-bigram report (x_skt2): exact count next to the
+    * KMV k=64 estimate. Returns the REPORT, not a Corpus.
+    */
+  def distinctBigramStats(): DataFrame =
+    graft.ext.PipelineOps9.kmvDistinctBigrams(df)
+
   /** Incremental near-dedup: drop documents of THIS corpus (the new crawl
     * shard) that MinHash-band-collide with an already-released corpus —
     * x_ded9's semantics. Only new×old candidates are generated; the old

@@ -278,8 +278,13 @@ object PipelineOps8 {
     * Shared by the x_skt1 probe, the streaming build
     * (`DocStreams.countMinCells`), and the persisted [[SketchStore]].
     */
-  def countMinCells(docs: DataFrame): DataFrame = docs
-    .select(explode(CleanFns.tokens(col("text"))).as("tkn"))
+  def countMinCells(docs: DataFrame): DataFrame =
+    countMinCellsOfTokens(docs.select(explode(CleanFns.tokens(col("text"))).as("tkn")))
+
+  /** The same build over an already-tokenized stream (one `tkn` column) —
+    * lets any keyed stream (words, shingles, ids) be sketched.
+    */
+  def countMinCellsOfTokens(tokens: DataFrame): DataFrame = tokens
     .select(explode(array((0 until cmsRows).map(r =>
       struct(lit(r).as("r"), expr(slotSpark(r)).as("slot"))): _*)).as("rs"))
     .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))

@@ -238,6 +238,72 @@ object PipelineOps9 {
     array(planeCols: _*)
   }
 
+  // -------------------------------------------------- join-size estimation
+
+  /** X-SKT4 — join-cardinality estimation from count-min sketches:
+    * |lineitem ⋈ orders on orderkey| estimated as the minimum over sketch
+    * rows of the cell-wise inner product Σ_slot a[r][slot]·b[r][slot],
+    * surfaced next to the exact join size. The estimate is ONE-SIDED
+    * (collisions only add), so est >= exact always — exactly what a
+    * planner needs for the broadcast-vs-shuffle decision at 100 TB: two
+    * fixed-size mergeable sketches answer "how big is this join" without
+    * running it.
+    *
+    * Width matters: the collision noise is ~N_a·N_b/w, so resolving a
+    * join of size J needs w >> N_a·N_b/J. Here 3 rows x 65,536 slots
+    * (disjoint 4-hex windows of one md5 — the x_dec3 k-from-one-hash
+    * construction, wider windows) puts the noise an order of magnitude
+    * below the signal at bench SF; a 256-slot sketch (x_skt1's width,
+    * sized for heavy-hitter queries) would be pure noise here. Both the
+    * cells and the inner product are exact integer arithmetic, so the
+    * estimate itself hash-matches the oracle.
+    */
+  private val skt4 = Probe(
+    "x_skt4_join_size",
+    s"""WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+       |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+       |ca AS (
+       |  SELECT r, slot, COUNT(*) AS c FROM (
+       |    SELECT 0 AS r, substr(md5(k), 1, 4) AS slot FROM la
+       |    UNION ALL SELECT 1, substr(md5(k), 5, 4) FROM la
+       |    UNION ALL SELECT 2, substr(md5(k), 9, 4) FROM la)
+       |  GROUP BY r, slot),
+       |cb AS (
+       |  SELECT r, slot, COUNT(*) AS c FROM (
+       |    SELECT 0 AS r, substr(md5(k), 1, 4) AS slot FROM ob
+       |    UNION ALL SELECT 1, substr(md5(k), 5, 4) FROM ob
+       |    UNION ALL SELECT 2, substr(md5(k), 9, 4) FROM ob)
+       |  GROUP BY r, slot),
+       |ip AS (
+       |  SELECT ca.r, SUM(ca.c * cb.c) AS dot
+       |  FROM ca JOIN cb ON ca.r = cb.r AND ca.slot = cb.slot
+       |  GROUP BY ca.r),
+       |exact AS (
+       |  SELECT COUNT(*) AS n FROM la JOIN ob ON la.k = ob.k)
+       |SELECT CAST(exact.n AS BIGINT) AS n_exact, CAST(MIN(ip.dot) AS BIGINT) AS n_est
+       |FROM exact, ip GROUP BY exact.n ORDER BY n_exact""".stripMargin) { (s, dir) =>
+    def side(df: DataFrame): DataFrame = df
+      .select(explode(array((0 until 3).map(r =>
+        struct(lit(r).as("r"), substring(md5(col("k")), 1 + 4 * r, 4).as("slot"))): _*))
+        .as("rs"))
+      .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("c"))
+    val la = Tables(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+    val ob = Tables(s, dir, "orders").select(col("o_orderkey").cast("string").as("k"))
+    val ip = side(la).alias("a")
+      .join(side(ob).alias("b"),
+        col("a.r") === col("b.r") && col("a.slot") === col("b.slot"))
+      .groupBy(col("a.r"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val exact = la.alias("x").join(ob.alias("y"), col("x.k") === col("y.k"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(ip)
+      .groupBy(col("n_exact"))
+      .agg(min(col("dot")).as("n_est"))
+      .select(col("n_exact"), col("n_est"))
+      .orderBy("n_exact")
+  }
+
   // ----------------------------------------------------- histogram sketch
 
   private val histBins = 32
@@ -404,5 +470,5 @@ object PipelineOps9 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(skt2, skt3, ded20, sim6, pipe4)
+  val all: Seq[Probe] = Seq(skt2, skt3, skt4, ded20, sim6, pipe4)
 }

@@ -140,6 +140,23 @@ class PipelineOps9Spec extends SparkSuite {
     }
   }
 
+  // --------------------------------------------------------- fluent Corpus
+
+  test("Corpus.withDupSpans fills zero for clean docs; filterDupSpans drops long spans") {
+    val span = w(12, "s")
+    val docs = Seq(
+      (1L, s"${w(8, "a")} $span"),
+      (2L, s"${w(8, "c")} $span"),
+      (3L, w(30, "z"))).toDF("doc_id", "text")
+    val out = graft.api.Corpus(docs).withDupSpans().df.orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(2).getAs[Long]("span_words") == 0L)
+    assert(out(0).getAs[Long]("span_words") == 12L)
+    val kept = graft.api.Corpus(docs).filterDupSpans(maxSpanWords = 12L).df
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L))
+  }
+
   // -------------------------------------------------------- JL projection
 
   test("JL projection: identical vectors project identically; cos_proj(self-clone) = 1") {
