@@ -617,6 +617,40 @@ object Probes {
       .orderBy("cohort_us", "week_offset")
   }
 
+  /** P-EVT6 — idempotent event ingestion (round 7): collapse retries /
+    * at-least-once redeliveries to one event per (user, type, hour
+    * bucket), keeping the earliest (tie: min event_id) and surfacing how
+    * many the bucket absorbed — the dedup every event pipeline runs at
+    * the door. One keyed shuffle (the window partitions on the full
+    * bucket key); the streaming twin is
+    * `EventStreams.dedupHourly` (watermark + dropDuplicates), parity-
+    * pinned in StreamingSpec.
+    */
+  private val pEvt6 = Probe(
+    "p_evt6_idempotent_ingest",
+    """WITH d AS (
+      |  SELECT user_id, event_type, date_trunc('hour', ts) AS h, event_id,
+      |         row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      |                            ORDER BY ts, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)) AS n_in_bucket
+      |  FROM events)
+      |SELECT user_id, event_type, CAST(epoch_us(h) AS BIGINT) AS hour_us,
+      |       event_id AS kept_event_id, CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+      |FROM d WHERE rn = 1
+      |ORDER BY user_id, event_type, hour_us""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("h"))
+    e.withColumn("rn", row_number().over(w.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n_in_bucket", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("h")).as("hour_us"),
+        col("event_id").as("kept_event_id"), col("n_in_bucket"))
+      .orderBy("user_id", "event_type", "hour_us")
+  }
+
   /** P-STAT — statistical aggregates. These are floating-point co-moment
     * computations whose low bits vary with partition merge order, so
     * outputs are rounded to 6 significant decimals (noise is ~1e-12
@@ -673,5 +707,5 @@ object Probes {
   val all: Seq[Probe] = Seq(
     pFil, pAgg1, pAgg2, pAgg3, pJn1, pJn2, pJn3s, pJn3a, pJn4, pJn5,
     pWin1, pWin2, pWin3, pSrt, pSet, pStr, pDt, pMth, pArr, pArr2, pEvt, pEvt2,
-    pEvt4, pEvt5, pJson, pStat)
+    pEvt4, pEvt5, pEvt6, pJson, pStat)
 }

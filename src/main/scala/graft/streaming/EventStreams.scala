@@ -52,6 +52,23 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Idempotent ingestion — p_evt6's semantics at the stream door: one
+    * event per (user, type, hour bucket), duplicates from retries /
+    * at-least-once redelivery dropped by stateful dropDuplicates. The
+    * watermark bounds state: buckets older than 2 hours of event time are
+    * evicted, which is what makes this runnable forever. Batch keeps the
+    * earliest event per bucket (the oracle-checked window form); the
+    * stream keeps the first ARRIVAL — the kept-event identity may differ,
+    * the surviving BUCKET set cannot (StreamingSpec pins it).
+    */
+  def dedupHourly(events: DataFrame): DataFrame =
+    events
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withWatermark("h", "2 hours")
+      .dropDuplicates("user_id", "event_type", "h")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("h")).as("hour_us"), col("event_id"))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

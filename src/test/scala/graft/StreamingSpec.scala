@@ -60,6 +60,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly idempotent ingest: surviving bucket set == batch p_evt6") {
+    val q = EventStreams.dedupHourly(EventStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("idem_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("idem_out")
+        .select("user_id", "event_type", "hour_us")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      // exactly one survivor per bucket, and the bucket set matches the
+      // oracle-checked batch form (kept-event identity may differ)
+      assert(got.distinct.size == got.size)
+      val want = SparkEntry.queries("p_evt6_idempotent_ingest")(spark, dir)
+        .select("user_id", "event_type", "hour_us")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches the stream against a dimension") {
     import spark.implicits._
     // static dim: user_id -> label (derived deterministically)
