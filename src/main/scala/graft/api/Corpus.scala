@@ -381,6 +381,21 @@ final case class Corpus(df: DataFrame) {
   def distinctBigramStats(): DataFrame =
     graft.ext.PipelineOps9.kmvDistinctBigrams(df)
 
+  /** Release data card (x_rep2): ROLLUP over (lang, source) of doc count,
+    * token mass, and quality keep rate. Returns the REPORT, not a Corpus.
+    */
+  def dataCard(): DataFrame =
+    graft.ext.PipelineOps3.addQualityRuleSignals(df)
+      .rollup(col("lang"), col("source"))
+      .agg(grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_tokens"),
+        expr("CAST(SUM(keep) * 1000000 DIV COUNT(*) AS BIGINT)").as("keep_ppm"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"), col("n_tokens"), col("keep_ppm"))
+
   /** Incremental near-dedup: drop documents of THIS corpus (the new crawl
     * shard) that MinHash-band-collide with an already-released corpus —
     * x_ded9's semantics. Only new×old candidates are generated; the old

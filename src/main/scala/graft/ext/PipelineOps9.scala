@@ -390,6 +390,49 @@ object PipelineOps9 {
         round(col("p90x"), 4).as("p90_exact"), round(col("e90"), 4).as("p90_est"))
   }
 
+  // -------------------------------------------------------------- datacard
+
+  /** X-REP2 — the release data card: ROLLUP over (lang, source) of doc
+    * count, token mass, and quality keep rate (the x_txt11 rule family) —
+    * the per-slice + per-language + whole-corpus summary a dataset release
+    * ships. One pass: the rollup is a single Expand-based aggregation over
+    * the narrow quality projection; keep rate as exact integer ppm.
+    */
+  private val rep2 = Probe(
+    "x_rep2_datacard",
+    """WITH t AS (
+      |  SELECT lang, source, list_filter(string_split_regex(lower(text), '\s+'), tkn -> tkn <> '') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, source,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CASE WHEN CAST(len(w) AS BIGINT) BETWEEN 10 AND 100000
+      |          AND CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) BETWEEN 200 AND 1000
+      |          AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) >= 600000
+      |          AND len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) >= 2
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM t)
+      |SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      |  CAST(GROUPING(lang) AS INT) AS g_lang, CAST(GROUPING(source) AS INT) AS g_source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+      |FROM m GROUP BY ROLLUP(lang, source)
+      |ORDER BY g_lang, g_source, lang, source""".stripMargin) { (s, dir) =>
+    graft.ext.PipelineOps3.addQualityRuleSignals(Tables(s, dir, "documents"))
+      .rollup(col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_tokens"),
+        expr("CAST(SUM(keep) * 1000000 DIV COUNT(*) AS BIGINT)").as("keep_ppm"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"), col("n_tokens"), col("keep_ppm"))
+      .orderBy("g_lang", "g_source", "lang", "source")
+  }
+
   // ---------------------------------------------------- composed pipeline
 
   /** X-PIPE4 — the round-7 stages composed END-TO-END: segment dedup over
@@ -470,5 +513,5 @@ object PipelineOps9 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(skt2, skt3, skt4, ded20, sim6, pipe4)
+  val all: Seq[Probe] = Seq(skt2, skt3, skt4, ded20, sim6, rep2, pipe4)
 }
