@@ -22,6 +22,7 @@ object Registry {
     ext.SketchStore.all ++
     ext.SegIndex.all ++
     ext.Similarity.all ++
+    ext.Similarity2.all ++
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++
