@@ -45,4 +45,23 @@ class Similarity2Spec extends SparkSuite {
     // well above chance, below the optimistic real-encoder regime.
     assert(overlap >= 0.12, s"ADC recall vs exact top-5 too low: $overlap")
   }
+
+  test("IVFPQ results are the PQ ranking restricted to probed-cell candidates") {
+    // every x_sim8 hit must carry the same ADC distance x_sim7 computes for
+    // that (query, candidate) pair — IVF changes WHICH candidates are
+    // scored, never HOW they are scored (x_sim7 only surfaces its top-5,
+    // so the cross-check applies where the pair appears in both)
+    val fullMap = SparkEntry.queries("x_sim7_pq_adc")(spark, dir)
+      .select(col("q_id"), col("c_id"), col("adc_d2"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ivfpq = SparkEntry.queries("x_sim8_ivfpq")(spark, dir).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      fullMap.get(key).foreach(d => assert(d == r.getLong(3), s"ADC drift at $key"))
+    }
+    // and the candidate restriction is real: IVFPQ scores a strict subset
+    val nIvf = SparkEntry.queries("x_sim8_ivfpq")(spark, dir).count()
+    assert(nIvf == 25)
+  }
 }
