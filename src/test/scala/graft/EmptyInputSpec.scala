@@ -88,6 +88,17 @@ class EmptyInputSpec extends SparkSuite {
     assert(Corpus(emptyDocs).decontaminateFuzzy(docs).df.count() == 0)
   }
 
+  test("sketches, spans, PQ on empty inputs") {
+    import graft.ext.{PipelineOps8, PipelineOps9, Similarity2}
+    assert(PipelineOps8.countMinCells(emptyDocs).count() == 0)
+    assert(PipelineOps9.kmvDistinctBigrams(emptyDocs).count() == 0)
+    assert(PipelineOps9.histogramQuantiles(
+      emptyDocs.withColumn("n_chars", col("n_chars"))).count() == 0)
+    assert(PipelineOps9.dupSpans(emptyDocs).count() == 0)
+    assert(Similarity2.pqTopK(spark, emptyEmb).count() == 0)
+    assert(Similarity2.ivfPqTopK(spark, emptyEmb).count() == 0)
+  }
+
   test("exact gram set + sorted_count_in novelty against an empty release") {
     val gs = PipelineOps7.gramSet(emptyDocs)
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
