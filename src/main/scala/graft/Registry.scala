@@ -19,6 +19,7 @@ object Registry {
     ext.PipelineOps7.all ++
     ext.PipelineOps8.all ++
     ext.PipelineOps9.all ++
+    ext.PipelineOps10.all ++
     ext.SketchStore.all ++
     ext.SegIndex.all ++
     ext.Similarity.all ++

@@ -1,0 +1,465 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions (fourth wave): statistical language-model scoring,
+  * BM25 retrieval, DSIR-style importance weighting, PMI collocations,
+  * HyperLogLog distinct sketching, and event-rate anomaly detection —
+  * the model-based selection and monitoring layer of a training-data
+  * pipeline (every signal so far was rule- or hash-based; these score
+  * documents against LEARNED corpus statistics, all still exact,
+  * deterministic, and oracle-checkable).
+  */
+object PipelineOps10 {
+
+  // ------------------------------------------------------- shared helpers
+
+  /** (doc_id, ws): the shared whitespace tokenization (one tokenizer
+    * everywhere — the round-5 lesson).
+    */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+
+  /** (doc_id, w1, w2, b): every adjacent token pair. `b` is the joined
+    * bigram string; hot-path joins digest it to 16 hex (fixed-width
+    * shuffle payload, the x_ded10 lesson) — see [[lmScore]].
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame = docTokens(docs)
+    .filter(size(col("ws")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+        "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1), " +
+        "'b', concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))))")).as("p"))
+    .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.b").as("b"))
+
+  /** DuckDB CTE fragment producing the same (doc_id, w1, w2, b) stream
+    * from a CTE `t(doc_id, ws)`.
+    */
+  private def bigramsDuck(src: String): String =
+    s"""SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i] || ' ' || ws[i+1] AS b
+       |  FROM (SELECT doc_id, ws FROM $src WHERE len(ws) >= 2),
+       |       UNNEST(generate_series(1, len(ws) - 1)) AS g(i)""".stripMargin
+
+  // ------------------------------------------- bigram language-model score
+
+  /** Per-document negative log-likelihood under an add-one-smoothed bigram
+    * LM estimated from `train` — the CCNet-style statistical quality
+    * signal: fluent prose scores low, gibberish / shuffled / boilerplate
+    * text scores high, and (unlike the x_txt11 rule family) the judgment
+    * adapts to whatever the reference corpus actually looks like.
+    *
+    * p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V); score = -Σ ln p / n_bigrams.
+    * Unseen bigrams and unseen contexts degrade smoothly to the 1/(c+V)
+    * floor, so the same operator scores NEW shards against a RELEASED
+    * corpus LM (x_txt18b) — the incremental regime.
+    *
+    * Shape: the bigram count join is keyed on a 16-hex md5 digest of the
+    * pair (fixed-width shuffle payload at any token length); the unigram
+    * table and the vocabulary size are vocabulary-bounded → broadcast.
+    * Double discipline (SURVEY §8.4): every ln argument is a ratio of
+    * exact integers, per-doc sums are rounded to 6 before surfacing.
+    */
+  def lmScore(train: DataFrame, score: DataFrame): DataFrame = {
+    val uni = docTokens(train)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bgc = bigramPairs(train)
+      .select(substring(md5(col("b")), 1, 16).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("c2"))
+    bigramPairs(score)
+      .select(col("doc_id"), col("w1"), substring(md5(col("b")), 1, 16).as("hb"))
+      .join(bgc, Seq("hb"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .join(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + 1) / (coalesce(col("c1"), lit(0L)) + col("v")))
+          .as("lnp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(-sum(col("lnp")) / count(lit(1)), 6).as("nll_avg"))
+  }
+
+  private def lmOracle(trainWhere: String, scoreWhere: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |u AS (
+       |  SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(ws) AS w FROM t $trainWhere) GROUP BY w),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |bgt AS (${bigramsDuck(s"(SELECT * FROM t $trainWhere)")}),
+       |bc AS (SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS c2 FROM bgt GROUP BY hb),
+       |bgs AS (${bigramsDuck(s"(SELECT * FROM t $scoreWhere)")})
+       |SELECT bgs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  round(-SUM(ln((COALESCE(bc.c2, 0) + 1) / (COALESCE(u.c1, 0) + v.v))) / COUNT(*), 6) AS nll_avg
+       |FROM bgs
+       |LEFT JOIN bc ON bc.hb = substr(md5(bgs.b), 1, 16)
+       |LEFT JOIN u ON u.w = bgs.w1, v
+       |GROUP BY bgs.doc_id ORDER BY doc_id""".stripMargin
+
+  /** X-TXT18 — corpus self-scored LM: every document's NLL under the LM of
+    * the corpus it belongs to. The outlier detector: documents far from
+    * the corpus's own statistics (machine gibberish, wrong-language
+    * slips, encoding damage) surface at the top.
+    */
+  private val txt18 = Probe(
+    "x_txt18_lm_score",
+    lmOracle("", "")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    lmScore(docs, docs).orderBy("doc_id")
+  }
+
+  /** X-TXT18B — held-out LM scoring: the LM is estimated on 90% of the
+    * corpus and scores the held-out 10% it has never seen, exercising the
+    * add-one fallback for unseen bigrams AND unseen contexts — the
+    * incremental regime (new crawl scored against the released-corpus LM;
+    * the count tables persist like BandIndex and the scan side is one
+    * narrow pass + broadcast joins).
+    */
+  private val txt18b = Probe(
+    "x_txt18b_lm_heldout",
+    lmOracle("WHERE doc_id % 10 <> 0", "WHERE doc_id % 10 = 0")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    lmScore(docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- BM25 retrieval
+
+  /** BM25 top-k retrieval (k1 = 1.2, b = 0.75): score every corpus document
+    * against each query's term set, keep the top `k` per query — the
+    * classic sparse retrieval operator (RAG indexing, query-based corpus
+    * audits, "find documents like this eval item").
+    *
+    * idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   [BM25+, always positive]
+    * s(q,d) = Σ_{t ∈ q ∩ d} idf(t) · tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl/avgdl))
+    *
+    * Shape: the tf table is one doc-keyed aggregation; df and the query
+    * term sets are vocabulary-/query-bounded → broadcast; dl joins tf on
+    * its own key (co-partitioned); ranking is a per-query window over the
+    * candidates a term match admitted — never all docs. Ranking compares
+    * ROUNDED scores (6 dp) with doc_id tiebreak, so order is stable
+    * cross-engine.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val tf = docTokens(docs)
+      .select(col("doc_id"), explode(col("ws")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val qt = docTokens(queries)
+      .select(col("doc_id").as("q_id"), explode(col("ws")).as("t")).distinct()
+    val scored = tf
+      .join(broadcast(qt), "t")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dft), "t")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        (log(((col("n_docs") - col("df")) + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("tot").cast("double") / col("n_docs"))))))
+          .as("s"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).cast("long").as("n_terms"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
+  }
+
+  /** X-RET1 — BM25 over the documents table, queries = documents 0–4
+    * (self excluded). The oracle recomputes tf/df/idf/length
+    * normalization from first principles.
+    */
+  private val ret1 = Probe(
+    "x_ret1_bm25",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t) GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, w
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t WHERE doc_id < 5)),
+       |sc AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+       |        (tf.tf * 2.2) /
+       |        (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs))))) AS s,
+       |    COUNT(*) AS n_terms
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w AND tf.doc_id <> qt.q_id
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id, st
+       |  GROUP BY qt.q_id, tf.doc_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score, CAST(n_terms AS BIGINT) AS n_terms
+       |FROM (
+       |  SELECT q_id, doc_id, round(s, 6) AS score, n_terms,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(s, 6) DESC, doc_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    bm25TopK(docs, docs.filter(col("doc_id") < 5), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  // ------------------------------------------- DSIR importance weighting
+
+  private val dsirBuckets = 4096
+
+  /** DSIR-style importance weights (Xie et al. 2023, public): documents
+    * are scored by how much more likely their hashed-bigram features are
+    * under a TARGET distribution (the domain you want more of) than under
+    * the RAW distribution (the crawl you're selecting from):
+    *
+    *   w(d) = (1/n) Σ_{f ∈ d} [ ln p_T(f) − ln p_R(f) ]
+    *
+    * with add-one smoothing over the B = 4096 hashed buckets. Positive ⇒
+    * the document looks more target-like than crawl-like.
+    *
+    * Shape: both feature distributions are FIXED-SIZE (≤ 4096 rows — the
+    * hashing trick's point) → broadcast; scoring is one narrow pass over
+    * the raw side plus a doc-keyed rollup. At 100 TB the target table is
+    * KBs and the raw distribution is one map-side-combined aggregation.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    def feats(d: DataFrame) = bigramPairs(d).select(col("doc_id"),
+      expr("conv(substr(md5(b), 1, 3), 16, 10)").cast("long").as("bkt"))
+    val tb = feats(target).groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val rb = feats(raw).groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tn = tb.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val rn = rb.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    feats(raw)
+      .join(broadcast(tb), Seq("bkt"), "left")
+      .join(broadcast(rb), Seq("bkt"))
+      .join(broadcast(tn)).join(broadcast(rn))
+      .select(col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + dsirBuckets)) -
+          log((col("cr") + 1) / (col("nr") + dsirBuckets))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum(col("lr")) / count(lit(1)), 6).as("dsir_avg"))
+      .withColumn("keep", col("dsir_avg") > 0)
+  }
+
+  /** X-CUR4 — DSIR selection over the documents table: target = the
+    * doc_id % 25 = 0 slice (the held-out-domain convention x_pipe4 uses),
+    * raw = the rest; every raw document gets its importance weight and
+    * the keep verdict. The oracle rebuilds both hashed distributions and
+    * the per-occurrence log-ratio sum relationally.
+    */
+  private val cur4 = Probe(
+    "x_cur4_dsir_weights",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |bg AS (${bigramsDuck("t")}),
+       |f AS (SELECT doc_id, CAST('0x' || substr(md5(b), 1, 3) AS BIGINT) AS bkt FROM bg),
+       |tb AS (SELECT bkt, COUNT(*) AS ct FROM f WHERE doc_id % 25 = 0 GROUP BY bkt),
+       |rb AS (SELECT bkt, COUNT(*) AS cr FROM f WHERE doc_id % 25 <> 0 GROUP BY bkt),
+       |tn AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tb),
+       |rn AS (SELECT COALESCE(SUM(cr), 0) AS nr FROM rb),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    round(SUM(ln((COALESCE(tb.ct, 0) + 1) / (tn.nt + $dsirBuckets)) -
+       |              ln((rb.cr + 1) / (rn.nr + $dsirBuckets))) / COUNT(*), 6) AS dsir_avg
+       |  FROM f
+       |  LEFT JOIN tb ON tb.bkt = f.bkt
+       |  JOIN rb ON rb.bkt = f.bkt, tn, rn
+       |  WHERE f.doc_id % 25 <> 0
+       |  GROUP BY f.doc_id)
+       |SELECT doc_id, n_feats, dsir_avg, (dsir_avg > 0) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    dsirWeights(docs.filter(col("doc_id") % 25 =!= 0), docs.filter(col("doc_id") % 25 === 0))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ PMI collocations
+
+  private val pmiMinCount = 5
+
+  /** X-TXT19 — top-20 collocations by pointwise mutual information:
+    * PMI(w1, w2) = ln(c(w1 w2) · N_bigrams / (c(w1) · c(w2))), bigrams
+    * occurring ≥ 5 times. The corpus-statistics view of "what multi-word
+    * units does this corpus contain" — tokenizer vocabulary audits,
+    * template detection, phrase mining. One bigram aggregation + two
+    * broadcast unigram joins + TakeOrdered 20; every PMI argument is a
+    * ratio of exact integer products.
+    */
+  private val txt19 = Probe(
+    "x_txt19_pmi_collocations",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |bg AS (${bigramsDuck("t")}),
+       |nb AS (SELECT COUNT(*) AS n FROM bg),
+       |bc AS (
+       |  SELECT w1, w2, b, COUNT(*) AS c2 FROM bg GROUP BY w1, w2, b
+       |  HAVING COUNT(*) >= $pmiMinCount),
+       |u AS (SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(ws) AS w FROM t) GROUP BY w)
+       |SELECT b, CAST(c2 AS BIGINT) AS c2, pmi FROM (
+       |  SELECT bc.b, bc.c2,
+       |    round(ln((bc.c2 * nb.n) / (u1.c1 * u2.c1)), 6) AS pmi
+       |  FROM bc JOIN u u1 ON u1.w = bc.w1 JOIN u u2 ON u2.w = bc.w2, nb)
+       |ORDER BY pmi DESC, b LIMIT 20""".stripMargin) { (s, dir) =>
+    pmiCollocations(Tables(s, dir, "documents"), pmiMinCount, 20)
+  }
+
+  /** Top-`topK` collocations by PMI among bigrams occurring ≥ `minCount`
+    * times — shared by the probe and the spec's planted-pair pin.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val bg = bigramPairs(docs)
+    val nb = bg.agg(count(lit(1)).as("n"))
+    val bc = bg.groupBy("w1", "w2", "b").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val u = docTokens(docs).select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    bc
+      .join(broadcast(u.select(col("w").as("w1"), col("c1").as("ca"))), "w1")
+      .join(broadcast(u.select(col("w").as("w2"), col("c1").as("cb"))), "w2")
+      .join(broadcast(nb))
+      .select(col("b"), col("c2").cast("long").as("c2"),
+        round(log((col("c2") * col("n")) / (col("ca") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("b")).limit(topK)
+  }
+
+  // --------------------------------------------------- HyperLogLog sketch
+
+  private val hllM = 64 // registers (p = 6)
+
+  /** The per-(lang, register) HLL state: max over hashed values of
+    * (leading zeros in the 48-bit suffix + 1). Integer-exact on both
+    * engines via length(bin(w)) = floor(log2 w) + 1; merge = MAX per
+    * register (idempotent, commutative — shards sketch independently,
+    * the spec pins sharded == whole).
+    */
+  def hllRegisters(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), explode(CleanFns.tokens(col("text"))).as("tok"))
+    .select(col("lang"),
+      (expr("conv(substr(md5(tok), 1, 2), 16, 10)").cast("long") % hllM).as("idx"),
+      expr("conv(substr(md5(tok), 3, 12), 16, 10)").cast("long").as("wv"))
+    .withColumn("rank", when(col("wv") === 0, lit(49L))
+      .otherwise(lit(49L) - length(expr("bin(wv)"))))
+    .groupBy("lang", "idx").agg(max(col("rank")).as("m"))
+
+  /** (lang, n_exact, n_est) from the 64-register state. Σ 2^−M is a sum of
+    * exact dyadics (multiples of 2⁻⁴⁹ totalling < 64) so it is EXACT and
+    * order-independent in doubles; the only inexact steps are the final
+    * α·m²/denom and the ln of the small-range correction, identical
+    * single IEEE ops in both engines.
+    */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val alpha = 0.7213 / (1 + 1.079 / hllM)
+    val reg = hllRegisters(docs)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_present"),
+        sum(pow(lit(2.0), -col("m"))).as("s2"))
+      .withColumn("zeros", lit(hllM) - col("n_present"))
+      .withColumn("raw", lit(alpha * hllM * hllM) / (col("zeros") + col("s2")))
+      .withColumn("n_est",
+        when(col("raw") <= 2.5 * hllM && col("zeros") > 0,
+          round(lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("zeros")), 0))
+          .otherwise(round(col("raw"), 0)).cast("long"))
+    val exact = docs
+      .select(col("lang"), explode(CleanFns.tokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(count_distinct(col("tok")).as("n_exact"))
+    exact.join(reg.select(col("lang"), col("n_est")), "lang")
+      .select(col("lang"), col("n_exact"), col("n_est"))
+  }
+
+  /** X-SKT5 — HyperLogLog distinct-token counts per language, exact count
+    * beside the estimate so the sketch error is itself checked. The
+    * complement of x_skt2's KMV: HLL state is 64 six-bit registers that
+    * merge by MAX (KMV merges by k-smallest-of-union); at 100 TB both
+    * sketch in one map-side-combined pass, but HLL's state is constant
+    * bytes per group at ANY k. The oracle rebuilds registers, the dyadic
+    * sum, and both estimator branches relationally.
+    */
+  private val skt5 = Probe(
+    "x_skt5_hll_distinct",
+    s"""WITH tok AS (
+       |  SELECT lang, UNNEST(${CleanFns.tokensDuck("text")}) AS tok FROM documents),
+       |h AS (
+       |  SELECT lang,
+       |    CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) % $hllM AS idx,
+       |    CAST('0x' || substr(md5(tok), 3, 12) AS BIGINT) AS wv
+       |  FROM tok),
+       |reg AS (
+       |  SELECT lang, idx,
+       |    MAX(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS m
+       |  FROM h GROUP BY lang, idx),
+       |agg AS (
+       |  SELECT lang, COUNT(*) AS n_present, SUM(power(2.0, -m)) AS s2
+       |  FROM reg GROUP BY lang),
+       |est AS (
+       |  SELECT lang, ($hllM - n_present) AS zeros,
+       |    CAST(${0.7213 / (1 + 1.079 / hllM) * hllM * hllM} AS DOUBLE) / (($hllM - n_present) + s2) AS raw
+       |  FROM agg),
+       |ex AS (SELECT lang, COUNT(DISTINCT tok) AS n_exact FROM tok GROUP BY lang)
+       |SELECT ex.lang, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  CAST(CASE WHEN est.raw <= ${2.5 * 64} AND est.zeros > 0
+       |            THEN round($hllM.0 * ln($hllM.0 / est.zeros), 0)
+       |            ELSE round(est.raw, 0) END AS BIGINT) AS n_est
+       |FROM ex JOIN est ON est.lang = ex.lang
+       |ORDER BY ex.lang""".stripMargin) { (s, dir) =>
+    hllDistinct(Tables(s, dir, "documents")).orderBy("lang")
+  }
+
+  // ------------------------------------------------- event-rate anomalies
+
+  /** P-EVT7 — event-rate anomaly detection: hourly counts per event type,
+    * z-scored against the TRAILING 24 buckets (ROWS frame, so late/sparse
+    * hours don't shift the baseline window); buckets with fewer than 12
+    * history rows or zero variance surface NULL. The monitoring query
+    * every ingest pipeline runs; z compares ROUNDED (4 dp) so the flag is
+    * identical cross-engine.
+    */
+  private val evt7 = Probe(
+    "p_evt7_rate_anomaly",
+    """WITH hrly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |w AS (
+      |  SELECT event_type, h, n,
+      |    AVG(n) OVER tw AS mu, stddev_samp(n) OVER tw AS sd, COUNT(*) OVER tw AS n_prev
+      |  FROM hrly
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(epoch_us(h) AS BIGINT) AS hour_us, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n_prev >= 12 AND sd > 0 THEN round((n - mu) / sd, 4) END AS z,
+      |  COALESCE(CASE WHEN n_prev >= 12 AND sd > 0 THEN round((n - mu) / sd, 4) END >= 2
+      |           OR CASE WHEN n_prev >= 12 AND sd > 0 THEN round((n - mu) / sd, 4) END <= -2,
+      |           FALSE) AS is_anomaly
+      |FROM w ORDER BY event_type, hour_us""".stripMargin) { (s, dir) =>
+    rateAnomalies(Tables(s, dir, "events")).orderBy("event_type", "hour_us")
+  }
+
+  /** Hourly event-rate z-scores vs the trailing-24-bucket baseline —
+    * shared by the probe and the spec's planted-spike pin.
+    */
+  def rateAnomalies(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("h")).rowsBetween(-24, -1)
+    hourly
+      .withColumn("mu", avg(col("n")).over(tw))
+      .withColumn("sd", stddev_samp(col("n")).over(tw))
+      .withColumn("n_prev", count(lit(1)).over(tw))
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"), col("n").cast("long").as("n"),
+        when(col("n_prev") >= 12 && col("sd") > 0,
+          round((col("n") - col("mu")) / col("sd"), 4)).as("z"))
+      .withColumn("is_anomaly", coalesce(col("z") >= 2 || col("z") <= -2, lit(false)))
+  }
+
+  val all: Seq[Probe] = Seq(txt18, txt18b, ret1, cur4, txt19, skt5, evt7)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.PipelineOps10
+
+/** Fourth-wave round-7 operators: LM scoring, BM25, DSIR, PMI, HLL, and
+  * rate anomalies — planted-fixture behavior pins on top of the probes'
+  * oracle checks.
+  */
+class PipelineOps10Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+
+  // ---------------------------------------------------------- LM scoring
+
+  test("lmScore: corpus-typical text scores lower NLL than gibberish") {
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat and the dog ran"))
+    val odd = Seq((99L, "zqx vvk jjq wom pfft glarb zzyx qqen mmo xaa"))
+    val corpus = (fluent ++ odd).toDF("doc_id", "text")
+    val out = PipelineOps10.lmScore(corpus, corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(99L) > out(1L) * 2,
+      s"gibberish ${out(99L)} should far exceed fluent ${out(1L)}")
+  }
+
+  test("lmScore held-out: unseen bigrams fall back to the smoothing floor, not an error") {
+    val train = (1L to 10L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val unseen = Seq((50L, "nu xi omicron pi")).toDF("doc_id", "text")
+    val row = PipelineOps10.lmScore(train, unseen).collect()
+    assert(row.length == 1 && row(0).getLong(1) == 3L)
+    // every bigram unseen, every context unseen: p = 1/V exactly, V = 4
+    assert(math.abs(row(0).getDouble(2) - math.log(4.0)) < 1e-6)
+  }
+
+  test("lmScore is invariant to input partitioning") {
+    val a = PipelineOps10.lmScore(docs, docs).orderBy("doc_id").collect().toSeq
+    val d8 = docs.repartition(8)
+    val b = PipelineOps10.lmScore(d8, d8).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  test("bm25TopK: a near-copy of the query document ranks first") {
+    val base = (10L to 40L).map(i => (i, s"filler words number $i about nothing shared"))
+    val query = Seq((1L, "quantum entanglement drives spooky correlation experiments"))
+    val copy = Seq((7L, "quantum entanglement drives spooky correlation experiments indeed"))
+    val corpus = (base ++ query ++ copy).toDF("doc_id", "text")
+    val top = PipelineOps10.bm25TopK(corpus, corpus.filter($"doc_id" === 1L), k = 3)
+      .filter($"rank" === 1L).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("doc_id") == 7L)
+  }
+
+  test("bm25TopK never returns the query document itself") {
+    val out = PipelineOps10.bm25TopK(docs, docs.filter($"doc_id" < 5), k = 5).collect()
+    assert(out.nonEmpty && out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("doc_id")))
+  }
+
+  // ---------------------------------------------------------------- DSIR
+
+  test("dsirWeights: target-like raw documents score positive, crawl-like negative") {
+    val target = (1L to 30L).map(i => (i, "theorem proof lemma corollary axiom induction"))
+    val crawlTypical = (100L to 170L).map(i => (i, "click here buy now free shipping deal"))
+    val rawMath = Seq((200L, "theorem proof lemma corollary axiom induction"))
+    val rawAd = Seq((201L, "click here buy now free shipping deal"))
+    val raw = (crawlTypical ++ rawMath ++ rawAd).toDF("doc_id", "text")
+    val out = PipelineOps10.dsirWeights(raw, target.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(200L) > 0, s"math doc should be target-like, got ${out(200L)}")
+    assert(out(201L) < 0, s"ad doc should be crawl-like, got ${out(201L)}")
+  }
+
+  // ----------------------------------------------------------------- PMI
+
+  test("pmiCollocations: a planted always-together pair tops the ranking") {
+    val glued = (1L to 10L).map(i => (i, s"foo bar common$i common${i + 1} widely seen words"))
+    // "foo bar" always adjacent; "widely seen" also, but foo/bar occur ONLY here
+    val noise = (50L to 90L).map(i => (i, s"widely other$i seen other${i + 1} words mixed"))
+    val out = PipelineOps10.pmiCollocations((glued ++ noise).toDF("doc_id", "text"), 5, 5)
+      .collect()
+    assert(out.head.getString(0) == "foo bar",
+      s"expected 'foo bar' on top, got ${out.map(_.getString(0)).mkString(", ")}")
+  }
+
+  // ----------------------------------------------------------------- HLL
+
+  test("HLL registers merge by per-register MAX (sharded == whole)") {
+    val whole = PipelineOps10.hllRegisters(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = PipelineOps10.hllRegisters(docs.filter($"doc_id" % 2 === 0))
+    val b = PipelineOps10.hllRegisters(docs.filter($"doc_id" % 2 === 1))
+    val merged = a.select($"lang", $"idx", $"m").unionAll(b.select($"lang", $"idx", $"m"))
+      .groupBy("lang", "idx").agg(max($"m").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("HLL estimate lands within 50% of the exact distinct count") {
+    PipelineOps10.hllDistinct(docs).collect().foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est > exact / 2 && est < exact * 2,
+        s"lang ${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  // ------------------------------------------------------- rate anomalies
+
+  test("rateAnomalies: a planted 100x spike is flagged, baseline hours are not") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hour: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + hour * 3600000L + i * 1000L)
+    // counts 3/4/5 cycling: nonzero baseline variance so sd > 0
+    val calm = (0 until 40).flatMap(h => (0 until 3 + h % 3).map(i => (at(h, i), "view")))
+    val spike = (0 until 400).map(i => (at(40, i), "view"))
+    val events = (calm ++ spike).toDF("ts", "event_type")
+    val out = PipelineOps10.rateAnomalies(events)
+      .orderBy("hour_us").collect()
+    assert(out.length == 41)
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.map(_.getAs[Long]("n")).toSeq == Seq(400L),
+      "exactly the spike hour should be flagged")
+    // early hours lack 12 buckets of history -> z NULL, not flagged
+    assert(out.take(12).forall(r => r.isNullAt(3) && !r.getAs[Boolean]("is_anomaly")))
+  }
+}
