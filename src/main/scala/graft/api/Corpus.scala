@@ -749,6 +749,52 @@ final case class Corpus(df: DataFrame) {
   def filterLanguages(langs: String*): Corpus =
     chain(_.filter(col("lang").isin(langs: _*)))
 
+  /** Bigram-LM NLL quality score (x_txt18): each document's negative
+    * log-likelihood under the add-one-smoothed LM of this corpus itself —
+    * the statistical outlier signal (gibberish, wrong-language slips,
+    * encoding damage surface high). Joined back by doc_id; docs with < 2
+    * tokens carry NULL.
+    */
+  def withLmScore(): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps10.lmScore(d, d)
+        .select(col("doc_id"), col("nll_avg")), Seq("doc_id"), "left")
+  }
+
+  /** Bigram-LM NLL against a RELEASED reference corpus (x_txt18b/c): the
+    * incremental regime — this corpus is the new shard, `reference` is
+    * the corpus whose statistics judge it. Routed through the native
+    * per-row scorer (narrow, zero-exchange, the same expression
+    * `DocStreams.lmScored` runs at the stream door).
+    */
+  def withLmScore(reference: DataFrame): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps10.lmScoreNative(d, graft.ext.PipelineOps10.lmIndex(reference))
+        .select(col("doc_id"), col("nll_avg")), Seq("doc_id"), "left")
+  }
+
+  /** DSIR importance weight vs a target domain (x_cur4): positive means
+    * "more target-like than crawl-like" under hashed-bigram statistics.
+    * Joined back by doc_id; featureless docs carry NULL.
+    */
+  def withDsirWeight(target: DataFrame): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps10.dsirWeights(d, target)
+        .select(col("doc_id"), col("dsir_avg")), Seq("doc_id"), "left")
+  }
+
+  /** Keep only documents whose DSIR weight vs `target` is positive — the
+    * importance-selection pass of a targeted data recipe.
+    */
+  def selectByDsir(target: DataFrame): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps10.dsirWeights(d, target)
+        .filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** BM25 top-k retrieval over this corpus (x_ret1): for each query
+    * document, the k best-matching corpus documents (self excluded),
+    * ranked on 6-dp-rounded scores with doc_id tiebreak.
+    */
+  def retrieveBm25(queries: DataFrame, k: Int = 5): DataFrame =
+    graft.ext.PipelineOps10.bm25TopK(df, queries, k)
+
   /** Per-document top-k keywords after stopword removal: (doc_id, rk, tok,
     * n), deterministic (count DESC, term ASC) tiebreak. Same shape as the
     * oracle-checked x_txt6_top_terms; plans as two-phase WindowGroupLimit,

@@ -194,6 +194,20 @@ object DocStreams {
       hexChars: Int = 4, k: Int = 3): DataFrame =
     graft.ext.PipelineOps7.scoreNoveltyBloom(docs, bloom, hexChars, k)
 
+  /** Stream-capable LM quality scoring — x_txt18's semantics in the
+    * incremental-crawl regime: each streamed document's NLL under the
+    * RELEASED corpus' bigram LM (count tables built batch-side ONCE with
+    * `ext.PipelineOps10.lmIndex`, baked into the native `lm_nll`
+    * expression). A stateless narrow transform — one JVM pass per row,
+    * zero state, zero shuffle — so statistical quality gating happens at
+    * the stream door exactly as in batch (StreamingSpec pins stream ≡
+    * batch ≡ declarative). Broadcast-regime caveat as for novelty: tables
+    * are vocabulary-bounded; beyond broadcast, route through the batch
+    * x_txt18 join.
+    */
+  def lmScored(docs: DataFrame, idx: graft.functions.LmIndex): DataFrame =
+    graft.ext.PipelineOps10.lmScoreNative(docs, idx)
+
   /** Stream-capable BPE token accounting — x_tok1's subword counter as a
     * pure narrow native expression (checked-in vocabulary, per-executor
     * word memo): zero state, zero shuffle, each micro-batch annotates its

@@ -105,4 +105,30 @@ class EmptyInputSpec extends SparkSuite {
     val scored = PipelineOps7.scoreNoveltyAgainst(docs, gs).collect()
     assert(scored.nonEmpty && scored.forall(_.getAs[Long]("n_seen") == 0L))
   }
+
+  test("LM, BM25, DSIR, PMI, HLL on empty inputs") {
+    import graft.ext.PipelineOps10
+    assert(PipelineOps10.lmScore(emptyDocs, emptyDocs).count() == 0)
+    assert(PipelineOps10.bm25TopK(emptyDocs, emptyDocs, 5).count() == 0)
+    assert(PipelineOps10.dsirWeights(emptyDocs, emptyDocs).count() == 0)
+    assert(PipelineOps10.pmiCollocations(emptyDocs, 5, 20).count() == 0)
+    assert(PipelineOps10.hllDistinct(emptyDocs).count() == 0)
+    import spark.implicits._
+    val noEvents = Seq.empty[(java.sql.Timestamp, String)].toDF("ts", "event_type")
+    assert(PipelineOps10.rateAnomalies(noEvents).count() == 0)
+  }
+
+  test("LM index from an empty corpus scores everything at the 1/(0+0) guard") {
+    import graft.ext.PipelineOps10
+    // v = 0 and all counts 0: ln((0+1)/(0+0)) would be ln(inf); the index
+    // builder is the right gate — an empty train corpus is a recipe error.
+    val idx = PipelineOps10.lmIndex(emptyDocs)
+    assert(idx.v == 0L && idx.ws.isEmpty && idx.hbs.isEmpty)
+    // scoring anything against it yields a non-finite NLL (p = 1/0), never
+    // a crash; same pass-through the declarative round() gives ±Inf
+    import spark.implicits._
+    val out = PipelineOps10.lmScoreNative(
+      Seq((1L, "two words")).toDF("doc_id", "text"), idx).collect()
+    assert(out.length == 1 && out(0).getDouble(2).isNegInfinity)
+  }
 }

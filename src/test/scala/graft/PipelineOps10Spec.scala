@@ -105,6 +105,32 @@ class PipelineOps10Spec extends SparkSuite {
     }
   }
 
+  // -------------------------------------------------------- Corpus routes
+
+  test("Corpus.withLmScore(reference) rides the native scorer and matches the declarative join") {
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val shard = docs.filter($"doc_id" % 2 === 1)
+    val got = graft.api.Corpus(shard).withLmScore(ref).df
+      .select("doc_id", "nll_avg").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val want = PipelineOps10.lmScore(ref, shard).collect()
+      .map(r => r.getLong(0) -> Some(r.getDouble(2))).toMap
+    assert(shard.count() == got.size)
+    want.foreach { case (id, v) => assert(got(id) == v) }
+  }
+
+  test("Corpus.selectByDsir keeps exactly the positive-weight documents") {
+    val target = docs.filter($"doc_id" % 25 === 0)
+    val raw = docs.filter($"doc_id" % 25 =!= 0)
+    val kept = graft.api.Corpus(raw).selectByDsir(target).df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val weights = PipelineOps10.dsirWeights(raw, target).collect()
+    val want = weights.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    // parity is the pin; positivity on real synthetic data isn't guaranteed
+    // (the planted-fixture test above covers sign behavior)
+    assert(kept == want && weights.nonEmpty)
+  }
+
   // ------------------------------------------------------- rate anomalies
 
   test("rateAnomalies: a planted 100x spike is flagged, baseline hours are not") {

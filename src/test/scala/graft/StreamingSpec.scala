@@ -450,6 +450,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming LM scoring == batch against the same released-corpus index") {
+    import graft.streaming.DocStreams
+    import graft.ext.PipelineOps10
+    val batchDocs = Tables(spark, dir, "documents")
+    // LM from the even docs; stream the odd docs (unseen bigrams included)
+    val idx = PipelineOps10.lmIndex(batchDocs.filter(col("doc_id") % 2 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.lmScored(stream, idx)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("lm_out").start()
+      try {
+        q.processAllAvailable()
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+        val got = norm(spark.table("lm_out"))
+        val want = norm(PipelineOps10.lmScoreNative(spark.read.parquet(s"$tmp/in"), idx))
+        assert(got.nonEmpty && got == want)
+        // and the stream result matches the DECLARATIVE batch join too
+        val decl = norm(PipelineOps10.lmScore(
+          batchDocs.filter(col("doc_id") % 2 === 0), spark.read.parquet(s"$tmp/in")))
+        assert(got == decl)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming novelty scoring == batch against the same static gram set") {
     import graft.streaming.DocStreams
     import graft.ext.PipelineOps7
