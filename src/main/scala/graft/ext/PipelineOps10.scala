@@ -514,5 +514,210 @@ object PipelineOps10 {
       .withColumn("is_anomaly", coalesce(col("z") >= 2 || col("z") <= -2, lit(false)))
   }
 
-  val all: Seq[Probe] = Seq(txt18, txt18b, txt18c, ret1, cur4, txt19, skt5, evt7)
+  /** Per-type rate baseline over a history window: (event_type, mu, sd,
+    * nb) from hourly counts — the released artifact the streaming twin
+    * scores against (types-sized → broadcast).
+    */
+  def rateBaseline(events: DataFrame): DataFrame = events
+    .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    .agg(count(lit(1)).as("n"))
+    .groupBy("event_type")
+    .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"),
+      count(lit(1)).as("nb"))
+
+  /** Hourly counts of `events` z-scored against a STATIC baseline — the
+    * stream-door regime (x_evt7's trailing window needs history state;
+    * this needs none: baseline broadcasts, scoring is one keyed count).
+    * Types absent from the baseline surface NULL z, never a drop.
+    */
+  def rateAnomaliesAgainst(events: DataFrame, baseline: DataFrame): DataFrame = events
+    .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    .agg(count(lit(1)).as("n"))
+    .select(col("event_type"), unix_micros(col("h")).as("hour_us"), col("n").cast("long").as("n"))
+    .join(broadcast(baseline), Seq("event_type"), "left")
+    .withColumn("z", when(col("nb") >= 12 && col("sd") > 0,
+      round((col("n") - col("mu")) / col("sd"), 4)))
+    .withColumn("is_anomaly", coalesce(col("z") >= 2 || col("z") <= -2, lit(false)))
+    .select(col("event_type"), col("hour_us"), col("n"), col("z"), col("is_anomaly"))
+
+  /** P-EVT7B — the static-baseline regime of p_evt7: per-type mean/std
+    * learned on the FIRST HALF of the history (split at the midpoint
+    * hour, integer epoch arithmetic so both engines cut identically),
+    * scoring the second half — the train-once/score-many shape whose
+    * streaming twin is `EventStreams.rateAnomalies` (parity-pinned).
+    */
+  private val evt7b = Probe(
+    "p_evt7b_anomaly_static",
+    """WITH hrly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |mid AS (
+      |  SELECT (CAST(MIN(epoch_us(h)) AS BIGINT) + CAST(MAX(epoch_us(h)) AS BIGINT)) // 2 AS m
+      |  FROM hrly),
+      |bl AS (
+      |  SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sd, COUNT(*) AS nb
+      |  FROM hrly, mid WHERE epoch_us(h) < mid.m GROUP BY event_type),
+      |sc AS (
+      |  SELECT hrly.event_type, CAST(epoch_us(h) AS BIGINT) AS hour_us, CAST(n AS BIGINT) AS n
+      |  FROM hrly, mid WHERE epoch_us(h) >= mid.m)
+      |SELECT sc.event_type, sc.hour_us, sc.n,
+      |  CASE WHEN bl.nb >= 12 AND bl.sd > 0 THEN round((sc.n - bl.mu) / bl.sd, 4) END AS z,
+      |  COALESCE(CASE WHEN bl.nb >= 12 AND bl.sd > 0 THEN round((sc.n - bl.mu) / bl.sd, 4) END >= 2
+      |           OR CASE WHEN bl.nb >= 12 AND bl.sd > 0 THEN round((sc.n - bl.mu) / bl.sd, 4) END <= -2,
+      |           FALSE) AS is_anomaly
+      |FROM sc LEFT JOIN bl ON bl.event_type = sc.event_type
+      |ORDER BY sc.event_type, sc.hour_us""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+    val hourly = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("h"), unix_micros(col("h")).as("hus"), col("n"))
+    val mid = hourly.agg(((min(col("hus")) + max(col("hus"))) / 2).cast("long").as("m"))
+    val baseline = rateBaseline(
+      e.join(broadcast(mid)).filter(unix_micros(date_trunc("hour", col("ts"))) < col("m"))
+        .drop("m"))
+    rateAnomaliesAgainst(
+      e.join(broadcast(mid)).filter(unix_micros(date_trunc("hour", col("ts"))) >= col("m"))
+        .drop("m"),
+      baseline)
+      .orderBy("event_type", "hour_us")
+  }
+
+  // ------------------------------------------- adaptive LM quality gate
+
+  /** Per-language adaptive LM gate: keep documents whose self-scored NLL
+    * sits at or below the language's 75th percentile — the x_txt12
+    * adaptive-threshold discipline applied to the statistical LM signal
+    * (absolute NLL thresholds don't transfer across languages; quantiles
+    * do). Thresholds are languages-sized → broadcast.
+    */
+  def adaptiveLmKeep(docs: DataFrame): DataFrame = {
+    val sc = lmScore(docs, docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val th = sc.groupBy("lang")
+      .agg(round(expr("percentile(nll_avg, 0.75)"), 6).as("p75"))
+    sc.join(broadcast(th), "lang")
+      .filter(col("nll_avg") <= col("p75"))
+      .select(col("doc_id"), col("lang"), col("nll_avg"), col("p75"))
+  }
+
+  /** X-TXT20 — the adaptive LM gate over the documents table, oracle =
+    * the full LM algebra + percentile_cont thresholds + the gate.
+    */
+  private val txt20 = Probe(
+    "x_txt20_adaptive_lm",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |u AS (
+       |  SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(ws) AS w FROM t) GROUP BY w),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |bg AS (${bigramsDuck("t")}),
+       |bc AS (SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS c2 FROM bg GROUP BY hb),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    round(-SUM(ln((bc.c2 + 1) / (u.c1 + v.v))) / COUNT(*), 6) AS nll_avg
+       |  FROM bg
+       |  JOIN bc ON bc.hb = substr(md5(bg.b), 1, 16)
+       |  JOIN u ON u.w = bg.w1, v
+       |  GROUP BY bg.doc_id),
+       |lg AS (
+       |  SELECT sc.doc_id, d.lang, sc.nll_avg
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |th AS (
+       |  SELECT lang, round(percentile_cont(0.75) WITHIN GROUP (ORDER BY nll_avg), 6) AS p75
+       |  FROM lg GROUP BY lang)
+       |SELECT lg.doc_id, lg.lang, lg.nll_avg, th.p75
+       |FROM lg JOIN th ON th.lang = lg.lang
+       |WHERE lg.nll_avg <= th.p75
+       |ORDER BY lg.doc_id""".stripMargin) { (s, dir) =>
+    adaptiveLmKeep(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  // --------------------------------------------------- composed pipeline
+
+  /** X-PIPE5 — the fourth wave COMPOSED end to end: adaptive LM gate →
+    * DSIR selection of the gated non-eval docs against the UNGATED eval
+    * slice (the eval set is external and never preprocessed — the x_pipe4
+    * discipline), keeping each language's most-target-like half (median
+    * threshold — the absolute sign cut keeps nothing on a corpus with no
+    * genuinely target-like docs, so the recipe form is relative) →
+    * per-language release rollup. Oracle-checking the composition pins
+    * the interactions: the DSIR raw distribution is computed over the LM
+    * SURVIVORS (the gate changes the crawl statistics the selector
+    * normalizes by), while the target distribution sees raw text.
+    */
+  private val pipe5 = Probe(
+    "x_pipe5_lm_dsir_rollup",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |u AS (
+       |  SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(ws) AS w FROM t) GROUP BY w),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |bg AS (${bigramsDuck("t")}),
+       |bc AS (SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS c2 FROM bg GROUP BY hb),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    round(-SUM(ln((bc.c2 + 1) / (u.c1 + v.v))) / COUNT(*), 6) AS nll_avg
+       |  FROM bg
+       |  JOIN bc ON bc.hb = substr(md5(bg.b), 1, 16)
+       |  JOIN u ON u.w = bg.w1, v
+       |  GROUP BY bg.doc_id),
+       |lg AS (
+       |  SELECT sc.doc_id, d.lang, sc.nll_avg
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |th AS (
+       |  SELECT lang, round(percentile_cont(0.75) WITHIN GROUP (ORDER BY nll_avg), 6) AS p75
+       |  FROM lg GROUP BY lang),
+       |gated AS (
+       |  SELECT lg.doc_id FROM lg JOIN th ON th.lang = lg.lang
+       |  WHERE lg.nll_avg <= th.p75),
+       |f AS (SELECT doc_id, CAST('0x' || substr(md5(b), 1, 3) AS BIGINT) AS bkt FROM bg),
+       |tb AS (SELECT bkt, COUNT(*) AS ct FROM f WHERE doc_id % 25 = 0 GROUP BY bkt),
+       |tn AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tb),
+       |fr AS (
+       |  SELECT f.doc_id, f.bkt FROM f JOIN gated g ON g.doc_id = f.doc_id
+       |  WHERE f.doc_id % 25 <> 0),
+       |rb AS (SELECT bkt, COUNT(*) AS cr FROM fr GROUP BY bkt),
+       |rn AS (SELECT COALESCE(SUM(cr), 0) AS nr FROM rb),
+       |dw AS (
+       |  SELECT fr.doc_id,
+       |    round(SUM(ln((COALESCE(tb.ct, 0) + 1) / (tn.nt + $dsirBuckets)) -
+       |              ln((rb.cr + 1) / (rn.nr + $dsirBuckets))) / COUNT(*), 6) AS dsir_avg
+       |  FROM fr
+       |  LEFT JOIN tb ON tb.bkt = fr.bkt
+       |  JOIN rb ON rb.bkt = fr.bkt, tn, rn
+       |  GROUP BY fr.doc_id),
+       |dwl AS (
+       |  SELECT dw.doc_id, d.lang, dw.dsir_avg
+       |  FROM dw JOIN documents d ON d.doc_id = dw.doc_id),
+       |md AS (
+       |  SELECT lang, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dsir_avg), 6) AS p50
+       |  FROM dwl GROUP BY lang),
+       |sel AS (
+       |  SELECT dwl.doc_id FROM dwl JOIN md ON md.lang = dwl.lang
+       |  WHERE dwl.dsir_avg >= md.p50)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(t.ws)) AS BIGINT) AS n_tokens
+       |FROM sel JOIN documents d ON d.doc_id = sel.doc_id
+       |JOIN t ON t.doc_id = sel.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val gated = docs.join(
+      adaptiveLmKeep(docs).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val dwl = dsirWeights(
+      gated.filter(col("doc_id") % 25 =!= 0),
+      docs.filter(col("doc_id") % 25 === 0))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val md = dwl.groupBy("lang")
+      .agg(round(expr("percentile(dsir_avg, 0.5)"), 6).as("p50"))
+    val sel = dwl.join(broadcast(md), "lang")
+      .filter(col("dsir_avg") >= col("p50")).select(col("doc_id"))
+    docs.join(sel, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(CleanFns.tokens(col("text")))).cast("long").as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Probe] = Seq(
+    txt18, txt18b, txt18c, ret1, cur4, txt19, txt20, skt5, evt7, evt7b, pipe5)
 }

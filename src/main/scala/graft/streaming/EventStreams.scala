@@ -69,6 +69,28 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("h")).as("hour_us"), col("event_id"))
 
+  /** Stream-door rate-anomaly detection — p_evt7b's static-baseline
+    * regime as a stream: hourly tumbling counts per type (watermark-
+    * bounded state) z-scored against a RELEASED baseline table
+    * (types-sized stream-static broadcast, built batch-side with
+    * `ext.PipelineOps10.rateBaseline`). The trailing-window form
+    * (p_evt7) needs 24 buckets of history per type — state a stream
+    * restart loses; the released-baseline form is the deployable one,
+    * and StreamingSpec pins stream ≡ batch on the scored buckets.
+    */
+  def rateAnomalies(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("hour_us"),
+        col("n").cast("long").as("n"))
+      .join(broadcast(baseline), Seq("event_type"), "left")
+      .withColumn("z", when(col("nb") >= 12 && col("sd") > 0,
+        round((col("n") - col("mu")) / col("sd"), 4)))
+      .withColumn("is_anomaly", coalesce(col("z") >= 2 || col("z") <= -2, lit(false)))
+      .select(col("event_type"), col("hour_us"), col("n"), col("z"), col("is_anomaly"))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

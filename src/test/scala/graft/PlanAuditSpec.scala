@@ -309,4 +309,33 @@ class PlanAuditSpec extends SparkSuite {
     // the 8-row centroid table must ride a broadcast (assignment is narrow)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("native LM scoring is a pure narrow projection — zero exchanges") {
+    import graft.ext.PipelineOps10
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val idx = PipelineOps10.lmIndex(docs.limit(50))
+    val df = PipelineOps10.lmScoreNative(docs, idx)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring stage went wide:\n$plan")
+  }
+
+  test("x_cur4: hashed distributions all broadcast; one doc-keyed rollup exchange") {
+    val df = SparkEntry.queries("x_cur4_dsir_weights")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"a feature table left its broadcast:\n$plan")
+    // the raw side is scored narrow then rolled up ONCE per doc
+    assert("Exchange hashpartitioning\\(doc_id#".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("x_ret1: ranking pre-limits with WindowGroupLimit; term/query tables broadcast") {
+    val df = SparkEntry.queries("x_ret1_bm25")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank should pre-limit before its exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"a bounded table left its broadcast:\n$plan")
+  }
 }

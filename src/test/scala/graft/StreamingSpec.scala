@@ -450,6 +450,33 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming rate anomalies == batch against the same released baseline") {
+    import graft.ext.PipelineOps10
+    val events = Tables(spark, dir, "events")
+    // baseline from the first half of history; stream the second half
+    val hus = unix_micros(date_trunc("hour", col("ts")))
+    val Array(lo, hi) = events.agg(
+      min(hus), max(hus)).collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (lo + hi) / 2
+    val baseline = PipelineOps10.rateBaseline(events.filter(hus < mid))
+    val q = EventStreams.rateAnomalies(
+        EventStreams.readStream(spark, dir).filter(hus >= mid), baseline)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rate_anom_out").start()
+    try {
+      q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+        .sorted.toSeq
+      val got = norm(spark.table("rate_anom_out"))
+      val want = norm(PipelineOps10.rateAnomaliesAgainst(
+        events.filter(hus >= mid), baseline))
+      assert(got.nonEmpty && got == want)
+      assert(got.exists(_._4.isDefined), "expected z-scored buckets")
+    } finally q.stop()
+  }
+
   test("streaming LM scoring == batch against the same released-corpus index") {
     import graft.streaming.DocStreams
     import graft.ext.PipelineOps10
