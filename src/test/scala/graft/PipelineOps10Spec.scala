@@ -131,6 +131,24 @@ class PipelineOps10Spec extends SparkSuite {
     assert(kept == want && weights.nonEmpty)
   }
 
+  // -------------------------------------------------------- corpus overlap
+
+  test("gram overlap: identical corpora give 1e6 ppm, disjoint give 0") {
+    def overlap(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val ga = PipelineOps10.gramInventory(a)
+      val gb = PipelineOps10.gramInventory(b)
+      val common = ga.join(gb, "h").count()
+      val (na, nb) = (ga.count(), gb.count())
+      (common * 1000000L / nb, common * 1000000L / (na + nb - common))
+    }
+    val a = (1L to 10L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    assert(overlap(a, a) == ((1000000L, 1000000L)))
+    val b = (1L to 10L).map(i => (i, "entirely different words compose this second corpus here"))
+      .toDF("doc_id", "text")
+    assert(overlap(a, b) == ((0L, 0L)))
+  }
+
   // ------------------------------------------------------- rate anomalies
 
   test("rateAnomalies: a planted 100x spike is flagged, baseline hours are not") {
