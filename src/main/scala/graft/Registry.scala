@@ -21,6 +21,7 @@ object Registry {
     ext.PipelineOps9.all ++
     ext.PipelineOps10.all ++
     ext.SketchStore.all ++
+    ext.LmStore.all ++
     ext.SegIndex.all ++
     ext.Similarity.all ++
     ext.Similarity2.all ++

@@ -771,6 +771,17 @@ final case class Corpus(df: DataFrame) {
         .select(col("doc_id"), col("nll_avg")), Seq("doc_id"), "left")
   }
 
+  /** Bigram-LM NLL against a PERSISTED released-corpus store
+    * (x_txt18d; the `dedupIncremental(indexDir)` pattern): released text
+    * is never re-read — the stored count tables load into the native
+    * scorer. The daily-increment deployment shape.
+    */
+  def withLmScoreFromStore(indexDir: String): Corpus = chain { d =>
+    val idx = graft.ext.LmStore.loadLmIndex(d.sparkSession, indexDir)
+    d.join(graft.ext.PipelineOps10.lmScoreNative(d, idx)
+        .select(col("doc_id"), col("nll_avg")), Seq("doc_id"), "left")
+  }
+
   /** DSIR importance weight vs a target domain (x_cur4): positive means
     * "more target-like than crawl-like" under hashed-bigram statistics.
     * Joined back by doc_id; featureless docs carry NULL.

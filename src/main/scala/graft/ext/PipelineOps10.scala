@@ -64,13 +64,30 @@ object PipelineOps10 {
     * exact integers, per-doc sums are rounded to 6 before surfacing.
     */
   def lmScore(train: DataFrame, score: DataFrame): DataFrame = {
+    val (uni, bgc) = lmTables(train)
+    lmScoreWith(score, uni, bgc)
+  }
+
+  /** The LM count tables as DataFrames: (unigrams (w, c1), bigram digests
+    * (hb, c2)) — the artifact [[LmStore]] persists; V is derived from the
+    * unigram table at use time.
+    */
+  def lmTables(train: DataFrame): (DataFrame, DataFrame) = {
     val uni = docTokens(train)
       .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
     val bgc = bigramPairs(train)
       .select(substring(md5(col("b")), 1, 16).as("hb"))
       .groupBy("hb").agg(count(lit(1)).as("c2"))
+    (uni, bgc)
+  }
+
+  /** Score `score` against prebuilt count tables — the JOIN regime (the
+    * beyond-broadcast scale path: the bigram join shuffles fixed-width
+    * digests; at broadcast scale, [[lmScoreNative]] is the narrow twin).
+    */
+  def lmScoreWith(score: DataFrame, uni: DataFrame, bgc: DataFrame): DataFrame = {
+    val vocab = uni.agg(count(lit(1)).as("v"))
     bigramPairs(score)
       .select(col("doc_id"), col("w1"), substring(md5(col("b")), 1, 16).as("hb"))
       .join(bgc, Seq("hb"), "left")
@@ -83,6 +100,9 @@ object PipelineOps10 {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(-sum(col("lnp")) / count(lit(1)), 6).as("nll_avg"))
   }
+
+  /** The self-scored oracle, shared with [[LmStore]]'s round-trip probe. */
+  def lmSelfOracleSql: String = lmOracle("", "")
 
   private def lmOracle(trainWhere: String, scoreWhere: String): String =
     s"""WITH t AS (

@@ -118,6 +118,22 @@ class EmptyInputSpec extends SparkSuite {
     assert(PipelineOps10.rateAnomalies(noEvents).count() == 0)
   }
 
+  test("LM store round-trips an empty corpus (empty tables, not a crash)") {
+    import graft.ext.LmStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_empty").toString
+    try {
+      LmStore.buildLm(emptyDocs, tmp)
+      val idx = LmStore.loadLmIndex(spark, tmp)
+      assert(idx.v == 0L && idx.ws.isEmpty && idx.hbs.isEmpty)
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("LM index from an empty corpus scores everything at the 1/(0+0) guard") {
     import graft.ext.PipelineOps10
     // v = 0 and all counts 0: ln((0+1)/(0+0)) would be ln(inf); the index

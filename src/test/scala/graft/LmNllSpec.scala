@@ -54,6 +54,26 @@ class LmNllSpec extends SparkSuite {
     assert(native.size == 2)
   }
 
+  test("persisted LM store round-trips to the identical native index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_rt").toString
+    try {
+      graft.ext.LmStore.buildLm(docs, tmp)
+      val loaded = graft.ext.LmStore.loadLmIndex(spark, tmp)
+      val direct = PipelineOps10.lmIndex(docs)
+      assert(loaded == direct)
+      // and the join-regime scorer over the stored tables == direct lmScore
+      val (uni, bgc) = graft.ext.LmStore.loadLmTables(spark, tmp)
+      assert(rows(PipelineOps10.lmScoreWith(docs, uni, bgc)) ==
+        rows(PipelineOps10.lmScore(docs, docs)))
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("fully-unseen text hits the exact smoothing floor ln(V)") {
     val train = (1L to 5L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
     val idx = PipelineOps10.lmIndex(train)
