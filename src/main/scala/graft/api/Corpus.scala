@@ -349,6 +349,17 @@ final case class Corpus(df: DataFrame) {
     * n_dup_positions appended per doc (0 for docs with no cross-document
     * duplicated 8-gram).
     */
+  /** Intra-document segment dedup (x_ded22): drop segments repeated
+    * WITHIN each document (first occurrence kept) — narrow, zero-exchange;
+    * run before [[dedupSegments]] so self-repeating pages can't dominate
+    * their own cross-corpus fingerprints.
+    */
+  def dedupSegmentsIntra(): Corpus = chain { d =>
+    graft.ext.PipelineOps8.intraDocSegmentDedup(d)
+      .join(d.drop("text"), Seq("doc_id"), "left")
+      .withColumnRenamed("text_kept", "text")
+  }
+
   def withDupSpans(n: Int = 8): Corpus = chain { d =>
     d.join(graft.ext.PipelineOps9.dupSpans(d, n), Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("max_run_grams", "span_words", "n_dup_positions"))

@@ -375,5 +375,45 @@ object PipelineOps8 {
       .select(col("tkn"), col("n_exact"), col("n_est"))
       .orderBy(col("n_exact").desc, col("tkn"))
 
-  val all: Seq[Probe] = Seq(ded18, ded19, dec5, skt1)
+  /** The NARROW intra-document form of segment dedup: drop segments
+    * repeated WITHIN the same document (keep each first occurrence),
+    * entirely inside one row — an indexed-lambda filter over the segment
+    * array, so the operator is zero-exchange and stream-capable by
+    * construction (x_ded18 needs a corpus-wide shuffle because its
+    * survivor is global; a within-page repeat needs no other row).
+    */
+  def intraDocSegmentDedup(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+    .filter(size(col("ws")) > 0)
+    .select(col("doc_id"), segsSpark.as("segs"))
+    .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+      expr("filter(segs, (x, i) -> array_position(segs, x) = i + 1)").as("kept"))
+    .select(col("doc_id"), col("n_segs"), size(col("kept")).cast("long").as("n_kept"),
+      concat_ws(" ", col("kept")).as("text_kept"))
+
+  /** X-DED22 — intra-document segment dedup: the within-page repeat
+    * remover (chat transcripts that quote themselves, scraped pages that
+    * render a block twice, template stutter) — the stage that runs BEFORE
+    * cross-corpus dedup so repeated-within content can't dominate a
+    * document's own signature. The oracle replicates the first-occurrence
+    * index algebra relationally.
+    */
+  private val ded22 = Probe(
+    "x_ded22_intradoc_segments",
+    s"""WITH w0 AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents
+       |  WHERE len(${CleanFns.tokensDuck("text")}) > 0),
+       |s0 AS (SELECT doc_id, $segsDuck AS segs FROM w0),
+       |k AS (
+       |  SELECT doc_id, len(segs) AS n_segs,
+       |         list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+       |  FROM s0)
+       |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+       |       CAST(len(kept) AS BIGINT) AS n_kept,
+       |       array_to_string(kept, ' ') AS text_kept
+       |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    intraDocSegmentDedup(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded18, ded19, ded22, dec5, skt1)
 }

@@ -194,6 +194,16 @@ object DocStreams {
       hexChars: Int = 4, k: Int = 3): DataFrame =
     graft.ext.PipelineOps7.scoreNoveltyBloom(docs, bloom, hexChars, k)
 
+  /** Stream-capable INTRA-document segment dedup — x_ded22's within-page
+    * repeat remover: a pure narrow indexed-lambda filter over each row's
+    * own segment array (zero state, zero shuffle — no other row is
+    * consulted, so stream ≡ batch by construction). Runs BEFORE the
+    * stateful cross-corpus [[segmentsFirstSeen]] so self-repeating pages
+    * can't dominate their own fingerprints.
+    */
+  def intraDocSegments(docs: DataFrame): DataFrame =
+    graft.ext.PipelineOps8.intraDocSegmentDedup(docs)
+
   /** Stream-capable LM quality scoring — x_txt18's semantics in the
     * incremental-crawl regime: each streamed document's NLL under the
     * RELEASED corpus' bigram LM (count tables built batch-side ONCE with

@@ -26,6 +26,28 @@ class PipelineOps8Spec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, 2L, s"$a $b"), (2L, 2L, 1L, c)))
   }
 
+  test("intraDocSegmentDedup drops only within-doc repeats and is zero-exchange") {
+    val a = w(16, "a"); val b = w(16, "b")
+    // doc 1 repeats A internally; doc 2 contains A too — but cross-doc
+    // sharing must NOT drop anything here (that's x_ded18's job)
+    val docs = Seq((1L, s"$a $b $a"), (2L, s"$a")).toDF("doc_id", "text")
+    val out = PipelineOps8.intraDocSegmentDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, s"$a $b"), (2L, 1L, 1L, a)))
+    val plan = PipelineOps8.intraDocSegmentDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"intra-doc dedup must stay narrow:\n$plan")
+  }
+
+  test("intraDocSegmentDedup is idempotent") {
+    val docs = Tables(spark, dir, "documents")
+    val once = PipelineOps8.intraDocSegmentDedup(docs)
+      .select($"doc_id", $"text_kept".as("text"))
+    val twice = PipelineOps8.intraDocSegmentDedup(once)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    val onceRows = once.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(twice == onceRows)
+  }
+
   test("segmentDedup drops a document whose every segment is a repeat") {
     val a = w(16, "a")
     val docs = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
