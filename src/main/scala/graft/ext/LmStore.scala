@@ -34,8 +34,13 @@ object LmStore {
     */
   def loadLmIndex(spark: SparkSession, path: String): graft.functions.LmIndex = {
     val (uniDf, bgDf) = loadLmTables(spark, path)
-    val uni = uniDf.orderBy("w").collect()
-    val bg = bgDf.orderBy("hb").collect()
+    val cap = PipelineOps10.lmIndexMaxEntries.toInt
+    val uni = uniDf.orderBy("w").limit(cap + 1).collect()
+    val bg = bgDf.orderBy("hb").limit(cap + 1).collect()
+    require(uni.length + bg.length <= cap,
+      s"stored LM tables exceed $cap entries: too large for the " +
+        "broadcast/native regime — join the stored tables instead " +
+        "(PipelineOps10.lmScoreWith(loadLmTables(...)))")
     graft.functions.LmIndex(
       bg.map(_.getString(0)).toSeq, bg.map(_.getLong(1)).toSeq,
       uni.map(_.getString(0)).toSeq, uni.map(_.getLong(1)).toSeq,

@@ -153,15 +153,33 @@ object PipelineOps10 {
     * aggregation passes, each vocabulary-bounded. The train-once /
     * score-many artifact of the incremental LM regime.
     */
-  def lmIndex(train: DataFrame): graft.functions.LmIndex = {
-    val uni = docTokens(train)
+  /** Hard ceiling on collected LM table entries (unigrams + bigram
+    * digests). The native/broadcast regime is only correct while the
+    * tables genuinely fit in the plan; a web-scale corpus has billions of
+    * bigram TYPES, and silently collecting them is a driver OOM that
+    * surfaces as a dead executor hours in. Fail loudly at build time with
+    * the route that does scale (the x_txt18/x_txt18d join regime) —
+    * the same loud-gate discipline as the round-5 candidate caps.
+    */
+  val lmIndexMaxEntries: Long = 2000000L
+
+  def lmIndex(train: DataFrame,
+      maxEntries: Long = lmIndexMaxEntries): graft.functions.LmIndex = {
+    val uniDf = docTokens(train)
       .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-      .orderBy("w").collect()
-    val bg = bigramPairs(train)
+    val bgDf = bigramPairs(train)
       .select(substring(md5(col("b")), 1, 16).as("hb"))
       .groupBy("hb").agg(count(lit(1)).as("c2"))
-      .orderBy("hb").collect()
+    // BOUNDED collects: sort+limit plans as TakeOrdered, so the driver
+    // never materializes more than maxEntries + 1 rows even when the gate
+    // trips — no pre-count jobs, no unbounded pull
+    val uni = uniDf.orderBy("w").limit(maxEntries.toInt + 1).collect()
+    val bg = bgDf.orderBy("hb").limit(maxEntries.toInt + 1).collect()
+    require(uni.length + bg.length <= maxEntries,
+      s"LM count tables exceed $maxEntries entries: too large for " +
+        "the broadcast/native regime — score with the join form instead " +
+        "(PipelineOps10.lmScore / lmScoreWith over LmStore tables)")
     graft.functions.LmIndex(
       bg.map(_.getString(0)).toSeq, bg.map(_.getLong(1)).toSeq,
       uni.map(_.getString(0)).toSeq, uni.map(_.getLong(1)).toSeq,

@@ -241,5 +241,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5, txt7, txt10)
+  /** X-TXT21 — language confusion matrix: x_txt1's predictions rolled up
+    * against the DECLARED language metadata — (lang, pred_lang, n_docs,
+    * share_ppm of the declared language's total). The
+    * metadata-vs-content consistency audit every multilingual corpus
+    * runs: a hot off-diagonal cell means either the crawler's language
+    * tags or the classifier is wrong for that slice, and both are
+    * pipeline bugs upstream of every per-language operator (adaptive
+    * thresholds, token budgets, splits). Shares x_txt1's exact
+    * prediction algebra so the two can never drift.
+    */
+  private val txt21 = Probe(
+    "x_txt21_lang_confusion",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), tkn -> tkn <> '') AS ws FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(ws, w -> w IN ${inList(enStop)})) AS en_hits,
+       |    len(list_filter(ws, w -> w IN ${inList(esStop)})) AS es_hits,
+       |    len(list_filter(ws, w -> w IN ${inList(deStop)})) AS de_hits,
+       |    len(list_filter(ws, w -> w IN ${inList(frStop)})) AS fr_hits
+       |  FROM t),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+       |         WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |         WHEN de_hits >= fr_hits THEN 'de'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM h),
+       |c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang)
+       |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
+       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+       |FROM c ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir, "documents")
+      .withColumn("ws", graft.clean.CleanFns.tokens(col("text")))
+      .select(col("lang"),
+        expr(s"size(filter(ws, w -> w IN ${inList(enStop)}))").as("en_hits"),
+        expr(s"size(filter(ws, w -> w IN ${inList(esStop)}))").as("es_hits"),
+        expr(s"size(filter(ws, w -> w IN ${inList(deStop)}))").as("de_hits"),
+        expr(s"size(filter(ws, w -> w IN ${inList(frStop)}))").as("fr_hits"))
+      .withColumn("pred_lang", expr(
+        """CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+          |     WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+          |     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+          |     WHEN de_hits >= fr_hits THEN 'de'
+          |     ELSE 'fr' END""".stripMargin))
+    p.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY lang) AS BIGINT)"))
+      .select(col("lang"), col("pred_lang"), col("n").cast("long").as("n_docs"),
+        col("share_ppm"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val all: Seq[Probe] = Seq(txt1, txt2, txt3, txt4, txt5, txt7, txt10, txt21)
 }

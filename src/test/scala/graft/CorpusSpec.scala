@@ -446,6 +446,19 @@ class CorpusSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("dedupSegmentsIntra rewrites text to the within-doc-deduped form, keeps metadata") {
+    val s = spark
+    import s.implicits._
+    def w(n: Int, tag: String): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val a = w(16, "a"); val b = w(16, "b")
+    val docs = Seq((1L, s"$a $b $a", "en", "web", 10L), (2L, s"$b", "de", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus(docs).dedupSegmentsIntra().df
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("text")).toSeq == Seq(s"$a $b", b))
+    assert(out.map(_.getAs[String]("lang")).toSeq == Seq("en", "de"))
+  }
+
   test("capPerGroup matches x_cur2; withBoilerplateScore matches x_txt13 ppm") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir, "documents")

@@ -74,6 +74,15 @@ class LmNllSpec extends SparkSuite {
     }
   }
 
+  test("index build refuses tables beyond the broadcast-regime ceiling, loudly") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps10.lmIndex(docs, maxEntries = 10L)
+    }
+    assert(e.getMessage.contains("join form"),
+      s"gate must name the scale route: ${e.getMessage}")
+    assert(PipelineOps10.lmIndex(docs).v > 0) // real corpus is under the default gate
+  }
+
   test("fully-unseen text hits the exact smoothing floor ln(V)") {
     val train = (1L to 5L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
     val idx = PipelineOps10.lmIndex(train)
