@@ -20,6 +20,7 @@ object Registry {
     ext.PipelineOps8.all ++
     ext.PipelineOps9.all ++
     ext.PipelineOps10.all ++
+    ext.PipelineOps11.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.SegIndex.all ++
