@@ -31,22 +31,44 @@ object PipelineOps11 {
     * buckets, thousands at most, never corpus-sized). Deterministic
     * double math: counts are exact integers, shares are single IEEE
     * divisions, and the one transcendental (ln) is rounded at 6 dp on
-    * both engines.
+    * both engines. Split as [[bucketCounts]] (per snapshot) →
+    * [[psiAgainst]] (the finisher) so the incremental and streaming
+    * regimes reuse the released side's PERSISTED counts instead of
+    * rescanning the released corpus.
     */
   def psiDrift(oldDocs: DataFrame, newDocs: DataFrame,
-      features: Seq[(String, Column)]): DataFrame = {
-    require(features.nonEmpty, "psiDrift needs at least one feature")
-    def tagged(df: DataFrame, isOld: Int): DataFrame = {
-      val feats = array(features.map { case (name, c) =>
-        struct(lit(name).as("feature"), c.cast("string").as("bucket"))
-      }: _*)
-      df.select(explode(feats).as("f"), lit(isOld).as("is_old"))
-        .select(col("f.feature").as("feature"), col("f.bucket").as("bucket"),
-          col("is_old"), (lit(1) - col("is_old")).as("is_new"))
-    }
-    val counts = tagged(oldDocs, 1).unionAll(tagged(newDocs, 0))
-      .groupBy("feature", "bucket")
-      .agg(sum("is_old").as("n_old"), sum("is_new").as("n_new"))
+      features: Seq[(String, Column)]): DataFrame =
+    psiAgainst(bucketCounts(oldDocs, features), bucketCounts(newDocs, features))
+
+  /** (feature, bucket, n): one narrow scan projecting every document's
+    * feature buckets, one exchange for the count. The release-time
+    * artifact of the incremental drift regime: persist these counts at
+    * ship time and `psiAgainst` every candidate (or every streaming
+    * micro-batch) without ever rescanning the released corpus.
+    */
+  def bucketCounts(docs: DataFrame, features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "bucketCounts needs at least one feature")
+    val feats = array(features.map { case (name, c) =>
+      struct(lit(name).as("feature"), c.cast("string").as("bucket"))
+    }: _*)
+    docs.select(explode(feats).as("f"))
+      .select(col("f.feature").as("feature"), col("f.bucket").as("bucket"))
+      .groupBy("feature", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** The PSI finisher over two pre-aggregated count frames (shape =
+    * [[bucketCounts]]): full-outer join on (feature, bucket) — absent
+    * buckets count 0 on the missing side — then the smoothed-share
+    * algebra. Runs over bucket frames (thousands of rows), never the
+    * corpora; batch and streaming regimes share this exact code.
+    */
+  def psiAgainst(baseCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val counts = baseCounts.withColumnRenamed("n", "__no")
+      .join(newCounts.withColumnRenamed("n", "__nn"),
+        Seq("feature", "bucket"), "full_outer")
+      .select(col("feature"), col("bucket"),
+        coalesce(col("__no"), lit(0L)).as("n_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"))
     val w = Window.partitionBy("feature")
     val pOld = (col("n_old") + lit(1)).cast("double") /
       (col("tot_old") + col("k")).cast("double")

@@ -327,4 +327,18 @@ object DocStreams {
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
   }
+
+  /** Stream-capable distribution-drift counts — x_rep5's new-snapshot
+    * side as a STREAMING AGGREGATION: each micro-batch's (feature,
+    * bucket) pairs fold into running counts (complete mode). State is
+    * bounded by the bucket vocabulary (languages x length bins), never
+    * stream size — no watermark needed. The PSI finisher
+    * (`PipelineOps11.psiAgainst` vs the RELEASED corpus's persisted
+    * `bucketCounts`) runs over the materialized counts per batch
+    * (foreachBatch in deployment); StreamingSpec pins the streamed
+    * counts — and the finished PSI — ≡ batch.
+    */
+  def driftCounts(docs: DataFrame,
+      features: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    graft.ext.PipelineOps11.bucketCounts(docs, features) // shared build, cannot drift
 }

@@ -513,6 +513,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming drift counts == batch, and the finished PSI matches psiDrift") {
+    import graft.streaming.DocStreams
+    import graft.ext.PipelineOps11
+    val batchDocs = Tables(spark, dir, "documents")
+    val feats = Seq("lang" -> col("lang"), "len_bin" -> expr("n_chars DIV 64"))
+    // released counts from the old snapshot; stream the new snapshot
+    val base = PipelineOps11.bucketCounts(
+      batchDocs.filter(col("doc_id") % 3 =!= 0), feats)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 5 =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.driftCounts(stream, feats)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("drift_out").start()
+      try {
+        q.processAllAvailable()
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+        val got = norm(spark.table("drift_out"))
+        val want = norm(PipelineOps11.bucketCounts(spark.read.parquet(s"$tmp/in"), feats))
+        assert(got.nonEmpty && got == want)
+        // the deployment finisher over the streamed counts == x_rep5's batch form
+        def psi(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4))).toSeq
+        val viaStream = psi(PipelineOps11.psiAgainst(base, spark.table("drift_out")))
+        val viaBatch = psi(PipelineOps11.psiDrift(
+          batchDocs.filter(col("doc_id") % 3 =!= 0),
+          batchDocs.filter(col("doc_id") % 5 =!= 0), feats))
+        assert(viaStream == viaBatch)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming novelty scoring == batch against the same static gram set") {
     import graft.streaming.DocStreams
     import graft.ext.PipelineOps7
