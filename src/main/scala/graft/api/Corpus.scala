@@ -323,9 +323,13 @@ final case class Corpus(df: DataFrame) {
       val hits = cand
         .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
         .join(evTexts, Seq("__eval_id"))
+        // numerator counts UTF-8 BYTE edits, so the denominator must be
+        // bytes too (octet_length, not length): a char denominator
+        // deflates sim on multi-byte text and silently misses paraphrased
+        // contamination in non-ASCII corpora (round-7 ADVICE).
         .withColumn("__sim", lit(1.0) -
           expr("lev_bytes(text, __ev_text)").cast("double") /
-            greatest(length(col("text")), length(col("__ev_text"))))
+            greatest(octet_length(col("text")), octet_length(col("__ev_text"))))
         .filter(col("__sim") >= minSim)
         .select(col("doc_id")).distinct()
       d.join(hits, Seq("doc_id"), "left_anti")
@@ -340,9 +344,10 @@ final case class Corpus(df: DataFrame) {
   def dedupSegments(): Corpus = chain { d =>
     val kept = graft.ext.PipelineOps8.segmentDedup(d)
       .select(col("doc_id"), col("text_kept"))
-    d.join(kept, Seq("doc_id"))
-      .withColumn("text", col("text_kept"))
-      .drop("text_kept")
+    Corpus.refreshNChars(
+      d.join(kept, Seq("doc_id"))
+        .withColumn("text", col("text_kept"))
+        .drop("text_kept"))
   }
 
   /** Duplicated-span signals (x_ded20): max_run_grams / span_words /
@@ -355,9 +360,11 @@ final case class Corpus(df: DataFrame) {
     * their own cross-corpus fingerprints.
     */
   def dedupSegmentsIntra(): Corpus = chain { d =>
-    graft.ext.PipelineOps8.intraDocSegmentDedup(d)
-      .join(d.drop("text"), Seq("doc_id"), "left")
-      .withColumnRenamed("text_kept", "text")
+    Corpus.refreshNChars(
+      graft.ext.PipelineOps8.intraDocSegmentDedup(d)
+        .drop("n_segs", "n_kept") // internal accounting, not corpus columns
+        .join(d.drop("text"), Seq("doc_id"), "left")
+        .withColumnRenamed("text_kept", "text"))
   }
 
   def withDupSpans(n: Int = 8): Corpus = chain { d =>
@@ -833,6 +840,17 @@ final case class Corpus(df: DataFrame) {
 }
 
 object Corpus {
+
+  /** After any text-rewriting stage (segment dedup, extraction), a carried
+    * `n_chars` would silently describe the PRE-rewrite text to every
+    * downstream length-based operator (length quantiles, PSI len_bin,
+    * data card). Recompute it from the current `text`, preserving its
+    * declared type; frames without the column pass through untouched.
+    */
+  private[api] def refreshNChars(d: DataFrame): DataFrame =
+    if (d.columns.contains("n_chars"))
+      d.withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
+    else d
 
   /** Eval-side size regime for [[Corpus.decontaminate]]. */
   sealed trait EvalMode

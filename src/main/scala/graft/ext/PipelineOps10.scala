@@ -28,7 +28,15 @@ object PipelineOps10 {
     * bigram string; hot-path joins digest it to 16 hex (fixed-width
     * shuffle payload, the x_ded10 lesson) — see [[lmScore]].
     */
-  private def bigramPairs(docs: DataFrame): DataFrame = docTokens(docs)
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    bigramPairsTok(docTokens(docs))
+
+  /** [[bigramPairs]] over an ALREADY-tokenized (doc_id, ws) frame — the
+    * entry point composed pipelines use so one materialized tokenization
+    * feeds every stage (see x_pipe5).
+    */
+  private def bigramPairsTok(tok: DataFrame): DataFrame = tok
+    .select(col("doc_id"), col("ws"))
     .filter(size(col("ws")) >= 2)
     .select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
@@ -72,11 +80,15 @@ object PipelineOps10 {
     * (hb, c2)) — the artifact [[LmStore]] persists; V is derived from the
     * unigram table at use time.
     */
-  def lmTables(train: DataFrame): (DataFrame, DataFrame) = {
-    val uni = docTokens(train)
+  def lmTables(train: DataFrame): (DataFrame, DataFrame) =
+    lmTablesTok(docTokens(train))
+
+  /** [[lmTables]] from a pre-tokenized (doc_id, ws) frame. */
+  def lmTablesTok(tok: DataFrame): (DataFrame, DataFrame) = {
+    val uni = tok
       .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bgc = bigramPairs(train)
+    val bgc = bigramPairsTok(tok)
       .select(substring(md5(col("b")), 1, 16).as("hb"))
       .groupBy("hb").agg(count(lit(1)).as("c2"))
     (uni, bgc)
@@ -86,9 +98,13 @@ object PipelineOps10 {
     * beyond-broadcast scale path: the bigram join shuffles fixed-width
     * digests; at broadcast scale, [[lmScoreNative]] is the narrow twin).
     */
-  def lmScoreWith(score: DataFrame, uni: DataFrame, bgc: DataFrame): DataFrame = {
+  def lmScoreWith(score: DataFrame, uni: DataFrame, bgc: DataFrame): DataFrame =
+    lmScoreWithTok(docTokens(score), uni, bgc)
+
+  /** [[lmScoreWith]] from a pre-tokenized (doc_id, ws) score frame. */
+  def lmScoreWithTok(tokScore: DataFrame, uni: DataFrame, bgc: DataFrame): DataFrame = {
     val vocab = uni.agg(count(lit(1)).as("v"))
-    bigramPairs(score)
+    bigramPairsTok(tokScore)
       .select(col("doc_id"), col("w1"), substring(md5(col("b")), 1, 16).as("hb"))
       .join(bgc, Seq("hb"), "left")
       .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
@@ -96,6 +112,32 @@ object PipelineOps10 {
       .select(col("doc_id"),
         log((coalesce(col("c2"), lit(0L)) + 1) / (coalesce(col("c1"), lit(0L)) + col("v")))
           .as("lnp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(-sum(col("lnp")) / count(lit(1)), 6).as("nll_avg"))
+  }
+
+  /** Self-scored LM (train = score) without a separate count-table build:
+    * when the corpus scores itself, the train-side bigram count c2 is just
+    * the occurrence count of the digest IN THE SAME STREAM — one window
+    * over hb replaces the bgc aggregation + digest join (one fewer full
+    * bigram-stream scan; the hb exchange is the same one the join paid,
+    * skew included). Identical algebra to [[lmScoreWithTok]] on itself
+    * (every scored bigram is in train, so COALESCE never fires) — pinned
+    * by the x_txt20 oracle, which is written in the generic join form.
+    */
+  def lmSelfScoreTok(tok: DataFrame): DataFrame = {
+    val uni = tok
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigramPairsTok(tok)
+      .select(col("doc_id"), col("w1"), substring(md5(col("b")), 1, 16).as("hb"))
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("hb"))))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .join(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("c2") + 1) / (coalesce(col("c1"), lit(0L)) + col("v"))).as("lnp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(-sum(col("lnp")) / count(lit(1)), 6).as("nll_avg"))
@@ -245,9 +287,15 @@ object PipelineOps10 {
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val qt = docTokens(queries)
       .select(col("doc_id").as("q_id"), explode(col("ws")).as("t")).distinct()
+    // Only query terms' df values are ever used, so semi-join the
+    // document-frequency table down to the (queries-bounded) term set
+    // BEFORE broadcasting: the full dft is one row per distinct corpus
+    // token — at web scale an unbounded broadcast, the exact hazard
+    // lmIndex gates at 2M entries (round-7 ADVICE).
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .join(broadcast(qt.select("t").distinct()), Seq("t"), "left_semi")
     tf
       .join(broadcast(qt), "t")
       .filter(col("doc_id") =!= col("q_id"))
@@ -329,14 +377,18 @@ object PipelineOps10 {
     * the raw side plus a doc-keyed rollup. At 100 TB the target table is
     * KBs and the raw distribution is one map-side-combined aggregation.
     */
-  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
-    def feats(d: DataFrame) = bigramPairs(d).select(col("doc_id"),
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame =
+    dsirWeightsTok(docTokens(raw), docTokens(target))
+
+  /** [[dsirWeights]] from pre-tokenized (doc_id, ws) frames. */
+  def dsirWeightsTok(rawTok: DataFrame, targetTok: DataFrame): DataFrame = {
+    def feats(tok: DataFrame) = bigramPairsTok(tok).select(col("doc_id"),
       expr("conv(substr(md5(b), 1, 3), 16, 10)").cast("long").as("bkt"))
-    val tb = feats(target).groupBy("bkt").agg(count(lit(1)).as("ct"))
-    val rb = feats(raw).groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tb = feats(targetTok).groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val rb = feats(rawTok).groupBy("bkt").agg(count(lit(1)).as("cr"))
     val tn = tb.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val rn = rb.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
-    feats(raw)
+    feats(rawTok)
       .join(broadcast(tb), Seq("bkt"), "left")
       .join(broadcast(rb), Seq("bkt"))
       .join(broadcast(tn)).join(broadcast(rn))
@@ -635,13 +687,18 @@ object PipelineOps10 {
     * (absolute NLL thresholds don't transfer across languages; quantiles
     * do). Thresholds are languages-sized → broadcast.
     */
-  def adaptiveLmKeep(docs: DataFrame): DataFrame = {
+  def adaptiveLmKeep(docs: DataFrame): DataFrame =
+    adaptiveLmKeepTok(docs.select(col("doc_id"), col("lang"),
+      CleanFns.tokens(col("text")).as("ws")))
+
+  /** [[adaptiveLmKeep]] from a pre-tokenized (doc_id, lang, ws) frame. */
+  def adaptiveLmKeepTok(tok: DataFrame): DataFrame = {
     // threshold via a lang-partitioned window (whole-partition frame), not
     // groupBy + join-back: the join form instantiates the LM-score subtree
     // twice and at sf0.1 pays the full count-table build both times
     // (measured at sf0.1: x_pipe5 6.1 s -> 4.3 s with the single-pass window)
-    lmScore(docs, docs)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    lmSelfScoreTok(tok)
+      .join(tok.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("p75", round(
         expr("percentile(nll_avg, 0.75)")
           .over(Window.partitionBy(col("lang"))), 6))
@@ -750,20 +807,41 @@ object PipelineOps10 {
        |JOIN t ON t.doc_id = sel.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val gated = docs.join(
-      adaptiveLmKeep(docs).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val dwl = dsirWeights(
-      gated.filter(col("doc_id") % 25 =!= 0),
-      docs.filter(col("doc_id") % 25 === 0))
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // ONE tokenization pass, materialized as a parquet stage boundary
+    // (the SketchStore/x_ded21 artifact pattern): pre-round-8 this probe
+    // re-ran the regex tokenizer over the corpus FOUR times (LM count
+    // tables, LM scoring, DSIR features, final rollup). Every stage now
+    // reads the tokenized columnar stage; at 100 TB this is the
+    // `Corpus.materialize()` boundary between pipeline phases.
+    val stage = java.nio.file.Files.createTempDirectory("graft_pipe5").toString
+    def materialize(d: DataFrame, name: String): DataFrame = {
+      d.write.mode("overwrite").parquet(s"$stage/$name")
+      s.read.parquet(s"$stage/$name")
+    }
+    val tok = materialize(
+      docs.select(col("doc_id"), col("lang"), CleanFns.tokens(col("text")).as("ws")),
+      "tok")
+    // the gate verdict and the per-doc DSIR weights are each consumed by
+    // MULTIPLE downstream subtrees (DSIR scans raw features twice; dwl
+    // feeds the median AND the selection) — unmaterialized, Catalyst
+    // instantiates the whole upstream chain once per consumer
+    val gatedIds = materialize(adaptiveLmKeepTok(tok).select(col("doc_id")), "gated")
+    val dwl = materialize(
+      dsirWeightsTok(
+        tok.filter(col("doc_id") % 25 =!= 0).join(gatedIds, Seq("doc_id"), "left_semi"),
+        tok.filter(col("doc_id") % 25 === 0))
+        .join(tok.select(col("doc_id"), col("lang")), "doc_id"),
+      "dwl")
     val md = dwl.groupBy("lang")
       .agg(round(expr("percentile(dsir_avg, 0.5)"), 6).as("p50"))
-    val sel = dwl.join(broadcast(md), "lang")
-      .filter(col("dsir_avg") >= col("p50")).select(col("doc_id"))
-    docs.join(sel, Seq("doc_id"), "left_semi")
+    // rollup straight off dwl: every selected doc passed the LM gate, so
+    // it has >= 1 bigram and n_feats (its DSIR bigram-occurrence count)
+    // is EXACTLY len(ws) - 1 — no third corpus scan for token totals
+    dwl.join(broadcast(md), "lang")
+      .filter(col("dsir_avg") >= col("p50"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(CleanFns.tokens(col("text")))).cast("long").as("n_tokens"))
+        sum(col("n_feats") + 1).cast("long").as("n_tokens"))
       .orderBy("lang")
   }
 

@@ -100,24 +100,34 @@ object PipelineOps8 {
   }
 
   private val semTau = 0.35
+  private val semCap = 16 // per-vector candidate cap (cell heads)
 
   /** X-DED19 — SemDeDup-shaped semantic dedup: embeddings are assigned to
     * IVF cells (x_sim3's deterministic coarse quantizer — centroids = the
     * first 8 vectors, exact-integer L2), and WITHIN each cell any vector
-    * whose cosine to a lower-id cell-mate reaches tau is dropped. Survivors
-    * = vectors with no lower-id in-cell neighbor at >= tau.
+    * whose cosine to a lower-id CANDIDATE cell-mate reaches tau is
+    * dropped. Candidates are the cell's `semCap` lowest-id members (its
+    * "heads") — the x_ded13b candidate-cap discipline applied to the
+    * clustering-scoped sibling: an uncapped within-cell self-join is
+    * quadratic in cell size when one mega-cell forms (template storm,
+    * 8 fixed centroids = a skewable key). Ranking candidates by id keeps
+    * the capped semantics DETERMINISTIC and oracle-expressible, and makes
+    * the storm case exact: identical vectors share a cell whose minimum
+    * id is always a head, so every clone still finds its witness.
     *
     * This is the cluster-scoped regime of semantic dedup (SemDeDup,
     * Abbas et al. 2023, public): the LSH chain (x_ded13+) bounds candidates
-    * by hash-bucket collisions; this one bounds them by cluster membership,
-    * which a pipeline that ALREADY clusters for curriculum/mixing gets for
-    * free. All-pairs cost is sum over cells of |cell|^2 — bounded by the
-    * quantizer's balance, and the quantizer is trainable (x_sim4's Lloyd
-    * step) when natural clusters skew. Cell assignment itself is a narrow
-    * map against broadcast centroids: the corpus is shuffled once, by cell.
+    * by hash-bucket collisions; this one bounds them by cluster membership
+    * AND the head cap, which a pipeline that ALREADY clusters for
+    * curriculum/mixing gets for free. Per-cell cost is |cell| x semCap
+    * (never |cell|^2); the head table is centroids x semCap rows — a
+    * broadcast, so the corpus is shuffled once (by cell, for head
+    * election) and the verify pass is a broadcast join. Cell assignment
+    * itself is a narrow map against broadcast centroids.
     *
-    * Output: every vector with its cell, the count of lower-id in-cell
-    * near-neighbors, and the keep verdict.
+    * Output: every vector with its cell, the (capped — like x_ded13b's
+    * collision counts) count of lower-id in-cell near-neighbor candidates,
+    * and the keep verdict.
     */
   private val ded19 = Probe(
     "x_ded19_semdedup",
@@ -136,12 +146,18 @@ object PipelineOps8 {
        |n AS (SELECT a.vec_id, a.cell, iv.v,
        |             list_sum(list_transform(iv.v, x -> x * x)) AS n2
        |      FROM assign a JOIN iv ON iv.vec_id = a.vec_id),
+       |heads AS (
+       |  SELECT vec_id AS y_id, cell, v AS yv, n2 AS yn2 FROM (
+       |    SELECT vec_id, cell, v, n2,
+       |           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS hrn
+       |    FROM n)
+       |  WHERE hrn <= $semCap),
        |close AS (
        |  SELECT x.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
-       |  FROM n x JOIN n y ON x.cell = y.cell AND y.vec_id < x.vec_id
-       |  WHERE y.n2 > 0 AND x.n2 > 0
-       |    AND list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) /
-       |        sqrt(x.n2 * y.n2) >= $semTau
+       |  FROM n x JOIN heads y ON x.cell = y.cell AND y.y_id < x.vec_id
+       |  WHERE y.yn2 > 0 AND x.n2 > 0
+       |    AND list_sum(list_transform(list_zip(x.v, y.yv), z -> z[1] * z[2])) /
+       |        sqrt(x.n2 * y.yn2) >= $semTau
        |  GROUP BY x.vec_id)
        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
        |       COALESCE(c.n_close, 0) AS n_close,
@@ -152,26 +168,16 @@ object PipelineOps8 {
   }
 
   /** The reusable operator behind x_ded19: (vec_id, cell, n_close, keep)
-    * for every embedding, `keep = 1` iff no lower-id vector in the same
-    * IVF cell has cosine >= tau.
+    * for every embedding, `keep = 1` iff no lower-id CANDIDATE (the cell's
+    * `cap` lowest-id members) in the same IVF cell has cosine >= tau.
+    * `n_close` counts close candidates — capped at `cap`, like x_ded13b's
+    * collision counts.
     */
   def semDedup(s: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
-      tau: Double): DataFrame = {
-    graft.GraftExtensions.register(s)
-    val iv = embeddings.select(col("vec_id"), expr(Similarity.intVec).as("v"))
-    val cent = iv.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
-    val assign = iv.crossJoin(broadcast(cent))
-      .withColumn("d2", expr("dot_d(v, v) - 2 * dot_d(v, cv) + dot_d(cv, cv)"))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"), col("v"),
-        expr("dot_d(v, v)").as("n2"))
-    val x = assign.select(col("vec_id"), col("cell"), col("v").as("xv"), col("n2").as("xn2"))
-    val y = assign.select(col("vec_id").as("y_id"), col("cell"), col("v").as("yv"),
-      col("n2").as("yn2"))
-    val close = x.join(y, Seq("cell"))
-      .filter(col("y_id") < col("vec_id") && col("xn2") > 0 && col("yn2") > 0)
+      tau: Double, cap: Int = semCap): DataFrame = {
+    val assign = semAssign(s, embeddings)
+    val close = semCandidates(assign, cap)
+      .filter(col("xn2") > 0 && col("yn2") > 0)
       .filter(expr("dot_d(xv, yv)") / sqrt(col("xn2") * col("yn2")) >= tau)
       .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
     assign.select(col("vec_id"), col("cell").cast("long").as("cell"))
@@ -180,6 +186,54 @@ object PipelineOps8 {
         coalesce(col("n_close"), lit(0L)).as("n_close"),
         when(col("n_close").isNull, 1).otherwise(0).cast("int").as("keep"))
   }
+
+  /** (vec_id, cell, v, n2) with each vector's nearest of the 8 fixed
+    * centroids — narrow map over broadcast centroids.
+    */
+  private def semAssign(s: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val iv = embeddings.select(col("vec_id"), expr(Similarity.intVec).as("v"))
+    val cent = iv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    iv.crossJoin(broadcast(cent))
+      .withColumn("d2", expr("dot_d(v, v) - 2 * dot_d(v, cv) + dot_d(cv, cv)"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"),
+        expr("dot_d(v, v)").as("n2"))
+  }
+
+  /** The bounded candidate pairs (vec_id, y_id, cell, xv/yv, xn2/yn2):
+    * each vector against the lower-id members of its cell's head set.
+    * Heads (the `cap` lowest ids per cell) are elected with a TWO-LEVEL
+    * sharded top-K — per-(cell, shard) row_number then per-cell over the
+    * <= 64*cap survivors (the x_mix3b discipline) — so a mega-cell never
+    * funnels its full population through one window task. The head table
+    * is centroids x cap rows -> broadcast: the verify pass shuffles
+    * nothing, and per-vector work is <= cap regardless of cell skew.
+    * Exposed for PipelineOps8Spec's storm fixture (candidates <= cap * n).
+    */
+  private[graft] def semCandidates(assign: DataFrame, cap: Int): DataFrame = {
+    val shards = 64
+    val wS = Window.partitionBy(col("cell"), col("shard")).orderBy(col("vec_id"))
+    val wC = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val heads = assign
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)))
+      .withColumn("srn", row_number().over(wS)).filter(col("srn") <= cap)
+      .withColumn("hrn", row_number().over(wC)).filter(col("hrn") <= cap)
+      .select(col("vec_id").as("y_id"), col("cell"), col("v").as("yv"),
+        col("n2").as("yn2"))
+    assign
+      .select(col("vec_id"), col("cell"), col("v").as("xv"), col("n2").as("xn2"))
+      .join(broadcast(heads), Seq("cell"))
+      .filter(col("y_id") < col("vec_id"))
+  }
+
+  /** Candidate pairs for a raw embeddings frame — spec entry point. */
+  private[graft] def semDedupCandidates(s: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, cap: Int = semCap): DataFrame =
+    semCandidates(semAssign(s, embeddings), cap)
 
   /** X-DEC5 — FUZZY decontamination: eval overlap that survives light
     * paraphrase. Candidates come from the exact 4-word-shingle hit (the
@@ -208,7 +262,7 @@ object PipelineOps8 {
       |  SELECT c.doc_id, c.eval_id,
       |         levenshtein(d.text, e.text) AS lev,
       |         1 - CAST(levenshtein(d.text, e.text) AS DOUBLE) /
-      |             GREATEST(length(d.text), length(e.text)) AS sim
+      |             GREATEST(strlen(d.text), strlen(e.text)) AS sim
       |  FROM cand c
       |  JOIN documents d ON d.doc_id = c.doc_id
       |  JOIN documents e ON e.doc_id = c.eval_id)
@@ -255,8 +309,11 @@ object PipelineOps8 {
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .join(evalTexts, Seq("eval_id"))
       .withColumn("lev", expr("lev_bytes(text, ev_text)"))
+      // byte numerator / byte denominator: octet_length keeps the units
+      // consistent on multi-byte text (a char denominator deflates sim
+      // below 0 in the worst case); DuckDB's strlen is the byte twin.
       .withColumn("sim",
-        lit(1.0) - col("lev").cast("double") / greatest(length(col("text")), length(col("ev_text"))))
+        lit(1.0) - col("lev").cast("double") / greatest(octet_length(col("text")), octet_length(col("ev_text"))))
       .filter(col("sim") >= 0.30)
       .select(col("doc_id"), col("eval_id"), col("lev"), round(col("sim"), 6).as("sim"))
       .orderBy("doc_id", "eval_id")

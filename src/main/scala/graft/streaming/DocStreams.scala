@@ -322,7 +322,7 @@ object DocStreams {
       .join(evTexts, Seq("eval_id"))
       .withColumn("sim", lit(1.0) -
         expr("lev_bytes(text, ev_text)").cast("double") /
-          greatest(length(col("text")), length(col("ev_text"))))
+          greatest(octet_length(col("text")), octet_length(col("ev_text"))))
       .filter(col("sim") >= minSim)
       .select(col("doc_id"))
       .dropDuplicates("doc_id")

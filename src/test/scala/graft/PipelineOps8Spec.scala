@@ -96,6 +96,28 @@ class PipelineOps8Spec extends SparkSuite {
     assert(out.forall(_.getLong(2) >= 1L))
   }
 
+  test("semDedup candidates stay bounded under a planted identical-embedding storm") {
+    // 200 identical clones all land in one cell — the mega-cell regime
+    // where the pre-round-8 uncapped self-join went quadratic. With the
+    // head cap, per-vector candidates are <= cap and the storm is STILL
+    // resolved exactly: the cell's min id is always a head, so every
+    // clone finds its witness.
+    val base = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val v0 = base.filter(col("vec_id") === 20L).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    val clones = (1 to 200).map(i => (2000L + i, v0)).toDF("vec_id", "embedding")
+    val storm = base.unionByName(clones)
+    val cap = 16
+    val cand = PipelineOps8.semDedupCandidates(spark, storm, cap)
+    val perVec = cand.groupBy("vec_id").count()
+    assert(perVec.agg(max("count")).collect().head.getLong(0) <= cap.toLong)
+    assert(cand.count() <= cap.toLong * storm.count())
+    val cl = PipelineOps8.semDedup(spark, storm, tau = 0.35)
+      .filter(col("vec_id") >= 2000L)
+    assert(cl.filter(col("keep") =!= 0).count() == 0)
+    assert(cl.filter(col("n_close") === 0).count() == 0)
+  }
+
   test("semDedup: every dropped vector has a lower-id in-cell witness at >= tau") {
     graft.GraftExtensions.register(spark)
     val emb = Tables(spark, dir, "embeddings")
