@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lev_bytes"),
       new ExpressionInfo(classOf[graft.functions.LevBytes].getName, "lev_bytes"),
       (exprs: Seq[Expression]) => graft.functions.LevBytes(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("lm_nll"),
+      new ExpressionInfo(classOf[graft.functions.LmNll].getName, "lm_nll"),
+      graft.functions.LmNll.build))
+    e.injectFunction((
+      new FunctionIdentifier("kn_nll"),
+      new ExpressionInfo(classOf[graft.functions.KnNll].getName, "kn_nll"),
+      graft.functions.KnNll.build))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -91,6 +99,8 @@ object GraftExtensions {
       exprs => graft.functions.LevBytes(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lm_nll", graft.functions.LmNll.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kn_nll", graft.functions.KnNll.build, "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

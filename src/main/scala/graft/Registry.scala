@@ -23,6 +23,7 @@ object Registry {
     ext.PipelineOps11.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
+    ext.KnLm.all ++
     ext.SegIndex.all ++
     ext.Similarity.all ++
     ext.Similarity2.all ++

@@ -776,7 +776,7 @@ object Dedup {
       |WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
       |ORDER BY new_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ded12_idx").toString
+    val idxDir = graft.util.TempDirs.scratch("graft_ded12_idx")
     // prefix width follows corpus size: 1 hex char (16 partitions) at
     // bench SF — 256 directories over ~50k band rows is pure small-file
     // overhead (measured: 6.7 s vs 3 s); the 2-char default is the

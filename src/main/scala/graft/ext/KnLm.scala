@@ -1,0 +1,352 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trigram interpolated Kneser-Ney language model (Kneser & Ney 1995;
+  * Chen & Goodman 1999) — the CCNet-grade quality signal, one order up
+  * from the x_txt18 bigram LM. Same three-regime discipline:
+  *
+  *   - [[knScoreWith]]: the JOIN regime — trigram stream joined against
+  *     the five count tables (shuffle joins keyed on fixed-width 16-hex
+  *     digests for the trigram-type-bounded tables; vocabulary-bounded
+  *     tables broadcast). The beyond-broadcast scale path.
+  *   - [[knIndex]] + [[knScoreNative]]: the NARROW regime — tables
+  *     collected (loudly gated at 2M entries) into
+  *     [[graft.functions.KnNll]], one tight JVM pass per row; the
+  *     stream-door form for a released-corpus KN model.
+  *   - [[buildKn]] / [[loadKnTables]] / [[loadKnIndex]]: the PERSISTED
+  *     regime — the [[LmStore]] pattern: scan the released corpus once,
+  *     score every later shard/stream against parquet tables.
+  *
+  * The model (D = 0.75 — exactly representable in binary, so every
+  * discount is the same IEEE value in Spark, DuckDB, and the JVM path):
+  *
+  *   p1(c)     = (cont2(c) + 1) / (B + V)
+  *   p2(c|b)   = (max(cont3(b,c) − D, 0) + D·n2f(b)·p1(c)) / mid(b)
+  *               when b is a known middle, else p1(c)
+  *   p3(c|a,b) = (max(c3(a,b,c) − D, 0) + D·n3f(a,b)·p2) / ctx2(a,b)
+  *               when context (a,b) is known, else p2
+  *
+  * where, with trigram OCCURRENCES tr and distinct trigram TYPES ty and
+  * distinct adjacent-bigram TYPES bty (all from the one shared
+  * tokenizer):
+  *
+  *   c3(a,b,c)  = count of tr grouped by trigram digest
+  *   ctx2(a,b)  = count of tr grouped by context digest
+  *   n3f(a,b)   = distinct c per context digest (types following (a,b))
+  *   cont3(b,c) = distinct a per (b,c) digest over ty   [N₁₊(·bc)]
+  *   mid(b)     = count of ty per middle digest          [N₁₊(·b·)]
+  *   n2f(b)     = distinct c per middle digest           [N₁₊(b·)]
+  *   cont2(c)   = distinct predecessors of c over bty    [N₁₊(·c)]
+  *   B          = |bty|, V = vocabulary size
+  *
+  * All counts are exact integers; the continuation counts are the KN
+  * insight (a word after an unseen context should be scored by how many
+  * distinct contexts it follows, not how often it occurs). The +1/(B+V)
+  * unigram floor keeps OOV finite, mirroring the x_txt18 add-one floor.
+  */
+object KnLm {
+
+  /** (doc_id, a, b, c): every adjacent token triple — the trigram
+    * occurrence stream (one explode; digests are computed at use sites
+    * so the stream itself stays string-typed for `c`'s unigram lookup).
+    */
+  private[ext] def trigramsTok(tok: DataFrame): DataFrame = tok
+    .select(col("doc_id"), col("ws"))
+    .filter(size(col("ws")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws) - 2), i -> named_struct(" +
+        "'a', element_at(ws, i), 'b', element_at(ws, i + 1), 'c', element_at(ws, i + 2)))")).as("p"))
+    .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"))
+
+  /** DuckDB twin of [[trigramsTok]] from a CTE `src(doc_id, ws)`. */
+  private[ext] def trigramsDuck(src: String): String =
+    s"""SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+       |  FROM (SELECT doc_id, ws FROM $src WHERE len(ws) >= 3),
+       |       UNNEST(generate_series(1, len(ws) - 2)) AS g(i)""".stripMargin
+
+  private def h16(c: Column): Column = substring(md5(c), 1, 16)
+
+  /** The five KN count tables plus the (bt, v) scalar frame — all lazy
+    * DataFrames, so the join regime never collects anything.
+    */
+  final case class KnTables(
+      t3: DataFrame,   // (h3, c3)
+      ctx: DataFrame,  // (hab, ctx2, n3f)
+      bc: DataFrame,   // (hbc, cont3)
+      mid: DataFrame,  // (hb, mid, n2f)
+      u2: DataFrame,   // (c, cont2)
+      sc: DataFrame)   // 1 row: (bt, v)
+
+  def knTables(train: DataFrame): KnTables =
+    knTablesTok(PipelineOps10.docTokens(train))
+
+  /** [[knTables]] from a pre-tokenized (doc_id, ws) frame. Three passes
+    * over the trigram stream (occurrence counts, context counts, the
+    * distinct-type projection) and one over the bigram stream — each a
+    * map-side-combined aggregation keyed on fixed-width digests.
+    */
+  def knTablesTok(tok: DataFrame): KnTables = {
+    val tr = trigramsTok(tok)
+    val t3 = tr.groupBy(h16(concat_ws(" ", col("a"), col("b"), col("c"))).as("h3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx = tr.groupBy(h16(concat_ws(" ", col("a"), col("b"))).as("hab"))
+      .agg(count(lit(1)).as("ctx2"), count_distinct(col("c")).as("n3f"))
+    val ty = tr.select("a", "b", "c").distinct()
+    val bc = ty.groupBy(h16(concat_ws(" ", col("b"), col("c"))).as("hbc"))
+      .agg(count_distinct(col("a")).as("cont3"))
+    val mid = ty.groupBy(h16(col("b")).as("hb"))
+      .agg(count(lit(1)).as("mid"), count_distinct(col("c")).as("n2f"))
+    val bty = PipelineOps10.bigramPairsTok(tok).select("w1", "w2").distinct()
+    val u2 = bty.groupBy(col("w2").as("c")).agg(count(lit(1)).as("cont2"))
+    val sc = bty.agg(count(lit(1)).as("bt"))
+      .join(tok.select(explode(col("ws")).as("w")).agg(count_distinct(col("w")).as("v")))
+    KnTables(t3, ctx, bc, mid, u2, sc)
+  }
+
+  /** Train on `train`, score `score` — the self/held-out entry point. */
+  def knScore(train: DataFrame, score: DataFrame): DataFrame =
+    knScoreWithTok(PipelineOps10.docTokens(score), knTables(train))
+
+  /** Score a pre-tokenized (doc_id, ws) frame against prebuilt tables —
+    * the JOIN regime. Shape: the trigram stream carries four 16-hex
+    * digests + the raw continuation token; the three trigram-bounded
+    * tables join on their digests (shuffle, fixed-width keys), the two
+    * vocabulary-bounded tables and the scalar broadcast. Every
+    * arithmetic step mirrors [[graft.functions.KnNll]].compute operation
+    * for operation (same IEEE754 sequence), so native ≡ declarative.
+    */
+  def knScoreWithTok(tokScore: DataFrame, t: KnTables): DataFrame =
+    trigramsTok(tokScore)
+      .select(col("doc_id"),
+        h16(concat_ws(" ", col("a"), col("b"), col("c"))).as("h3"),
+        h16(concat_ws(" ", col("a"), col("b"))).as("hab"),
+        h16(concat_ws(" ", col("b"), col("c"))).as("hbc"),
+        h16(col("b")).as("hb"),
+        col("c"))
+      .join(t.t3, Seq("h3"), "left")
+      .join(t.ctx, Seq("hab"), "left")
+      .join(t.bc, Seq("hbc"), "left")
+      .join(broadcast(t.mid), Seq("hb"), "left")
+      .join(broadcast(t.u2), Seq("c"), "left")
+      .join(broadcast(t.sc))
+      .withColumn("p1",
+        (coalesce(col("cont2"), lit(0L)) + 1).cast("double") /
+          (col("bt") + col("v")).cast("double"))
+      .withColumn("p2", when(col("mid").isNotNull,
+        (greatest(coalesce(col("cont3"), lit(0L)) - lit(0.75), lit(0.0)) +
+          lit(0.75) * col("n2f") * col("p1")) / col("mid"))
+        .otherwise(col("p1")))
+      .withColumn("p3", when(col("ctx2").isNotNull,
+        (greatest(coalesce(col("c3"), lit(0L)) - lit(0.75), lit(0.0)) +
+          lit(0.75) * col("n3f") * col("p2")) / col("ctx2"))
+        .otherwise(col("p2")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        round(-sum(log(col("p3"))) / count(lit(1)), 6).as("kn_avg"))
+
+  // ------------------------------------------------------ native regime
+
+  /** Hard ceiling on collected KN table entries (all five tables) — the
+    * [[PipelineOps10.lmIndexMaxEntries]] loud-gate discipline: a
+    * web-scale corpus has billions of trigram types; collecting them is
+    * a driver OOM. Fail at build time naming the route that scales.
+    */
+  val knIndexMaxEntries: Long = 2000000L
+
+  def knIndex(train: DataFrame,
+      maxEntries: Long = knIndexMaxEntries): graft.functions.KnIndex =
+    collectIndex(knTables(train), maxEntries)
+
+  private def collectIndex(t: KnTables,
+      maxEntries: Long): graft.functions.KnIndex = {
+    val cap = maxEntries.toInt
+    // BOUNDED collects: sort+limit plans as TakeOrdered, so the driver
+    // never materializes more than cap + 1 rows even when the gate trips
+    val t3 = t.t3.orderBy("h3").limit(cap + 1).collect()
+    val cx = t.ctx.orderBy("hab").limit(cap + 1).collect()
+    val bc = t.bc.orderBy("hbc").limit(cap + 1).collect()
+    val md = t.mid.orderBy("hb").limit(cap + 1).collect()
+    val u2 = t.u2.orderBy("c").limit(cap + 1).collect()
+    require(t3.length + cx.length + bc.length + md.length + u2.length <= maxEntries,
+      s"KN count tables exceed $maxEntries entries: too large for the " +
+        "broadcast/native regime — score with the join form instead " +
+        "(KnLm.knScore / knScoreWithTok over KnLm stored tables)")
+    val sc = t.sc.collect()(0)
+    graft.functions.KnIndex(
+      t3.map(_.getString(0)).toSeq, t3.map(_.getLong(1)).toSeq,
+      cx.map(_.getString(0)).toSeq, cx.map(_.getLong(1)).toSeq, cx.map(_.getLong(2)).toSeq,
+      bc.map(_.getString(0)).toSeq, bc.map(_.getLong(1)).toSeq,
+      md.map(_.getString(0)).toSeq, md.map(_.getLong(1)).toSeq, md.map(_.getLong(2)).toSeq,
+      u2.map(_.getString(0)).toSeq, u2.map(_.getLong(1)).toSeq,
+      sc.getLong(0), sc.getLong(1))
+  }
+
+  /** Per-row KN scoring against a prebuilt index — the narrow,
+    * stateless, stream-capable twin of [[knScoreWith]] (identical
+    * output, zero exchanges).
+    */
+  def knScoreNative(score: DataFrame, idx: graft.functions.KnIndex): DataFrame = {
+    graft.GraftExtensions.register(score.sparkSession)
+    score
+      .withColumn("__kn", graft.functions.KnNll.kn_nll(col("text"), idx))
+      .filter(col("__kn").isNotNull)
+      .select(col("doc_id"), col("__kn.n_trigrams").as("n_trigrams"),
+        col("__kn.kn_avg").as("kn_avg"))
+  }
+
+  // --------------------------------------------------- persisted regime
+
+  /** Write the KN count tables of `train` under `path` — the released
+    * artifact of the train-once / score-many regime.
+    */
+  def buildKn(train: DataFrame, path: String): Unit = {
+    val t = knTables(train)
+    t.t3.write.mode("overwrite").parquet(s"$path/t3")
+    t.ctx.write.mode("overwrite").parquet(s"$path/ctx")
+    t.bc.write.mode("overwrite").parquet(s"$path/bc")
+    t.mid.write.mode("overwrite").parquet(s"$path/mid")
+    t.u2.write.mode("overwrite").parquet(s"$path/u2")
+    t.sc.write.mode("overwrite").parquet(s"$path/sc")
+  }
+
+  /** The stored tables, for the join-regime scorer. */
+  def loadKnTables(spark: SparkSession, path: String): KnTables = KnTables(
+    spark.read.parquet(s"$path/t3"),
+    spark.read.parquet(s"$path/ctx"),
+    spark.read.parquet(s"$path/bc"),
+    spark.read.parquet(s"$path/mid"),
+    spark.read.parquet(s"$path/u2"),
+    spark.read.parquet(s"$path/sc"))
+
+  /** The stored tables collected into the native scorer's broadcast
+    * index (same loud gate as [[knIndex]]).
+    */
+  def loadKnIndex(spark: SparkSession, path: String,
+      maxEntries: Long = knIndexMaxEntries): graft.functions.KnIndex =
+    collectIndex(loadKnTables(spark, path), maxEntries)
+
+  // -------------------------------------------------------------- oracle
+
+  /** First-principles DuckDB twin of train-on-`trainWhere` /
+    * score-on-`scoreWhere` KN scoring — the whole count-table algebra
+    * and the three-level interpolation rebuilt relationally. D appears
+    * only as CAST(0.75 AS DOUBLE) so DuckDB's DECIMAL literals never
+    * enter the arithmetic.
+    */
+  private[ext] def knOracle(trainWhere: String, scoreWhere: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |tr AS (${trigramsDuck(s"(SELECT * FROM t $trainWhere)")}),
+       |t3 AS (
+       |  SELECT substr(md5(a || ' ' || b || ' ' || c), 1, 16) AS h3, COUNT(*) AS c3
+       |  FROM tr GROUP BY 1),
+       |cx AS (
+       |  SELECT substr(md5(a || ' ' || b), 1, 16) AS hab,
+       |         COUNT(*) AS ctx2, COUNT(DISTINCT c) AS n3f
+       |  FROM tr GROUP BY 1),
+       |ty AS (SELECT DISTINCT a, b, c FROM tr),
+       |bc AS (
+       |  SELECT substr(md5(b || ' ' || c), 1, 16) AS hbc, COUNT(DISTINCT a) AS cont3
+       |  FROM ty GROUP BY 1),
+       |md AS (
+       |  SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS mid, COUNT(DISTINCT c) AS n2f
+       |  FROM ty GROUP BY 1),
+       |bg AS (${PipelineOps10.bigramsDuck(s"(SELECT * FROM t $trainWhere)")}),
+       |bty AS (SELECT DISTINCT w1, w2 FROM bg),
+       |u2 AS (SELECT w2 AS c, COUNT(*) AS cont2 FROM bty GROUP BY 1),
+       |sc0 AS (
+       |  SELECT (SELECT COUNT(*) FROM bty) AS bt,
+       |         (SELECT COUNT(DISTINCT w)
+       |          FROM (SELECT UNNEST(ws) AS w FROM t $trainWhere)) AS v),
+       |trs AS (${trigramsDuck(s"(SELECT * FROM t $scoreWhere)")}),
+       |j1 AS (
+       |  SELECT trs.doc_id,
+       |    t3.c3, cx.ctx2, cx.n3f, bc.cont3, md.mid, md.n2f,
+       |    (COALESCE(u2.cont2, 0) + 1) / CAST(sc0.bt + sc0.v AS DOUBLE) AS p1
+       |  FROM trs
+       |  LEFT JOIN t3 ON t3.h3 = substr(md5(trs.a || ' ' || trs.b || ' ' || trs.c), 1, 16)
+       |  LEFT JOIN cx ON cx.hab = substr(md5(trs.a || ' ' || trs.b), 1, 16)
+       |  LEFT JOIN bc ON bc.hbc = substr(md5(trs.b || ' ' || trs.c), 1, 16)
+       |  LEFT JOIN md ON md.hb = substr(md5(trs.b), 1, 16)
+       |  LEFT JOIN u2 ON u2.c = trs.c, sc0),
+       |j2 AS (
+       |  SELECT doc_id, c3, ctx2, n3f,
+       |    CASE WHEN mid IS NOT NULL
+       |         THEN (greatest(COALESCE(cont3, 0) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |               CAST(0.75 AS DOUBLE) * n2f * p1) / mid
+       |         ELSE p1 END AS p2
+       |  FROM j1),
+       |j3 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ctx2 IS NOT NULL
+       |         THEN (greatest(COALESCE(c3, 0) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |               CAST(0.75 AS DOUBLE) * n3f * p2) / ctx2
+       |         ELSE p2 END AS p3
+       |  FROM j2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |  round(-SUM(ln(p3)) / COUNT(*), 6) AS kn_avg
+       |FROM j3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- probes
+
+  /** X-TXT22 — corpus self-scored trigram Kneser-Ney: every document's
+    * NLL under the KN model of its own corpus (join regime). One order
+    * above x_txt18's bigram LM: repetitive template text that fools a
+    * bigram model (locally fluent pairs) scores high here when its
+    * trigram continuations are unseen.
+    */
+  private val txt22 = Probe(
+    "x_txt22_kn_score",
+    knOracle("", "")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    knScore(docs, docs).orderBy("doc_id")
+  }
+
+  /** X-TXT22B — held-out KN scoring: model on 90%, scoring the unseen
+    * 10% — exercises ALL THREE backoff branches (unseen trigram with
+    * seen context, unseen context with seen middle, fully-unseen words
+    * hitting the continuation-unigram floor).
+    */
+  private val txt22b = Probe(
+    "x_txt22b_kn_heldout",
+    knOracle("WHERE doc_id % 10 <> 0", "WHERE doc_id % 10 = 0")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    knScore(docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+      .orderBy("doc_id")
+  }
+
+  /** X-TXT22C — the native per-row KN scorer ([[graft.functions.KnNll]])
+    * against the same first-principles oracle as x_txt22: the one-pass
+    * JVM tokenize/digest/binary-search/interpolate is hash-pinned to
+    * the declarative five-table join algebra (KnLmSpec pins
+    * interpreted ≡ codegen ≡ declarative on top). Bench note: rebuilds
+    * the index every run, like x_txt18c — the production shape builds
+    * once per released corpus.
+    */
+  private val txt22c = Probe(
+    "x_txt22c_kn_native",
+    knOracle("", "")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    knScoreNative(docs, knIndex(docs)).orderBy("doc_id")
+  }
+
+  /** X-TXT22D — the KN probe through the PERSISTED store: tables built
+    * once, written as parquet, read back, and joined — x_txt22's
+    * identical table (shared oracle), pinning the full round trip.
+    */
+  private val txt22d = Probe(
+    "x_txt22d_kn_stored",
+    knOracle("", "")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val path = graft.util.TempDirs.scratch("graft_kn_store")
+    buildKn(docs, path)
+    knScoreWithTok(PipelineOps10.docTokens(docs), loadKnTables(s, path))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt22, txt22b, txt22c, txt22d)
+}

@@ -57,7 +57,7 @@ object LmStore {
   private val txt18d = Probe(
     "x_txt18d_lm_stored", PipelineOps10.lmSelfOracleSql) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_lm_store").toString
+    val path = graft.util.TempDirs.scratch("graft_lm_store")
     buildLm(docs, path)
     val (uni, bgc) = loadLmTables(s, path)
     PipelineOps10.lmScoreWith(docs, uni, bgc).orderBy("doc_id")

@@ -19,9 +19,10 @@ object PipelineOps10 {
   // ------------------------------------------------------- shared helpers
 
   /** (doc_id, ws): the shared whitespace tokenization (one tokenizer
-    * everywhere — the round-5 lesson).
+    * everywhere — the round-5 lesson). `private[ext]` so the KN trigram
+    * module ([[KnLm]]) shares the single definition.
     */
-  private def docTokens(docs: DataFrame): DataFrame =
+  private[ext] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
 
   /** (doc_id, w1, w2, b): every adjacent token pair. `b` is the joined
@@ -35,7 +36,7 @@ object PipelineOps10 {
     * entry point composed pipelines use so one materialized tokenization
     * feeds every stage (see x_pipe5).
     */
-  private def bigramPairsTok(tok: DataFrame): DataFrame = tok
+  private[ext] def bigramPairsTok(tok: DataFrame): DataFrame = tok
     .select(col("doc_id"), col("ws"))
     .filter(size(col("ws")) >= 2)
     .select(col("doc_id"), explode(expr(
@@ -47,7 +48,7 @@ object PipelineOps10 {
   /** DuckDB CTE fragment producing the same (doc_id, w1, w2, b) stream
     * from a CTE `t(doc_id, ws)`.
     */
-  private def bigramsDuck(src: String): String =
+  private[ext] def bigramsDuck(src: String): String =
     s"""SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i] || ' ' || ws[i+1] AS b
        |  FROM (SELECT doc_id, ws FROM $src WHERE len(ws) >= 2),
        |       UNNEST(generate_series(1, len(ws) - 1)) AS g(i)""".stripMargin
@@ -813,7 +814,7 @@ object PipelineOps10 {
     // tables, LM scoring, DSIR features, final rollup). Every stage now
     // reads the tokenized columnar stage; at 100 TB this is the
     // `Corpus.materialize()` boundary between pipeline phases.
-    val stage = java.nio.file.Files.createTempDirectory("graft_pipe5").toString
+    val stage = graft.util.TempDirs.scratch("graft_pipe5")
     def materialize(d: DataFrame, name: String): DataFrame = {
       d.write.mode("overwrite").parquet(s"$stage/$name")
       s.read.parquet(s"$stage/$name")

@@ -444,6 +444,14 @@ object PipelineOps9 {
     * the fuzzy verify compares deduped corpus text against untouched eval
     * text — the real deployment shape, where the eval set is external and
     * never preprocessed.
+    *
+    * Oracle units posture (shared with x_dec5): the engine's fuzzy sim is
+    * defined on BYTES (lev_bytes / octet_length). DuckDB has no byte-level
+    * levenshtein, so the oracle's numerator is codepoint edits over a
+    * byte (strlen) denominator — identical to the engine on the ASCII
+    * testdata (1 codepoint = 1 byte). The non-ASCII byte contract is
+    * pinned by data in PipelineOps8Spec ("byte-unit fuzzy sim…"), where
+    * char-math and byte-math yield OPPOSITE keep verdicts.
     */
   private val pipe4 = Probe(
     "x_pipe4_segment_decon_quality",
@@ -483,7 +491,7 @@ object PipelineOps9 {
        |  FROM cand c JOIN corp d ON d.doc_id = c.doc_id
        |       JOIN documents e ON e.doc_id = c.eval_id
        |  WHERE 1 - CAST(levenshtein(d.text, e.text) AS DOUBLE) /
-       |            GREATEST(length(d.text), length(e.text)) >= 0.30),
+       |            GREATEST(strlen(d.text), strlen(e.text)) >= 0.30),
        |clean AS (SELECT * FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
        |t AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w FROM clean),

@@ -88,7 +88,7 @@ object SegIndex {
        |FROM new LEFT JOIN rel ON new.fp = rel.fp
        |GROUP BY new.doc_id ORDER BY new.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_seg_idx").toString
+    val idxDir = graft.util.TempDirs.scratch("graft_seg_idx")
     build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
     newSegmentCounts(docs.filter(col("doc_id") % 3 === 0), load(s, idxDir))
       .orderBy("doc_id")

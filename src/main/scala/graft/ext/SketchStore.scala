@@ -38,7 +38,7 @@ object SketchStore {
   private val skt1b = Probe(
     "x_skt1b_countmin_stored", PipelineOps8.countMinOracleSql) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
+    val path = graft.util.TempDirs.scratch("graft_cms_store")
     buildCms(docs, path)
     PipelineOps8.estimateTopTokens(docs, loadCms(s, path))
   }

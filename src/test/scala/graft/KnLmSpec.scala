@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ext.KnLm
+import graft.functions.KnNll
+
+/** Trigram interpolated Kneser-Ney: native ≡ declarative on the real
+  * corpus (both regimes), interpreted ≡ codegen, store round-trip,
+  * loud gate, and a hand-computed exact value pinning the D = 0.75
+  * interpolation arithmetic end to end.
+  */
+class KnLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+
+  test("native scorer == declarative knScore on the real corpus") {
+    val idx = KnLm.knIndex(docs)
+    assert(rows(KnLm.knScoreNative(docs, idx)) == rows(KnLm.knScore(docs, docs)))
+  }
+
+  test("held-out regime: native == declarative through all three backoffs") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val heldOut = docs.filter(col("doc_id") % 10 === 0)
+    assert(rows(KnLm.knScoreNative(heldOut, KnLm.knIndex(train))) ==
+      rows(KnLm.knScore(train, heldOut)))
+  }
+
+  test("interpreted eval == codegen-backed DataFrame result") {
+    val train = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"))
+      .toDF("doc_id", "text")
+    val idx = KnLm.knIndex(train)
+    val texts = Seq("alpha beta gamma delta", "unseen words entirely here",
+      "beta gamma epsilon", "two tokens", "one", "")
+    val viaDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = KnLm.knScoreNative(viaDf, idx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val e = KnNll(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("x",
+        org.apache.spark.sql.types.StringType),
+      idx.h3s.map(UTF8String.fromString).toArray, idx.c3s.toArray,
+      idx.habs.map(UTF8String.fromString).toArray, idx.ctx2s.toArray, idx.n3fs.toArray,
+      idx.hbcs.map(UTF8String.fromString).toArray, idx.cont3s.toArray,
+      idx.hbs.map(UTF8String.fromString).toArray, idx.mids.toArray, idx.n2fs.toArray,
+      idx.cs.map(UTF8String.fromString).toArray, idx.cont2s.toArray,
+      idx.bt, idx.v)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val interp = e.compute(UTF8String.fromString(t))
+      if (interp == null) assert(!native.contains(i.toLong), s"'$t' should be filtered")
+      else assert(native(i.toLong) == ((interp.getLong(0), interp.getDouble(1))),
+        s"'$t': interpreted ${interp} != codegen ${native(i.toLong)}")
+    }
+    // the three sub-trigram rows really were dropped
+    assert(native.size == 3)
+  }
+
+  test("hand-computed exact value: single trigram, D = 0.75 interpolation") {
+    // train = score = "x y z": one trigram type; B = 2 bigram types
+    // {(x,y),(y,z)}; V = 3; cont2(z) = 1.
+    //   p1 = (1+1)/(2+3)                     = 0.4
+    //   p2 = (max(1-0.75,0) + 0.75·1·0.4)/1  = 0.55
+    //   p3 = (max(1-0.75,0) + 0.75·1·0.55)/1 = 0.6625
+    val one = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val expected = BigDecimal(-math.log(0.6625))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(KnLm.knScore(one, one)) == Seq((1L, 1L, expected)))
+    assert(rows(KnLm.knScoreNative(one, KnLm.knIndex(one))) == Seq((1L, 1L, expected)))
+  }
+
+  test("fully-unseen text hits the continuation-unigram floor ln(B + V)") {
+    // every trigram backs off to p1 with cont2 = 0: p = 1/(B+V)
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text") // B=3, V=4
+    val out = KnLm.knScoreNative(
+      Seq((9L, "nu xi omicron pi")).toDF("doc_id", "text"), KnLm.knIndex(train)).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - math.log(7.0)) < 1e-6)
+  }
+
+  test("persisted KN store round-trips to the identical native index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kn_rt").toString
+    try {
+      KnLm.buildKn(docs, tmp)
+      val loaded = KnLm.loadKnIndex(spark, tmp)
+      val direct = KnLm.knIndex(docs)
+      assert(loaded == direct)
+      val stored = KnLm.knScoreWithTok(
+        docs.select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws")),
+        KnLm.loadKnTables(spark, tmp))
+      assert(rows(stored) == rows(KnLm.knScore(docs, docs)))
+    } finally graft.util.TempDirs.deleteRecursively(new java.io.File(tmp))
+  }
+
+  test("index build refuses tables beyond the broadcast-regime ceiling, loudly") {
+    val e = intercept[IllegalArgumentException] {
+      KnLm.knIndex(docs, maxEntries = 10L)
+    }
+    assert(e.getMessage.contains("join form"),
+      s"gate must name the scale route: ${e.getMessage}")
+    assert(KnLm.knIndex(docs).v > 0) // real corpus is under the default gate
+  }
+}

@@ -207,4 +207,25 @@ class PipelineOps8Spec extends SparkSuite {
     // a high threshold must not nuke the rest of the corpus
     assert(cleaned.count() >= corpus.count() - 5)
   }
+
+  test("byte-unit fuzzy sim: non-ASCII verdicts follow bytes, not chars") {
+    // eval suffix "ééééé" is 5 chars / 10 UTF-8 bytes, corpus suffix "zz"
+    // shares none of them; the 23-char/byte ASCII prefix is the common
+    // 4-gram that admits the candidate pair.
+    //   byte sim  = 1 - 10/33 = 0.696969…  (lev_bytes / octet_length)
+    //   char sim  = 1 -  5/28 = 0.821428…  (codepoint lev / char length)
+    //   mixed bug = 1 - 10/28 = 0.642857…  (byte lev / char denominator)
+    // Thresholds 0.69 and 0.70 straddle ONLY the byte value: dropped at
+    // 0.69 and kept at 0.70 proves both units are bytes (char-math would
+    // drop at both; the round-8 mixed-unit bug would keep at both).
+    val evalDocs = Seq((100L, "alpha beta gamma delta ééééé")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta zz"),
+      (2L, "totally unrelated content with many words here")).toDF("doc_id", "text")
+    def surviving(minSim: Double): Set[Long] =
+      graft.api.Corpus(corpus).decontaminateFuzzy(evalDocs, minSim).df
+        .collect().map(_.getLong(0)).toSet
+    assert(surviving(0.69) == Set(2L), "byte sim 0.6969 >= 0.69: doc 1 dropped")
+    assert(surviving(0.70) == Set(1L, 2L), "byte sim 0.6969 < 0.70: doc 1 kept")
+  }
 }
