@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kn_nll"),
       new ExpressionInfo(classOf[graft.functions.KnNll].getName, "kn_nll"),
       graft.functions.KnNll.build))
+    e.injectFunction((
+      new FunctionIdentifier("nfkc_casefold"),
+      new ExpressionInfo(classOf[graft.functions.NfkcCasefold].getName, "nfkc_casefold"),
+      (exprs: Seq[Expression]) => graft.functions.NfkcCasefold(exprs.head)))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -101,6 +105,9 @@ object GraftExtensions {
       "lm_nll", graft.functions.LmNll.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kn_nll", graft.functions.KnNll.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfkc_casefold",
+      exprs => graft.functions.NfkcCasefold(exprs.head), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

@@ -21,6 +21,7 @@ object Registry {
     ext.PipelineOps9.all ++
     ext.PipelineOps10.all ++
     ext.PipelineOps11.all ++
+    ext.PipelineOps12.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.KnLm.all ++

@@ -646,9 +646,16 @@ final case class Corpus(df: DataFrame) {
     d.withColumn("n_tok_bpe", expr("CAST(bpe_count(text) AS BIGINT)"))
   }
 
+  /** Greedy per-group token budget (x_mix3b's sharded algebra). The
+    * budget is DENOMINATED in `n_tok_bpe` subword counts when the corpus
+    * carries them ([[withBpeTokenCount]]) — "2B tokens of code" in word
+    * units over-fills by multiples — and whitespace words otherwise.
+    */
   def takeTokenBudget(budget: Long, groupCol: String = "lang"): Corpus = chain { d =>
-    graft.ext.PipelineOps6.takeTokenBudgetSharded(d, col(groupCol),
-      size(graft.clean.CleanFns.tokens(col("text"))).cast("long"), budget)
+    val tokens =
+      if (d.columns.contains("n_tok_bpe")) col("n_tok_bpe").cast("long")
+      else size(graft.clean.CleanFns.tokens(col("text"))).cast("long")
+    graft.ext.PipelineOps6.takeTokenBudgetSharded(d, col(groupCol), tokens, budget)
   }
 
   /** Corpus boilerplate score (x_txt13): annotate each document with the
@@ -800,6 +807,32 @@ final case class Corpus(df: DataFrame) {
         .select(col("doc_id"), col("nll_avg")), Seq("doc_id"), "left")
   }
 
+  /** Trigram Kneser-Ney NLL (x_txt22) — one order above [[withLmScore]]:
+    * repetitive template text that fools a bigram model (locally fluent
+    * pairs) scores high when its trigram continuations are unseen.
+    * Self-scored, join regime; docs with < 3 tokens carry NULL.
+    */
+  def withKnScore(): Corpus = chain { d =>
+    d.join(graft.ext.KnLm.knScore(d, d)
+        .select(col("doc_id"), col("kn_avg")), Seq("doc_id"), "left")
+  }
+
+  /** Trigram KN NLL against a RELEASED reference corpus (x_txt22c) —
+    * native per-row scorer, the expression `DocStreams.knScored` runs at
+    * the stream door. Broadcast-regime gate as for [[withLmScore]].
+    */
+  def withKnScore(reference: DataFrame): Corpus = chain { d =>
+    d.join(graft.ext.KnLm.knScoreNative(d, graft.ext.KnLm.knIndex(reference))
+        .select(col("doc_id"), col("kn_avg")), Seq("doc_id"), "left")
+  }
+
+  /** Trigram KN NLL against a PERSISTED store (x_txt22d). */
+  def withKnScoreFromStore(indexDir: String): Corpus = chain { d =>
+    val idx = graft.ext.KnLm.loadKnIndex(d.sparkSession, indexDir)
+    d.join(graft.ext.KnLm.knScoreNative(d, idx)
+        .select(col("doc_id"), col("kn_avg")), Seq("doc_id"), "left")
+  }
+
   /** DSIR importance weight vs a target domain (x_cur4): positive means
     * "more target-like than crawl-like" under hashed-bigram statistics.
     * Joined back by doc_id; featureless docs carry NULL.
@@ -840,6 +873,21 @@ final case class Corpus(df: DataFrame) {
 }
 
 object Corpus {
+
+  /** Corpus from raw crawl HTML: extracts `text` from `htmlCol` via the
+    * deterministic [[graft.clean.HtmlFns.htmlToText]] rule chain and
+    * drops the raw markup column — the crawl-ingest entry point
+    * (x_html1/x_html2). One narrow codegen projection, zero exchanges;
+    * the streaming twin is
+    * [[graft.streaming.DocStreams.htmlExtracted]]. A carried `n_chars`
+    * is refreshed to describe the EXTRACTED text.
+    */
+  def fromHtml(df: DataFrame, htmlCol: String = "html"): Corpus = {
+    val extracted = df.withColumn("text",
+      graft.clean.HtmlFns.htmlToText(col(htmlCol)))
+    Corpus(refreshNChars(
+      if (htmlCol == "text") extracted else extracted.drop(htmlCol)))
+  }
 
   /** After any text-rewriting stage (segment dedup, extraction), a carried
     * `n_chars` would silently describe the PRE-rewrite text to every
@@ -925,7 +973,16 @@ object Corpus {
   /** Cluster-scoped semantic dedup (x_ded19, SemDeDup shape): IVF cell
     * assignment, then within-cell cosine domination by lower id. Returns
     * (vec_id, cell, n_close, keep) — filter keep = 1 for the survivor set.
+    *
+    * Recall/scale knob: the default `cap = 16` consults only each cell's
+    * 16 lowest-id head vectors — per-vector work is bounded at any cell
+    * skew, but a near-dup pair entirely among NON-heads of a giant cell
+    * survives (the LSH chain [[nearDupVectors]] is the recall path).
+    * Pass `cap <= 0` for UNCAPPED exact-within-cell semantics (a
+    * cell-keyed self-join: |cell|² on the largest cell — fine at
+    * broadcast/moderate scale, the known quadratic at web scale).
     */
-  def semDedupVectors(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame =
-    graft.ext.PipelineOps8.semDedup(spark, graft.Tables(spark, dir, "embeddings"), tau)
+  def semDedupVectors(spark: SparkSession, dir: String, tau: Double = 0.35,
+      cap: Int = graft.ext.PipelineOps8.semCap): DataFrame =
+    graft.ext.PipelineOps8.semDedup(spark, graft.Tables(spark, dir, "embeddings"), tau, cap)
 }

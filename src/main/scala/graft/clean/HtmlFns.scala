@@ -1,0 +1,76 @@
+package graft.clean
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic rule-based HTML → text extraction — the stage crawl
+  * corpora enter the pipeline through (every text operator downstream
+  * assumes extracted text). Explicitly NOT a browser: a fixed, ordered
+  * chain of regex rules, chosen so the IDENTICAL chain runs in Spark
+  * (Java regex) and DuckDB (RE2) — every pattern avoids constructs the
+  * two engines treat differently (no backreferences, which RE2 lacks;
+  * only `(?is)` inline flags, lazy quantifiers, `\b`, and ASCII classes,
+  * which agree).
+  *
+  * Rules, in order:
+  *   1. drop script / style / noscript elements WITH content
+  *   2. drop HTML comments
+  *   3. drop the head element (script/style inside it already gone)
+  *   4. drop boilerplate chrome elements with content: nav, header,
+  *      footer, aside — the nav-chrome/footer rules of a crawl extractor
+  *   5. every remaining tag → one space (block structure collapses;
+  *      the downstream tokenizer splits on whitespace runs anyway)
+  *   6. decode the fixed entity set &nbsp; &lt; &gt; &quot; &#39; &amp;
+  *      (&amp; LAST, so "&amp;lt;" decodes to the literal "&lt;", not "<")
+  *   7. collapse whitespace runs, trim
+  *
+  * Caveat (documented, deterministic): element-removal rules are
+  * non-greedy first-close matches, so a nested same-tag element
+  * (<header> inside <header>) truncates at the inner close — both
+  * engines truncate identically. Real-world chrome is rarely nested;
+  * content inside a removed element is gone by design.
+  *
+  * Shape at scale: one narrow per-row projection — zero exchanges,
+  * whole-stage-codegen regexp chain — so extraction runs at the stream
+  * door ([[graft.streaming.DocStreams.htmlExtracted]]) exactly as in
+  * batch.
+  */
+object HtmlFns {
+
+  /** (pattern, is-regex) rule chain, shared by both engine renderings. */
+  private val dropElements = Seq("script", "style", "noscript")
+  private val chromeElements = Seq("nav", "header", "footer", "aside")
+  private val entities = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  private def elem(tag: String): String = s"(?is)<$tag\\b[^>]*>.*?</$tag>"
+
+  /** Extracted text of an HTML column — the Spark rendering. */
+  def htmlToText(c: Column): Column = {
+    var out = c
+    for (t <- dropElements) out = regexp_replace(out, elem(t), " ")
+    out = regexp_replace(out, "(?s)<!--.*?-->", " ")
+    out = regexp_replace(out, elem("head"), " ")
+    for (t <- chromeElements) out = regexp_replace(out, elem(t), " ")
+    out = regexp_replace(out, "(?s)<[^>]*>", " ")
+    for ((e, r) <- entities) out = replace(out, lit(e), lit(r))
+    trim(regexp_replace(out, "\\s+", " "))
+  }
+
+  /** The identical chain in DuckDB's dialect, for oracles. */
+  def htmlToTextDuck(e: String): String = {
+    var out = e
+    def re(p: String): Unit = out = s"regexp_replace($out, '$p', ' ', 'g')"
+    for (t <- dropElements) re(elem(t))
+    re("(?s)<!--.*?-->")
+    re(elem("head"))
+    for (t <- chromeElements) re(elem(t))
+    re("(?s)<[^>]*>")
+    for ((en, r) <- entities) {
+      val rr = if (r == "'") "''" else r
+      out = s"replace($out, '$en', '$rr')"
+    }
+    s"trim(regexp_replace($out, '\\s+', ' ', 'g'))"
+  }
+}

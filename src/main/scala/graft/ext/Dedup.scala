@@ -118,9 +118,11 @@ object Dedup {
     * mirror of [[minhashBands]], tokenized through `CleanFns.tokensDuck` —
     * one definition for the four probes (x_ded2/2b/7/9) that consume it.
     */
-  private def bandCteSql(recursive: Boolean): String = {
+  private def bandCteSql(recursive: Boolean): String = bandCteSql(recursive, "text")
+
+  private def bandCteSql(recursive: Boolean, textExpr: String): String = {
     val kw = if (recursive) "WITH RECURSIVE" else "WITH"
-    val toks = graft.clean.CleanFns.tokensDuck("text")
+    val toks = graft.clean.CleanFns.tokensDuck(textExpr)
     s"""$kw w AS (
        |  SELECT doc_id, $toks AS ws FROM documents
        |  WHERE len($toks) >= 3),
@@ -892,5 +894,41 @@ object Dedup {
     qualitySurvivorLabels(docs, minhashPairs(docs)).orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9, ded12, ded17)
+  /** [[minhashBands]] over NFKC+casefold-normalized text — the
+    * cross-lingual/cross-script matching form: fullwidth forms,
+    * ligatures, compatibility variants and case differences collapse
+    * BEFORE shingling, so a fullwidth copy of a document is an LSH
+    * candidate of its ASCII original. Normalization changes only WHAT is
+    * shingled, never the band/verdict algebra (DedupSpec pins: identical
+    * output to [[minhashBands]] on an already-normalized corpus).
+    */
+  def minhashBandsNormalized(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    minhashBands(docs.withColumn("text", expr("nfkc_casefold(text)")))
+  }
+
+  /** X-DED23 — cross-lingual near-dup LSH: the x_ded2 chain over
+    * NFKC+casefold-normalized shingles. The oracle runs the identical
+    * band algebra over `lower(text)` — on the ASCII testdata NFKC is the
+    * identity and Locale.ROOT lowercasing == SQL lower(), so the
+    * normalization seam is the ONLY difference from x_ded2, and the
+    * non-ASCII contract (fullwidth, ligatures) is pinned by data in
+    * NfkcCasefoldSpec / DedupSpec planted fixtures.
+    */
+  private val ded23 = Probe(
+    "x_ded23_crosslingual_lsh",
+    s"""${bandCteSql(recursive = false, textExpr = "lower(text)")}
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_bands
+       |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val bands = minhashBandsNormalized(Tables(s, dir, "documents"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Probe] = Seq(ded1, ded1b, ded2, ded2b, ded3, ded3b, ded3c, ded4, ded5, ded7, ded9, ded12, ded17, ded23)
 }

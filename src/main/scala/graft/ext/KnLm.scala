@@ -84,25 +84,45 @@ object KnLm {
   def knTables(train: DataFrame): KnTables =
     knTablesTok(PipelineOps10.docTokens(train))
 
-  /** [[knTables]] from a pre-tokenized (doc_id, ws) frame. Three passes
-    * over the trigram stream (occurrence counts, context counts, the
-    * distinct-type projection) and one over the bigram stream — each a
-    * map-side-combined aggregation keyed on fixed-width digests.
+  /** [[knTables]] from a pre-tokenized (doc_id, ws) frame.
+    *
+    * Shuffle shape: the trigram STREAM is exchanged exactly ONCE, keyed
+    * on the fixed-width trigram digest h3 (map-side combined); every
+    * type-level table (contexts, continuation counts, middle-token
+    * stats) then derives from that trigram-TYPE frame — each h3 group's
+    * hbc/hab/hb/c are identical within the group (they are functions of
+    * the same trigram), so MIN carries them deterministically on both
+    * engines. The bigram stream likewise shuffles once on its digest.
+    * A naive build (distinct over raw (a,b,c) + per-context stream aggs)
+    * would shuffle raw token payloads twice more — the plan pin in
+    * PlanAuditSpec forbids any raw-token-keyed exchange here.
     */
   def knTablesTok(tok: DataFrame): KnTables = {
     val tr = trigramsTok(tok)
-    val t3 = tr.groupBy(h16(concat_ws(" ", col("a"), col("b"), col("c"))).as("h3"))
-      .agg(count(lit(1)).as("c3"))
-    val ctx = tr.groupBy(h16(concat_ws(" ", col("a"), col("b"))).as("hab"))
-      .agg(count(lit(1)).as("ctx2"), count_distinct(col("c")).as("n3f"))
-    val ty = tr.select("a", "b", "c").distinct()
-    val bc = ty.groupBy(h16(concat_ws(" ", col("b"), col("c"))).as("hbc"))
-      .agg(count_distinct(col("a")).as("cont3"))
-    val mid = ty.groupBy(h16(col("b")).as("hb"))
+    // one digest-keyed pass: occurrence counts + the type-level carriers
+    val t3f = tr
+      .select(
+        h16(concat_ws(" ", col("a"), col("b"), col("c"))).as("h3"),
+        h16(concat_ws(" ", col("a"), col("b"))).as("hab"),
+        h16(concat_ws(" ", col("b"), col("c"))).as("hbc"),
+        h16(col("b")).as("hb"),
+        col("c"))
+      .groupBy("h3")
+      .agg(count(lit(1)).as("c3"),
+        min(col("hab")).as("hab"), min(col("hbc")).as("hbc"),
+        min(col("hb")).as("hb"), min(col("c")).as("c"))
+    val t3 = t3f.select("h3", "c3")
+    val ctx = t3f.groupBy("hab")
+      .agg(sum(col("c3")).as("ctx2"), count_distinct(col("c")).as("n3f"))
+    val bc = t3f.groupBy("hbc").agg(count(lit(1)).as("cont3"))
+    val mid = t3f.groupBy("hb")
       .agg(count(lit(1)).as("mid"), count_distinct(col("c")).as("n2f"))
-    val bty = PipelineOps10.bigramPairsTok(tok).select("w1", "w2").distinct()
-    val u2 = bty.groupBy(col("w2").as("c")).agg(count(lit(1)).as("cont2"))
-    val sc = bty.agg(count(lit(1)).as("bt"))
+    // bigram types the same way: one digest-keyed exchange, types carry w2
+    val b2t = PipelineOps10.bigramPairsTok(tok)
+      .select(h16(col("b")).as("h2"), col("w2"))
+      .groupBy("h2").agg(min(col("w2")).as("c"))
+    val u2 = b2t.groupBy("c").agg(count(lit(1)).as("cont2"))
+    val sc = b2t.agg(count(lit(1)).as("bt"))
       .join(tok.select(explode(col("ws")).as("w")).agg(count_distinct(col("w")).as("v")))
     KnTables(t3, ctx, bc, mid, u2, sc)
   }
@@ -241,25 +261,30 @@ object KnLm {
     s"""WITH t AS (
        |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
        |tr AS (${trigramsDuck(s"(SELECT * FROM t $trainWhere)")}),
-       |t3 AS (
-       |  SELECT substr(md5(a || ' ' || b || ' ' || c), 1, 16) AS h3, COUNT(*) AS c3
-       |  FROM tr GROUP BY 1),
+       |t3f AS (
+       |  SELECT h3, COUNT(*) AS c3, MIN(hab) AS hab, MIN(hbc) AS hbc,
+       |         MIN(hb) AS hb, MIN(c) AS c
+       |  FROM (SELECT substr(md5(a || ' ' || b || ' ' || c), 1, 16) AS h3,
+       |               substr(md5(a || ' ' || b), 1, 16) AS hab,
+       |               substr(md5(b || ' ' || c), 1, 16) AS hbc,
+       |               substr(md5(b), 1, 16) AS hb, c
+       |        FROM tr)
+       |  GROUP BY h3),
+       |t3 AS (SELECT h3, c3 FROM t3f),
        |cx AS (
-       |  SELECT substr(md5(a || ' ' || b), 1, 16) AS hab,
-       |         COUNT(*) AS ctx2, COUNT(DISTINCT c) AS n3f
-       |  FROM tr GROUP BY 1),
-       |ty AS (SELECT DISTINCT a, b, c FROM tr),
-       |bc AS (
-       |  SELECT substr(md5(b || ' ' || c), 1, 16) AS hbc, COUNT(DISTINCT a) AS cont3
-       |  FROM ty GROUP BY 1),
+       |  SELECT hab, SUM(c3) AS ctx2, COUNT(DISTINCT c) AS n3f
+       |  FROM t3f GROUP BY hab),
+       |bc AS (SELECT hbc, COUNT(*) AS cont3 FROM t3f GROUP BY hbc),
        |md AS (
-       |  SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS mid, COUNT(DISTINCT c) AS n2f
-       |  FROM ty GROUP BY 1),
+       |  SELECT hb, COUNT(*) AS mid, COUNT(DISTINCT c) AS n2f
+       |  FROM t3f GROUP BY hb),
        |bg AS (${PipelineOps10.bigramsDuck(s"(SELECT * FROM t $trainWhere)")}),
-       |bty AS (SELECT DISTINCT w1, w2 FROM bg),
-       |u2 AS (SELECT w2 AS c, COUNT(*) AS cont2 FROM bty GROUP BY 1),
+       |b2t AS (
+       |  SELECT substr(md5(b), 1, 16) AS h2, MIN(w2) AS c
+       |  FROM bg GROUP BY 1),
+       |u2 AS (SELECT c, COUNT(*) AS cont2 FROM b2t GROUP BY 1),
        |sc0 AS (
-       |  SELECT (SELECT COUNT(*) FROM bty) AS bt,
+       |  SELECT (SELECT COUNT(*) FROM b2t) AS bt,
        |         (SELECT COUNT(DISTINCT w)
        |          FROM (SELECT UNNEST(ws) AS w FROM t $trainWhere)) AS v),
        |trs AS (${trigramsDuck(s"(SELECT * FROM t $scoreWhere)")}),

@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   *     decode(encode(gen)) ≡ gen, which is what lets a real binary codec
   *     round-trip be hash-checked against a relational oracle that
   *     recomputes the closed form (x_mm2b).
-  *   - audio/video codecs are NOT in this container, so those decodes
-  *     remain clearly-marked deterministic fakes (`extractFeatures`,
+  *   - WAV/PCM (round 9): also REAL — `wavTable` encodes RIFF/WAVE bytes
+  *     via javax.sound.sampled (public JDK) from a closed-form sample
+  *     function, and `decodeWavStats` parses them back with a
+  *     from-scratch RIFF chunk walker and computes exact integer signal
+  *     statistics (x_mm4).
+  *   - video codecs are NOT in this container, so that decode remains a
+  *     clearly-marked deterministic fake (`extractFeatures`,
   *     `resizeStub`) — but the Spark-side plumbing is real: the schema
   *     convention, the Dataset[MediaRow] encoder, the mapPartitions batch
   *     shape (one codec init per partition, NOT per row — the pattern
@@ -236,6 +241,150 @@ object Multimodal {
     decodePngStats(pngTable(s, dir)).toDF().orderBy("doc_id")
   }
 
+  case class WavStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+      duration_us: Long, sum_abs: Long, peak_abs: Long, n_rail: Long,
+      n_zero_cross: Long)
+
+  /** Deterministic 16-bit mono PCM clip per document, as REAL RIFF/WAVE
+    * bytes encoded by `javax.sound.sampled.AudioSystem` (public JDK — the
+    * audio analogue of x_mm2b's ImageIO): n = 64 + doc_id%97 samples at
+    * 8/16/24 kHz, sample s(i) = (doc_id·131 + i·17) % 65536 − 32768. The
+    * closed form is the oracle bridge: PCM is lossless, so the decoded
+    * samples equal the generator and DuckDB recomputes the statistics
+    * with no codec in sight. Encoding batched per partition (format
+    * objects reused per task).
+    */
+  def wavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val n = (64 + id % 97).toInt
+          val sr = (8000 * (1 + id % 3)).toInt
+          val pcm = new Array[Byte](n * 2)
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            bb.putShort((((id * 131 + i * 17) % 65536) - 32768).toShort)
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            sr.toFloat, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val bytes = bos.toByteArray
+          digest.reset()
+          val sha = digest.digest(bytes).take(4).map("%02x".format(_)).mkString
+          MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, sha))
+        }
+      }
+  }
+
+  /** REAL decode: a from-scratch RIFF chunk walker (no JDK audio classes
+    * on the read side) — verifies RIFF/WAVE magic, walks chunks honoring
+    * sizes and odd-size pad bytes, reads `fmt ` (PCM, mono, 16-bit
+    * enforced loudly), decodes the `data` chunk's little-endian int16
+    * samples, and computes exact integer signal statistics: duration
+    * (truncating µs), total |s| mass, peak, rail-clipped count, and
+    * zero crossings (sign changes, zero counted as non-negative). Exact
+    * integers → partitioning-independent and hash-checkable.
+    */
+  def decodeWavStats(media: Dataset[MediaRow]): Dataset[WavStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = java.nio.ByteBuffer.wrap(r.content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag4(): String = {
+          val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+        }
+        require(tag4() == "RIFF", s"doc ${r.doc_id}: not a RIFF container")
+        b.getInt // RIFF payload size (trust chunk walk, not this header)
+        require(tag4() == "WAVE", s"doc ${r.doc_id}: not a WAVE form")
+        var sampleRate = -1
+        var pcmOff = -1
+        var pcmLen = -1
+        while (b.remaining() >= 8 && (sampleRate < 0 || pcmOff < 0)) {
+          val id = tag4()
+          val size = b.getInt
+          id match {
+            case "fmt " =>
+              val fmtCode = b.getShort; val channels = b.getShort
+              sampleRate = b.getInt
+              b.getInt; b.getShort // byte rate, block align
+              val bits = b.getShort
+              require(fmtCode == 1 && channels == 1 && bits == 16,
+                s"doc ${r.doc_id}: only PCM mono 16-bit supported " +
+                  s"(fmt=$fmtCode ch=$channels bits=$bits)")
+              b.position(b.position() + (size - 16) + (size & 1))
+            case "data" =>
+              pcmOff = b.position(); pcmLen = size
+              b.position(b.position() + size + (size & 1))
+            case _ => // LIST/INFO/fact/...: skip content + odd-size pad
+              b.position(b.position() + size + (size & 1))
+          }
+        }
+        require(sampleRate > 0 && pcmOff >= 0,
+          s"doc ${r.doc_id}: missing fmt or data chunk")
+        val n = pcmLen / 2
+        val s = java.nio.ByteBuffer.wrap(r.content, pcmOff, pcmLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        var sumAbs = 0L; var peak = 0L; var rail = 0L; var zc = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val v = s.get(i).toLong
+          val a = Math.abs(v)
+          sumAbs += a
+          if (a > peak) peak = a
+          if (v == -32768L || v == 32767L) rail += 1
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        WavStats(r.doc_id, sampleRate.toLong, n.toLong,
+          n.toLong * 1000000L / sampleRate, sumAbs, peak, rail, zc)
+      }
+    }
+  }
+
+  /** X-MM4 — the SAMPLE-BACKED audio pipeline (vs the former stub): real
+    * JDK WAVE encode → from-scratch RIFF/PCM chunk-walk decode → exact
+    * integer signal stats, hash-matched against a DuckDB oracle that
+    * recomputes the generating closed form relationally (PCM
+    * losslessness is the bridge, as PNG's was for x_mm2b). The audio
+    * claim in SURVEY §2 is sample-backed from this round.
+    */
+  private val mm4 = Probe(
+    "x_mm4_wav_pcm_stats",
+    """WITH dims AS (
+      |  SELECT doc_id, 64 + doc_id % 97 AS n, 8000 * (1 + doc_id % 3) AS sr
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, n, sr, i,
+      |    (doc_id * 131 + i * 17) % 65536 - 32768 AS v
+      |  FROM dims, UNNEST(generate_series(0, n - 1)) AS t(i)),
+      |sgn AS (
+      |  SELECT doc_id, n, sr, v,
+      |    CASE WHEN (v < 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+      |         THEN 1 ELSE 0 END AS flip
+      |  FROM sm)
+      |SELECT doc_id,
+      |  CAST(max(sr) AS BIGINT) AS sample_rate,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(max(n) * 1000000 // max(sr) AS BIGINT) AS duration_us,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(count(CASE WHEN v = -32768 OR v = 32767 THEN 1 END) AS BIGINT) AS n_rail,
+      |  CAST(sum(flip) AS BIGINT) AS n_zero_cross
+      |FROM sgn GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodeWavStats(wavTable(s, dir)).toDF().orderBy("doc_id")
+  }
+
   /** STUB resize: a real implementation decodes, scales, re-encodes. The
     * deterministic fake preserves the plumbing contract: metadata-driven,
     * per-row, output carries the requested dimensions plus a content tag.
@@ -251,5 +400,5 @@ object Multimodal {
     }
   }
 
-  val all: Seq[Probe] = Seq(mm1, mm2, mm2b, mm3)
+  val all: Seq[Probe] = Seq(mm1, mm2, mm2b, mm3, mm4)
 }

@@ -45,6 +45,17 @@ object PipelineOps10 {
         "'b', concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))))")).as("p"))
     .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.b").as("b"))
 
+  /** (doc_id, w1, hb): the DIGESTED bigram stream — the stage a composed
+    * pipeline materializes ONCE so every downstream consumer reads
+    * columnar digests instead of re-running explode+md5 over the corpus
+    * (x_pipe5 has three such consumers: the LM gate and both DSIR
+    * scans). The DSIR bucket is a prefix function of hb
+    * (conv(substr(hb,1,3))), so the digest column serves both signals.
+    */
+  private[ext] def bigramDigestsTok(tok: DataFrame): DataFrame =
+    bigramPairsTok(tok).select(col("doc_id"), col("w1"),
+      substring(md5(col("b")), 1, 16).as("hb"))
+
   /** DuckDB CTE fragment producing the same (doc_id, w1, w2, b) stream
     * from a CTE `t(doc_id, ws)`.
     */
@@ -127,16 +138,33 @@ object PipelineOps10 {
     * (every scored bigram is in train, so COALESCE never fires) — pinned
     * by the x_txt20 oracle, which is written in the generic join form.
     */
-  def lmSelfScoreTok(tok: DataFrame): DataFrame = {
-    val uni = tok
+  def lmSelfScoreTok(tok: DataFrame): DataFrame =
+    lmSelfScoreTokWith(tok, tok
       .select(explode(col("ws")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    bigramPairsTok(tok)
-      .select(col("doc_id"), col("w1"), substring(md5(col("b")), 1, 16).as("hb"))
+      .groupBy("w").agg(count(lit(1)).as("c1")))
+
+  /** [[lmSelfScoreTok]] against a PREBUILT unigram table — the composed-
+    * pipeline entry point (x_pipe5): the unigram subtree feeds two
+    * broadcast exchanges here (counts + vocab size), so an unmaterialized
+    * `uni` is executed twice per invocation; a pipeline that has already
+    * materialized the tokenized stage materializes `uni` beside it and
+    * both exchanges become one columnar scan each.
+    */
+  def lmSelfScoreTokWith(tok: DataFrame, uni: DataFrame): DataFrame =
+    lmSelfScoreBg(bigramDigestsTok(tok), uni)
+
+  /** [[lmSelfScoreTokWith]] from a pre-digested (doc_id, w1, hb) stream
+    * (see [[bigramDigestsTok]]) — same algebra, zero md5 work.
+    */
+  private[ext] def lmSelfScoreBg(bg: DataFrame, uni: DataFrame): DataFrame = {
+    // vocabulary size rides ON the unigram broadcast (a whole-frame
+    // window over the vocab-bounded table) instead of a second 1-row
+    // broadcast exchange; self-scoring guarantees every w1 is in uni, so
+    // the left join always delivers v
+    val uniV = uni.withColumn("v", count(lit(1)).over(Window.partitionBy()))
+    bg
       .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("hb"))))
-      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
-      .join(broadcast(vocab))
+      .join(broadcast(uniV.withColumnRenamed("w", "w1")), Seq("w1"), "left")
       .select(col("doc_id"),
         log((col("c2") + 1) / (coalesce(col("c1"), lit(0L)) + col("v"))).as("lnp"))
       .groupBy("doc_id")
@@ -382,19 +410,34 @@ object PipelineOps10 {
     dsirWeightsTok(docTokens(raw), docTokens(target))
 
   /** [[dsirWeights]] from pre-tokenized (doc_id, ws) frames. */
-  def dsirWeightsTok(rawTok: DataFrame, targetTok: DataFrame): DataFrame = {
-    def feats(tok: DataFrame) = bigramPairsTok(tok).select(col("doc_id"),
-      expr("conv(substr(md5(b), 1, 3), 16, 10)").cast("long").as("bkt"))
-    val tb = feats(targetTok).groupBy("bkt").agg(count(lit(1)).as("ct"))
-    val rb = feats(rawTok).groupBy("bkt").agg(count(lit(1)).as("cr"))
-    val tn = tb.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    val rn = rb.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
-    feats(rawTok)
-      .join(broadcast(tb), Seq("bkt"), "left")
-      .join(broadcast(rb), Seq("bkt"))
-      .join(broadcast(tn)).join(broadcast(rn))
+  def dsirWeightsTok(rawTok: DataFrame, targetTok: DataFrame): DataFrame =
+    dsirWeightsBg(bigramDigestsTok(rawTok), bigramDigestsTok(targetTok))
+
+  /** [[dsirWeightsTok]] from pre-digested bigram streams: the hashed
+    * feature bucket is conv of hb's first 3 hex chars — the identical
+    * value md5(b) would give, with zero digest work.
+    */
+  private[ext] def dsirWeightsBg(rawBg: DataFrame, targetBg: DataFrame): DataFrame = {
+    def feats(bg: DataFrame) = bg.select(col("doc_id"),
+      expr("conv(substr(hb, 1, 3), 16, 10)").cast("long").as("bkt"))
+    val tb = feats(targetBg).groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val rb = feats(rawBg).groupBy("bkt").agg(count(lit(1)).as("cr"))
+    // ONE bucket table carrying both distributions AND their totals: tb,
+    // rb, tn, rn were four separate broadcast exchanges; at 265k-row
+    // bench scale each build is pure fixed cost, and at any scale the
+    // merged frame is still <= 2·4096 rows (whole-frame window totals
+    // over the merged buckets, never the feature stream). Every raw
+    // bucket exists on the rb side by construction, so the scoring join
+    // stays inner; identical log-ratio values, bucket-for-bucket.
+    val w = Window.partitionBy()
+    val dist = tb.join(rb, Seq("bkt"), "full_outer")
+      .select(col("bkt"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+      .withColumn("nt", sum(col("ct")).over(w))
+      .withColumn("nr", sum(coalesce(col("cr"), lit(0L))).over(w))
+    feats(rawBg)
+      .join(broadcast(dist), Seq("bkt"))
       .select(col("doc_id"),
-        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + dsirBuckets)) -
+        (log((col("ct") + 1) / (col("nt") + dsirBuckets)) -
           log((col("cr") + 1) / (col("nr") + dsirBuckets))).as("lr"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_feats"),
@@ -693,13 +736,29 @@ object PipelineOps10 {
       CleanFns.tokens(col("text")).as("ws")))
 
   /** [[adaptiveLmKeep]] from a pre-tokenized (doc_id, lang, ws) frame. */
-  def adaptiveLmKeepTok(tok: DataFrame): DataFrame = {
+  def adaptiveLmKeepTok(tok: DataFrame): DataFrame =
+    adaptiveLmKeepTokWith(tok, tok
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")))
+
+  /** [[adaptiveLmKeepTok]] against a prebuilt unigram table (see
+    * [[lmSelfScoreTokWith]]).
+    */
+  def adaptiveLmKeepTokWith(tok: DataFrame, uni: DataFrame): DataFrame =
+    adaptiveLmKeepBg(bigramDigestsTok(tok),
+      tok.select(col("doc_id"), col("lang")), uni)
+
+  /** [[adaptiveLmKeepTokWith]] from a pre-digested bigram stream plus a
+    * (doc_id, lang) frame — the x_pipe5 entry point.
+    */
+  private[ext] def adaptiveLmKeepBg(bg: DataFrame, langs: DataFrame,
+      uni: DataFrame): DataFrame = {
     // threshold via a lang-partitioned window (whole-partition frame), not
     // groupBy + join-back: the join form instantiates the LM-score subtree
     // twice and at sf0.1 pays the full count-table build both times
     // (measured at sf0.1: x_pipe5 6.1 s -> 4.3 s with the single-pass window)
-    lmSelfScoreTok(tok)
-      .join(tok.select(col("doc_id"), col("lang")), "doc_id")
+    lmSelfScoreBg(bg, uni)
+      .join(langs, "doc_id")
       .withColumn("p75", round(
         expr("percentile(nll_avg, 0.75)")
           .over(Window.partitionBy(col("lang"))), 6))
@@ -822,15 +881,28 @@ object PipelineOps10 {
     val tok = materialize(
       docs.select(col("doc_id"), col("lang"), CleanFns.tokens(col("text")).as("ws")),
       "tok")
+    // the unigram table has ONE consumer (vocab size rides on its
+    // broadcast inside lmSelfScoreBg), so it stays an unmaterialized
+    // aggregation over the tok stage
+    val uni = tok.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    // the DIGESTED bigram stream is scanned by THREE consumers (the LM
+    // gate, the DSIR raw distribution, the DSIR scoring pass) —
+    // materialized once, each consumer reads columnar digests instead of
+    // re-running explode+md5 over the corpus; the DSIR bucket derives
+    // from hb's prefix, so one digest column serves both signals
+    val bg = materialize(bigramDigestsTok(tok), "bg")
     // the gate verdict and the per-doc DSIR weights are each consumed by
     // MULTIPLE downstream subtrees (DSIR scans raw features twice; dwl
     // feeds the median AND the selection) — unmaterialized, Catalyst
     // instantiates the whole upstream chain once per consumer
-    val gatedIds = materialize(adaptiveLmKeepTok(tok).select(col("doc_id")), "gated")
+    val gatedIds = materialize(
+      adaptiveLmKeepBg(bg, tok.select(col("doc_id"), col("lang")), uni)
+        .select(col("doc_id")), "gated")
     val dwl = materialize(
-      dsirWeightsTok(
-        tok.filter(col("doc_id") % 25 =!= 0).join(gatedIds, Seq("doc_id"), "left_semi"),
-        tok.filter(col("doc_id") % 25 === 0))
+      dsirWeightsBg(
+        bg.filter(col("doc_id") % 25 =!= 0).join(gatedIds, Seq("doc_id"), "left_semi"),
+        bg.filter(col("doc_id") % 25 === 0))
         .join(tok.select(col("doc_id"), col("lang")), "doc_id"),
       "dwl")
     val md = dwl.groupBy("lang")

@@ -159,8 +159,17 @@ object PipelineOps7 {
     * corpus through a single task.
     */
   def lengthBatches(docs: DataFrame, bucketWidth: Int = 16, batchSize: Int = 8): DataFrame = {
-    val d = docs.select(col("doc_id"),
-        size(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("n_tok"))
+    // token-DENOMINATED operators default to the honest subword count
+    // when the corpus carries one (Corpus.withBpeTokenCount /
+    // DocStreams.bpeCounted add `n_tok_bpe`): whitespace words
+    // undercount code/CJK by multiples, so padding-waste accounting in
+    // word units misplans real batches. Routing pinned by
+    // x_pack5_bpe_denominated (substituted denominator, oracle-checked)
+    // and PipelineOps7Spec (real bpe counts).
+    val nTok =
+      if (docs.columns.contains("n_tok_bpe")) col("n_tok_bpe").cast("long")
+      else size(graft.clean.CleanFns.tokens(col("text"))).cast("long")
+    val d = docs.select(col("doc_id"), nTok.as("n_tok"))
       .withColumn("bucket", expr(s"n_tok DIV $bucketWidth"))
     d.withColumn("batch", expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1) DIV $batchSize"))
       .groupBy("bucket", "batch").agg(

@@ -100,7 +100,7 @@ object PipelineOps8 {
   }
 
   private val semTau = 0.35
-  private val semCap = 16 // per-vector candidate cap (cell heads)
+  private[graft] val semCap = 16 // per-vector candidate cap (cell heads)
 
   /** X-DED19 — SemDeDup-shaped semantic dedup: embeddings are assigned to
     * IVF cells (x_sim3's deterministic coarse quantizer — centroids = the
@@ -168,10 +168,19 @@ object PipelineOps8 {
   }
 
   /** The reusable operator behind x_ded19: (vec_id, cell, n_close, keep)
-    * for every embedding, `keep = 1` iff no lower-id CANDIDATE (the cell's
-    * `cap` lowest-id members) in the same IVF cell has cosine >= tau.
-    * `n_close` counts close candidates — capped at `cap`, like x_ded13b's
-    * collision counts.
+    * for every embedding, `keep = 1` iff no lower-id CANDIDATE in the
+    * same IVF cell has cosine >= tau. `n_close` counts close candidates.
+    *
+    * `cap` picks the verdict's recall/scale point:
+    *   - cap > 0 (default 16): candidates are the cell's `cap` lowest-id
+    *     HEADS — per-vector work <= cap at any cell skew (the broadcast
+    *     head table), but a near-dup pair entirely among NON-head members
+    *     of a giant cell is missed (the LSH chain x_ded13+ is the recall
+    *     path for those).
+    *   - cap <= 0: UNCAPPED exact-within-cell semantics — every lower-id
+    *     cell-mate is a candidate via a cell-keyed self-join. Cost is
+    *     |cell|² on the largest cell: correct at broadcast/moderate
+    *     scale, the known quadratic at web scale (round-7 verdict).
     */
   def semDedup(s: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       tau: Double, cap: Int = semCap): DataFrame = {
@@ -215,19 +224,27 @@ object PipelineOps8 {
     * Exposed for PipelineOps8Spec's storm fixture (candidates <= cap * n).
     */
   private[graft] def semCandidates(assign: DataFrame, cap: Int): DataFrame = {
-    val shards = 64
-    val wS = Window.partitionBy(col("cell"), col("shard")).orderBy(col("vec_id"))
-    val wC = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
-    val heads = assign
-      .withColumn("shard", pmod(col("vec_id"), lit(shards)))
-      .withColumn("srn", row_number().over(wS)).filter(col("srn") <= cap)
-      .withColumn("hrn", row_number().over(wC)).filter(col("hrn") <= cap)
-      .select(col("vec_id").as("y_id"), col("cell"), col("v").as("yv"),
-        col("n2").as("yn2"))
-    assign
+    val x = assign
       .select(col("vec_id"), col("cell"), col("v").as("xv"), col("n2").as("xn2"))
-      .join(broadcast(heads), Seq("cell"))
-      .filter(col("y_id") < col("vec_id"))
+    if (cap <= 0) {
+      // uncapped exact-within-cell pairs: cell-keyed self-join (shuffle,
+      // |cell|^2 on the largest cell) — the recall-exact route
+      val y = assign.select(col("vec_id").as("y_id"), col("cell"),
+        col("v").as("yv"), col("n2").as("yn2"))
+      x.join(y, Seq("cell")).filter(col("y_id") < col("vec_id"))
+    } else {
+      val shards = 64
+      val wS = Window.partitionBy(col("cell"), col("shard")).orderBy(col("vec_id"))
+      val wC = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+      val heads = assign
+        .withColumn("shard", pmod(col("vec_id"), lit(shards)))
+        .withColumn("srn", row_number().over(wS)).filter(col("srn") <= cap)
+        .withColumn("hrn", row_number().over(wC)).filter(col("hrn") <= cap)
+        .select(col("vec_id").as("y_id"), col("cell"), col("v").as("yv"),
+          col("n2").as("yn2"))
+      x.join(broadcast(heads), Seq("cell"))
+        .filter(col("y_id") < col("vec_id"))
+    }
   }
 
   /** Candidate pairs for a raw embeddings frame — spec entry point. */

@@ -218,6 +218,26 @@ object DocStreams {
   def lmScored(docs: DataFrame, idx: graft.functions.LmIndex): DataFrame =
     graft.ext.PipelineOps10.lmScoreNative(docs, idx)
 
+  /** Stream-capable KN scoring — [[lmScored]] one order up: the trigram
+    * interpolated Kneser-Ney model (x_txt22c) at the stream door. Same
+    * broadcast-regime caveat (tables gated in `KnLm.knIndex`).
+    */
+  def knScored(docs: DataFrame, idx: graft.functions.KnIndex): DataFrame =
+    graft.ext.KnLm.knScoreNative(docs, idx)
+
+  /** Stream-capable HTML → text extraction — crawl pages extracted AT THE
+    * STREAM DOOR with the exact batch rule chain
+    * ([[graft.clean.HtmlFns.htmlToText]], shared with
+    * `Corpus.fromHtml`): a pure narrow codegen projection, zero state,
+    * zero shuffle — each micro-batch extracts its own pages, so every
+    * downstream text operator sees identical input batch and stream.
+    */
+  def htmlExtracted(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val extracted = docs.withColumn("text",
+      graft.clean.HtmlFns.htmlToText(org.apache.spark.sql.functions.col(htmlCol)))
+    if (htmlCol == "text") extracted else extracted.drop(htmlCol)
+  }
+
   /** Stream-capable BPE token accounting — x_tok1's subword counter as a
     * pure narrow native expression (checked-in vocabulary, per-executor
     * word memo): zero state, zero shuffle, each micro-batch annotates its

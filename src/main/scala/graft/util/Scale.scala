@@ -51,6 +51,82 @@ object Scale {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** [[adviseJoin]]'s verdict: side row counts, the count-min join-size
+    * estimate (one-sided: est >= exact), per-side heaviest-key UPPER
+    * bounds (min over sketch rows of the max cell — count(h) <= cell in
+    * every row, so the bound is sound), and the chosen strategy.
+    */
+  final case class JoinAdvice(nA: Long, nB: Long, estJoin: Long,
+      maxKeyA: Long, maxKeyB: Long, strategy: String)
+
+  /** Broadcast / shuffle / salt advice for an equi-join, decided from two
+    * count-min sketches (x_skt4's 3×65,536 construction) WITHOUT running
+    * the join — the planner question at 100 TB, answered from two
+    * fixed-size mergeable summaries plus row counts:
+    *
+    *   - min(nA, nB) <= broadcastMaxRows             -> broadcast_a / _b
+    *   - heaviest key >= skewRatio × a reducer's fair
+    *     share (mx · partitions >= skewRatio · n)    -> salt
+    *   - otherwise                                    -> shuffle
+    *
+    * The skew signal is REDUCER-RELATIVE, not mean-cell-relative: all of
+    * one key's rows land on one reducer, so the straggler condition is
+    * the heaviest key versus n/partitions — a fair reducer's share —
+    * scaled by skewRatio. (A mean-cell rule mx >= ratio·n/w trips
+    * spuriously whenever n << w, where every occupied cell beats the
+    * sub-1 mean.) mx is the count-min UPPER bound on the heaviest key
+    * (collision noise only adds ~n/w per cell, a vanishing fraction of
+    * the n·skewRatio/partitions threshold), so the advice errs toward
+    * salting — whose output is row-identical anyway (ScaleSpec).
+    * Everything is exact integer arithmetic, so the whole advice —
+    * including the strategy string — is oracle-checkable (x_skt6).
+    * Cost: one aggregation pass per side + one 65,536-slot join; never
+    * the data join itself.
+    */
+  def adviseJoin(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+      broadcastMaxRows: Long = 1000000L, skewRatio: Long = 8L,
+      partitions: Int = 32): JoinAdvice = {
+    val ca = cmCells(a, keyA)
+    val cb = cmCells(b, keyB)
+    def stats(cells: DataFrame): (Long, Long) = {
+      val r = cells.groupBy(col("r"))
+        .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))
+        .agg(min(col("n")).as("n"), min(col("mx")).as("mx"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (na, mka) = stats(ca)
+    val (nb, mkb) = stats(cb)
+    val est = ca.alias("a")
+      .join(cb.alias("b"), col("a.r") === col("b.r") && col("a.slot") === col("b.slot"))
+      .groupBy(col("a.r")).agg(sum(col("a.c") * col("b.c")).as("dot"))
+      .agg(coalesce(min(col("dot")), lit(0L)).as("est")).collect()(0).getLong(0)
+    JoinAdvice(na, nb, est, mka, mkb,
+      strategyFor(na, nb, mka, mkb, broadcastMaxRows, skewRatio, partitions))
+  }
+
+  /** x_skt4's count-min cells for `df[key]`: (r 0..2, slot = disjoint
+    * 4-hex md5 window, c) — the k-from-one-hash construction.
+    */
+  def cmCells(df: DataFrame, key: String): DataFrame = df
+    .select(col(key).cast("string").as("k"))
+    .select(explode(array((0 until 3).map(r =>
+      struct(lit(r).as("r"), substring(md5(col("k")), 1 + 4 * r, 4).as("slot"))): _*))
+      .as("rs"))
+    .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
+    .agg(count(lit(1)).as("c"))
+
+  /** The decision rule, shared with the x_skt6 oracle: integer-exact
+    * (the reducer-share comparison cross-multiplied, no division).
+    */
+  def strategyFor(na: Long, nb: Long, mka: Long, mkb: Long,
+      broadcastMaxRows: Long, skewRatio: Long, partitions: Int): String =
+    if (math.min(na, nb) <= broadcastMaxRows) {
+      if (na <= nb) "broadcast_a" else "broadcast_b"
+    } else if (mka * partitions >= skewRatio * na || mkb * partitions >= skewRatio * nb)
+      "salt"
+    else "shuffle"
+
   /** Output-size guardrail: bound rows per output file WITHOUT executing
     * the plan an extra time (a count-then-coalesce approach runs the whole
     * upstream twice — unacceptable when the upstream is a 100 TB join).

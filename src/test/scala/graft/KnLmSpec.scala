@@ -96,6 +96,29 @@ class KnLmSpec extends SparkSuite {
     } finally graft.util.TempDirs.deleteRecursively(new java.io.File(tmp))
   }
 
+  test("Corpus.withKnScore routes match the probe algebra (self, reference, store)") {
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] = df
+      .select("doc_id", "kn_avg").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // reference regime: native scorer == declarative join
+    val got = scores(graft.api.Corpus(shard).withKnScore(ref).df)
+    val want = KnLm.knScore(ref, shard).collect()
+      .map(r => r.getLong(0) -> Some(r.getDouble(2))).toMap
+    assert(got.size == shard.count())
+    want.foreach { case (id, v) => assert(got(id) == v) }
+    // self-scored regime carries every doc, scored or NULL (< 3 tokens)
+    val self = scores(graft.api.Corpus(docs).withKnScore().df)
+    assert(self.size == docs.count())
+    // store regime == reference regime on the same model corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kn_api").toString
+    try {
+      KnLm.buildKn(ref, tmp)
+      assert(scores(graft.api.Corpus(shard).withKnScoreFromStore(tmp).df) == got)
+    } finally graft.util.TempDirs.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("index build refuses tables beyond the broadcast-regime ceiling, loudly") {
     val e = intercept[IllegalArgumentException] {
       KnLm.knIndex(docs, maxEntries = 10L)

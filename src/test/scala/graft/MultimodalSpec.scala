@@ -59,4 +59,67 @@ class MultimodalSpec extends SparkSuite {
     assert(out.forall(f => f.feature(0) == 224.0 && f.feature(1) == 224.0))
     assert(out.map(_.doc_id).distinct.length == out.length)
   }
+
+  test("wavTable emits real RIFF/WAVE bytes; decode == closed-form generator") {
+    import spark.implicits._
+    val media = Multimodal.wavTable(spark, dir)
+    media.take(5).foreach { r =>
+      assert(new String(r.content.take(4), "US-ASCII") == "RIFF", s"doc ${r.doc_id}")
+      assert(new String(r.content.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(r.meta.mime == "audio/wav" && r.meta.n_bytes == r.content.length.toLong)
+    }
+    val got = Multimodal.decodeWavStats(media).collect()
+    assert(got.nonEmpty)
+    got.foreach { w =>
+      val id = w.doc_id
+      val n = 64 + id % 97
+      val sr = 8000 * (1 + id % 3)
+      val vs = (0L until n).map(i => (id * 131 + i * 17) % 65536 - 32768)
+      assert(w.sample_rate == sr && w.n_samples == n, s"doc $id header")
+      assert(w.duration_us == n * 1000000L / sr, s"doc $id duration")
+      assert(w.sum_abs == vs.map(math.abs).sum, s"doc $id mass")
+      assert(w.peak_abs == vs.map(math.abs).max, s"doc $id peak")
+      assert(w.n_rail == vs.count(v => v == -32768 || v == 32767), s"doc $id rail")
+      assert(w.n_zero_cross ==
+        vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)), s"doc $id zc")
+    }
+  }
+
+  test("RIFF walker skips unknown chunks and odd-size pad bytes") {
+    import spark.implicits._
+    // hand-built WAV: fmt, then an ODD-sized junk LIST chunk (forces the
+    // pad-byte rule), then data — a layout AudioSystem never emits, so
+    // only a real chunk walker decodes it
+    val samples = Array[Short](100, -200, 300, -32768, 32767)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val junk = "xyz".getBytes("US-ASCII") // odd size 3 -> 1 pad byte
+    val dataLen = samples.length * 2
+    bos.write("RIFF".getBytes); bos.write(le32(4 + 24 + (8 + 3 + 1) + 8 + dataLen))
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(16))
+    bos.write(le16(1)); bos.write(le16(1)); bos.write(le32(8000))
+    bos.write(le32(16000)); bos.write(le16(2)); bos.write(le16(16))
+    bos.write("LIST".getBytes); bos.write(le32(3)); bos.write(junk); bos.write(0)
+    bos.write("data".getBytes); bos.write(le32(dataLen))
+    samples.foreach(s => bos.write(le16(s & 0xffff)))
+    val row = Multimodal.MediaRow(7L, bos.toByteArray,
+      Multimodal.MediaMeta("audio/wav", bos.size().toLong, "deadbeef"))
+    val out = Multimodal.decodeWavStats(Seq(row).toDS()).collect()(0)
+    assert(out.n_samples == 5 && out.sample_rate == 8000)
+    assert(out.peak_abs == 32768 && out.n_rail == 2)
+    assert(out.n_zero_cross == 4)
+    assert(out.sum_abs == 100L + 200 + 300 + 32768 + 32767)
+  }
+
+  test("non-RIFF and non-PCM content fail loudly, naming the doc") {
+    import spark.implicits._
+    val bad = Multimodal.MediaRow(3L, "not audio at all".getBytes,
+      Multimodal.MediaMeta("audio/wav", 16L, "deadbeef"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStats(Seq(bad).toDS()).collect()
+    }
+    assert(e.getMessage.contains("RIFF") || e.getCause != null)
+  }
 }

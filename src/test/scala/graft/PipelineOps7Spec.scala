@@ -69,6 +69,35 @@ class PipelineOps7Spec extends SparkSuite {
     assert(out((1L, 1L)) == ((2L, 20L, 39L, 1L))) // (19,20): waste 2*20-39
   }
 
+  test("lengthBatches routes through REAL n_tok_bpe when the corpus carries it") {
+    import org.apache.spark.sql.functions.{col, expr, size => fsize}
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // the synthetic corpus is simple English whose learned BPE merges
+    // whole words (bpe ≈ ws there) — plant the case the denominator
+    // exists FOR: single "words" of unmergeable bytes, where ws counts 1
+    // and bpe counts dozens (the code/CJK undercount, BpeSpec)
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((900001L, Seq.fill(40)("zq7#").mkString),
+          (900002L, Seq.fill(60)("x9!k").mkString)).toDF("doc_id", "text"))
+    val withBpe = graft.api.Corpus(planted).withBpeTokenCount().df
+    val out = PipelineOps7.lengthBatches(withBpe, bucketWidth = 16, batchSize = 8)
+    def hist(df: org.apache.spark.sql.DataFrame, tok: String): Map[Long, Long] = df
+      .select(expr(s"$tok DIV 16").as("b")).groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the operator's per-bucket doc counts must equal the independent
+    // bpe_count histogram (computed here from the column, not the operator)
+    val gotHist = out.groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bpeHist = hist(withBpe, "n_tok_bpe")
+    assert(gotHist == bpeHist)
+    // and the ws histogram differs, so the assertion above is discriminating
+    val wsHist = hist(planted.select(
+      fsize(graft.clean.CleanFns.tokens(col("text"))).cast("long").as("w")), "w")
+    assert(bpeHist != wsHist, "fixture cannot discriminate bpe from ws")
+  }
+
   test("lengthBatches: waste bounded by construction on the real corpus") {
     val out = PipelineOps7.lengthBatches(docs, bucketWidth = 16, batchSize = 8).collect()
     assert(out.nonEmpty)

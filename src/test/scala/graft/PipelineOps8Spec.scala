@@ -118,6 +118,29 @@ class PipelineOps8Spec extends SparkSuite {
     assert(cl.filter(col("n_close") === 0).count() == 0)
   }
 
+  test("semDedup cap <= 0 restores exact within-cell recall beyond the head set") {
+    import spark.implicits._
+    // one small cell around centroid 0 (axis-orthogonal members, pairwise
+    // cosine 0), seven far-away centroids, and a PLANTED near-dup pair
+    // (30, 31) that sits beyond a cap=2 head set {0, 10}
+    def v(d: Int, x: Float) = Seq.tabulate(64)(i => if (i == d) x else 0f)
+    val emb = (Seq((0L, v(0, 100f))) ++
+      (1 to 7).map(i => (i.toLong, v(40 + i, 1000f))) ++
+      Seq((10L, v(20, 50f)), (11L, v(21, 50f)),
+        (30L, v(30, 30f)), (31L, v(30, 30f)))).toDF("vec_id", "embedding")
+    def keepOf(cap: Int): Map[Long, Int] =
+      PipelineOps8.semDedup(spark, emb, tau = 0.35, cap = cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val capped = keepOf(2)
+    val exact = keepOf(0)
+    // the capped verdict misses the non-head pair; uncapped catches it
+    assert(capped(31L) == 1, "cap=2 must keep 31 (witness 30 is not a head)")
+    assert(exact(31L) == 0, "uncapped must drop 31 (witness 30)")
+    // the verdict ALGEBRA is unchanged: everything else agrees across caps
+    assert((capped - 31L) == (exact - 31L))
+    assert(exact(30L) == 1 && exact(10L) == 1 && exact(11L) == 1)
+  }
+
   test("semDedup: every dropped vector has a lower-id in-cell witness at >= tau") {
     graft.GraftExtensions.register(spark)
     val emb = Tables(spark, dir, "embeddings")

@@ -320,13 +320,46 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"scoring stage went wide:\n$plan")
   }
 
-  test("x_cur4: hashed distributions all broadcast; one doc-keyed rollup exchange") {
+  test("x_cur4: merged bucket table broadcast to scoring; one doc-keyed rollup exchange") {
     val df = SparkEntry.queries("x_cur4_dsir_weights")(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"), s"a feature table left its broadcast:\n$plan")
+    // the corpus-scale feature stream joins the merged <=2*4096-row
+    // bucket table by BROADCAST; the tb/rb full-outer MERGE may sort-merge
+    // on bkt (both sides bucket-bounded — never corpus-scale), but no
+    // doc-keyed join may leave broadcast
+    assert("BroadcastHashJoin \\[bkt#".r.findFirstIn(plan).isDefined,
+      s"the scoring join left its broadcast:\n$plan")
+    assert("SortMergeJoin \\[doc_id#".r.findFirstIn(plan).isEmpty,
+      s"a corpus-scale join left its broadcast:\n$plan")
     // the raw side is scored narrow then rolled up ONCE per doc
     assert("Exchange hashpartitioning\\(doc_id#".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("x_html1: extraction is one narrow codegen projection — zero pre-sort exchanges") {
+    val df = SparkEntry.queries("x_html1_extract")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final ORDER BY's rangepartitioning:
+    // a hash exchange anywhere means the regex chain stopped being a
+    // per-row projection (the property that makes it stream-capable)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("x_txt22: KN trigram tables join on digests; vocab-bounded tables broadcast") {
+    val df = SparkEntry.queries("x_txt22_kn_score")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the middle-token and unigram tables are vocabulary-bounded and must
+    // broadcast; the trigram STREAM may shuffle only on its fixed-width
+    // digest key (h3) — an exchange keyed on the stream's raw trigram
+    // columns (a, b) means the type-dedup went back to shuffling token
+    // payloads. (Type-LEVEL aggs keyed on the carried `c` token — the
+    // count-distinct expansions and u2 — run over the digest-deduped
+    // type table, which is types-bounded, and are fine.)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("Exchange hashpartitioning\\((a|b)#".r.findFirstIn(plan).isEmpty,
+      s"raw-token-keyed STREAM exchange:\n$plan")
   }
 
   test("x_ret1: ranking pre-limits with WindowGroupLimit; term/query tables broadcast") {

@@ -104,4 +104,60 @@ class ScaleSpec extends SparkSuite {
     assert(m("rows_seen") == li.count())
     assert(m("high_qty") == kept)
   }
+
+  test("adviseJoin: small dim side -> broadcast, and the plan agrees") {
+    import spark.implicits._
+    val big = (1L to 50000L).map(k => (k, "p")).toDF("k", "p")
+    val dim = (1L to 100L).map(k => (k, s"d$k")).toDF("k", "name")
+    val adv = Scale.adviseJoin(big, "k", dim, "k")
+    assert(adv.strategy == "broadcast_b", adv.toString)
+    assert(adv.nA == 50000L && adv.nB == 100L)
+    // est is one-sided and tight here (distinct keys, 100 matches)
+    assert(adv.estJoin >= 100L && adv.estJoin <= 300L, adv.toString)
+    // following the advice produces the advised operator
+    val plan = big.join(org.apache.spark.sql.functions.broadcast(dim), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("adviseJoin: two large uniform sides -> shuffle, and the plan agrees") {
+    import spark.implicits._
+    val a = (1L to 20000L).map(k => (k, "a")).toDF("k", "p")
+    val b = (1L to 20000L).map(k => (k, "b")).toDF("k", "q")
+    val adv = Scale.adviseJoin(a, "k", b, "k", broadcastMaxRows = 1000L)
+    assert(adv.strategy == "shuffle", adv.toString)
+    // uniform distinct keys: heaviest-key upper bound stays far below a
+    // reducer's fair share (collision noise only)
+    assert(adv.maxKeyA * 32 < 8 * adv.nA, adv.toString)
+    // with broadcast off the table, the actual plan shuffles both sides
+    val plan = spark.sessionState.executePlan(
+      a.hint("shuffle_merge").join(b, Seq("k")).queryExecution.logical)
+      .executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("Exchange"), plan)
+  }
+
+  test("adviseJoin: hot key -> salt, and saltedJoin keeps results identical") {
+    import spark.implicits._
+    val big = (1 to 50000).map(_ => (7L, "dup")).toDF("k", "p")
+      .unionAll((1L to 5000L).map(k => (k + 100L, "u")).toDF("k", "p"))
+    val other = (1L to 6000L).map(k => (k, s"d$k")).toDF("k", "name")
+    val adv = Scale.adviseJoin(big, "k", other, "k", broadcastMaxRows = 1000L)
+    assert(adv.strategy == "salt", adv.toString)
+    assert(adv.maxKeyA >= 50000L, "hot key must dominate the sketch bound")
+    // following the advice: salted result == plain join result
+    val plain = big.join(other, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedJoin(big, other, "k", 16).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain && salted(7L) == 50000L)
+  }
+
+  test("adviseJoin estimate is one-sided: est >= exact join size") {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val adv = Scale.adviseJoin(li, "l_orderkey", o, "o_orderkey")
+    val exact = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(adv.estJoin >= exact, s"est ${adv.estJoin} < exact $exact")
+    assert(adv.nA == li.count() && adv.nB == o.count())
+  }
 }

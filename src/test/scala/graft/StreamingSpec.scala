@@ -513,6 +513,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming KN scoring == batch against the same released-corpus index") {
+    import graft.streaming.DocStreams
+    import graft.ext.KnLm
+    val batchDocs = Tables(spark, dir, "documents")
+    // KN model from the even docs; stream the odd docs (all three
+    // backoff branches exercised by unseen trigrams/contexts/words)
+    val idx = KnLm.knIndex(batchDocs.filter(col("doc_id") % 2 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kn_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.knScored(stream, idx)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("kn_out").start()
+      try {
+        q.processAllAvailable()
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+        val got = norm(spark.table("kn_out"))
+        val want = norm(KnLm.knScoreNative(spark.read.parquet(s"$tmp/in"), idx))
+        assert(got.nonEmpty && got == want)
+        // and the stream result matches the DECLARATIVE batch join too
+        val decl = norm(KnLm.knScore(
+          batchDocs.filter(col("doc_id") % 2 === 0), spark.read.parquet(s"$tmp/in")))
+        assert(got == decl)
+      } finally q.stop()
+    } finally graft.util.TempDirs.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("streaming drift counts == batch, and the finished PSI matches psiDrift") {
     import graft.streaming.DocStreams
     import graft.ext.PipelineOps11
