@@ -22,6 +22,7 @@ object Registry {
     ext.PipelineOps10.all ++
     ext.PipelineOps11.all ++
     ext.PipelineOps12.all ++
+    ext.PipelineOps13.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.KnLm.all ++

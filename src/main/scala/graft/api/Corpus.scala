@@ -833,6 +833,32 @@ final case class Corpus(df: DataFrame) {
         .select(col("doc_id"), col("kn_avg")), Seq("doc_id"), "left")
   }
 
+  /** WITHIN-document repetition signals (x_txt23, the Gopher repetition
+    * family): segment duplication, top-2/3/4-gram character shares,
+    * duplicated-5-gram mass, and the combined verdict — the "same
+    * paragraph pasted fifty times" page is unique corpus-wide and sails
+    * through every cross-document dedup stage. Joined back by doc_id.
+    */
+  def withRepetitionSignals(): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps13.repetitionSignals(d), Seq("doc_id"), "left")
+  }
+
+  /** Drop documents failing the Gopher repetition thresholds. */
+  def filterByRepetition(): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps13.repetitionSignals(d)
+        .filter(col("keep") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  /** CCNet-style perplexity bucket (x_cur5): head / middle / tail by the
+    * language's terciles of the self-scored LM NLL — the
+    * curriculum/selection label of the public CCNet pipeline. Joined
+    * back by doc_id; docs with < 2 tokens carry NULL.
+    */
+  def withPpxBucket(): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps13.ppxBuckets(d)
+        .select(col("doc_id"), col("nll_avg"), col("bucket")), Seq("doc_id"), "left")
+  }
+
   /** DSIR importance weight vs a target domain (x_cur4): positive means
     * "more target-like than crawl-like" under hashed-bigram statistics.
     * Joined back by doc_id; featureless docs carry NULL.

@@ -1,0 +1,62 @@
+package graft.clean
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic URL canonicalization — the stage in front of URL-level
+  * dedup in a crawl pipeline (the same page arrives as `HTTP://Site.com`,
+  * `http://site.com:80/?utm_source=feed`, `http://site.com/#frag`; fetch
+  * scheduling and frontier dedup need ONE key). A fixed, ordered rule
+  * chain whose every step evaluates identically under Java regex and
+  * RE2 (no backreferences; ASCII classes only):
+  *
+  *   1. drop the fragment (#…)
+  *   2. lowercase the scheme://authority part (scheme and host are
+  *      case-insensitive per RFC 3986; the PATH stays case-sensitive)
+  *   3. strip the default port (:80 for http, :443 for https)
+  *   4. drop tracking query parameters (utm_*, ref, fbclid, gclid),
+  *      sort the survivors in binary order, rejoin; an emptied query
+  *      loses its '?'
+  *
+  * Everything is a narrow per-row expression chain — zero exchanges,
+  * stream-capable, like [[HtmlFns]].
+  */
+object UrlFns {
+
+  private val trackingRe = "^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$"
+
+  /** Canonical form of a URL column — the Spark rendering. */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "(?s)#.*$", "")
+    val auth = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val authNoPort = regexp_replace(
+      regexp_replace(auth, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_replace(rest, "(?s)\\?.*$", "")
+    val query = when(rest.contains("?"),
+      regexp_replace(rest, "(?s)^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !(p.rlike(trackingRe)) && p =!= "")), "&")
+    concat(authNoPort, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** The identical chain in DuckDB's dialect, for oracles. */
+  def canonicalUrlDuck(e: String): String = {
+    val noFrag = s"regexp_replace($e, '(?s)#.*$$', '', 'g')"
+    val auth = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))"
+    val authNoPort =
+      s"""regexp_replace(regexp_replace($auth,
+         |  '^(http://[^/:]*):80$$', '\\1'), '^(https://[^/:]*):443$$', '\\1')""".stripMargin
+    val rest = s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
+    val path = s"regexp_replace($rest, '(?s)\\?.*$$', '', 'g')"
+    val query = s"CASE WHEN contains($rest, '?') THEN regexp_replace($rest, '(?s)^[^?]*\\?', '', 'g') ELSE '' END"
+    val kept =
+      s"""array_to_string(list_sort(list_filter(string_split($query, '&'),
+         |  p -> NOT regexp_matches(p, '$trackingRe') AND p <> '')), '&')""".stripMargin
+    s"""($authNoPort || $path ||
+       |  CASE WHEN $kept = '' THEN '' ELSE '?' || $kept END)""".stripMargin
+  }
+}

@@ -97,10 +97,17 @@ object KnLm {
     * would shuffle raw token payloads twice more — the plan pin in
     * PlanAuditSpec forbids any raw-token-keyed exchange here.
     */
-  def knTablesTok(tok: DataFrame): KnTables = {
-    val tr = trigramsTok(tok)
-    // one digest-keyed pass: occurrence counts + the type-level carriers
-    val t3f = tr
+  def knTablesTok(tok: DataFrame): KnTables =
+    knTablesFrom(trigramTypes(tok), bigramTypes(tok), tok)
+
+  /** The trigram-TYPE frame (h3, c3, hab, hbc, hb, c): the single
+    * digest-keyed pass over the trigram stream from which every KN table
+    * derives. Exposed so the index/store builders can persist it across
+    * their multiple actions (5 collects / 6 writes would otherwise
+    * recompute the stream aggregation once per consumer).
+    */
+  private def trigramTypes(tok: DataFrame): DataFrame =
+    trigramsTok(tok)
       .select(
         h16(concat_ws(" ", col("a"), col("b"), col("c"))).as("h3"),
         h16(concat_ws(" ", col("a"), col("b"))).as("hab"),
@@ -111,20 +118,42 @@ object KnLm {
       .agg(count(lit(1)).as("c3"),
         min(col("hab")).as("hab"), min(col("hbc")).as("hbc"),
         min(col("hb")).as("hb"), min(col("c")).as("c"))
+
+  /** The bigram-TYPE frame (h2, c): one digest-keyed exchange, types
+    * carry their continuation token.
+    */
+  private def bigramTypes(tok: DataFrame): DataFrame =
+    PipelineOps10.bigramPairsTok(tok)
+      .select(h16(col("b")).as("h2"), col("w2"))
+      .groupBy("h2").agg(min(col("w2")).as("c"))
+
+  private def knTablesFrom(t3f: DataFrame, b2t: DataFrame,
+      tok: DataFrame): KnTables = {
     val t3 = t3f.select("h3", "c3")
     val ctx = t3f.groupBy("hab")
       .agg(sum(col("c3")).as("ctx2"), count_distinct(col("c")).as("n3f"))
     val bc = t3f.groupBy("hbc").agg(count(lit(1)).as("cont3"))
     val mid = t3f.groupBy("hb")
       .agg(count(lit(1)).as("mid"), count_distinct(col("c")).as("n2f"))
-    // bigram types the same way: one digest-keyed exchange, types carry w2
-    val b2t = PipelineOps10.bigramPairsTok(tok)
-      .select(h16(col("b")).as("h2"), col("w2"))
-      .groupBy("h2").agg(min(col("w2")).as("c"))
     val u2 = b2t.groupBy("c").agg(count(lit(1)).as("cont2"))
     val sc = b2t.agg(count(lit(1)).as("bt"))
       .join(tok.select(explode(col("ws")).as("w")).agg(count_distinct(col("w")).as("v")))
     KnTables(t3, ctx, bc, mid, u2, sc)
+  }
+
+  /** Run `f` over KN tables whose type frames are PERSISTED for the
+    * duration — the multi-action builders' route: 5 collects (index) or
+    * 6 writes (store) each instantiate the type-frame subtree; cached,
+    * the trigram/bigram streams are aggregated exactly once.
+    */
+  private def withCachedTables[T](train: DataFrame)(f: KnTables => T): T = {
+    val tok = PipelineOps10.docTokens(train)
+    val t3f = trigramTypes(tok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b2t = bigramTypes(tok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(knTablesFrom(t3f, b2t, tok))
+    finally { t3f.unpersist(); b2t.unpersist(): Unit }
   }
 
   /** Train on `train`, score `score` — the self/held-out entry point. */
@@ -179,30 +208,49 @@ object KnLm {
 
   def knIndex(train: DataFrame,
       maxEntries: Long = knIndexMaxEntries): graft.functions.KnIndex =
-    collectIndex(knTables(train), maxEntries)
+    withCachedTables(train)(collectIndex(_, maxEntries))
 
   private def collectIndex(t: KnTables,
       maxEntries: Long): graft.functions.KnIndex = {
-    val cap = maxEntries.toInt
-    // BOUNDED collects: sort+limit plans as TakeOrdered, so the driver
-    // never materializes more than cap + 1 rows even when the gate trips
-    val t3 = t.t3.orderBy("h3").limit(cap + 1).collect()
-    val cx = t.ctx.orderBy("hab").limit(cap + 1).collect()
-    val bc = t.bc.orderBy("hbc").limit(cap + 1).collect()
-    val md = t.mid.orderBy("hb").limit(cap + 1).collect()
-    val u2 = t.u2.orderBy("c").limit(cap + 1).collect()
-    require(t3.length + cx.length + bc.length + md.length + u2.length <= maxEntries,
+    // EVERYTHING in one tagged union over the cached type frames: count
+    // gate (action 1), collect (action 2), split + sort driver-side in
+    // UTF8String binary order — the engine's own string order, so the
+    // native binary search sees exactly the frame an orderBy would have
+    // produced. The per-table route (5 sorted collects + a scalar) was
+    // 11+ actions; at toy SF each action's fixed AQE/scheduling cost
+    // dwarfed the kilobytes moved (measured: knIndex 6.2 s warm for
+    // 28k total rows), and at real SF fewer jobs is simply fewer jobs.
+    val tagged = t.t3.select(lit(0).as("tg"), col("h3").as("k"), col("c3").as("v1"), lit(0L).as("v2"))
+      .unionAll(t.ctx.select(lit(1), col("hab"), col("ctx2"), col("n3f")))
+      .unionAll(t.bc.select(lit(2), col("hbc"), col("cont3"), lit(0L)))
+      .unionAll(t.mid.select(lit(3), col("hb"), col("mid"), col("n2f")))
+      .unionAll(t.u2.select(lit(4), col("c"), col("cont2"), lit(0L)))
+    require(tagged.count() <= maxEntries,
       s"KN count tables exceed $maxEntries entries: too large for the " +
         "broadcast/native regime — score with the join form instead " +
         "(KnLm.knScore / knScoreWithTok over KnLm stored tables)")
-    val sc = t.sc.collect()(0)
+    val rows = tagged.unionAll(t.sc.select(lit(5), lit(""), col("bt"), col("v"))).collect()
+    val byTag = rows.groupBy(_.getInt(0))
+    def sorted(tag: Int): Array[org.apache.spark.sql.Row] = {
+      val part = byTag.getOrElse(tag, Array.empty[org.apache.spark.sql.Row])
+      val keyed = part.map(r => (org.apache.spark.unsafe.types.UTF8String
+        .fromString(r.getString(1)), r))
+      java.util.Arrays.sort(keyed,
+        Ordering.by[(org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.Row), org.apache.spark.unsafe.types.UTF8String](_._1)(
+          (a, b) => a.compareTo(b)))
+      keyed.map(_._2)
+    }
+    val t3 = sorted(0); val cx = sorted(1); val bc = sorted(2)
+    val md = sorted(3); val u2 = sorted(4)
+    val sc = byTag(5)(0)
     graft.functions.KnIndex(
-      t3.map(_.getString(0)).toSeq, t3.map(_.getLong(1)).toSeq,
-      cx.map(_.getString(0)).toSeq, cx.map(_.getLong(1)).toSeq, cx.map(_.getLong(2)).toSeq,
-      bc.map(_.getString(0)).toSeq, bc.map(_.getLong(1)).toSeq,
-      md.map(_.getString(0)).toSeq, md.map(_.getLong(1)).toSeq, md.map(_.getLong(2)).toSeq,
-      u2.map(_.getString(0)).toSeq, u2.map(_.getLong(1)).toSeq,
-      sc.getLong(0), sc.getLong(1))
+      t3.map(_.getString(1)).toSeq, t3.map(_.getLong(2)).toSeq,
+      cx.map(_.getString(1)).toSeq, cx.map(_.getLong(2)).toSeq, cx.map(_.getLong(3)).toSeq,
+      bc.map(_.getString(1)).toSeq, bc.map(_.getLong(2)).toSeq,
+      md.map(_.getString(1)).toSeq, md.map(_.getLong(2)).toSeq, md.map(_.getLong(3)).toSeq,
+      u2.map(_.getString(1)).toSeq, u2.map(_.getLong(2)).toSeq,
+      sc.getLong(2), sc.getLong(3))
   }
 
   /** Per-row KN scoring against a prebuilt index — the narrow,
@@ -223,15 +271,15 @@ object KnLm {
   /** Write the KN count tables of `train` under `path` — the released
     * artifact of the train-once / score-many regime.
     */
-  def buildKn(train: DataFrame, path: String): Unit = {
-    val t = knTables(train)
-    t.t3.write.mode("overwrite").parquet(s"$path/t3")
-    t.ctx.write.mode("overwrite").parquet(s"$path/ctx")
-    t.bc.write.mode("overwrite").parquet(s"$path/bc")
-    t.mid.write.mode("overwrite").parquet(s"$path/mid")
-    t.u2.write.mode("overwrite").parquet(s"$path/u2")
-    t.sc.write.mode("overwrite").parquet(s"$path/sc")
-  }
+  def buildKn(train: DataFrame, path: String): Unit =
+    withCachedTables(train) { t =>
+      t.t3.write.mode("overwrite").parquet(s"$path/t3")
+      t.ctx.write.mode("overwrite").parquet(s"$path/ctx")
+      t.bc.write.mode("overwrite").parquet(s"$path/bc")
+      t.mid.write.mode("overwrite").parquet(s"$path/mid")
+      t.u2.write.mode("overwrite").parquet(s"$path/u2")
+      t.sc.write.mode("overwrite").parquet(s"$path/sc")
+    }
 
   /** The stored tables, for the join-regime scorer. */
   def loadKnTables(spark: SparkSession, path: String): KnTables = KnTables(

@@ -1,0 +1,317 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions (eighth wave): WITHIN-document repetition signals
+  * (the Gopher repetition-filter family, Rae et al. 2021 Table A1 —
+  * public) and perplexity-bucketed curriculum (the CCNet head/middle/
+  * tail convention, Wenzek et al. 2020 — public). The x_ded10/x_txt13
+  * families measure CROSS-document duplication; these score each
+  * document against ITSELF — the "same paragraph pasted fifty times"
+  * page that is unique corpus-wide and sails through near-dedup.
+  */
+object PipelineOps13 {
+
+  // -------------------------------------------- within-doc repetition
+
+  /** Per-document repetition signals, all exact-integer ppm:
+    *
+    *   - `dup_seg_ppm`: occurrences beyond the first of each repeated
+    *     16-word segment / total segments (the dup-line fraction, on the
+    *     corpus's newline-free synthetic text — segments stand in for
+    *     lines exactly as in x_ded18).
+    *   - `top{2,3,4}_ppm`: the most frequent n-gram's character mass
+    *     (count × gram length, single-space joined) / the total n-gram
+    *     position character mass — Gopher's "fraction of characters in
+    *     the most frequent n-gram", denominated in position mass so the
+    *     ratio is exact. Ties break by gram string (deterministic).
+    *   - `dup5_ppm`: character mass of occurrences beyond the first of
+    *     each duplicated 5-gram / total 5-gram position mass —
+    *     Gopher's duplicated-n-gram character fraction, with the
+    *     beyond-first convention making the measure exact and
+    *     overlap-unambiguous.
+    *   - `keep`: the Gopher verdict at the published thresholds
+    *     (dup lines 30%, top 2/3/4-gram 20/18/16%, dup 5-gram 15%).
+    *
+    * Shape: every aggregation is keyed (doc_id, …) — corpus-proportional
+    * keys, map-side combined, fully parallel; the top-gram window
+    * partitions by (doc_id, n). Nothing joins the corpus against itself.
+    * Docs too short for an n-gram order contribute 0 for that signal
+    * (nothing is repeated in them).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
+    val base = tok.select(col("doc_id"))
+    val segStats = PipelineOps8.segments(docs)
+      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_segs"), sum(col("c") - 1).as("n_seg_dup"))
+      .select(col("doc_id"), col("n_segs").cast("long").as("n_segs"),
+        expr("n_seg_dup * 1000000 DIV n_segs").as("dup_seg_ppm"))
+    val grams = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(filter(array(2, 3, 4, 5), n -> size(ws) >= n),
+          |  n -> transform(sequence(1, size(ws) - n + 1),
+          |    i -> named_struct('n', n, 'g', concat_ws(' ', slice(ws, i, n))))))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.n").as("n"), col("p.g").as("g"))
+    val gc = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("g")).cast("long"))
+    val tots = gc.groupBy("doc_id", "n").agg(sum(col("c") * col("len")).as("mass"))
+    val w = Window.partitionBy("doc_id", "n").orderBy(col("c").desc, col("g"))
+    val top = gc.filter(col("n") <= 4)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(tots, Seq("doc_id", "n"))
+      .select(col("doc_id"), col("n"), expr("c * len * 1000000 DIV mass").as("ppm"))
+    val topP = top.groupBy("doc_id").agg(
+      coalesce(max(when(col("n") === 2, col("ppm"))), lit(0L)).as("top2_ppm"),
+      coalesce(max(when(col("n") === 3, col("ppm"))), lit(0L)).as("top3_ppm"),
+      coalesce(max(when(col("n") === 4, col("ppm"))), lit(0L)).as("top4_ppm"))
+    val dup5 = gc.filter(col("n") === 5)
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("len")).as("mass5"),
+        sum(when(col("c") >= 2, (col("c") - 1) * col("len")).otherwise(lit(0L))).as("dup_mass"))
+      .select(col("doc_id"), expr("dup_mass * 1000000 DIV mass5").as("dup5_ppm"))
+    base
+      .join(segStats, Seq("doc_id"), "left")
+      .join(topP, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("dup_seg_ppm"), lit(0L)).as("dup_seg_ppm"),
+        coalesce(col("top2_ppm"), lit(0L)).as("top2_ppm"),
+        coalesce(col("top3_ppm"), lit(0L)).as("top3_ppm"),
+        coalesce(col("top4_ppm"), lit(0L)).as("top4_ppm"),
+        coalesce(col("dup5_ppm"), lit(0L)).as("dup5_ppm"))
+      .withColumn("keep",
+        (col("dup_seg_ppm") <= 300000L && col("top2_ppm") <= 200000L &&
+          col("top3_ppm") <= 180000L && col("top4_ppm") <= 160000L &&
+          col("dup5_ppm") <= 150000L).cast("int"))
+  }
+
+  /** X-TXT23 — the Gopher repetition family, oracle-checked end to end
+    * (segment duplication, top-2/3/4-gram shares, duplicated-5-gram
+    * mass, the combined verdict).
+    */
+  private val txt23 = Probe(
+    "x_txt23_gopher_repetition",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |seg0 AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
+       |                   k -> array_to_string(ws[((k - 1) * 16 + 1):(k * 16)], ' ')) AS segs
+       |  FROM t WHERE len(ws) > 0),
+       |segc AS (
+       |  SELECT doc_id, seg, COUNT(*) AS c
+       |  FROM seg0, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),
+       |segs AS (
+       |  SELECT doc_id, SUM(c) AS n_segs,
+       |         SUM(c - 1) * 1000000 // SUM(c) AS dup_seg_ppm
+       |  FROM segc GROUP BY doc_id),
+       |g AS (
+       |  SELECT doc_id, n, array_to_string(ws[i:i+n-1], ' ') AS g
+       |  FROM t, UNNEST([2, 3, 4, 5]) AS tn(n),
+       |       UNNEST(generate_series(1, len(ws) - n + 1)) AS ti(i)
+       |  WHERE len(ws) >= n),
+       |gc AS (
+       |  SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS len
+       |  FROM g GROUP BY doc_id, n, g),
+       |tots AS (SELECT doc_id, n, SUM(c * len) AS mass FROM gc GROUP BY doc_id, n),
+       |top AS (
+       |  SELECT gc.doc_id, gc.n, gc.c * gc.len * 1000000 // tots.mass AS ppm
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+       |                                     ORDER BY c DESC, g) AS rk FROM gc) gc
+       |  JOIN tots ON tots.doc_id = gc.doc_id AND tots.n = gc.n
+       |  WHERE gc.rk = 1 AND gc.n <= 4),
+       |topp AS (
+       |  SELECT doc_id,
+       |    COALESCE(MAX(CASE WHEN n = 2 THEN ppm END), 0) AS top2_ppm,
+       |    COALESCE(MAX(CASE WHEN n = 3 THEN ppm END), 0) AS top3_ppm,
+       |    COALESCE(MAX(CASE WHEN n = 4 THEN ppm END), 0) AS top4_ppm
+       |  FROM top GROUP BY doc_id),
+       |d5 AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END) * 1000000 // SUM(c * len) AS dup5_ppm
+       |  FROM gc WHERE n = 5 GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(segs.n_segs, 0) AS BIGINT) AS n_segs,
+       |  CAST(COALESCE(segs.dup_seg_ppm, 0) AS BIGINT) AS dup_seg_ppm,
+       |  CAST(COALESCE(topp.top2_ppm, 0) AS BIGINT) AS top2_ppm,
+       |  CAST(COALESCE(topp.top3_ppm, 0) AS BIGINT) AS top3_ppm,
+       |  CAST(COALESCE(topp.top4_ppm, 0) AS BIGINT) AS top4_ppm,
+       |  CAST(COALESCE(d5.dup5_ppm, 0) AS BIGINT) AS dup5_ppm,
+       |  CAST(CASE WHEN COALESCE(segs.dup_seg_ppm, 0) <= 300000
+       |             AND COALESCE(topp.top2_ppm, 0) <= 200000
+       |             AND COALESCE(topp.top3_ppm, 0) <= 180000
+       |             AND COALESCE(topp.top4_ppm, 0) <= 160000
+       |             AND COALESCE(d5.dup5_ppm, 0) <= 150000
+       |            THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM t
+       |LEFT JOIN segs ON segs.doc_id = t.doc_id
+       |LEFT JOIN topp ON topp.doc_id = t.doc_id
+       |LEFT JOIN d5 ON d5.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    repetitionSignals(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  // ------------------------------------ perplexity-bucketed curriculum
+
+  /** X-CUR5 — CCNet-style perplexity buckets: every document labeled
+    * head / middle / tail by its language's terciles of the self-scored
+    * LM NLL (x_txt18's signal; lower NLL = more fluent = head). The
+    * curriculum/selection convention of the public CCNet pipeline —
+    * absolute NLL cuts don't transfer across languages, per-language
+    * quantiles do (the x_txt12/x_txt20 discipline). Cuts compare at 6 dp
+    * on both engines, so bucket boundaries are deterministic.
+    */
+  private val cur5 = Probe(
+    "x_cur5_ccnet_buckets",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |u AS (
+       |  SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(ws) AS w FROM t) GROUP BY w),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |bg AS (${PipelineOps10.bigramsDuck("t")}),
+       |bc AS (SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS c2 FROM bg GROUP BY hb),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    round(-SUM(ln((bc.c2 + 1) / (u.c1 + v.v))) / COUNT(*), 6) AS nll_avg
+       |  FROM bg
+       |  JOIN bc ON bc.hb = substr(md5(bg.b), 1, 16)
+       |  JOIN u ON u.w = bg.w1, v
+       |  GROUP BY bg.doc_id),
+       |lg AS (
+       |  SELECT sc.doc_id, d.lang, sc.nll_avg
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |cuts AS (
+       |  SELECT lang,
+       |    round(percentile_cont(0.33) WITHIN GROUP (ORDER BY nll_avg), 6) AS p33,
+       |    round(percentile_cont(0.67) WITHIN GROUP (ORDER BY nll_avg), 6) AS p67
+       |  FROM lg GROUP BY lang)
+       |SELECT lg.doc_id, lg.lang, lg.nll_avg,
+       |  CASE WHEN lg.nll_avg <= cuts.p33 THEN 'head'
+       |       WHEN lg.nll_avg <= cuts.p67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM lg JOIN cuts ON cuts.lang = lg.lang
+       |ORDER BY lg.doc_id""".stripMargin) { (s, dir) =>
+    ppxBuckets(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** (doc_id, lang, nll_avg, bucket) — shared by the probe, the Corpus
+    * route, and the spec's planted-corpus pin. One lang-partitioned
+    * window over the scored frame (docs-per-lang rows, never wider).
+    */
+  def ppxBuckets(docs: DataFrame): DataFrame = {
+    val tok = PipelineOps10.docTokens(docs)
+    PipelineOps10.lmSelfScoreTok(tok)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("p33", round(
+        expr("percentile(nll_avg, 0.33)").over(Window.partitionBy(col("lang"))), 6))
+      .withColumn("p67", round(
+        expr("percentile(nll_avg, 0.67)").over(Window.partitionBy(col("lang"))), 6))
+      .select(col("doc_id"), col("lang"), col("nll_avg"),
+        when(col("nll_avg") <= col("p33"), lit("head"))
+          .when(col("nll_avg") <= col("p67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  // --------------------------------------------- URL canonicalization
+
+  /** X-URL1 — URL canonicalization over synthetic crawl URLs built
+    * deterministically from doc_id INSIDE the query (the x_html1
+    * convention: both engines canonicalize byte-identical inputs).
+    * Mixed-case scheme/host, default and non-default ports, tracking
+    * params, unsorted queries, and fragments all collapse through the
+    * [[graft.clean.UrlFns]] rule chain; the surfaced distinct-canonical
+    * count is the frontier-dedup number the raw strings would overstate.
+    */
+  private val url1 = Probe(
+    "x_url1_canonicalize",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||
+       |    '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+       |    '/Path/To/Item' ||
+       |    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&Z=1' ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw&a=2' ELSE '' END) ||
+       |    '#sec' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents)
+       |SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon
+       |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+      lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Path/To/Item"),
+      lit("?id="), (col("doc_id") % 5).cast("string"), lit("&utm_source=feed&Z=1"),
+      when(col("doc_id") % 2 === 0, lit("&ref=tw&a=2")).otherwise(lit("")),
+      lit("#sec"), col("doc_id").cast("string"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(url).as("canon"))
+      .orderBy("doc_id")
+  }
+
+  /** X-URL2 — frontier dedup COMPOSED: the synthetic crawl frontier
+    * (same template as x_url1, whose id/host moduli make distinct raw
+    * URLs collide after canonicalization) → canonical key → survivor =
+    * min doc_id per key → per-host rollup of raw vs canonical counts —
+    * the fetch-scheduler's number ("how much of this host's frontier is
+    * variant noise"). One exchange on the canonical key, one on host.
+    */
+  private val url2 = Probe(
+    "x_url2_frontier_dedup",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||
+       |    '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+       |    '/Path/To/Item' ||
+       |    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&Z=1' ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw&a=2' ELSE '' END) ||
+       |    '#sec' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon FROM u),
+       |s AS (
+       |  SELECT canon, MIN(doc_id) AS survivor_id, COUNT(*) AS n_raw
+       |  FROM c GROUP BY canon)
+       |SELECT regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |  CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+       |  CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       |  CAST(MIN(survivor_id) AS BIGINT) AS first_survivor
+       |FROM s GROUP BY 1 ORDER BY host""".stripMargin) { (s, dir) =>
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+      lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Path/To/Item"),
+      lit("?id="), (col("doc_id") % 5).cast("string"), lit("&utm_source=feed&Z=1"),
+      when(col("doc_id") % 2 === 0, lit("&ref=tw&a=2")).otherwise(lit("")),
+      lit("#sec"), col("doc_id").cast("string"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(url).as("canon"))
+      .groupBy("canon")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_raw"))
+      .groupBy(regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
+      .agg(sum(col("n_raw")).cast("long").as("n_raw"),
+        count(lit(1)).as("n_canonical"),
+        min(col("survivor_id")).as("first_survivor"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(txt23, cur5, url1, url2)
+}

@@ -238,6 +238,16 @@ object DocStreams {
     if (htmlCol == "text") extracted else extracted.drop(htmlCol)
   }
 
+  /** Stream-capable URL canonicalization — the frontier-dedup key
+    * (x_url1's [[graft.clean.UrlFns.canonicalUrl]] chain) computed at
+    * the stream door: a narrow per-row regex/array chain, zero state,
+    * so `dropDuplicates` on the canonical key dedups the frontier
+    * across micro-batches with watermarked state.
+    */
+  def urlCanonicalized(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.withColumn(urlCol,
+      graft.clean.UrlFns.canonicalUrl(org.apache.spark.sql.functions.col(urlCol)))
+
   /** Stream-capable BPE token accounting — x_tok1's subword counter as a
     * pure narrow native expression (checked-in vocabulary, per-executor
     * word memo): zero state, zero shuffle, each micro-batch annotates its

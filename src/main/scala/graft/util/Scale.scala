@@ -86,8 +86,18 @@ object Scale {
   def adviseJoin(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
       broadcastMaxRows: Long = 1000000L, skewRatio: Long = 8L,
       partitions: Int = 32): JoinAdvice = {
+    // three actions (stats×2, inner product) consume each sketch — persist
+    // the <=3·65,536-row cell frames so each side scans its data ONCE
     val ca = cmCells(a, keyA)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = cmCells(b, keyB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try adviseFrom(ca, cb, broadcastMaxRows, skewRatio, partitions)
+    finally { ca.unpersist(); cb.unpersist(): Unit }
+  }
+
+  private def adviseFrom(ca: DataFrame, cb: DataFrame,
+      broadcastMaxRows: Long, skewRatio: Long, partitions: Int): JoinAdvice = {
     def stats(cells: DataFrame): (Long, Long) = {
       val r = cells.groupBy(col("r"))
         .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.UrlFns
+
+/** URL canonicalization rules, each pinned on a planted case. */
+class UrlFnsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(UrlFns.canonicalUrl(col("u"))).collect()(0).getString(0)
+
+  test("scheme/host lowercase; PATH case preserved") {
+    assert(canon("HTTP://WWW.Site.COM/CaseSensitive/Path")
+      == "http://www.site.com/CaseSensitive/Path")
+  }
+
+  test("default port stripped only for the matching scheme") {
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+  }
+
+  test("fragment dropped; queryless and fragmentless URLs pass through") {
+    assert(canon("http://a.com/x#frag#more") == "http://a.com/x")
+    assert(canon("http://a.com/x") == "http://a.com/x")
+  }
+
+  test("tracking params dropped, survivors sorted binary, empty query loses '?'") {
+    assert(canon("http://a.com/x?utm_source=f&b=2&utm_campaign=c&a=1")
+      == "http://a.com/x?a=1&b=2")
+    assert(canon("http://a.com/x?z=1&Z=2&ref=t") == "http://a.com/x?Z=2&z=1")
+    assert(canon("http://a.com/x?utm_medium=m&fbclid=f&gclid=g&ref=r")
+      == "http://a.com/x")
+    // 'referrer=x' is NOT the tracking param 'ref' (anchored match)
+    assert(canon("http://a.com/x?referrer=x") == "http://a.com/x?referrer=x")
+  }
+
+  test("canonicalization collapses crawl-frontier variants to one key") {
+    val variants = Seq(
+      "HTTP://Site.com/p?id=1&utm_source=a",
+      "http://site.com:80/p?id=1",
+      "http://SITE.COM/p?id=1#top")
+    assert(variants.map(canon).distinct == Seq("http://site.com/p?id=1"))
+  }
+
+  test("streaming canonicalization == batch on the same synthetic frontier") {
+    val dir = "/root/testdata/sf0.001"
+    def urls(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(lit("HTTP://Host"), (col("doc_id") % 9).cast("string"),
+        lit(".COM:80/p?utm_source=s&id="), col("doc_id").cast("string"),
+        lit("#f")).as("url"))
+    val streaming = graft.streaming.DocStreams.urlCanonicalized(
+      urls(graft.streaming.DocStreams.readStream(spark, dir)))
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName("url_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("url_out").orderBy("doc_id").collect().toSeq
+      val want = graft.streaming.DocStreams.urlCanonicalized(
+        urls(Tables(spark, dir, "documents"))).orderBy("doc_id").collect().toSeq
+      assert(got.nonEmpty && got == want)
+      assert(got.head.getString(1).startsWith("http://host"))
+    } finally q.stop()
+  }
+}
