@@ -23,6 +23,7 @@ object Registry {
     ext.PipelineOps11.all ++
     ext.PipelineOps12.all ++
     ext.PipelineOps13.all ++
+    ext.PipelineOps14.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.KnLm.all ++

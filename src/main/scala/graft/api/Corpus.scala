@@ -859,6 +859,30 @@ final case class Corpus(df: DataFrame) {
         .select(col("doc_id"), col("nll_avg"), col("bucket")), Seq("doc_id"), "left")
   }
 
+  /** Solve the per-source replication weights that hit `targetsPpm`
+    * (x_mix5; Σ targets = 1e6) — the planning step whose output feeds
+    * [[mixBySourceWeights]] directly:
+    * {{{ c.mixBySourceWeights(c.planMixture(targets)) }}}
+    * Sources absent from `targetsPpm` get weight 0 (dropped by the mix).
+    * The collect is sources-bounded.
+    */
+  def planMixture(targetsPpm: Map[String, Long]): Map[String, Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toSeq.toDF("source", "target_ppm")
+    graft.ext.PipelineOps14.mixturePlan(df, targets)
+      .select("source", "weight_ppm")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+  }
+
+  /** Sequential context-window packing placements (x_pack6): each doc's
+    * shard/offset/bin under the concat-then-split layout, with the
+    * split-across-bins flag.
+    */
+  def packPlacements(ctx: Int = 256, shards: Int = 16): DataFrame =
+    graft.ext.PipelineOps14.packPlacements(df, ctx, shards)
+
   /** DSIR importance weight vs a target domain (x_cur4): positive means
     * "more target-like than crawl-like" under hashed-bigram statistics.
     * Joined back by doc_id; featureless docs carry NULL.

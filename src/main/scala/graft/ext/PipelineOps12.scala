@@ -42,7 +42,7 @@ object PipelineOps12 {
       lit(pageParts(3))).as("html"))
 
   /** The identical page expression in DuckDB's dialect. */
-  private def crawlHtmlDuck: String = pageParts.map(p => "'" + p.replace("'", "''") + "'")
+  private[ext] def crawlHtmlDuck: String = pageParts.map(p => "'" + p.replace("'", "''") + "'")
     .zipAll(Seq("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS VARCHAR)", "text"), "", "")
     .map { case (l, r) => if (r.isEmpty) l else s"$l || $r" }.mkString(" || ")
 
