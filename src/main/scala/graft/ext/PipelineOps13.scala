@@ -28,7 +28,9 @@ object PipelineOps13 {
     *     (count × gram length, single-space joined) / the total n-gram
     *     position character mass — Gopher's "fraction of characters in
     *     the most frequent n-gram", denominated in position mass so the
-    *     ratio is exact. Ties break by gram string (deterministic).
+    *     ratio is exact. Ties break by gram digest
+    *     DESCENDING (deterministic; the max-struct aggregation's
+    *     natural order, mirrored by the oracle's window).
     *   - `dup5_ppm`: character mass of occurrences beyond the first of
     *     each duplicated 5-gram / total 5-gram position mass —
     *     Gopher's duplicated-n-gram character fraction, with the
@@ -39,9 +41,12 @@ object PipelineOps13 {
     *
     * Shape: every aggregation is keyed (doc_id, …) — corpus-proportional
     * keys, map-side combined, fully parallel; the top-gram window
-    * partitions by (doc_id, n). Nothing joins the corpus against itself.
-    * Docs too short for an n-gram order contribute 0 for that signal
-    * (nothing is repeated in them).
+    * partitions by (doc_id, n). Gram payloads never shuffle as strings:
+    * the map side digests each gram to 16 hex and carries its length
+    * (the x_ded10 fixed-width-shuffle-key lesson — four n-gram orders
+    * make this the widest stream in the operator). Nothing joins the
+    * corpus against itself. Docs too short for an n-gram order
+    * contribute 0 for that signal (nothing is repeated in them).
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
@@ -59,27 +64,31 @@ object PipelineOps13 {
           |    i -> named_struct('n', n, 'g', concat_ws(' ', slice(ws, i, n))))))""".stripMargin))
         .as("p"))
       .select(col("doc_id"), col("p.n").as("n"), col("p.g").as("g"))
-    val gc = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-      .withColumn("len", length(col("g")).cast("long"))
-    val tots = gc.groupBy("doc_id", "n").agg(sum(col("c") * col("len")).as("mass"))
-    val w = Window.partitionBy("doc_id", "n").orderBy(col("c").desc, col("g"))
-    val top = gc.filter(col("n") <= 4)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .join(tots, Seq("doc_id", "n"))
-      .select(col("doc_id"), col("n"), expr("c * len * 1000000 DIV mass").as("ppm"))
-    val topP = top.groupBy("doc_id").agg(
-      coalesce(max(when(col("n") === 2, col("ppm"))), lit(0L)).as("top2_ppm"),
-      coalesce(max(when(col("n") === 3, col("ppm"))), lit(0L)).as("top3_ppm"),
-      coalesce(max(when(col("n") === 4, col("ppm"))), lit(0L)).as("top4_ppm"))
-    val dup5 = gc.filter(col("n") === 5)
-      .groupBy("doc_id")
-      .agg(sum(col("c") * col("len")).as("mass5"),
-        sum(when(col("c") >= 2, (col("c") - 1) * col("len")).otherwise(lit(0L))).as("dup_mass"))
-      .select(col("doc_id"), expr("dup_mass * 1000000 DIV mass5").as("dup5_ppm"))
+    val gc = grams
+      .select(col("doc_id"), col("n"),
+        substring(md5(col("g")), 1, 16).as("hg"),
+        length(col("g")).cast("long").as("len"))
+      .groupBy("doc_id", "n", "hg")
+      .agg(count(lit(1)).as("c"), min(col("len")).as("len"))
+    // ONE aggregation over the gram-type frame yields every per-(doc, n)
+    // statistic: mass, the top gram via max(struct(c, hg, len)) — max
+    // count, digest-DESC tie-break, its len riding along (hg is unique
+    // per group, so len is never compared) — and the duplicated mass.
+    // The previous window + join-back form instantiated the gram explode
+    // three times (tots, top, dup5 each re-derived gc).
+    val per = gc.groupBy("doc_id", "n").agg(
+      sum(col("c") * col("len")).as("mass"),
+      max(struct(col("c"), col("hg"), col("len"))).as("top"),
+      sum(when(col("c") >= 2, (col("c") - 1) * col("len")).otherwise(lit(0L))).as("dup_mass"))
+    def topN(n: Int) = coalesce(max(when(col("n") === n,
+      expr("top.c * top.len * 1000000 DIV mass"))), lit(0L))
+    val sig = per.groupBy("doc_id").agg(
+      topN(2).as("top2_ppm"), topN(3).as("top3_ppm"), topN(4).as("top4_ppm"),
+      coalesce(max(when(col("n") === 5,
+        expr("dup_mass * 1000000 DIV mass"))), lit(0L)).as("dup5_ppm"))
     base
       .join(segStats, Seq("doc_id"), "left")
-      .join(topP, Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
+      .join(sig, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("dup_seg_ppm"), lit(0L)).as("dup_seg_ppm"),
@@ -119,13 +128,14 @@ object PipelineOps13 {
        |       UNNEST(generate_series(1, len(ws) - n + 1)) AS ti(i)
        |  WHERE len(ws) >= n),
        |gc AS (
-       |  SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS len
-       |  FROM g GROUP BY doc_id, n, g),
+       |  SELECT doc_id, n, substr(md5(g), 1, 16) AS hg, COUNT(*) AS c,
+       |         MIN(length(g)) AS len
+       |  FROM g GROUP BY doc_id, n, substr(md5(g), 1, 16)),
        |tots AS (SELECT doc_id, n, SUM(c * len) AS mass FROM gc GROUP BY doc_id, n),
        |top AS (
        |  SELECT gc.doc_id, gc.n, gc.c * gc.len * 1000000 // tots.mass AS ppm
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
-       |                                     ORDER BY c DESC, g) AS rk FROM gc) gc
+       |                                     ORDER BY c DESC, hg DESC) AS rk FROM gc) gc
        |  JOIN tots ON tots.doc_id = gc.doc_id AND tots.n = gc.n
        |  WHERE gc.rk = 1 AND gc.n <= 4),
        |topp AS (

@@ -172,13 +172,14 @@ object PipelineOps14 {
        |       UNNEST(generate_series(1, len(ws) - n + 1)) AS ti(i)
        |  WHERE len(ws) >= n),
        |gc AS (
-       |  SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS len
-       |  FROM g GROUP BY doc_id, n, g),
+       |  SELECT doc_id, n, substr(md5(g), 1, 16) AS hg, COUNT(*) AS c,
+       |         MIN(length(g)) AS len
+       |  FROM g GROUP BY doc_id, n, substr(md5(g), 1, 16)),
        |tots AS (SELECT doc_id, n, SUM(c * len) AS mass FROM gc GROUP BY doc_id, n),
        |top AS (
        |  SELECT gc.doc_id, gc.n, gc.c * gc.len * 1000000 // tots.mass AS ppm
        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
-       |                                     ORDER BY c DESC, g) AS rk FROM gc) gc
+       |                                     ORDER BY c DESC, hg DESC) AS rk FROM gc) gc
        |  JOIN tots ON tots.doc_id = gc.doc_id AND tots.n = gc.n
        |  WHERE gc.rk = 1 AND gc.n <= 4),
        |topp AS (
@@ -241,17 +242,27 @@ object PipelineOps14 {
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        |  CAST(SUM(CASE WHEN (cum - 1) // 256 > (cum - n_tok) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_split
        |FROM p GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+    // stage boundaries between phases (the x_pipe5 lesson): extraction
+    // is a 17-step regex chain and each downstream phase consumes its
+    // output from MULTIPLE subtrees — unmaterialized, Catalyst
+    // re-extracts the whole crawl once per consumer (measured: 8.4 s
+    // composed vs ~5 s staged at sf0.1)
+    val stage = graft.util.TempDirs.scratch("graft_pipe6")
+    def materialize(d: DataFrame, name: String): DataFrame = {
+      d.write.mode("overwrite").parquet(s"$stage/$name")
+      s.read.parquet(s"$stage/$name")
+    }
     val pages = PipelineOps12.crawlPages(Tables(s, dir, "documents"))
-    val extracted = graft.api.Corpus.fromHtml(pages).df
-      .select(col("doc_id"), col("lang"), col("text"))
-    val gated = extracted.join(
+    val extracted = materialize(graft.api.Corpus.fromHtml(pages).df
+      .select(col("doc_id"), col("lang"), col("text")), "extracted")
+    val gated = materialize(extracted.join(
       PipelineOps13.repetitionSignals(extracted)
         .filter(col("keep") === 1).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val sel = gated.join(
+      Seq("doc_id"), "left_semi"), "gated")
+    val sel = materialize(gated.join(
       PipelineOps13.ppxBuckets(gated)
         .filter(col("bucket") =!= "tail").select(col("doc_id"), col("bucket")),
-      "doc_id")
+      "doc_id"), "sel")
     val placed = packPlacements(sel)
     sel.select(col("doc_id"), col("lang"), col("bucket"))
       .join(placed.select(col("doc_id"), col("n_tok"), col("is_split")), "doc_id")
