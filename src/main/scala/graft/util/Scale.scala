@@ -99,9 +99,12 @@ object Scale {
   private def adviseFrom(ca: DataFrame, cb: DataFrame,
       broadcastMaxRows: Long, skewRatio: Long, partitions: Int): JoinAdvice = {
     def stats(cells: DataFrame): (Long, Long) = {
+      // coalesce: an EMPTY side aggregates to NULLs (zero rows, zero
+      // heaviest key) — advice must degrade to broadcast, not NPE
       val r = cells.groupBy(col("r"))
         .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))
-        .agg(min(col("n")).as("n"), min(col("mx")).as("mx"))
+        .agg(coalesce(min(col("n")), lit(0L)).as("n"),
+          coalesce(min(col("mx")), lit(0L)).as("mx"))
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }

@@ -118,6 +118,24 @@ class EmptyInputSpec extends SparkSuite {
     assert(PipelineOps10.rateAnomalies(noEvents).count() == 0)
   }
 
+  test("round-9 operators are empty-safe (repetition, ppx, packing, mix, KN, advice)") {
+    import spark.implicits._
+    assert(graft.ext.PipelineOps13.repetitionSignals(emptyDocs).count() == 0)
+    assert(graft.ext.PipelineOps13.ppxBuckets(emptyDocs).count() == 0)
+    assert(graft.ext.PipelineOps14.packPlacements(emptyDocs).count() == 0)
+    val targets = Seq(("src0", 1000000L)).toDF("source", "target_ppm")
+    assert(graft.ext.PipelineOps14.mixturePlan(emptyDocs, targets).count() == 0)
+    assert(Corpus.fromHtml(emptyDocs.withColumnRenamed("text", "html")).df.count() == 0)
+    // KN tables from an empty corpus: empty index, loud nothing
+    val idx = graft.ext.KnLm.knIndex(emptyDocs)
+    assert(idx.v == 0L && idx.h3s.isEmpty && idx.bt == 0L)
+    // join advice with an EMPTY side degrades to broadcast, never NPEs
+    val adv = graft.util.Scale.adviseJoin(
+      emptyDocs.select(col("doc_id")), "doc_id",
+      (1L to 100L).toDF("doc_id"), "doc_id")
+    assert(adv.nA == 0L && adv.estJoin == 0L && adv.strategy == "broadcast_a")
+  }
+
   test("LM store round-trips an empty corpus (empty tables, not a crash)") {
     import graft.ext.LmStore
     val tmp = java.nio.file.Files.createTempDirectory("graft_lm_empty").toString

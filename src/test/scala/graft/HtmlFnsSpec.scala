@@ -63,6 +63,16 @@ class HtmlFnsSpec extends SparkSuite {
     assert(!graft.api.Corpus.fromHtml(pages).df.columns.contains("html"))
   }
 
+  test("fromHtml with htmlCol == \"text\" extracts in place, drops nothing") {
+    val pages = Seq((1L, "<body><nav>x</nav><p>kept words</p></body>", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.api.Corpus.fromHtml(pages, htmlCol = "text").df
+    assert(out.columns.toSet == Set("doc_id", "text", "lang"))
+    assert(out.collect()(0).getAs[String]("text") == "kept words")
+    val streamed = graft.streaming.DocStreams.htmlExtracted(pages, htmlCol = "text")
+    assert(streamed.collect()(0).getAs[String]("text") == "kept words")
+  }
+
   test("streaming extraction == batch extraction on the same pages") {
     val dir = "/root/testdata/sf0.001"
     def pages(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),

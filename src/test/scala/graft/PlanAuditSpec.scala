@@ -362,6 +362,28 @@ class PlanAuditSpec extends SparkSuite {
       s"raw-token-keyed STREAM exchange:\n$plan")
   }
 
+  test("x_txt23: gram payloads shuffle as digests, never gram strings") {
+    val df = SparkEntry.queries("x_txt23_gopher_repetition")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the gram-type aggregation must key on the 16-hex digest hg (the
+    // map side digests before the exchange); an exchange carrying the
+    // raw gram string g means the fixed-width-key discipline regressed
+    assert("hashpartitioning\\([^)]*\\bg#".r.findFirstIn(plan).isEmpty,
+      s"gram-string-keyed exchange:\n$plan")
+    assert(plan.contains("hg#"), plan)
+  }
+
+  test("x_pack6: packing windows partition by shard — no global funnel") {
+    val df = SparkEntry.queries("x_pack6_seq_packing")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(shard#"), plan)
+    // a partition-less window would move the whole corpus through one task
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window funnel:\n$plan")
+  }
+
   test("x_ret1: ranking pre-limits with WindowGroupLimit; term/query tables broadcast") {
     val df = SparkEntry.queries("x_ret1_bm25")(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
