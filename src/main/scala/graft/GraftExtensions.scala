@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfkc_casefold"),
       new ExpressionInfo(classOf[graft.functions.NfkcCasefold].getName, "nfkc_casefold"),
       (exprs: Seq[Expression]) => graft.functions.NfkcCasefold(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("repetition_signals"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName, "repetition_signals"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(exprs.head)))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -108,6 +112,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfkc_casefold",
       exprs => graft.functions.NfkcCasefold(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_signals",
+      exprs => graft.functions.RepetitionSignals(exprs.head), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

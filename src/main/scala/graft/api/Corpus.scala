@@ -840,12 +840,16 @@ final case class Corpus(df: DataFrame) {
     * through every cross-document dedup stage. Joined back by doc_id.
     */
   def withRepetitionSignals(): Corpus = chain { d =>
-    d.join(graft.ext.PipelineOps13.repetitionSignals(d), Seq("doc_id"), "left")
+    d.join(graft.ext.PipelineOps13.repetitionSignalsNative(d), Seq("doc_id"), "left")
   }
 
-  /** Drop documents failing the Gopher repetition thresholds. */
+  /** Drop documents failing the Gopher repetition thresholds. Routed
+    * through the native one-pass expression (x_txt23b: ~3× the
+    * declarative form, zero exchanges — every signal is a function of
+    * the row's own tokens).
+    */
   def filterByRepetition(): Corpus = chain { d =>
-    d.join(graft.ext.PipelineOps13.repetitionSignals(d)
+    d.join(graft.ext.PipelineOps13.repetitionSignalsNative(d)
         .filter(col("keep") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
   }
 

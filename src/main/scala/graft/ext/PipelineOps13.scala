@@ -106,8 +106,7 @@ object PipelineOps13 {
     * (segment duplication, top-2/3/4-gram shares, duplicated-5-gram
     * mass, the combined verdict).
     */
-  private val txt23 = Probe(
-    "x_txt23_gopher_repetition",
+  private lazy val repetitionOracleSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
        |seg0 AS (
@@ -165,8 +164,37 @@ object PipelineOps13 {
        |LEFT JOIN segs ON segs.doc_id = t.doc_id
        |LEFT JOIN topp ON topp.doc_id = t.doc_id
        |LEFT JOIN d5 ON d5.doc_id = t.doc_id
-       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+       |ORDER BY t.doc_id""".stripMargin
+
+  private val txt23 = Probe(
+    "x_txt23_gopher_repetition", repetitionOracleSql) { (s, dir) =>
     repetitionSignals(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** The NARROW per-row form of [[repetitionSignals]] — one JVM pass via
+    * the native `repetition_signals` expression, zero exchanges: the
+    * stream-door Gopher gate (`DocStreams.repetitionScored` runs exactly
+    * this). Identical output (x_txt23b shares x_txt23's oracle;
+    * RepetitionSignalsSpec pins native ≡ declarative ≡ interpreted).
+    */
+  def repetitionSignalsNative(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
+      .withColumn("__r", graft.functions.RepetitionSignals.repetition_signals(col("text")))
+      .select(col("doc_id"), col("__r.n_segs").as("n_segs"),
+        col("__r.dup_seg_ppm").as("dup_seg_ppm"),
+        col("__r.top2_ppm").as("top2_ppm"), col("__r.top3_ppm").as("top3_ppm"),
+        col("__r.top4_ppm").as("top4_ppm"), col("__r.dup5_ppm").as("dup5_ppm"),
+        col("__r.keep").as("keep"))
+  }
+
+  /** X-TXT23B — the native one-pass repetition gate against x_txt23's
+    * identical relational oracle: the stateless stream-door form is
+    * hash-pinned to the declarative five-table algebra.
+    */
+  private val txt23b = Probe(
+    "x_txt23b_repetition_native", repetitionOracleSql) { (s, dir) =>
+    repetitionSignalsNative(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
   // ------------------------------------ perplexity-bucketed curriculum
@@ -323,5 +351,5 @@ object PipelineOps13 {
       .orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(txt23, cur5, url1, url2)
+  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, url1, url2)
 }

@@ -256,7 +256,7 @@ object PipelineOps14 {
     val extracted = materialize(graft.api.Corpus.fromHtml(pages).df
       .select(col("doc_id"), col("lang"), col("text")), "extracted")
     val gated = materialize(extracted.join(
-      PipelineOps13.repetitionSignals(extracted)
+      PipelineOps13.repetitionSignalsNative(extracted)  // x_txt23b-pinned
         .filter(col("keep") === 1).select("doc_id"),
       Seq("doc_id"), "left_semi"), "gated")
     val sel = materialize(gated.join(

@@ -248,6 +248,15 @@ object DocStreams {
     docs.withColumn(urlCol,
       graft.clean.UrlFns.canonicalUrl(org.apache.spark.sql.functions.col(urlCol)))
 
+  /** Stream-capable Gopher repetition gate — x_txt23's signals as one
+    * narrow JVM pass per row (`repetition_signals`): zero state, zero
+    * shuffle, each micro-batch gates its own documents with EXACTLY the
+    * batch verdict (x_txt23b hash-pins the expression to the relational
+    * oracle).
+    */
+  def repetitionScored(docs: DataFrame): DataFrame =
+    graft.ext.PipelineOps13.repetitionSignalsNative(docs)
+
   /** Stream-capable BPE token accounting — x_tok1's subword counter as a
     * pure narrow native expression (checked-in vocabulary, per-executor
     * word memo): zero state, zero shuffle, each micro-batch annotates its
