@@ -77,7 +77,7 @@ class DedupSpec extends SparkSuite {
   test("connectedComponents with checkpointing: identical output, no cached-RDD leak") {
     import spark.implicits._
     import graft.ext.Dedup
-    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val ckDir = graft.util.TempDirs.scratch("graft-ck") // deleted at JVM exit
     spark.sparkContext.setCheckpointDir(ckDir)
     spark.catalog.clearCache() // isolate the leak assertion from prior tests
     // same 3-component graph as the plain test: a diameter-4 chain (so the
