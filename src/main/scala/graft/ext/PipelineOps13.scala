@@ -258,6 +258,68 @@ object PipelineOps13 {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** X-CUR6 — curriculum SCHEDULE: the x_cur5 buckets annealed across
+    * training epochs — epoch 0 admits head only, epoch 1 head+middle,
+    * epoch 2 everything (the easy-first curriculum schedule, built from
+    * the same deterministic pieces a loader consumes). Output is the
+    * per-(epoch, bucket) volume table a training plan is reviewed
+    * against. One cheap cross join of the bucketed frame with the
+    * 3-row epoch table; all selection algebra inherited from x_cur5.
+    */
+  private val cur6 = Probe(
+    "x_cur6_curriculum_schedule",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |u AS (
+       |  SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(ws) AS w FROM t) GROUP BY w),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |bg AS (${PipelineOps10.bigramsDuck("t")}),
+       |bc AS (SELECT substr(md5(b), 1, 16) AS hb, COUNT(*) AS c2 FROM bg GROUP BY hb),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    round(-SUM(ln((bc.c2 + 1) / (u.c1 + v.v))) / COUNT(*), 6) AS nll_avg
+       |  FROM bg
+       |  JOIN bc ON bc.hb = substr(md5(bg.b), 1, 16)
+       |  JOIN u ON u.w = bg.w1, v
+       |  GROUP BY bg.doc_id),
+       |lg AS (
+       |  SELECT sc.doc_id, d.lang, sc.nll_avg, len(t.ws) AS n_tok
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |  JOIN t ON t.doc_id = sc.doc_id),
+       |cuts AS (
+       |  SELECT lang,
+       |    round(percentile_cont(0.33) WITHIN GROUP (ORDER BY nll_avg), 6) AS p33,
+       |    round(percentile_cont(0.67) WITHIN GROUP (ORDER BY nll_avg), 6) AS p67
+       |  FROM lg GROUP BY lang),
+       |bk AS (
+       |  SELECT lg.doc_id, lg.lang, lg.n_tok,
+       |    CASE WHEN lg.nll_avg <= cuts.p33 THEN 0
+       |         WHEN lg.nll_avg <= cuts.p67 THEN 1 ELSE 2 END AS tier
+       |  FROM lg JOIN cuts ON cuts.lang = lg.lang)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch, CAST(bk.tier AS BIGINT) AS tier,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bk.n_tok) AS BIGINT) AS n_tokens
+       |FROM bk, UNNEST([0, 1, 2]) AS e(epoch)
+       |WHERE bk.tier <= e.epoch
+       |GROUP BY e.epoch, bk.tier ORDER BY e.epoch, tier""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val tiered = ppxBuckets(docs)
+      .withColumn("tier",
+        when(col("bucket") === "head", lit(0))
+          .when(col("bucket") === "middle", lit(1)).otherwise(lit(2)))
+      .join(docs.select(col("doc_id"),
+        size(CleanFns.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+    tiered
+      .crossJoin(broadcast(
+        s.range(3).select(col("id").cast("int").as("epoch"))))
+      .filter(col("tier") <= col("epoch"))
+      .groupBy("epoch", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+      .select(col("epoch").cast("long").as("epoch"), col("tier").cast("long").as("tier"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("epoch", "tier")
+  }
+
   // --------------------------------------------- URL canonicalization
 
   /** X-URL1 — URL canonicalization over synthetic crawl URLs built
@@ -351,5 +413,5 @@ object PipelineOps13 {
       .orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, url1, url2)
+  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2)
 }
