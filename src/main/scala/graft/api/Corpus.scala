@@ -948,11 +948,22 @@ object Corpus {
     * downstream length-based operator (length quantiles, PSI len_bin,
     * data card). Recompute it from the current `text`, preserving its
     * declared type; frames without the column pass through untouched.
+    * A carried `n_tok_bpe` ([[Corpus.withBpeTokenCount]]) is refreshed the
+    * same way — token-budget operators switch to it silently, so a stale
+    * count after `dedupSegments`/`fromHtml` would budget against the
+    * PRE-rewrite text (round-9 ADVICE).
     */
-  private[api] def refreshNChars(d: DataFrame): DataFrame =
-    if (d.columns.contains("n_chars"))
-      d.withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
-    else d
+  private[api] def refreshNChars(d: DataFrame): DataFrame = {
+    val chars =
+      if (d.columns.contains("n_chars"))
+        d.withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
+      else d
+    if (chars.columns.contains("n_tok_bpe")) {
+      graft.GraftExtensions.register(chars.sparkSession)
+      chars.withColumn("n_tok_bpe",
+        expr("bpe_count(text)").cast(chars.schema("n_tok_bpe").dataType))
+    } else chars
+  }
 
   /** Eval-side size regime for [[Corpus.decontaminate]]. */
   sealed trait EvalMode

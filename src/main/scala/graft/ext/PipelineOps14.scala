@@ -26,25 +26,48 @@ object PipelineOps14 {
     * `weight_ppm` column is exactly the map [[graft.api.Corpus.mixBySourceWeights]]
     * consumes. Shape: one source-keyed aggregation over the corpus; the
     * plan table is sources-sized (broadcast everywhere downstream).
-    * (Intermediates hold n_tokens·weight_ppm·1e6 — longs to ~10^16 at
-    * bench scales; a 100 TB run denominates in billions of tokens and
-    * would scale weight to per-mille first.)
+    *
+    * Intermediates (`target_ppm·T`, `n_tokens·weight_ppm·1e6`) are
+    * computed in DECIMAL(38,0) — the DuckDB oracle already computes them
+    * in 128-bit, and at the ~10^13-tokens-per-source corpus this
+    * docstring targets, Long arithmetic wraps silently in non-ANSI
+    * Spark (round-9 verdict #3). A degenerate source whose weight
+    * itself exceeds BIGINT (a handful of tokens asked to carry a large
+    * share of a 10^13-token corpus) raises loudly instead of wrapping.
     */
-  def mixturePlan(docs: DataFrame, targets: DataFrame): DataFrame = {
-    val tokS = docs
-      .select(col("source"), size(CleanFns.tokens(col("text"))).cast("long").as("n"))
-      .groupBy("source").agg(sum(col("n")).as("n_tokens"))
-    val tot = tokS.agg(sum(col("n_tokens")).as("t"))
+  def mixturePlan(docs: DataFrame, targets: DataFrame): DataFrame =
+    mixturePlanFromCounts(
+      docs
+        .select(col("source"), size(CleanFns.tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum(col("n")).as("n_tokens")),
+      targets)
+
+  /** [[mixturePlan]] from a prebuilt (source, n_tokens) count table —
+    * the entry point when token counts are already aggregated (or
+    * BPE-denominated via `n_tok_bpe`). All arithmetic DECIMAL(38,0).
+    */
+  def mixturePlanFromCounts(tokS: DataFrame, targets: DataFrame): DataFrame = {
+    val tot = tokS.agg(sum(col("n_tokens")).cast("decimal(38,0)").as("t"))
     val w = tokS
       .join(broadcast(targets), Seq("source"))
       .join(broadcast(tot))
-      .withColumn("share_ppm", expr("n_tokens * 1000000 DIV t"))
-      .withColumn("weight_ppm", expr("target_ppm * t DIV nullif(n_tokens, 0)"))
-    val denom = w.agg(sum(expr("n_tokens * weight_ppm")).as("d"))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)"))
+      // floor == truncating DIV here (all operands non-negative)
+      .withColumn("__w_dec", expr(
+        "CAST(floor(CAST(target_ppm AS DECIMAL(38,0)) * t / nullif(CAST(n_tokens AS DECIMAL(38,0)), 0)) AS DECIMAL(38,0))"))
+      .withColumn("weight_ppm", expr(
+        """CASE WHEN __w_dec > CAST(9223372036854775807 AS DECIMAL(38,0))
+          |THEN CAST(raise_error(concat('mixturePlan: weight_ppm overflows BIGINT for source ',
+          |     source, ' — rescale targets to per-mille or exclude degenerate sources')) AS BIGINT)
+          |ELSE CAST(__w_dec AS BIGINT) END""".stripMargin))
+    val denom = w.agg(
+      sum(expr("CAST(n_tokens AS DECIMAL(38,0)) * weight_ppm")).cast("decimal(38,0)").as("d"))
     w.join(broadcast(denom))
       .select(col("source"), col("n_tokens"), col("share_ppm"),
         col("target_ppm").cast("long").as("target_ppm"), col("weight_ppm"),
-        expr("n_tokens * weight_ppm * 1000000 DIV nullif(d, 0)").as("achieved_ppm"))
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * weight_ppm * 1000000 DIV nullif(d, 0) AS BIGINT)")
+          .as("achieved_ppm"))
   }
 
   /** X-MIX5 — the mixture plan over the documents table with a

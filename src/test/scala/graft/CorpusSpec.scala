@@ -459,6 +459,29 @@ class CorpusSpec extends SparkSuite {
     assert(out.map(_.getAs[String]("lang")).toSeq == Seq("en", "de"))
   }
 
+  test("text-rewriting stages refresh a carried n_tok_bpe (token budgets never see stale counts)") {
+    val s = spark
+    import s.implicits._
+    GraftExtensions.register(s)
+    def w(n: Int, tag: String): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val a = w(16, "a"); val b = w(16, "b")
+    // doc 1 halves under intra-doc segment dedup; doc 2 is untouched
+    val docs = Seq((1L, s"$a $b $a $b", "en", "web", 10L), (2L, b, "de", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus(docs).withBpeTokenCount().dedupSegmentsIntra().df
+      .withColumn("expect", expr("CAST(bpe_count(text) AS BIGINT)"))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tok_bpe") == r.getAs[Long]("expect"),
+        s"stale n_tok_bpe after rewrite for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // and the count genuinely shrank for the rewritten doc
+    val fresh = Corpus(docs).withBpeTokenCount().df
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n_tok_bpe"))
+    assert(out(0).getAs[Long]("n_tok_bpe") < fresh(0))
+    assert(out(1).getAs[Long]("n_tok_bpe") == fresh(1))
+  }
+
   test("capPerGroup matches x_cur2; withBoilerplateScore matches x_txt13 ppm") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir, "documents")

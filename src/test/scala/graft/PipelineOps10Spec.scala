@@ -43,6 +43,27 @@ class PipelineOps10Spec extends SparkSuite {
 
   // ---------------------------------------------------------------- BM25
 
+  test("lmSelfScore with a non-covering unigram table raises loudly instead of diluting nll") {
+    // self-score algebra requires uni to cover every scored w1; a partial
+    // table used to leave lnp NULL (sum drops it, count keeps the row —
+    // silent dilution, round-9 ADVICE). Now it raises.
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws"))
+    val partialUni = Seq(("alpha", 1L)).toDF("w", "c1") // missing beta
+    val e = intercept[Exception] {
+      PipelineOps10.lmSelfScoreTokWith(tok, partialUni).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("does not cover")), e.getMessage)
+    // and a covering table still works: identical to the one-arg form
+    val full = PipelineOps10.lmSelfScoreTok(tok).collect().toSeq
+    val cover = tok.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val withUni = PipelineOps10.lmSelfScoreTokWith(tok, cover).collect().toSeq
+    assert(full == withUni && full.nonEmpty)
+  }
+
   test("bm25TopK: a near-copy of the query document ranks first") {
     val base = (10L to 40L).map(i => (i, s"filler words number $i about nothing shared"))
     val query = Seq((1L, "quantum entanglement drives spooky correlation experiments"))

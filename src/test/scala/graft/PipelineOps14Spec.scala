@@ -49,6 +49,43 @@ class PipelineOps14Spec extends SparkSuite {
     }
   }
 
+  test("mixturePlan at 10^13-token sources: DECIMAL intermediates stay exact where Long wraps") {
+    // target_ppm * T = 6e5 * 2.5e13 = 1.5e19 > Long.MAX — the round-9
+    // overflow hazard; the oracle-side (DuckDB) math is 128-bit, so the
+    // Spark side must match BigInt exactly, not wrap.
+    val counts = Seq(("a", 20000000000000L), ("b", 5000000000000L))
+      .toDF("source", "n_tokens")
+    val t = Seq(("a", 600000L), ("b", 400000L)).toDF("source", "target_ppm")
+    val out = PipelineOps14.mixturePlanFromCounts(counts, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // independent BigInt recomputation
+    val T = BigInt(25000000000000L)
+    val wA = BigInt(600000) * T / BigInt(20000000000000L)
+    val wB = BigInt(400000) * T / BigInt(5000000000000L)
+    val denom = BigInt(20000000000000L) * wA + BigInt(5000000000000L) * wB
+    assert(out("a").getAs[Long]("weight_ppm") == wA.toLong)
+    assert(out("b").getAs[Long]("weight_ppm") == wB.toLong)
+    assert(out("a").getAs[Long]("share_ppm") == 800000L)
+    assert(out("a").getAs[Long]("achieved_ppm") ==
+      (BigInt(20000000000000L) * wA * 1000000 / denom).toLong)
+    assert(out("b").getAs[Long]("achieved_ppm") ==
+      (BigInt(5000000000000L) * wB * 1000000 / denom).toLong)
+  }
+
+  test("mixturePlan degenerate source: weight beyond BIGINT raises loudly, never wraps") {
+    // a 1-token source asked to carry half a 2e13-token corpus:
+    // weight = 5e5 * 2e13 = 1e19 > Long.MAX -> raise_error, not wraparound
+    val counts = Seq(("tiny", 1L), ("big", 20000000000000L))
+      .toDF("source", "n_tokens")
+    val t = Seq(("tiny", 500000L), ("big", 500000L)).toDF("source", "target_ppm")
+    val e = intercept[Exception] {
+      PipelineOps14.mixturePlanFromCounts(counts, t).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("overflows BIGINT")), e.getMessage)
+  }
+
   test("plan -> mixBySourceWeights composition moves shares toward the target") {
     // MANY docs per source: fractional replication is a per-doc
     // deterministic coin, which only averages out across documents
