@@ -13,16 +13,26 @@ import org.apache.spark.sql.functions._
   * which agree).
   *
   * Rules, in order:
+  *   0. collapse SOURCE whitespace runs (incl. formatting newlines) to
+  *      one space — markup newlines are layout, not structure; after
+  *      this rule the only newlines in the value are the block
+  *      boundaries rule 5a inserts
   *   1. drop script / style / noscript elements WITH content
   *   2. drop HTML comments
   *   3. drop the head element (script/style inside it already gone)
   *   4. drop boilerplate chrome elements with content: nav, header,
   *      footer, aside — the nav-chrome/footer rules of a crawl extractor
-  *   5. every remaining tag → one space (block structure collapses;
-  *      the downstream tokenizer splits on whitespace runs anyway)
+  *   5a. block-boundary tags (open or close: p, br, li, div, h1–h6, tr)
+  *      → one NEWLINE — the Gopher/CCNet "line" unit is the block
+  *      element, so duplicate-LINE statistics and line-level dedup see
+  *      real lines instead of a word-window proxy (round-9 verdict #3)
+  *   5b. every other remaining tag → one space
   *   6. decode the fixed entity set &nbsp; &lt; &gt; &quot; &#39; &amp;
   *      (&amp; LAST, so "&amp;lt;" decodes to the literal "&lt;", not "<")
-  *   7. collapse whitespace runs, trim
+  *   7. line-aware whitespace normalization: whitespace runs containing
+  *      a newline → one newline (no empty lines, no spaces at line
+  *      edges), space runs within a line → one space, then strip
+  *      leading/trailing whitespace
   *
   * Caveat (documented, deterministic): element-removal rules are
   * non-greedy first-close matches, so a nested same-tag element
@@ -46,31 +56,45 @@ object HtmlFns {
 
   private def elem(tag: String): String = s"(?is)<$tag\\b[^>]*>.*?</$tag>"
 
+  /** Open OR close tag of any block-level element: each is a line
+    * boundary (rule 5a). `br` has no close; self-closing `<br/>` matches
+    * via `[^>]*`.
+    */
+  private val blockTag = "(?is)</?(p|br|li|div|h[1-6]|tr)\\b[^>]*>"
+
   /** Extracted text of an HTML column — the Spark rendering. */
   def htmlToText(c: Column): Column = {
-    var out = c
+    var out = regexp_replace(c, "\\s+", " ")
     for (t <- dropElements) out = regexp_replace(out, elem(t), " ")
     out = regexp_replace(out, "(?s)<!--.*?-->", " ")
     out = regexp_replace(out, elem("head"), " ")
     for (t <- chromeElements) out = regexp_replace(out, elem(t), " ")
+    out = regexp_replace(out, blockTag, "\n")
     out = regexp_replace(out, "(?s)<[^>]*>", " ")
     for ((e, r) <- entities) out = replace(out, lit(e), lit(r))
-    trim(regexp_replace(out, "\\s+", " "))
+    out = regexp_replace(out, "\\s*\\n\\s*", "\n")
+    out = regexp_replace(out, "[ ]+", " ")
+    regexp_replace(out, "(^\\s+)|(\\s+$)", "")
   }
 
   /** The identical chain in DuckDB's dialect, for oracles. */
   def htmlToTextDuck(e: String): String = {
     var out = e
-    def re(p: String): Unit = out = s"regexp_replace($out, '$p', ' ', 'g')"
+    def re(p: String, repl: String = "' '"): Unit =
+      out = s"regexp_replace($out, '$p', $repl, 'g')"
+    re("\\s+")
     for (t <- dropElements) re(elem(t))
     re("(?s)<!--.*?-->")
     re(elem("head"))
     for (t <- chromeElements) re(elem(t))
+    re(blockTag, "chr(10)")
     re("(?s)<[^>]*>")
     for ((en, r) <- entities) {
       val rr = if (r == "'") "''" else r
       out = s"replace($out, '$en', '$rr')"
     }
-    s"trim(regexp_replace($out, '\\s+', ' ', 'g'))"
+    re("\\s*\\n\\s*", "chr(10)")
+    re("[ ]+")
+    s"regexp_replace($out, '(^\\s+)|(\\s+$$)', '', 'g')"
   }
 }

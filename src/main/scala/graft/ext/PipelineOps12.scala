@@ -107,6 +107,69 @@ object PipelineOps12 {
       .orderBy("lang")
   }
 
+  /** The planted duplicated-chrome page of x_html3: a promo paragraph
+    * repeated above AND below the article body — the boilerplate shape
+    * (subscribe banners, cookie notices) that line-level statistics are
+    * designed to catch. Shared template, rendered by both engines.
+    */
+  private val promoPage = (
+    "<html><body><p>Subscribe to our newsletter today</p><div>",
+    "</div><p>Subscribe to our newsletter today</p></body></html>")
+
+  /** X-HTML3 — duplicate-LINE statistics on block-structured extraction
+    * (round-9 verdict #3's "done" probe): pages carry a planted promo
+    * paragraph twice; extraction preserves block boundaries as newlines,
+    * so line-aware segmentation ([[PipelineOps8.segmentsAuto]]) counts
+    * the repeated promo LINE (`dup_line_ppm` > 0 for every page), while
+    * the 16-word-window proxy ([[PipelineOps8.segments]]) straddles the
+    * promo/body boundaries and misses it. Both counts are produced and
+    * oracle-checked side by side; HtmlFnsSpec asserts the planted
+    * catch/miss contrast.
+    */
+  private val html3 = Probe(
+    "x_html3_dup_lines",
+    s"""WITH h AS (
+       |  SELECT doc_id, '${promoPage._1}' || text || '${promoPage._2}' AS html
+       |  FROM documents),
+       |x AS (SELECT doc_id, ${HtmlFns.htmlToTextDuck("html")} AS text FROM h),
+       |t AS (SELECT doc_id, text, ${CleanFns.tokensDuck("text")} AS ws FROM x),
+       |ln AS (SELECT doc_id, ${PipelineOps8.segsAutoDuck} AS segs FROM t),
+       |lc AS (
+       |  SELECT doc_id, seg, COUNT(*) AS c
+       |  FROM ln, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),
+       |lstat AS (
+       |  SELECT doc_id, SUM(c) AS n_lines,
+       |         SUM(c - 1) * 1000000 // SUM(c) AS dup_line_ppm
+       |  FROM lc GROUP BY doc_id),
+       |wsg AS (
+       |  SELECT doc_id, ${PipelineOps8.segsDuck} AS segs FROM t WHERE len(ws) > 0),
+       |wc AS (
+       |  SELECT doc_id, seg, COUNT(*) AS c
+       |  FROM wsg, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),
+       |wstat AS (
+       |  SELECT doc_id, SUM(c) AS n_word_segs,
+       |         SUM(c - 1) * 1000000 // SUM(c) AS dup_word_ppm
+       |  FROM wc GROUP BY doc_id)
+       |SELECT lstat.doc_id,
+       |  CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(dup_line_ppm AS BIGINT) AS dup_line_ppm,
+       |  CAST(n_word_segs AS BIGINT) AS n_word_segs,
+       |  CAST(dup_word_ppm AS BIGINT) AS dup_word_ppm
+       |FROM lstat JOIN wstat ON wstat.doc_id = lstat.doc_id
+       |ORDER BY lstat.doc_id""".stripMargin) { (s, dir) =>
+    val pages = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(lit(promoPage._1), col("text"), lit(promoPage._2)).as("html"))
+    val x = graft.api.Corpus.fromHtml(pages).df
+    def dupStats(seg: DataFrame, nName: String, ppmName: String) = seg
+      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as(nName),
+        expr("sum(c - 1) * 1000000 DIV sum(c)").as(ppmName))
+    dupStats(PipelineOps8.segmentsAuto(x), "n_lines", "dup_line_ppm")
+      .join(dupStats(PipelineOps8.segments(x), "n_word_segs", "dup_word_ppm"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** X-SKT6 — the join ADVISOR wired to the x_skt4 primitive
     * ([[graft.util.Scale.adviseJoin]]): side counts, count-min join-size
     * estimate, per-side heaviest-key upper bounds, and the
@@ -216,5 +279,5 @@ object PipelineOps12 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(html1, html2, skt6, pack5, mix4)
+  val all: Seq[Probe] = Seq(html1, html2, html3, skt6, pack5, mix4)
 }

@@ -21,9 +21,11 @@ object PipelineOps13 {
   /** Per-document repetition signals, all exact-integer ppm:
     *
     *   - `dup_seg_ppm`: occurrences beyond the first of each repeated
-    *     16-word segment / total segments (the dup-line fraction, on the
-    *     corpus's newline-free synthetic text — segments stand in for
-    *     lines exactly as in x_ded18).
+    *     segment / total segments — the Gopher duplicate-LINE fraction.
+    *     Segments are REAL LINES when the text carries newline structure
+    *     (block-preserving HTML extraction emits one line per block
+    *     element), and the 16-word proxy on newline-free text
+    *     ([[PipelineOps8.segmentsAuto]], round-9 verdict #3).
     *   - `top{2,3,4}_ppm`: the most frequent n-gram's character mass
     *     (count × gram length, single-space joined) / the total n-gram
     *     position character mass — Gopher's "fraction of characters in
@@ -51,7 +53,7 @@ object PipelineOps13 {
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), CleanFns.tokens(col("text")).as("ws"))
     val base = tok.select(col("doc_id"))
-    val segStats = PipelineOps8.segments(docs)
+    val segStats = PipelineOps8.segmentsAuto(docs)
       .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_segs"), sum(col("c") - 1).as("n_seg_dup"))
@@ -108,12 +110,9 @@ object PipelineOps13 {
     */
   private lazy val repetitionOracleSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |  SELECT doc_id, text, ${CleanFns.tokensDuck("text")} AS ws FROM documents),
        |seg0 AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(1, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
-       |                   k -> array_to_string(ws[((k - 1) * 16 + 1):(k * 16)], ' ')) AS segs
-       |  FROM t WHERE len(ws) > 0),
+       |  SELECT doc_id, ${PipelineOps8.segsAutoDuck} AS segs FROM t),
        |segc AS (
        |  SELECT doc_id, seg, COUNT(*) AS c
        |  FROM seg0, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),

@@ -177,12 +177,9 @@ object PipelineOps14 {
        |  SELECT doc_id, lang, ${PipelineOps12.crawlHtmlDuck} AS html FROM documents),
        |x AS (SELECT doc_id, lang,
        |             ${graft.clean.HtmlFns.htmlToTextDuck("html")} AS text FROM h),
-       |t AS (SELECT doc_id, lang, ${CleanFns.tokensDuck("text")} AS ws FROM x),
+       |t AS (SELECT doc_id, lang, text, ${CleanFns.tokensDuck("text")} AS ws FROM x),
        |seg0 AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(1, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
-       |                   k -> array_to_string(ws[((k - 1) * 16 + 1):(k * 16)], ' ')) AS segs
-       |  FROM t WHERE len(ws) > 0),
+       |  SELECT doc_id, ${PipelineOps8.segsAutoDuck} AS segs FROM t),
        |segc AS (
        |  SELECT doc_id, seg, COUNT(*) AS c
        |  FROM seg0, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),

@@ -25,13 +25,45 @@ object PipelineOps8 {
     * plumbing (segment → first-occurrence window → ordered reassembly) is
     * exactly the line-dedup stage of a web-crawl pipeline.
     */
-  private def segsSpark: Column = expr(
-    s"""transform(sequence(1, CAST(ceil(size(ws) / $segWords.0) AS INT)),
-       |  k -> concat_ws(' ', slice(ws, (k - 1) * $segWords + 1, $segWords)))""".stripMargin)
+  private def segsSpark: Column = expr(segsSparkSql)
 
-  private def segsDuck: String =
+  private[ext] def segsDuck: String =
     s"""list_transform(generate_series(1, CAST(ceil(len(ws) / $segWords.0) AS BIGINT)),
        |  k -> array_to_string(ws[((k - 1) * $segWords + 1):(k * $segWords)], ' '))""".stripMargin
+
+  /** LINE-AWARE segment array (round-9 verdict #3): when the text
+    * carries newline structure (block-preserving [[graft.clean.HtmlFns]]
+    * extraction), segments are the real non-empty LINES — the unit the
+    * Gopher/CCNet duplicate-line statistics are defined on; otherwise
+    * the 16-word proxy. Expects `text` AND `ws` in scope; empty-token
+    * newline-free docs yield an empty array (callers filter).
+    */
+  private[ext] def segsAutoSpark: Column = expr(
+    s"""CASE WHEN contains(text, '\\n')
+       |  THEN filter(split(text, '\\n', -1), sg -> length(sg) > 0)
+       |  WHEN size(ws) > 0 THEN ${segsSparkSql}
+       |  ELSE filter(array(''), sg -> false) END""".stripMargin)
+
+  private def segsSparkSql: String =
+    s"""transform(sequence(1, CAST(ceil(size(ws) / $segWords.0) AS INT)),
+       |  k -> concat_ws(' ', slice(ws, (k - 1) * $segWords + 1, $segWords)))""".stripMargin
+
+  /** DuckDB twin of [[segsAutoSpark]] (`text`, `ws` in scope). */
+  private[ext] def segsAutoDuck: String =
+    s"""CASE WHEN contains(text, chr(10))
+       |  THEN list_filter(string_split(text, chr(10)), sg -> sg <> '')
+       |  WHEN len(ws) > 0 THEN $segsDuck
+       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  /** (doc_id, n_segs, seg_idx, seg) under the line-aware segmentation —
+    * the [[segments]] shape with real lines when present.
+    */
+  def segmentsAuto(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("text"), CleanFns.tokens(col("text")).as("ws"))
+    .select(col("doc_id"), segsAutoSpark.as("segs"))
+    .filter(size(col("segs")) > 0)
+    .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+      posexplode(col("segs")).as(Seq("seg_idx", "seg")))
 
   /** X-DED18 — cross-document SEGMENT dedup with document reconstruction
     * (the "remove duplicated lines across the crawl, keep the rest of the

@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Returns `struct(n_segs, dup_seg_ppm, top2_ppm, top3_ppm, top4_ppm,
   * dup5_ppm BIGINT, keep INT)` with EXACTLY the declarative semantics:
-  * 16-word segments, n-gram types keyed by the 16-hex md5 digest
+  * line-aware segments (real non-empty lines when the text has newline
+  * structure, 16-word chunks otherwise), n-gram types keyed by the
+  * 16-hex md5 digest
   * (collision behavior identical by construction), top-gram tie-break
   * by digest DESCENDING, beyond-first duplicated mass, ppm by
   * truncating division, the published Gopher thresholds.
@@ -76,22 +78,36 @@ object RepetitionSignals {
   }
 
   def compute(text: UTF8String): InternalRow = {
-    val words = Tok.split(text.toString)
+    val str = text.toString
+    val words = Tok.split(str)
     val digest = md5.get()
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     def h(s: String): String = { digest.reset(); hex16(digest.digest(s.getBytes(utf8))) }
 
-    // 16-word segments (the x_ded18 segmentation), duplicate counting
+    // line-aware segments (PipelineOps8.segmentsAuto): real non-empty
+    // LINES when the text carries newline structure (block-preserving
+    // extraction), the 16-word proxy otherwise — identical to the
+    // declarative algebra by construction
+    val segs: Array[String] =
+      if (str.indexOf('\n') >= 0) str.split("\n", -1).filter(_.nonEmpty)
+      else if (words.nonEmpty) {
+        val out = new Array[String]((words.length + 15) / 16)
+        var i = 0
+        while (i < out.length) {
+          out(i) = words.slice(i * 16, math.min(i * 16 + 16, words.length)).mkString(" ")
+          i += 1
+        }
+        out
+      } else Array.empty[String]
     var nSegs = 0L
     var dupSegPpm = 0L
-    if (words.nonEmpty) {
+    if (segs.nonEmpty) {
       val segCounts = new java.util.HashMap[String, Long]()
       var i = 0
-      while (i < words.length) {
-        val seg = words.slice(i, math.min(i + 16, words.length)).mkString(" ")
-        segCounts.merge(seg, 1L, (a, b) => a + b)
+      while (i < segs.length) {
+        segCounts.merge(segs(i), 1L, (a, b) => a + b)
         nSegs += 1
-        i += 16
+        i += 1
       }
       var dup = 0L
       val it = segCounts.values().iterator()

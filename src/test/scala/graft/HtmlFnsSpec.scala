@@ -42,8 +42,10 @@ class HtmlFnsSpec extends SparkSuite {
   }
 
   test("comments drop; whitespace runs collapse; output is trimmed") {
+    // source newlines are layout (collapsed); block tags are the ONLY
+    // newline source, so the two <p> blocks land on separate lines
     assert(extract("  <p>a</p> <!-- tracking\n pixel --> \n\t <p>b\n\nc</p> ")
-      == "a b c")
+      == "a\nb c")
   }
 
   test("documented caveat: nested same-tag element truncates at inner close") {
@@ -51,7 +53,40 @@ class HtmlFnsSpec extends SparkSuite {
     // </header>, so the tail of the outer element survives as text —
     // deterministic, identical in both engines (HtmlFns scaladoc)
     assert(extract("<header>outer <header>inner</header> tail</header><p>x</p>")
-      == "tail x")
+      == "tail\nx")
+  }
+
+  test("block-level tags emit line boundaries; inline tags emit spaces") {
+    // p/br/li/div/h1-6/tr are boundaries (open or close, self-closing
+    // included); b/em/span/a are not — Gopher/CCNet line statistics see
+    // real lines (round-9 verdict #3)
+    assert(extract("<p>one <b>bold</b> line</p><p>two</p>") == "one bold line\ntwo")
+    assert(extract("first<br/>second<br>third") == "first\nsecond\nthird")
+    assert(extract("<ul><li>alpha</li><li>beta</li></ul><h2>head</h2><div>body</div>")
+      == "alpha\nbeta\nhead\nbody")
+    assert(extract("<table><tr><td>r1c1</td><td>r1c2</td></tr><tr><td>r2</td></tr></table>")
+      == "r1c1 r1c2\nr2")
+    // no empty lines, no spaces at line edges
+    assert(extract("<p> padded </p>\n\n<p></p><p>next</p>") == "padded\nnext")
+  }
+
+  test("planted duplicated promo paragraph: caught by dup-LINE count, missed by word-window proxy") {
+    val s = spark
+    import s.implicits._
+    // the x_html3 contrast on a hand-planted page: the promo <p> repeats
+    // above and below a 40-word body
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val page = s"<html><body><p>Subscribe to our newsletter today</p><div>$body</div>" +
+      "<p>Subscribe to our newsletter today</p></body></html>"
+    val x = graft.api.Corpus.fromHtml(Seq((1L, page)).toDF("doc_id", "html")).df
+    val lines = graft.ext.PipelineOps8.segmentsAuto(x)
+      .groupBy("doc_id", "seg").count().collect()
+    // 3 lines: promo (x2, ONE group with count 2) + body
+    assert(lines.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+    val words = graft.ext.PipelineOps8.segments(x)
+      .groupBy("doc_id", "seg").count().collect()
+    // 50 tokens -> 4 word-window segments, all distinct: the proxy misses
+    assert(words.length == 4 && words.forall(_.getLong(2) == 1L))
   }
 
   test("Corpus.fromHtml extracts text, drops markup column, refreshes n_chars") {
