@@ -24,6 +24,7 @@ object Registry {
     ext.PipelineOps12.all ++
     ext.PipelineOps13.all ++
     ext.PipelineOps14.all ++
+    ext.PipelineOps15.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.KnLm.all ++

@@ -641,6 +641,22 @@ final case class Corpus(df: DataFrame) {
     * `PipelineOps6.takeTokenBudgetSharded(df, g, col("n_tok_bpe"), b)`
     * or [[lengthBatches]]' tokens argument.
     */
+  /** Encoding repair (x_enc1): the deterministic ftfy-lite chain of
+    * [[graft.clean.EncodingFns]] — BOM strip, the cp1252-mojibake common
+    * table, C1-control drop — run before any text statistic. One narrow
+    * zero-exchange projection per pass; `passes = 2` unwinds DOUBLE
+    * encodings ("ÃƒÂ©" → "Ã©" → "é" — the table repairs one encoding
+    * level per application). A carried `n_chars`/`n_tok_bpe` is
+    * refreshed to describe the REPAIRED text. Streaming twin:
+    * [[graft.streaming.DocStreams.encodingRepaired]].
+    */
+  def repairEncoding(passes: Int = 1): Corpus = chain { d =>
+    require(passes >= 1 && passes <= 3, s"passes must be in [1, 3]; got $passes")
+    val repaired = (1 to passes).foldLeft(col("text"))((c, _) =>
+      graft.clean.EncodingFns.repairEncoding(c))
+    Corpus.refreshNChars(d.withColumn("text", repaired))
+  }
+
   def withBpeTokenCount(): Corpus = chain { d =>
     GraftExtensions.register(d.sparkSession)
     d.withColumn("n_tok_bpe", expr("CAST(bpe_count(text) AS BIGINT)"))

@@ -238,6 +238,15 @@ object DocStreams {
     if (htmlCol == "text") extracted else extracted.drop(htmlCol)
   }
 
+  /** Stream-capable encoding repair — [[graft.clean.EncodingFns]]'s
+    * ftfy-lite chain (x_enc1) at the stream door: narrow per-row
+    * replaces, zero state, so damaged crawl text is repaired before any
+    * stateful stage sees it.
+    */
+  def encodingRepaired(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, graft.clean.EncodingFns.repairEncoding(
+      org.apache.spark.sql.functions.col(textCol)))
+
   /** Stream-capable URL canonicalization — the frontier-dedup key
     * (x_url1's [[graft.clean.UrlFns.canonicalUrl]] chain) computed at
     * the stream door: a narrow per-row regex/array chain, zero state,
