@@ -21,12 +21,20 @@ import org.apache.spark.sql.functions._
   *     function, and `decodeWavStats` parses them back with a
   *     from-scratch RIFF chunk walker and computes exact integer signal
   *     statistics (x_mm4).
-  *   - video codecs are NOT in this container, so that decode remains a
-  *     clearly-marked deterministic fake (`extractFeatures`,
-  *     `resizeStub`) — but the Spark-side plumbing is real: the schema
-  *     convention, the Dataset[MediaRow] encoder, the mapPartitions batch
-  *     shape (one codec init per partition, NOT per row — the pattern
-  *     that matters at 100 TB), and the metadata-only pushdown path.
+  *   - multi-frame GIF video (round 10): REAL — `gifTable` encodes
+  *     ANIMATED GIF bytes (javax.imageio with an explicit 256-gray
+  *     palette, public JDK) from a closed-form per-frame pixel function,
+  *     and `decodeGifFrameStats` walks every stored frame back out and
+  *     computes exact integer per-frame statistics with temporal frame
+  *     sampling (x_mm5) — the frame-fan-out plumbing of x_mm3, now
+  *     pixel-backed.
+  *   - heavyweight video codecs (H.264 etc.) are NOT in this container,
+  *     so the generic `extractFeatures`/`resizeStub` remain
+  *     clearly-marked deterministic fakes — but the Spark-side plumbing
+  *     is real: the schema convention, the Dataset[MediaRow] encoder,
+  *     the mapPartitions batch shape (one codec init per partition, NOT
+  *     per row — the pattern that matters at 100 TB), and the
+  *     metadata-only pushdown path.
   */
 object Multimodal {
 
@@ -385,6 +393,139 @@ object Multimodal {
     decodeWavStats(wavTable(s, dir)).toDF().orderBy("doc_id")
   }
 
+  case class GifFrameStats(doc_id: Long, n_frames: Long, frame_idx: Long,
+      width: Long, height: Long, sum_gray: Long, n_bright: Long)
+
+  /** Deterministic multi-frame (animated) GIF per document, as REAL GIF
+    * bytes written frame-by-frame through `ImageIO`'s sequence writer —
+    * the video analogue of x_mm2b's PNG and x_mm4's WAV: F = 2 + id%4
+    * frames of (8 + id%5) × (8 + id%3) 8-bit pixels, frame f's pixel
+    * v(f,x,y) = (id·31 + f·59 + x·7 + y·13) % 256. The palette is an
+    * EXPLICIT 256-entry grayscale IndexColorModel, so the palette-indexed
+    * LZW encoding is lossless in gray value regardless of how the writer
+    * organizes indices — the closed form survives the codec and the
+    * oracle recomputes it relationally. One writer init per partition.
+    */
+  def gifTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (8 + id % 3).toInt
+          val nf = (2 + id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, ((id * 31 + f * 59 + x * 7 + y * 13) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          val bytes = bos.toByteArray
+          digest.reset()
+          val sha = digest.digest(bytes).take(4).map("%02x".format(_)).mkString
+          MediaRow(id, bytes, MediaMeta("image/gif", bytes.length.toLong, sha))
+        }
+      }
+  }
+
+  /** REAL multi-frame decode with temporal sampling: open each row's GIF
+    * with `ImageIO`'s reader, count the STORED frames, decode every
+    * `step`-th frame, and compute exact integer per-frame gray
+    * statistics. Gray values are read through `getRGB` (palette →
+    * color → gray), so the stats are index-layout-independent — only
+    * the 256-gray palette matters, not how the encoder ordered it.
+    * One reader init per partition; one media row fans out to its
+    * sampled frames (the x_mm3 explode shape, pixel-backed).
+    */
+  def decodeGifFrameStats(media: Dataset[MediaRow], step: Int = 2): Dataset[GifFrameStats] = {
+    import media.sparkSession.implicits._
+    require(step >= 1, s"step must be >= 1; got $step")
+    media.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        reader.setInput(iis, false)
+        val nf = reader.getNumImages(true)
+        require(nf >= 1, s"doc ${r.doc_id}: no GIF frames")
+        val out = (0 until nf by step).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var bright = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xff // gray palette: r == g == b
+              sum += v
+              if (v >= 128) bright += 1
+              x += 1
+            }
+            y += 1
+          }
+          GifFrameStats(r.doc_id, nf.toLong, f.toLong, w.toLong, h.toLong, sum, bright)
+        }
+        iis.close()
+        out
+      }
+    }
+  }
+
+  /** X-MM5 — the FRAME-BACKED video pipeline (the last multimodal stub
+    * falls): real animated-GIF encode → real multi-frame decode with
+    * temporal sampling (every 2nd frame) → exact integer per-frame
+    * pixel stats, hash-matched against a DuckDB oracle recomputing the
+    * generating closed form relationally (indexed-GIF losslessness over
+    * a grayscale palette is the bridge, as PNG's and PCM's were).
+    */
+  private val mm5 = Probe(
+    "x_mm5_gif_frame_stats",
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+      |         2 + doc_id % 4 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, w, h, nf, f
+      |  FROM dims, UNNEST(generate_series(0, nf - 1, 2)) AS t(f)),
+      |px AS (
+      |  SELECT doc_id, nf, f, w, h,
+      |         (doc_id * 31 + f * 59 + x * 7 + y * 13) % 256 AS v
+      |  FROM fr,
+      |       UNNEST(generate_series(0, w - 1)) AS tx(x),
+      |       UNNEST(generate_series(0, h - 1)) AS ty(y))
+      |SELECT doc_id,
+      |  CAST(nf AS BIGINT) AS n_frames, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum(v) AS BIGINT) AS sum_gray,
+      |  CAST(count(CASE WHEN v >= 128 THEN 1 END) AS BIGINT) AS n_bright
+      |FROM px GROUP BY doc_id, nf, f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    decodeGifFrameStats(gifTable(s, dir)).toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** STUB resize: a real implementation decodes, scales, re-encodes. The
     * deterministic fake preserves the plumbing contract: metadata-driven,
     * per-row, output carries the requested dimensions plus a content tag.
@@ -400,5 +541,5 @@ object Multimodal {
     }
   }
 
-  val all: Seq[Probe] = Seq(mm1, mm2, mm2b, mm3, mm4)
+  val all: Seq[Probe] = Seq(mm1, mm2, mm2b, mm3, mm4, mm5)
 }

@@ -113,6 +113,39 @@ class MultimodalSpec extends SparkSuite {
     assert(out.sum_abs == 100L + 200 + 300 + 32768 + 32767)
   }
 
+  test("gifTable emits real multi-frame GIF bytes; sampled frame stats == closed form") {
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.gifTable(spark, dir)
+    // genuine GIF container bytes
+    val first = media.orderBy("doc_id").head()
+    assert(new String(first.content.take(6), "US-ASCII").startsWith("GIF8"))
+    assert(first.meta.mime == "image/gif")
+    // every sampled frame's stats equal the generating closed form
+    val got = Multimodal.decodeGifFrameStats(media).collect()
+      .map(s => (s.doc_id, s.frame_idx) -> s).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { s =>
+      val id = s.doc_id
+      assert(s.width == 8 + id % 5 && s.height == 8 + id % 3)
+      assert(s.n_frames == 2 + id % 4)
+      assert(s.frame_idx % 2 == 0) // temporal sampling: every 2nd frame
+      var sum = 0L; var bright = 0L
+      for (y <- 0L until s.height; x <- 0L until s.width) {
+        val v = (id * 31 + s.frame_idx * 59 + x * 7 + y * 13) % 256
+        sum += v
+        if (v >= 128) bright += 1
+      }
+      assert(s.sum_gray == sum && s.n_bright == bright, s"doc $id frame ${s.frame_idx}")
+    }
+    // step = 1 decodes EVERY stored frame
+    val all = Multimodal.decodeGifFrameStats(media, step = 1).collect()
+    val perDoc = all.groupBy(_.doc_id)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length == 2 + id % 4 && fs.map(_.frame_idx).sorted.toSeq ==
+        (0L until (2 + id % 4)).toSeq)
+    }
+  }
+
   test("non-RIFF and non-PCM content fail loudly, naming the doc") {
     import spark.implicits._
     val bad = Multimodal.MediaRow(3L, "not audio at all".getBytes,
