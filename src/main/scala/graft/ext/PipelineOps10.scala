@@ -171,10 +171,15 @@ object PipelineOps10 {
       lit("lmSelfScoreBg: unigram table does not cover word '"), col("w1"),
       lit("' — self-score requires full coverage; score against a partial LM via lmScoreWithTok"))))
     bg
-      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("hb"))))
+      // broadcast-join the unigram side FIRST and reduce it to the long
+      // denominator, so the hb window's shuffle carries (doc_id, hb, den)
+      // — fixed-width payloads only, never the raw w1 token strings
       .join(broadcast(uniV.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .select(col("doc_id"), col("hb"),
+        (coalesce(col("c1"), lit(0L)) + vChecked).as("den"))
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("hb"))))
       .select(col("doc_id"),
-        log((col("c2") + 1) / (coalesce(col("c1"), lit(0L)) + vChecked)).as("lnp"))
+        log((col("c2") + 1) / col("den")).as("lnp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(-sum(col("lnp")) / count(lit(1)), 6).as("nll_avg"))
@@ -884,11 +889,27 @@ object PipelineOps10 {
     // `Corpus.materialize()` boundary between pipeline phases.
     val stage = graft.util.TempDirs.scratch("graft_pipe5")
     def materialize(d: DataFrame, name: String): DataFrame = {
+      val t0 = System.nanoTime()
       d.write.mode("overwrite").parquet(s"$stage/$name")
+      if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) // dev: per-stage wall cost
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[stage] x_pipe5/%s: %.2f s", name,
+          Double.box((System.nanoTime() - t0) / 1e9)))
       s.read.parquet(s"$stage/$name")
     }
+    // repartition the RAW docs before tokenizing: the source is a
+    // single parquet file at bench SF, so without this every downstream
+    // narrow pass (tokenizer regex here, explode+md5 in the bg stage)
+    // runs single-task — and letting AQE size it coalesces the tiny
+    // shuffle back to ONE partition (it optimizes for IO, not map CPU).
+    // Staging width = a quarter of cluster parallelism: enough tasks to
+    // spread the map work, few enough files that per-file commit/list
+    // overhead doesn't dominate a stage (measured at sf0.1: 32 files
+    // 2.9 s, 1 file 2.9 s, 8 files 2.4 s for the whole probe).
+    val stageWidth = math.max(1, s.sparkContext.defaultParallelism / 4)
     val tok = materialize(
-      docs.select(col("doc_id"), col("lang"), CleanFns.tokens(col("text")).as("ws")),
+      docs.repartition(stageWidth, col("doc_id"))
+        .select(col("doc_id"), col("lang"), CleanFns.tokens(col("text")).as("ws")),
       "tok")
     // the unigram table has ONE consumer (vocab size rides on its
     // broadcast inside lmSelfScoreBg), so it stays an unmaterialized
@@ -914,12 +935,17 @@ object PipelineOps10 {
         bg.filter(col("doc_id") % 25 === 0))
         .join(tok.select(col("doc_id"), col("lang")), "doc_id"),
       "dwl")
-    val md = dwl.groupBy("lang")
-      .agg(round(expr("percentile(dsir_avg, 0.5)"), 6).as("p50"))
-    // rollup straight off dwl: every selected doc passed the LM gate, so
-    // it has >= 1 bigram and n_feats (its DSIR bigram-occurrence count)
-    // is EXACTLY len(ws) - 1 — no third corpus scan for token totals
-    dwl.join(broadcast(md), "lang")
+    // rollup straight off dwl in ONE scan: the per-language median rides
+    // a lang-partitioned window (the adaptiveLmKeepBg pattern) instead
+    // of a groupBy + broadcast-back — the following groupBy("lang")
+    // reuses the window's exchange, so the whole rollup is one shuffle.
+    // Every selected doc passed the LM gate, so it has >= 1 bigram and
+    // n_feats (its DSIR bigram-occurrence count) is EXACTLY len(ws) - 1
+    // — no third corpus scan for token totals
+    dwl
+      .withColumn("p50", round(
+        expr("percentile(dsir_avg, 0.5)")
+          .over(Window.partitionBy(col("lang"))), 6))
       .filter(col("dsir_avg") >= col("p50"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
