@@ -72,27 +72,69 @@ case class KnNll(
     """)
   }
 
+  // The 16-hex digest keys are EXACTLY md5's first 8 bytes, and
+  // lowercase-hex binary string order is monotone with the unsigned
+  // 64-bit value (each hex digit's char code orders like its nibble),
+  // so the sorted string tables convert once to sorted long[] tables
+  // searched with Long.compareUnsigned — identical hits and misses,
+  // ~5× less comparison work and zero per-probe allocation.
+  @transient private lazy val h3L: Array[Long] = KnNll.hexToLongs(h3s)
+  @transient private lazy val habL: Array[Long] = KnNll.hexToLongs(habs)
+  @transient private lazy val hbcL: Array[Long] = KnNll.hexToLongs(hbcs)
+  @transient private lazy val hbL: Array[Long] = KnNll.hexToLongs(hbs)
+
   /** Shared by the interpreted and codegen paths — they cannot diverge.
     * Every arithmetic step mirrors the declarative column expressions in
     * `KnLm.knScoreWith` operation for operation (same IEEE754 sequence).
+    * The lookup layer is allocation-light: each word is UTF-8-encoded
+    * once; the middle-word digest and unigram index are cached per
+    * POSITION (a word serves up to 3 trigrams); adjacent-pair digests
+    * are computed once and serve both their hab role (trigram i) and
+    * their hbc role (trigram i−1); md5 output lands in one reused
+    * buffer. The digested byte stream is identical to
+    * md5(a + " " + b [+ " " + c]) by construction.
     */
   def compute(text: UTF8String): InternalRow = {
     val words = Tok.split(text.toString)
     val n = words.length - 2
     if (n < 1) return null
-    val digest = KnNll.md5.get()
+    val md = KnNll.md5.get()
+    val buf = new Array[Byte](16)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    def h16(s: String): UTF8String =
-      UTF8String.fromString(KnNll.toHex16(digest.digest(s.getBytes(utf8))))
+    val len = words.length
+    val wb = new Array[Array[Byte]](len)
+    var j = 0
+    while (j < len) { wb(j) = words(j).getBytes(utf8); j += 1 }
+    def dig(): Long = { md.digest(buf, 0, 16); KnNll.be8(buf) }
+    // adjacent-pair digests: pairL(j) keys (words j, j+1)
+    val pairL = new Array[Long](len - 1)
+    j = 0
+    while (j < len - 1) {
+      md.update(wb(j)); md.update(' '.toByte); md.update(wb(j + 1))
+      pairL(j) = dig()
+      j += 1
+    }
+    // per-position middle-word table index and continuation-unigram count
+    val bIdxC = new Array[Int](len)
+    val cont2C = new Array[Long](len)
+    j = 0
+    while (j < len) {
+      md.update(wb(j))
+      bIdxC(j) = KnNll.findL(hbL, dig())
+      cont2C(j) = KnNll.lookup(cs, cont2s, UTF8String.fromBytes(wb(j)))
+      j += 1
+    }
     var sum = 0.0
     var i = 0
     while (i < n) {
-      val a = words(i); val b = words(i + 1); val c = words(i + 2)
-      val c3 = KnNll.lookup(h3s, c3s, h16(a + " " + b + " " + c))
-      val abIdx = KnNll.find(habs, h16(a + " " + b))
-      val cont3 = KnNll.lookup(hbcs, cont3s, h16(b + " " + c))
-      val bIdx = KnNll.find(hbs, h16(b))
-      val cont2 = KnNll.lookup(cs, cont2s, UTF8String.fromString(c))
+      md.update(wb(i)); md.update(' '.toByte)
+      md.update(wb(i + 1)); md.update(' '.toByte)
+      md.update(wb(i + 2))
+      val c3 = KnNll.lookupL(h3L, c3s, dig())
+      val abIdx = KnNll.findL(habL, pairL(i))
+      val cont3 = KnNll.lookupL(hbcL, cont3s, pairL(i + 1))
+      val bIdx = bIdxC(i + 1)
+      val cont2 = cont2C(i + 2)
       val p1 = (cont2 + 1).toDouble / (bt + v).toDouble
       val p2 =
         if (bIdx >= 0)
@@ -125,17 +167,46 @@ object KnNll {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def toHex16(d: Array[Byte]): String = {
-    val out = new Array[Char](16)
+  /** Parse a sorted 16-hex key table into the same-order unsigned
+    * long table (see the ordering note on the lazy vals above).
+    */
+  private[functions] def hexToLongs(keys: Array[UTF8String]): Array[Long] = {
+    val out = new Array[Long](keys.length)
     var i = 0
-    while (i < 8) {
-      out(2 * i) = hexChars((d(i) & 0xff) >>> 4)
-      out(2 * i + 1) = hexChars(d(i) & 0xf)
+    while (i < keys.length) {
+      out(i) = java.lang.Long.parseUnsignedLong(keys(i).toString, 16)
       i += 1
     }
-    new String(out)
+    out
+  }
+
+  /** First 8 md5 bytes as a big-endian unsigned long — the numeric form
+    * of the 16-hex digest prefix.
+    */
+  private[functions] def be8(b: Array[Byte]): Long =
+    ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+
+  /** Index of `x` in the sorted unsigned-long key table, or -1. */
+  private def findL(keys: Array[Long], x: Long): Int = {
+    var lo = 0
+    var hi = keys.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.lang.Long.compareUnsigned(keys(mid), x)
+      if (c == 0) return mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** Aligned count of `x`, or 0 when absent (discount floor). */
+  private def lookupL(keys: Array[Long], counts: Array[Long], x: Long): Long = {
+    val i = findL(keys, x)
+    if (i >= 0) counts(i) else 0L
   }
 
   /** Index of `x` in sorted `keys`, or -1 — the "context seen?" probe. */
