@@ -641,6 +641,14 @@ final case class Corpus(df: DataFrame) {
     * `PipelineOps6.takeTokenBudgetSharded(df, g, col("n_tok_bpe"), b)`
     * or [[lengthBatches]]' tokens argument.
     */
+  /** Frontier politeness report (x_url3): per-host raw/canonical counts
+    * and variant-noise ppm for the top-`k` hosts by canonical page
+    * count — the fetch scheduler's planning table over a corpus that
+    * carries a `urlCol`. Returns a k-row report frame (not a corpus).
+    */
+  def frontierReport(urlCol: String = "url", k: Int = 5): DataFrame =
+    graft.ext.PipelineOps13.frontierReport(df.select(col(urlCol).as("url")), k)
+
   /** Encoding repair (x_enc1): the deterministic ftfy-lite chain of
     * [[graft.clean.EncodingFns]] — BOM strip, the cp1252-mojibake common
     * table, C1-control drop — run before any text statistic. One narrow

@@ -412,5 +412,96 @@ object PipelineOps13 {
       .orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2)
+  // ------------------------------------------ frontier politeness report
+
+  /** Per-host frontier politeness report over canonical URL keys — the
+    * fetch-scheduler's planning table: for the top-`k` hosts by
+    * CANONICAL page count, how many raw frontier entries they hold, how
+    * many distinct pages that really is, and the variant-noise ppm
+    * (raw entries that canonicalization collapses — re-fetch waste).
+    *
+    * Shape: one exchange on the canonical key, one on host; the top-k
+    * selection runs through the bounded [[graft.functions.TopKByCount]]
+    * aggregator (map-side partials, capped buffer — no global sort of
+    * the host table), and its k-row result broadcasts back onto the
+    * per-host stats. Expects a (…, url) frame; exposed on the corpus as
+    * [[graft.api.Corpus.frontierReport]].
+    */
+  def frontierReport(urls: DataFrame, k: Int = 5): DataFrame = {
+    val s = urls.sparkSession
+    import s.implicits._
+    val canon = urls
+      .select(graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
+      .groupBy("canon").agg(count(lit(1)).as("n_raw"))
+      .withColumn("host", regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
+    val perHost = canon.groupBy("host")
+      .agg(sum(col("n_raw")).cast("long").as("n_raw"),
+        count(lit(1)).cast("long").as("n_canonical"))
+      .withColumn("variant_noise_ppm",
+        expr("(n_raw - n_canonical) * 1000000 DIV n_raw"))
+    // hosts have no ':' (the extractor's class excludes it), so the
+    // aggregator's "value:count" rendering splits back unambiguously
+    val top = canon.select(col("host")).as[String]
+      .select(new graft.functions.TopKByCount(k).toColumn)
+      .toDF("top")
+    val ranked = top
+      .select(posexplode(col("top")).as(Seq("rk", "hc")))
+      .select((col("rk") + 1).cast("long").as("rank"),
+        expr("substring_index(hc, ':', 1)").as("host"))
+    perHost.join(broadcast(ranked), "host")
+      .select(col("rank"), col("host"), col("n_raw"), col("n_canonical"),
+        col("variant_noise_ppm"))
+      .orderBy("rank")
+  }
+
+  /** X-URL3 — the politeness report over the synthetic frontier (x_url1's
+    * template): top-5 hosts by canonical count with raw/canonical/noise
+    * stats, the TopKByCount (count desc, host asc) ranking recomputed by
+    * the oracle as a window.
+    */
+  private val url3 = Probe(
+    "x_url3_frontier_report",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||
+       |    '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+       |    '/Path/To/Item' ||
+       |    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&Z=1' ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw&a=2' ELSE '' END) ||
+       |    '#sec' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon FROM u),
+       |sv AS (SELECT canon, COUNT(*) AS n_raw FROM c GROUP BY canon),
+       |h AS (
+       |  SELECT regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |         SUM(n_raw) AS n_raw, COUNT(*) AS n_canonical
+       |  FROM sv GROUP BY 1),
+       |r AS (
+       |  SELECT host, n_raw, n_canonical,
+       |         (n_raw - n_canonical) * 1000000 // n_raw AS variant_noise_ppm,
+       |         row_number() OVER (ORDER BY n_canonical DESC, host) AS rank
+       |  FROM h)
+       |SELECT CAST(rank AS BIGINT) AS rank, host,
+       |  CAST(n_raw AS BIGINT) AS n_raw,
+       |  CAST(n_canonical AS BIGINT) AS n_canonical,
+       |  CAST(variant_noise_ppm AS BIGINT) AS variant_noise_ppm
+       |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin) { (s, dir) =>
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+      lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Path/To/Item"),
+      lit("?id="), (col("doc_id") % 5).cast("string"), lit("&utm_source=feed&Z=1"),
+      when(col("doc_id") % 2 === 0, lit("&ref=tw&a=2")).otherwise(lit("")),
+      lit("#sec"), col("doc_id").cast("string"))
+    frontierReport(Tables(s, dir, "documents").select(url.as("url")))
+  }
+
+  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3)
 }

@@ -37,8 +37,11 @@ class TopKByCount(k: Int, maxBuffer: Int = 4096)
     buf.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
       .map { case (v, c) => s"$v:$c" }
 
+  // Tungsten MapType encoding, not kryo: smaller shuffle payloads and
+  // no dependence on JDK module opens (kryo's FieldSerializer needs
+  // java.nio opened, which spark-submit injects but a bare JVM may not)
   override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   override def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
