@@ -128,7 +128,16 @@ object KnLm {
       .groupBy("h2").agg(min(col("w2")).as("c"))
 
   private def knTablesFrom(t3f: DataFrame, b2t: DataFrame,
-      tok: DataFrame): KnTables = {
+      tok: DataFrame): KnTables =
+    knTablesFromTypes(t3f, b2t,
+      tok.select(explode(col("ws")).as("w")).agg(count_distinct(col("w")).as("v")))
+
+  /** The five scoring tables derived from the TYPE frames alone — the
+    * shared endpoint of the full-retrain and incremental-merge paths
+    * (`vRow` is a 1-row (v) vocabulary-size frame).
+    */
+  private def knTablesFromTypes(t3f: DataFrame, b2t: DataFrame,
+      vRow: DataFrame): KnTables = {
     val t3 = t3f.select("h3", "c3")
     val ctx = t3f.groupBy("hab")
       .agg(sum(col("c3")).as("ctx2"), count_distinct(col("c")).as("n3f"))
@@ -136,8 +145,7 @@ object KnLm {
     val mid = t3f.groupBy("hb")
       .agg(count(lit(1)).as("mid"), count_distinct(col("c")).as("n2f"))
     val u2 = b2t.groupBy("c").agg(count(lit(1)).as("cont2"))
-    val sc = b2t.agg(count(lit(1)).as("bt"))
-      .join(tok.select(explode(col("ws")).as("w")).agg(count_distinct(col("w")).as("v")))
+    val sc = b2t.agg(count(lit(1)).as("bt")).join(vRow)
     KnTables(t3, ctx, bc, mid, u2, sc)
   }
 
@@ -297,6 +305,64 @@ object KnLm {
       maxEntries: Long = knIndexMaxEntries): graft.functions.KnIndex =
     collectIndex(loadKnTables(spark, path), maxEntries)
 
+  // -------------------------------------------------- incremental regime
+
+  /** Write the INCREMENTAL KN store of `train` under `path`: the trigram
+    * TYPE frame, the bigram TYPE frame, and the distinct-vocabulary
+    * table — the sufficient statistics from which every scoring table
+    * derives ([[knTablesFromTypes]]). Unlike [[buildKn]]'s derived
+    * tables, these merge with a new shard WITHOUT a full retrain
+    * (x_txt22e): occurrence counts add; the distinct-count tables
+    * (n3f/cont3/mid/n2f/cont2/B) are recomputed from the merged type
+    * frames — work bounded by TYPE cardinality, never corpus size (the
+    * BandIndex/SegIndex daily-increment shape applied to the LM tier).
+    */
+  def buildKnTypes(train: DataFrame, path: String): Unit = {
+    val tok = PipelineOps10.docTokens(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      trigramTypes(tok).write.mode("overwrite").parquet(s"$path/t3f")
+      bigramTypes(tok).write.mode("overwrite").parquet(s"$path/b2t")
+      tok.select(explode(col("ws")).as("w")).distinct()
+        .write.mode("overwrite").parquet(s"$path/vocab")
+    } finally tok.unpersist(): Unit
+  }
+
+  /** Merge a NEW SHARD's statistics into the type store at `basePath`,
+    * writing the merged store to `outPath` — no rescan of the base
+    * corpus. c3 sums across sides; the carried per-type fields and the
+    * bigram continuation token merge by MIN (associative, so
+    * merge(base, shard) ≡ a full retrain's single-pass MIN, digest
+    * collisions included); vocabulary unions distinct.
+    */
+  def mergeKnTypes(spark: SparkSession, basePath: String, shard: DataFrame,
+      outPath: String): Unit = {
+    val tokS = PipelineOps10.docTokens(shard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      spark.read.parquet(s"$basePath/t3f").unionAll(trigramTypes(tokS))
+        .groupBy("h3")
+        .agg(sum(col("c3")).as("c3"),
+          min(col("hab")).as("hab"), min(col("hbc")).as("hbc"),
+          min(col("hb")).as("hb"), min(col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$outPath/t3f")
+      spark.read.parquet(s"$basePath/b2t").unionAll(bigramTypes(tokS))
+        .groupBy("h2").agg(min(col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$outPath/b2t")
+      spark.read.parquet(s"$basePath/vocab")
+        .unionAll(tokS.select(explode(col("ws")).as("w")).distinct())
+        .distinct()
+        .write.mode("overwrite").parquet(s"$outPath/vocab")
+    } finally tokS.unpersist(): Unit
+  }
+
+  /** Scoring tables from a type store ([[buildKnTypes]]/[[mergeKnTypes]]). */
+  def loadKnTypes(spark: SparkSession, path: String): KnTables =
+    knTablesFromTypes(
+      spark.read.parquet(s"$path/t3f"),
+      spark.read.parquet(s"$path/b2t"),
+      spark.read.parquet(s"$path/vocab").agg(count(lit(1)).as("v")))
+
   // -------------------------------------------------------------- oracle
 
   /** First-principles DuckDB twin of train-on-`trainWhere` /
@@ -429,5 +495,27 @@ object KnLm {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(txt22, txt22b, txt22c, txt22d)
+  /** X-TXT22E — INCREMENTAL store ≡ full retrain: the type store is
+    * built on 90% of the corpus, the remaining 10% merges in WITHOUT
+    * rescanning the base ([[mergeKnTypes]]), and scoring through the
+    * merged store must hash-match the same first-principles full-corpus
+    * oracle as x_txt22 — pinning that additive occurrence counts +
+    * type-bounded recomputation of the distinct-count tables reproduce
+    * the retrained model exactly.
+    */
+  private val txt22e = Probe(
+    "x_txt22e_kn_incremental",
+    knOracle("", "")) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val path = graft.util.TrainOnce(s"kn_types:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_kn_inc")
+      buildKnTypes(docs.filter(col("doc_id") % 10 =!= 0), s"$p/base")
+      mergeKnTypes(s, s"$p/base", docs.filter(col("doc_id") % 10 === 0), s"$p/merged")
+      s"$p/merged"
+    }
+    knScoreWithTok(PipelineOps10.docTokens(docs), loadKnTypes(s, path))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt22, txt22b, txt22c, txt22d, txt22e)
 }

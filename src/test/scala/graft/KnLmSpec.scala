@@ -119,6 +119,39 @@ class KnLmSpec extends SparkSuite {
     } finally graft.util.TempDirs.deleteRecursively(new java.io.File(tmp))
   }
 
+  test("incremental type-store merge == full retrain, table for table") {
+    val s = spark
+    import s.implicits._
+    // overlap is the hard case: "the quick fox" trigram types live in
+    // BOTH halves, shared contexts/middles/continuations across sides
+    val base = Seq(
+      (1L, "the quick fox jumps over the lazy dog"),
+      (2L, "the quick fox runs far")).toDF("doc_id", "text")
+    val shard = Seq(
+      (3L, "the quick fox jumps again and again"),
+      (4L, "a new shard with new words")).toDF("doc_id", "text")
+    val full = base.unionAll(shard)
+    val p = graft.util.TempDirs.scratch("kn_inc_spec")
+    KnLm.buildKnTypes(base, s"$p/base")
+    KnLm.mergeKnTypes(s, s"$p/base", shard, s"$p/merged")
+    val inc = KnLm.loadKnTypes(s, s"$p/merged")
+    val retrain = KnLm.knTables(full)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(inc.t3) == rows(retrain.t3))
+    assert(rows(inc.ctx) == rows(retrain.ctx))
+    assert(rows(inc.bc) == rows(retrain.bc))
+    assert(rows(inc.mid) == rows(retrain.mid))
+    assert(rows(inc.u2) == rows(retrain.u2))
+    assert(rows(inc.sc) == rows(retrain.sc))
+    // and the scored output is identical too
+    val a = KnLm.knScoreWithTok(
+      full.select(col("doc_id"), graft.clean.CleanFns.tokens(col("text")).as("ws")),
+      inc).orderBy("doc_id").collect().toSeq
+    val b = KnLm.knScore(full, full).orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("index build refuses tables beyond the broadcast-regime ceiling, loudly") {
     val e = intercept[IllegalArgumentException] {
       KnLm.knIndex(docs, maxEntries = 10L)
