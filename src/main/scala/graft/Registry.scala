@@ -29,6 +29,7 @@ object Registry {
     ext.LmStore.all ++
     ext.KnLm.all ++
     ext.SegIndex.all ++
+    ext.BloomIndex.all ++
     ext.Similarity.all ++
     ext.Similarity2.all ++
     ext.EmbedDedup.all ++

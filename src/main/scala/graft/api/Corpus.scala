@@ -454,6 +454,22 @@ final case class Corpus(df: DataFrame) {
     d.join(graft.ext.BandIndex.collidingNewIds(d, index), Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental EXACT dedup through a persisted Bloom prefilter
+    * (`ext.BloomIndex.build` + an exact digest frame, x_ded24): docs the
+    * filter rules out are definitely new and never touch `baseDigests`;
+    * only Bloom positives confirm-join, so the exact probe runs on the
+    * collision-density fraction of the shard. No false negatives ⇒
+    * identical survivors to a plain exact-membership anti-join
+    * (BloomIndexSpec + the x_ded24 oracle pin it).
+    */
+  def dedupExactIncremental(bloomDir: String, baseDigests: DataFrame): Corpus =
+    chain { d =>
+      val marked = graft.ext.BloomIndex.markDuplicates(
+        d, graft.ext.BloomIndex.load(d.sparkSession, bloomDir), baseDigests)
+      d.join(marked.filter(col("is_dup") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+
   /** Global token-budget shard assignment (adds `n_tok` and `shard`):
     * x_pack2's exact two-level prefix sum — within-group cumsum over
     * bounded (lang, grp) windows plus an exclusive cumsum of group totals,
