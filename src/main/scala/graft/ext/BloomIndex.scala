@@ -94,6 +94,41 @@ object BloomIndex {
       .agg(min(when(coalesce(expr("bits & bv"), lit(0L)) =!= 0L, 1L)
         .otherwise(0L)).as("bloom_pos"))
 
+  /** The sparse word table as a dense ONE-ROW bitmap array (length m/32)
+    * — the zero-state form: broadcast it with a nested-loop join and
+    * test bits per row ([[mightContainDense]]), no aggregation, so the
+    * stream door can run it inside a micro-batch projection. Use when m
+    * is small enough to hold densely in every task (the
+    * [[PipelineOps7.gramBloom]] regime); stay with the sparse join form
+    * beyond that.
+    */
+  def denseRow(bloom: DataFrame, m: Int = defaultBits): DataFrame =
+    bloom
+      .agg(expr("map_from_arrays(collect_list(w), collect_list(bits))").as("mp"))
+      .select(expr(
+        s"transform(sequence(0L, ${m / 32 - 1}L), w -> coalesce(element_at(mp, w), 0L))")
+        .as("__bloom"))
+
+  /** Per-row Bloom verdict against a [[denseRow]] bitmap: (doc_id,
+    * bloom_pos) with identical semantics to [[mightContain]] but ZERO
+    * exchanges and zero state — a narrow codegen projection after the
+    * 1-row broadcast, the stream-capable twin (`DocStreams.bloomSeen`).
+    */
+  def mightContainDense(shard: DataFrame, dense: DataFrame,
+      m: Int = defaultBits, k: Int = defaultK): DataFrame =
+    shard
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .crossJoin(broadcast(dense))
+      .select(col("doc_id"), expr(
+        s"""CAST(size(filter(sequence(0, ${k - 1}), i -> (
+           |  element_at(__bloom, CAST(
+           |    ((cast(conv(substr(h, 1, 15), 16, 10) as bigint) % $m
+           |      + i * ((cast(conv(substr(h, 16, 15), 16, 10) as bigint) | 1) % $m)) % $m) DIV 32 AS INT) + 1)
+           |  & shiftleft(cast(1 as bigint), CAST(
+           |    ((cast(conv(substr(h, 1, 15), 16, 10) as bigint) % $m
+           |      + i * ((cast(conv(substr(h, 16, 15), 16, 10) as bigint) | 1) % $m)) % $m) % 32 AS INT))
+           |) <> 0L)) = $k AS BIGINT)""".stripMargin).as("bloom_pos"))
+
   /** The full prefilter-then-confirm regime: every shard doc marked
     * (bloom_pos, is_dup). Docs the filter rules out are definitely new
     * (is_dup = 0, no index I/O); only Bloom POSITIVES confirm-join

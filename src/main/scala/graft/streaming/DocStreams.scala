@@ -257,6 +257,20 @@ object DocStreams {
     docs.withColumn(urlCol,
       graft.clean.UrlFns.canonicalUrl(org.apache.spark.sql.functions.col(urlCol)))
 
+  /** Stream-capable Bloom membership verdict — x_ded24's prefilter at
+    * the stream door: the persisted filter's dense bitmap row
+    * ([[graft.ext.BloomIndex.denseRow]]) broadcasts once, each
+    * micro-batch row tests its k bits in a narrow codegen projection
+    * (zero state, zero exchange). Route bloom_pos = 0 docs straight
+    * through (definitely new); sink bloom_pos = 1 docs to the batch
+    * confirm join. Identical verdicts to the batch sparse-join form
+    * (BloomIndexSpec pins dense ≡ sparse on the real corpus).
+    */
+  def bloomSeen(docs: DataFrame, dense: DataFrame,
+      m: Int = graft.ext.BloomIndex.defaultBits,
+      k: Int = graft.ext.BloomIndex.defaultK): DataFrame =
+    graft.ext.BloomIndex.mightContainDense(docs, dense, m, k)
+
   /** Stream-capable Gopher repetition gate — x_txt23's signals as one
     * narrow JVM pass per row (`repetition_signals`): zero state, zero
     * shuffle, each micro-batch gates its own documents with EXACTLY the

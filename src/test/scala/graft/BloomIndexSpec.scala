@@ -81,6 +81,19 @@ class BloomIndexSpec extends SparkSuite {
     assert(viaBloom == exact && viaBloom.nonEmpty)
   }
 
+  test("dense zero-state form == sparse join form on the real corpus") {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val idx = graft.util.TempDirs.scratch("bloom_spec_dense")
+    BloomIndex.build(base, idx)
+    val bloom = BloomIndex.load(spark, idx)
+    val sparse = BloomIndex.mightContain(docs, bloom)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dense = BloomIndex.mightContainDense(docs, BloomIndex.denseRow(bloom))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(dense == sparse && dense.nonEmpty)
+  }
+
   test("geometry: word indexes bounded by m/32, bits nonzero, m/k plumbed") {
     val s = spark
     import s.implicits._

@@ -239,6 +239,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom verdicts == batch sparse-join form (zero-state bit tests)") {
+    import graft.streaming.DocStreams
+    import graft.ext.BloomIndex
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val idx = graft.util.TempDirs.scratch("bloom_stream_spec")
+    BloomIndex.build(base, idx)
+    val dense = BloomIndex.denseRow(BloomIndex.load(spark, idx))
+    val q = DocStreams.bloomSeen(
+        DocStreams.readStream(spark, dir).filter(col("doc_id") % 3 === 0), dense)
+      .writeStream.outputMode("append").format("memory").queryName("bloom_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bloom_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = BloomIndex.mightContain(
+          docs.filter(col("doc_id") % 3 === 0), BloomIndex.load(spark, idx))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming quality gate == batch x_txt11 keepers (stateless projection)") {
     import graft.streaming.DocStreams
     val q = DocStreams.qualityFilter(DocStreams.readStream(spark, dir))
