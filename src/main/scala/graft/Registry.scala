@@ -30,6 +30,7 @@ object Registry {
     ext.KnLm.all ++
     ext.SegIndex.all ++
     ext.BloomIndex.all ++
+    ext.QualityModel.all ++
     ext.Similarity.all ++
     ext.Similarity2.all ++
     ext.EmbedDedup.all ++

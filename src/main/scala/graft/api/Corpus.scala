@@ -509,6 +509,21 @@ final case class Corpus(df: DataFrame) {
     */
   def withQualityRules(): Corpus = chain(graft.ext.PipelineOps3.addQualityRuleSignals)
 
+  /** Learned quality score (x_qc1): ridge-distill the rule gate on a
+    * labeled frame (default: this corpus self-labeled by the rules) and
+    * append (quality_score, quality_pred). Train = one aggregation pass
+    * over `labeled`; score = 1-row broadcast + narrow arithmetic —
+    * zero exchanges on this corpus beyond the doc_id join back.
+    */
+  def withLearnedQuality(labeled: Option[DataFrame] = None): Corpus = chain { d =>
+    val coef = graft.ext.QualityModel.trainRidge(
+      graft.ext.QualityModel.features(labeled.getOrElse(d)))
+    d.join(graft.ext.QualityModel.scoreWith(d, coef)
+        .select(col("doc_id"), col("score").as("quality_score"),
+          col("pred").as("quality_pred")),
+      Seq("doc_id"), "left")
+  }
+
   /** Drop documents failing the quality rules (adds the signals if not
     * already present, then filters on the combined verdict).
     */

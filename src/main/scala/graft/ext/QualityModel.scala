@@ -1,0 +1,153 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned quality filter: closed-form ridge regression distilling the
+  * hand-written quality gate (x_txt11's `keep`) into a smooth linear
+  * score — the fasttext-classifier-shaped stage of a training-data
+  * pipeline (label a seed set, fit a cheap model, score everything)
+  * with the fit itself running inside the engine.
+  *
+  * Scale shape: training is ONE map-side-combined aggregation over the
+  * feature frame (nine integer sums — exact at any corpus size), the
+  * 3×3 normal-equation solve is a few dozen scalar ops on that one row
+  * (computed IN-PLAN, no driver round-trip), and scoring is a 1-row
+  * broadcast plus narrow arithmetic: at 100 TB, one pass to train,
+  * zero exchanges to score.
+  *
+  * Determinism discipline: features are INTEGERS (the x_txt11 signal
+  * algebra), so the sums are exact on both engines; the solve is a
+  * fixed sequence of IEEE double ops generated from ONE shared SQL
+  * text ([[coefStages]]) evaluated by Spark and DuckDB alike —
+  * identical inputs, identical op order, identical doubles. λ = 1 on
+  * the full diagonal (intercept included) keeps the system symmetric
+  * and the matrix invertible on any input, including n = 0.
+  *
+  * Model: features x1 = mean_len_c (avg word length ×100), x2 =
+  * alpha per-mille; label y = the rule gate. β = (XᵀX + I)⁻¹ Xᵀy via
+  * the explicit symmetric-cofactor inverse; score = β₀ + β₁x1 + β₂x2;
+  * pred = score ≥ 0.5.
+  */
+object QualityModel {
+
+  /** (doc_id, x1, x2, y) from a documents frame — the x_txt11 signal
+    * columns as integer features; docs with no words carry no row.
+    */
+  def features(docs: DataFrame): DataFrame =
+    PipelineOps3.addQualityRuleSignals(docs)
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("mean_len_c").as("x1"),
+        expr("alpha_ppm DIV 1000").as("x2"), col("keep").as("y"))
+
+  /** The nine exact integer sums of the normal equations. */
+  private def sums(feat: DataFrame): DataFrame =
+    feat.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("x1")), lit(0L)).as("s1"),
+      coalesce(sum(col("x2")), lit(0L)).as("s2"),
+      coalesce(sum(col("x1") * col("x1")), lit(0L)).as("s11"),
+      coalesce(sum(col("x1") * col("x2")), lit(0L)).as("s12"),
+      coalesce(sum(col("x2") * col("x2")), lit(0L)).as("s22"),
+      coalesce(sum(col("y")), lit(0L)).as("sy"),
+      coalesce(sum(col("x1") * col("y")), lit(0L)).as("s1y"),
+      coalesce(sum(col("x2") * col("y")), lit(0L)).as("s2y"))
+
+  /** The solve, as STAGES of select expressions shared verbatim with
+    * the DuckDB oracle — the cross-engine determinism guarantee is that
+    * both engines evaluate THIS text. Stage 1 casts the ridge-shifted
+    * system to doubles; stage 2 is the symmetric cofactor matrix;
+    * stage 3 the determinant; stage 4 the coefficients.
+    */
+  private[ext] val coefStages: Seq[Seq[String]] = Seq(
+    Seq(
+      "CAST(n + 1 AS DOUBLE) AS a", "CAST(s1 AS DOUBLE) AS b",
+      "CAST(s2 AS DOUBLE) AS c", "CAST(s11 + 1 AS DOUBLE) AS d",
+      "CAST(s12 AS DOUBLE) AS e", "CAST(s22 + 1 AS DOUBLE) AS f",
+      "CAST(sy AS DOUBLE) AS sy", "CAST(s1y AS DOUBLE) AS s1y",
+      "CAST(s2y AS DOUBLE) AS s2y"),
+    Seq(
+      "d * f - e * e AS c11", "c * e - b * f AS c12", "b * e - c * d AS c13",
+      "a * f - c * c AS c22", "c * b - a * e AS c23", "a * d - b * b AS c33",
+      "a", "b", "c", "sy", "s1y", "s2y"),
+    Seq(
+      "a * c11 + b * c12 + c * c13 AS det",
+      "c11", "c12", "c13", "c22", "c23", "c33", "sy", "s1y", "s2y"),
+    Seq(
+      "(c11 * sy + c12 * s1y + c13 * s2y) / det AS b0",
+      "(c12 * sy + c22 * s1y + c23 * s2y) / det AS b1",
+      "(c13 * sy + c23 * s1y + c33 * s2y) / det AS b2"))
+
+  /** Train on a labeled (doc_id, x1, x2, y) frame: the 1-row (b0, b1,
+    * b2) coefficient frame, fully in-plan.
+    */
+  def trainRidge(feat: DataFrame): DataFrame =
+    coefStages.foldLeft(sums(feat))((d, stage) => d.selectExpr(stage: _*))
+
+  /** Score docs against a trained 1-row coefficient frame: per doc
+    * (doc_id, x1, x2, keep, score, pred) — the rule label rides along
+    * so distillation fidelity is inspectable downstream.
+    */
+  def scoreWith(docs: DataFrame, coef: DataFrame): DataFrame =
+    features(docs)
+      .crossJoin(broadcast(coef))
+      .select(col("doc_id"), col("x1"), col("x2"), col("y").as("keep"),
+        expr("round(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE), 6)").as("score"),
+        expr("CAST(CASE WHEN b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)").as("pred"))
+
+  /** Train-on-self then score — the distillation entry point. */
+  def distill(docs: DataFrame): DataFrame =
+    scoreWith(docs, trainRidge(features(docs)))
+
+  // -------------------------------------------------------------- probe
+
+  private def coefCtes: String = {
+    val names = Seq("k1", "k2", "k3", "k4")
+    coefStages.zipWithIndex.map { case (stage, i) =>
+      val from = if (i == 0) "sm" else names(i - 1)
+      s"${names(i)} AS (SELECT ${stage.mkString(", ")} FROM $from)"
+    }.mkString(",\n")
+  }
+
+  /** X-QC1 — learned quality filter: ridge-distill the x_txt11 rule gate
+    * into (β₀, β₁, β₂) and score every document. The oracle rebuilds the
+    * ENTIRE training — integer feature sums, the staged cofactor solve
+    * (evaluating the same SQL text the Spark plan runs), the scoring
+    * arithmetic — so the hash match pins exact sums, the IEEE solve
+    * sequence, and the 0.5 decision boundary cross-engine.
+    */
+  private val qc1 = Probe(
+    "x_qc1_learned_quality",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |feat AS (
+       |  SELECT doc_id, mean_len_c AS x1, alpha_ppm // 1000 AS x2,
+       |    CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+       |              AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM m WHERE n_words > 0),
+       |sm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS s1, CAST(COALESCE(SUM(x2), 0) AS BIGINT) AS s2,
+       |    CAST(COALESCE(SUM(x1 * x1), 0) AS BIGINT) AS s11, CAST(COALESCE(SUM(x1 * x2), 0) AS BIGINT) AS s12,
+       |    CAST(COALESCE(SUM(x2 * x2), 0) AS BIGINT) AS s22,
+       |    CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy,
+       |    CAST(COALESCE(SUM(x1 * y), 0) AS BIGINT) AS s1y, CAST(COALESCE(SUM(x2 * y), 0) AS BIGINT) AS s2y
+       |  FROM feat),
+       |$coefCtes
+       |SELECT feat.doc_id, feat.x1, feat.x2, feat.y AS keep,
+       |  round(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE), 6) AS score,
+       |  CAST(CASE WHEN b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM feat, k4 ORDER BY feat.doc_id""".stripMargin) { (s, dir) =>
+    distill(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(qc1)
+}
