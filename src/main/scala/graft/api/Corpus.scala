@@ -680,6 +680,16 @@ final case class Corpus(df: DataFrame) {
   def frontierReport(urlCol: String = "url", k: Int = 5): DataFrame =
     graft.ext.PipelineOps13.frontierReport(df.select(col(urlCol).as("url")), k)
 
+  /** RefinedWeb-style per-domain cap (x_url4): keep at most `cap` docs
+    * per canonical host, quality-ranked — no single domain dominates.
+    * Skew-immune two-level top-K (exact; the oracle pins it against a
+    * flat window).
+    */
+  def capPerHost(urlCol: String = "url", cap: Int = 3): Corpus = chain { d =>
+    d.join(graft.ext.PipelineOps13.hostCap(d, col(urlCol), cap)
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
   /** Encoding repair (x_enc1): the deterministic ftfy-lite chain of
     * [[graft.clean.EncodingFns]] — BOM strip, the cp1252-mojibake common
     * table, C1-control drop — run before any text statistic. One narrow

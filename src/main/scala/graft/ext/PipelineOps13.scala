@@ -454,6 +454,101 @@ object PipelineOps13 {
       .orderBy("rank")
   }
 
+  // --------------------------------------------------- per-host doc cap
+
+  /** RefinedWeb-style per-domain cap: keep at most `cap` documents per
+    * canonical HOST, ranked by quality (keep DESC, n_words DESC, doc_id
+    * ASC — the x_ded17 survivor ordering), so no single domain dominates
+    * the corpus. Returns the SURVIVORS (doc_id, host, host_rank).
+    *
+    * Scale shape: a single `row_number() OVER (PARTITION BY host)` makes
+    * a mega-host (10⁸ pages of one domain at 100 TB) one task — the
+    * classic window skew. Instead: two-level top-K. Level 1 ranks
+    * within (host, doc_id % 64) salt buckets and keeps `cap` per bucket
+    * (bounded partitions, fully parallel); level 2 re-ranks the ≤ 64·cap
+    * per-host survivors. A host's true top-`cap` docs are each top-`cap`
+    * within their own salt bucket, so the two-level result is exact —
+    * the property the x_url4 oracle (a flat window) hash-checks.
+    */
+  def hostCap(docs: DataFrame, urlCol: org.apache.spark.sql.Column,
+      cap: Int = 3, salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = PipelineOps3.addQualityRuleSignals(docs)
+      .select(col("doc_id"),
+        regexp_extract(graft.clean.UrlFns.canonicalUrl(urlCol),
+          "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"),
+        col("keep"), col("n_words"))
+    val ord = Seq(col("keep").desc, col("n_words").desc, col("doc_id").asc)
+    val local = q
+      .withColumn("__salt", col("doc_id") % salts)
+      .withColumn("__lr",
+        row_number().over(Window.partitionBy(col("host"), col("__salt")).orderBy(ord: _*)))
+      .filter(col("__lr") <= cap)
+    local
+      .withColumn("host_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(ord: _*)).cast("long"))
+      .filter(col("host_rank") <= cap)
+      .select(col("doc_id"), col("host"), col("host_rank"))
+  }
+
+  /** X-URL4 — per-host document cap over the synthetic frontier (x_url1's
+    * template; its doc_id % 7 hosts give every host many docs, so the cap
+    * genuinely cuts): survivors of the two-level top-3-per-host, ranked
+    * by the quality ordering. The oracle ranks with ONE flat window —
+    * hash-matching pins the salted two-level rewrite exact.
+    */
+  private val url4 = Probe(
+    "x_url4_host_cap",
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) ||
+       |    '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+       |    '/Path/To/Item' ||
+       |    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&Z=1' ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw&a=2' ELSE '' END) ||
+       |    '#sec' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    regexp_extract(${graft.clean.UrlFns.canonicalUrlDuck("url")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |    text
+       |  FROM u),
+       |tq AS (
+       |  SELECT doc_id, host, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w FROM c),
+       |m AS (
+       |  SELECT doc_id, host,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+       |  FROM tq),
+       |k AS (
+       |  SELECT doc_id, host, n_words,
+       |    CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+       |              AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  FROM m),
+       |r AS (
+       |  SELECT doc_id, host,
+       |    row_number() OVER (PARTITION BY host ORDER BY keep DESC, n_words DESC, doc_id ASC) AS host_rank
+       |  FROM k)
+       |SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+       |FROM r WHERE host_rank <= 3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+      lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Path/To/Item"),
+      lit("?id="), (col("doc_id") % 5).cast("string"), lit("&utm_source=feed&Z=1"),
+      when(col("doc_id") % 2 === 0, lit("&ref=tw&a=2")).otherwise(lit("")),
+      lit("#sec"), col("doc_id").cast("string"))
+    hostCap(Tables(s, dir, "documents"), url).orderBy("doc_id")
+  }
+
   /** X-URL3 — the politeness report over the synthetic frontier (x_url1's
     * template): top-5 hosts by canonical count with raw/canonical/noise
     * stats, the TopKByCount (count desc, host asc) ranking recomputed by
@@ -503,5 +598,5 @@ object PipelineOps13 {
     frontierReport(Tables(s, dir, "documents").select(url.as("url")))
   }
 
-  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3)
+  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3, url4)
 }

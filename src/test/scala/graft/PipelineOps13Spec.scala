@@ -80,4 +80,32 @@ class PipelineOps13Spec extends SparkSuite {
     assert(bucketed.count() == docs.count())
     assert(bucketed.columns.contains("bucket"))
   }
+
+  test("hostCap: salted two-level == flat window on a skewed single host") {
+    import org.apache.spark.sql.expressions.Window
+    // one mega-host (200 docs), one small host (2 docs) — the salted
+    // path must pick the identical survivors a flat window would
+    val mega = (1L to 200L).map(i =>
+      (i, s"http://big.com/p$i",
+        "the quick brown fox and the dog ran to the big red barn " + ("w " * (i % 37).toInt)))
+    val small = Seq(
+      (501L, "http://tiny.org/a", "the cat and the dog sat in the sun for a while today"),
+      (502L, "http://tiny.org/b", "!!!! #### 0000"))
+    val docs = (mega ++ small).toDF("doc_id", "url", "text")
+    val got = PipelineOps13.hostCap(docs, col("url"), cap = 3, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val q = graft.ext.PipelineOps3.addQualityRuleSignals(docs)
+      .select(col("doc_id"),
+        regexp_extract(graft.clean.UrlFns.canonicalUrl(col("url")),
+          "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"),
+        col("keep"), col("n_words"))
+    val flat = q.withColumn("host_rank", row_number().over(
+        Window.partitionBy("host")
+          .orderBy(col("keep").desc, col("n_words").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("host_rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).sorted.toSeq
+    assert(got == flat && got.size == 5, s"got ${got.size} rows")
+    val viaDoor = graft.api.Corpus(docs).capPerHost().df.count()
+    assert(viaDoor == 5L)
+  }
 }
