@@ -80,6 +80,22 @@ object BloomIndex {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/bloom")
 
+  /** Merge a NEW SHARD's digests into the filter at `basePath`, writing
+    * the union filter to `outPath` — Bloom bitmaps of the SAME geometry
+    * OR together exactly (bloom(A) | bloom(B) = bloom(A ∪ B), bit for
+    * bit), so the shipped artifact stays current without ever rescanning
+    * the released corpus: the daily increment costs one pass over the
+    * shard plus a bit_or over ≤ m/32 words (the [[KnLm.mergeKnTypes]] /
+    * BandIndex daily-increment shape at the filter tier).
+    */
+  def mergeBloom(spark: SparkSession, basePath: String, shard: DataFrame,
+      outPath: String, m: Int = defaultBits, k: Int = defaultK): Unit =
+    spark.read.parquet(s"$basePath/bloom")
+      .unionAll(probeRows(shard, m, k).select(col("w"), col("bv").as("bits")))
+      .groupBy("w").agg(expr("bit_or(bits)").as("bits"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/bloom")
+
   /** Per-doc Bloom verdict for `shard` against a built filter:
     * (doc_id, bloom_pos) where bloom_pos = 1 iff ALL k probed bits are
     * set. The filter broadcasts (≤ m/32 rows by construction); the

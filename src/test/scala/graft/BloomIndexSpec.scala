@@ -81,6 +81,19 @@ class BloomIndexSpec extends SparkSuite {
     assert(viaBloom == exact && viaBloom.nonEmpty)
   }
 
+  test("merged shard filter == filter built on the union, bit for bit") {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") % 3 === 1)
+    val shard = docs.filter(col("doc_id") % 3 === 2)
+    val p = graft.util.TempDirs.scratch("bloom_spec_merge")
+    BloomIndex.build(base, s"$p/base")
+    BloomIndex.mergeBloom(spark, s"$p/base", shard, s"$p/merged")
+    BloomIndex.build(base.unionAll(shard), s"$p/full")
+    def bits(path: String) = BloomIndex.load(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bits(s"$p/merged") == bits(s"$p/full") && bits(s"$p/merged").nonEmpty)
+  }
+
   test("dense zero-state form == sparse join form on the real corpus") {
     val docs = Tables(spark, dir, "documents")
     val base = docs.filter(col("doc_id") % 3 =!= 0)
