@@ -135,8 +135,8 @@ object PipelineOps12 {
        |t AS (SELECT doc_id, text, ${CleanFns.tokensDuck("text")} AS ws FROM x),
        |ln AS (SELECT doc_id, ${PipelineOps8.segsAutoDuck} AS segs FROM t),
        |lc AS (
-       |  SELECT doc_id, seg, COUNT(*) AS c
-       |  FROM ln, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),
+       |  SELECT doc_id, substr(md5(seg), 1, 16) AS g, COUNT(*) AS c
+       |  FROM ln, UNNEST(segs) AS u(seg) GROUP BY 1, 2),
        |lstat AS (
        |  SELECT doc_id, SUM(c) AS n_lines,
        |         SUM(c - 1) * 1000000 // SUM(c) AS dup_line_ppm
@@ -144,8 +144,8 @@ object PipelineOps12 {
        |wsg AS (
        |  SELECT doc_id, ${PipelineOps8.segsDuck} AS segs FROM t WHERE len(ws) > 0),
        |wc AS (
-       |  SELECT doc_id, seg, COUNT(*) AS c
-       |  FROM wsg, UNNEST(segs) AS u(seg) GROUP BY doc_id, seg),
+       |  SELECT doc_id, substr(md5(seg), 1, 16) AS g, COUNT(*) AS c
+       |  FROM wsg, UNNEST(segs) AS u(seg) GROUP BY 1, 2),
        |wstat AS (
        |  SELECT doc_id, SUM(c) AS n_word_segs,
        |         SUM(c - 1) * 1000000 // SUM(c) AS dup_word_ppm
@@ -157,16 +157,35 @@ object PipelineOps12 {
        |  CAST(dup_word_ppm AS BIGINT) AS dup_word_ppm
        |FROM lstat JOIN wstat ON wstat.doc_id = lstat.doc_id
        |ORDER BY lstat.doc_id""".stripMargin) { (s, dir) =>
+    // ONE extraction pass (the regex chain is the probe's real cost) and
+    // ONE tagged digest-keyed explode serving both granularities — the
+    // two-branch oracle above is the plain relational form this fused
+    // plan is hash-pinned against. Segments shuffle as 16-hex digests
+    // (mirrored in the oracle), never raw line text.
     val pages = Tables(s, dir, "documents").select(col("doc_id"),
       concat(lit(promoPage._1), col("text"), lit(promoPage._2)).as("html"))
     val x = graft.api.Corpus.fromHtml(pages).df
-    def dupStats(seg: DataFrame, nName: String, ppmName: String) = seg
-      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("c"))
+    val tagged = x
+      .select(col("doc_id"), col("text"), CleanFns.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"""concat(
+           |  transform(${PipelineOps8.segsAutoSparkSql},
+           |    sg -> named_struct('t', 'L', 'g', substring(md5(sg), 1, 16))),
+           |  transform(CASE WHEN size(ws) > 0 THEN ${PipelineOps8.segsSparkSql}
+           |                 ELSE filter(array(''), sg -> false) END,
+           |    sg -> named_struct('t', 'W', 'g', substring(md5(sg), 1, 16))))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.t").as("t"), col("p.g").as("g"))
+    tagged
+      .groupBy("doc_id", "t", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(sum(col("c")).cast("long").as(nName),
-        expr("sum(c - 1) * 1000000 DIV sum(c)").as(ppmName))
-    dupStats(PipelineOps8.segmentsAuto(x), "n_lines", "dup_line_ppm")
-      .join(dupStats(PipelineOps8.segments(x), "n_word_segs", "dup_word_ppm"), "doc_id")
+      .agg(
+        coalesce(sum(when(col("t") === "L", col("c"))), lit(0L)).cast("long").as("n_lines"),
+        expr("sum(CASE WHEN t = 'L' THEN c - 1 END) * 1000000" +
+          " DIV sum(CASE WHEN t = 'L' THEN c END)").as("dup_line_ppm"),
+        coalesce(sum(when(col("t") === "W", col("c"))), lit(0L)).cast("long").as("n_word_segs"),
+        expr("sum(CASE WHEN t = 'W' THEN c - 1 END) * 1000000" +
+          " DIV sum(CASE WHEN t = 'W' THEN c END)").as("dup_word_ppm"))
+      .filter(col("n_lines") > 0 && col("n_word_segs") > 0)
       .orderBy("doc_id")
   }
 

@@ -38,13 +38,15 @@ object PipelineOps8 {
     * the 16-word proxy. Expects `text` AND `ws` in scope; empty-token
     * newline-free docs yield an empty array (callers filter).
     */
-  private[ext] def segsAutoSpark: Column = expr(
+  private[ext] def segsAutoSpark: Column = expr(segsAutoSparkSql)
+
+  private[ext] def segsAutoSparkSql: String =
     s"""CASE WHEN contains(text, '\\n')
        |  THEN filter(split(text, '\\n', -1), sg -> length(sg) > 0)
        |  WHEN size(ws) > 0 THEN ${segsSparkSql}
-       |  ELSE filter(array(''), sg -> false) END""".stripMargin)
+       |  ELSE filter(array(''), sg -> false) END""".stripMargin
 
-  private def segsSparkSql: String =
+  private[ext] def segsSparkSql: String =
     s"""transform(sequence(1, CAST(ceil(size(ws) / $segWords.0) AS INT)),
        |  k -> concat_ws(' ', slice(ws, (k - 1) * $segWords + 1, $segWords)))""".stripMargin
 

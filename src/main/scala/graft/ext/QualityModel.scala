@@ -110,15 +110,74 @@ object QualityModel {
     }.mkString(",\n")
   }
 
-  /** X-QC1 — learned quality filter: ridge-distill the x_txt11 rule gate
-    * into (β₀, β₁, β₂) and score every document. The oracle rebuilds the
-    * ENTIRE training — integer feature sums, the staged cofactor solve
-    * (evaluating the same SQL text the Spark plan runs), the scoring
-    * arithmetic — so the hash match pins exact sums, the IEEE solve
-    * sequence, and the 0.5 decision boundary cross-engine.
+  // ------------------------------------------- generalized (3-feature)
+
+  /** (doc_id, x1, x2, x3, y): the 2-feature frame plus stop_hits — the
+    * strongest single rule input (`stop_hits >= 2` is a hard clause),
+    * and monotone, so the linear model can actually use it.
     */
-  private val qc1 = Probe(
-    "x_qc1_learned_quality",
+  def features3(docs: DataFrame): DataFrame =
+    PipelineOps3.addQualityRuleSignals(docs)
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("mean_len_c").as("x1"),
+        expr("alpha_ppm DIV 1000").as("x2"), col("stop_hits").as("x3"),
+        col("keep").as("y"))
+
+  /** The exact integer sums for an n-feature system, named per
+    * [[RidgeSolver]]'s convention.
+    */
+  private def sumsN(feat: DataFrame, nFeat: Int): DataFrame = {
+    val cols =
+      (1 to nFeat).map(i => coalesce(sum(col(s"x$i")), lit(0L)).as(s"s$i")) ++
+      (for (i <- 1 to nFeat; j <- i to nFeat)
+        yield coalesce(sum(col(s"x$i") * col(s"x$j")), lit(0L)).as(s"s$i$j")) ++
+      Seq(coalesce(sum(col("y")), lit(0L)).as("sy")) ++
+      (1 to nFeat).map(i => coalesce(sum(col(s"x$i") * col("y")), lit(0L)).as(s"s${i}y"))
+    feat.agg(count(lit(1)).as("n"), cols: _*)
+  }
+
+  /** Train an n-feature ridge on a (doc_id, x1..xn, y) frame via the
+    * generated [[RidgeSolver]] stages: the 1-row (b0..bn) frame,
+    * in-plan.
+    */
+  def trainRidgeN(feat: DataFrame, nFeat: Int): DataFrame =
+    RidgeSolver.stages(nFeat)
+      .foldLeft(sumsN(feat, nFeat))((d, stage) => d.selectExpr(stage: _*))
+
+  private def score3Expr: String =
+    "b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE) + b3 * CAST(x3 AS DOUBLE)"
+
+  /** Score against a trained 3-feature coefficient row. */
+  def scoreWith3(docs: DataFrame, coef: DataFrame): DataFrame =
+    features3(docs)
+      .crossJoin(broadcast(coef))
+      .select(col("doc_id"), col("x1"), col("x2"), col("x3"), col("y").as("keep"),
+        expr(s"round($score3Expr, 6)").as("score"),
+        expr(s"CAST(CASE WHEN $score3Expr >= 0.5 THEN 1 ELSE 0 END AS BIGINT)").as("pred"))
+
+  /** 3-feature train-on-self + score. */
+  def distill3(docs: DataFrame): DataFrame =
+    scoreWith3(docs, trainRidgeN(features3(docs), 3))
+
+  /** The distillation model card: one row of confusion counts + the
+    * agreement rate (ppm, truncating) between the learned predictor and
+    * the rule gate — the number that decides whether the cheap linear
+    * score can stand in for the rule chain on the next crawl.
+    */
+  def confusion(docs: DataFrame): DataFrame =
+    distill(docs).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pred") === 1 && col("keep") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("keep") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("keep") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("keep") === 0, 1L).otherwise(0L)).as("tn"))
+    .withColumn("agree_ppm", expr("(tp + tn) * 1000000 DIV n"))
+
+  /** Shared oracle CTE chain: features → sums → staged solve → the
+    * per-doc scored frame (`scored`). qc1 surfaces the rows, qc2 the
+    * confusion rollup — one training algebra, hash-pinned twice.
+    */
+  private def scoredCtes: String =
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w FROM documents),
        |m AS (
@@ -141,13 +200,91 @@ object QualityModel {
        |    CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy,
        |    CAST(COALESCE(SUM(x1 * y), 0) AS BIGINT) AS s1y, CAST(COALESCE(SUM(x2 * y), 0) AS BIGINT) AS s2y
        |  FROM feat),
-       |$coefCtes
-       |SELECT feat.doc_id, feat.x1, feat.x2, feat.y AS keep,
-       |  round(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE), 6) AS score,
-       |  CAST(CASE WHEN b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
-       |FROM feat, k4 ORDER BY feat.doc_id""".stripMargin) { (s, dir) =>
+       |$coefCtes,
+       |scored AS (
+       |  SELECT feat.doc_id, feat.x1, feat.x2, feat.y AS keep,
+       |    round(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE), 6) AS score,
+       |    CAST(CASE WHEN b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |  FROM feat, k4)""".stripMargin
+
+  /** X-QC1 — learned quality filter: ridge-distill the x_txt11 rule gate
+    * into (β₀, β₁, β₂) and score every document. The oracle rebuilds the
+    * ENTIRE training — integer feature sums, the staged cofactor solve
+    * (evaluating the same SQL text the Spark plan runs), the scoring
+    * arithmetic — so the hash match pins exact sums, the IEEE solve
+    * sequence, and the 0.5 decision boundary cross-engine.
+    */
+  private val qc1 = Probe(
+    "x_qc1_learned_quality",
+    s"""$scoredCtes
+       |SELECT * FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
     distill(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(qc1)
+  /** X-QC2 — the distillation model card: confusion counts + agreement
+    * ppm between learned predictor and rule gate, over the identical
+    * shared training algebra (one aggregation over x_qc1's scored rows).
+    */
+  private val qc2 = Probe(
+    "x_qc2_quality_confusion",
+    s"""$scoredCtes
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN pred = 1 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN pred = 1 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN pred = 0 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN pred = 0 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST((SUM(CASE WHEN pred = keep THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+       |FROM scored""".stripMargin) { (s, dir) =>
+    confusion(Tables(s, dir, "documents"))
+  }
+
+  private def ctesFor(stages: Seq[Seq[String]]): String =
+    stages.zipWithIndex.map { case (stage, i) =>
+      val from = if (i == 0) "sm" else s"k$i"
+      s"k${i + 1} AS (SELECT ${stage.mkString(", ")} FROM $from)"
+    }.mkString(",\n")
+
+  private def sumsSqlN(nFeat: Int): String = {
+    val cols =
+      (1 to nFeat).map(i => s"CAST(COALESCE(SUM(x$i), 0) AS BIGINT) AS s$i") ++
+      (for (i <- 1 to nFeat; j <- i to nFeat)
+        yield s"CAST(COALESCE(SUM(x$i * x$j), 0) AS BIGINT) AS s$i$j") ++
+      Seq("CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy") ++
+      (1 to nFeat).map(i => s"CAST(COALESCE(SUM(x$i * y), 0) AS BIGINT) AS s${i}y")
+    ("CAST(COUNT(*) AS BIGINT) AS n" +: cols).mkString(", ")
+  }
+
+  /** X-QC3 — the 3-feature distillation through the GENERATED solver
+    * ([[RidgeSolver]], 4×4 symmetric cofactors): adds stop_hits, the
+    * strongest rule input. The oracle's solve stages are the same
+    * generated text the Spark plan folds over — the determinism argument
+    * is literally shared source. QualityModelSpec pins the fidelity gain
+    * over the 2-feature model and the A·β = s residual.
+    */
+  private val qc3 = Probe(
+    "x_qc3_learned_quality3",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |feat AS (
+       |  SELECT doc_id, mean_len_c AS x1, alpha_ppm // 1000 AS x2, stop_hits AS x3,
+       |    CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+       |              AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM m WHERE n_words > 0),
+       |sm AS (SELECT ${sumsSqlN(3)} FROM feat),
+       |${ctesFor(RidgeSolver.stages(3))}
+       |SELECT feat.doc_id, feat.x1, feat.x2, feat.x3, feat.y AS keep,
+       |  round($score3Expr, 6) AS score,
+       |  CAST(CASE WHEN $score3Expr >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM feat, k4 ORDER BY feat.doc_id""".stripMargin) { (s, dir) =>
+    distill3(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(qc1, qc2, qc3)
 }

@@ -78,6 +78,56 @@ class QualityModelSpec extends SparkSuite {
     assert(viaDoor == direct && viaDoor.nonEmpty)
   }
 
+  test("generated solver (n=2) agrees with the hand-written 3x3 stages") {
+    val s = spark
+    import s.implicits._
+    val feat = Seq(
+      (1L, 300L, 900L, 1L), (2L, 250L, 950L, 1L), (3L, 800L, 200L, 0L),
+      (4L, 900L, 100L, 0L), (5L, 400L, 800L, 1L)).toDF("doc_id", "x1", "x2", "y")
+    val hand = QualityModel.trainRidge(feat).collect()(0)
+    val gen = QualityModel.trainRidgeN(feat, 2).collect()(0)
+    // different cofactor term ORDER -> tiny fp divergence allowed, not more
+    (0 to 2).foreach { i =>
+      assert(math.abs(hand.getDouble(i) - gen.getDouble(i)) <=
+        1e-9 * math.max(1.0, math.abs(hand.getDouble(i))))
+    }
+  }
+
+  test("generated 4x4 solve satisfies its own normal equations (A·beta = s)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 300L, 900L, 5L, 1L), (2L, 250L, 950L, 7L, 1L), (3L, 800L, 200L, 0L, 0L),
+      (4L, 900L, 100L, 1L, 0L), (5L, 400L, 800L, 4L, 1L), (6L, 600L, 500L, 2L, 0L))
+    val feat = rows.toDF("doc_id", "x1", "x2", "x3", "y")
+    val b = QualityModel.trainRidgeN(feat, 3).collect()(0)
+    val beta = (0 to 3).map(b.getDouble).toArray
+    // rebuild A (ridge-shifted) and s from the raw rows, check residual
+    val x = rows.map(r => Array(1.0, r._2.toDouble, r._3.toDouble, r._4.toDouble))
+    val y = rows.map(_._5.toDouble)
+    val a = Array.tabulate(4, 4)((i, j) =>
+      x.map(v => v(i) * v(j)).sum + (if (i == j) 1.0 else 0.0))
+    val rhs = Array.tabulate(4)(i => x.zip(y).map { case (v, yy) => v(i) * yy }.sum)
+    (0 to 3).foreach { i =>
+      val lhs = (0 to 3).map(j => a(i)(j) * beta(j)).sum
+      assert(math.abs(lhs - rhs(i)) <= 1e-6 * math.max(1.0, math.abs(rhs(i))),
+        s"row $i: $lhs vs ${rhs(i)}")
+    }
+  }
+
+  test("3-feature distillation beats the 2-feature model on the real corpus") {
+    val docs = Tables(spark, dir, "documents")
+    def agreement(out: org.apache.spark.sql.DataFrame) = {
+      val r = out.agg(count(lit(1)), sum(when(col("pred") === col("keep"), 1L).otherwise(0L)))
+        .collect()(0)
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    val a2 = agreement(QualityModel.distill(docs))
+    val a3 = agreement(QualityModel.distill3(docs))
+    assert(a3 >= a2, s"3-feature $a3 < 2-feature $a2")
+    assert(a3 > 0.7, s"3-feature agreement $a3")
+  }
+
   test("degenerate inputs: empty corpus trains to finite zeros, no NaN") {
     val s = spark
     import s.implicits._
