@@ -31,6 +31,7 @@ object Registry {
     ext.SegIndex.all ++
     ext.BloomIndex.all ++
     ext.QualityModel.all ++
+    ext.IvfIndex.all ++
     ext.Similarity.all ++
     ext.Similarity2.all ++
     ext.EmbedDedup.all ++

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.{Probe, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -81,6 +82,27 @@ object IvfIndex {
       spark.read.parquet(s"$dir/assignments"))
   }
 
+  /** Assign a NEW shard's vectors against the STORED centroids and
+    * append them to the on-disk assignments — the incremental regime at
+    * the ANN tier (the BandIndex/SegIndex/BloomIndex/KnLm daily-increment
+    * shape): the released corpus's vectors are never re-read, the coarse
+    * quantizer is not retrained (IVF's standard production posture — the
+    * quantizer drifts only on scheduled retrains), and the appended cell
+    * files land inside the existing partition layout so query pruning is
+    * unchanged. Appended index ≡ (base centroids, union assigned against
+    * them) — which is exactly what the x_sim9 oracle recomputes.
+    */
+  def append(spark: SparkSession, dir: String, newEmbeddings: DataFrame): Unit = {
+    graft.GraftExtensions.register(spark)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val iv = newEmbeddings.select(col("vec_id"), expr(Similarity.intVec).as("v"))
+    withD2(iv, cent)
+      .withColumn("rn", row_number().over(byD2)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"),
+        expr("dot_d(v, v)").as("n2"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
   /** Top-k cosine neighbors for `queries` (vec_id, embedding), probing the
     * `nProbes` nearest cells per query. Self-matches (same vec_id) are
     * excluded.
@@ -102,4 +124,71 @@ object IvfIndex {
       .select(col("q_id"), col("rnk"), col("cand_id").as("c_id"),
         round(col("cos"), 6).as("score"))
   }
+
+  /** X-SIM9 — INCREMENTAL IVF: the index trains on the even half (seed
+    * centroids = its 8 smallest vec_ids, one exact floor-mean Lloyd
+    * step), the odd half APPENDS against the stored centroids without a
+    * retrain or base rescan, and the top-5 query over the combined index
+    * must hash-match the oracle's recomputation — base-trained
+    * quantizer, union assigned against it, x_sim4's candidate/score/rank
+    * algebra. Pins that the append path and a from-scratch assignment of
+    * the union are the same index.
+    */
+  private val sim9 = Probe(
+    "x_sim9_ivf_incremental",
+    s"""WITH iv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS c_id, v AS cv FROM iv WHERE vec_id % 2 = 0
+       |  ORDER BY vec_id LIMIT 8),
+       |ad0 AS (
+       |  SELECT iv.vec_id, cent0.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent0.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent0 WHERE iv.vec_id % 2 = 0),
+       |assign0 AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad0)
+       |  WHERE rn = 1),
+       |dims AS (
+       |  SELECT a.cell, t.i, CAST(CAST(SUM(iv.v[t.i]) AS BIGINT) // COUNT(*) AS DOUBLE) AS m
+       |  FROM assign0 a JOIN iv ON iv.vec_id = a.vec_id,
+       |       UNNEST(generate_series(1, 64)) AS t(i)
+       |  GROUP BY a.cell, t.i),
+       |cent1 AS (SELECT cell AS c_id, list(m ORDER BY i) AS cv FROM dims GROUP BY cell),
+       |ad1 AS (
+       |  SELECT iv.vec_id, cent1.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent1.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent1),
+       |assign1 AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad1)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+       |    FROM ad1 WHERE vec_id < 5)
+       |  WHERE rn <= 2),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM iv),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN assign1 a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.c_id,
+       |         list_sum(list_transform(list_zip(q.v, x.v), z -> z[1]*z[2])) / sqrt(q.n2 * x.n2) AS cos
+       |  FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n x ON x.vec_id = c.c_id),
+       |r AS (SELECT q_id, c_id, cos,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       |      FROM scored)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(cos, 6) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val idxDir = graft.util.TempDirs.scratch("graft_ivf_inc")
+    save(train(s, emb.filter(col("vec_id") % 2 === 0)), idxDir)
+    append(s, idxDir, emb.filter(col("vec_id") % 2 =!= 0))
+    query(load(s, idxDir), emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Probe] = Seq(sim9)
 }

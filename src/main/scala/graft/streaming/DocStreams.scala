@@ -257,6 +257,16 @@ object DocStreams {
     docs.withColumn(urlCol,
       graft.clean.UrlFns.canonicalUrl(org.apache.spark.sql.functions.col(urlCol)))
 
+  /** Stream-capable LEARNED quality scoring — x_qc1/x_qc3's ridge model
+    * at the stream door: the coefficient row comes from a model trained
+    * on the released corpus (`QualityModel.trainRidge` /
+    * `trainRidgeN`), broadcasts once, and each micro-batch scores as a
+    * narrow projection (zero state) — the train-on-release /
+    * score-the-stream regime every released-model operator here follows.
+    */
+  def learnedQualityScored(docs: DataFrame, coef: DataFrame): DataFrame =
+    graft.ext.QualityModel.scoreWith(docs, coef)
+
   /** Stream-capable Bloom membership verdict — x_ded24's prefilter at
     * the stream door: the persisted filter's dense bitmap row
     * ([[graft.ext.BloomIndex.denseRow]]) broadcasts once, each

@@ -21,6 +21,27 @@ class IvfIndexSpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("appended index == union assigned from scratch against base centroids") {
+    val emb = Tables(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val shard = emb.filter(col("vec_id") % 2 =!= 0)
+    val out = graft.util.TempDirs.scratch("ivf_inc_spec")
+    IvfIndex.save(IvfIndex.train(spark, base), out)
+    IvfIndex.append(spark, out, shard)
+    val appended = IvfIndex.load(spark, out)
+    // every vector present exactly once after the append
+    val ids = appended.assignments
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.toSet == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // and query through the appended index matches the oracle-checked probe
+    val got = IvfIndex.query(appended, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val want = Registry.all.find(_.name == "x_sim9_ivf_incremental").get
+      .run(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("save/load round trip is lossless and cell-pruned at the scan") {
     val emb = Tables(spark, dir, "embeddings")
     val h = IvfIndex.train(spark, emb)

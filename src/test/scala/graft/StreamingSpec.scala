@@ -262,6 +262,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming learned-quality scoring == batch against the same trained model") {
+    import graft.streaming.DocStreams
+    import graft.ext.QualityModel
+    val docs = Tables(spark, dir, "documents")
+    val coef = QualityModel.trainRidge(
+      QualityModel.features(docs.filter(col("doc_id") % 3 =!= 0)))
+    // materialize the 1-row coefficient frame so the stream side joins a
+    // static local relation, not a live aggregation (stream rules)
+    val s = spark
+    import s.implicits._
+    val cRow = coef.collect()(0)
+    val cStatic = Seq((cRow.getDouble(0), cRow.getDouble(1), cRow.getDouble(2)))
+      .toDF("b0", "b1", "b2")
+    val q = DocStreams.learnedQualityScored(
+        DocStreams.readStream(spark, dir).filter(col("doc_id") % 3 === 0), cStatic)
+      .writeStream.outputMode("append").format("memory").queryName("lq_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lq_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).sorted.toSeq
+      val want = QualityModel.scoreWith(docs.filter(col("doc_id") % 3 === 0), cStatic)
+        .collect().map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).sorted.toSeq
+      assert(got.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming quality gate == batch x_txt11 keepers (stateless projection)") {
     import graft.streaming.DocStreams
     val q = DocStreams.qualityFilter(DocStreams.readStream(spark, dir))
