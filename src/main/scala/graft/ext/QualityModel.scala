@@ -41,18 +41,31 @@ object QualityModel {
       .select(col("doc_id"), col("mean_len_c").as("x1"),
         expr("alpha_ppm DIV 1000").as("x2"), col("keep").as("y"))
 
+  /** Exact product of two integer feature columns, in DECIMAL(38,0) so
+    * neither the multiply nor the corpus-wide sum can wrap: a single
+    * pathological crawl doc (one multi-megabyte token → mean_len_c ~1e8)
+    * squares past Long, and non-ANSI Spark would wrap SILENTLY while
+    * DuckDB's HUGEINT stays exact — a model divergence, not just a probe
+    * mismatch. The mixturePlan discipline applied to the trainer; the
+    * solve reads these through CAST(… AS DOUBLE), identical on both
+    * engines at any magnitude.
+    */
+  private def xprod(a: String, b: String) =
+    coalesce(sum(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)")),
+      lit(0L)).cast("decimal(38,0)")
+
   /** The nine exact integer sums of the normal equations. */
   private def sums(feat: DataFrame): DataFrame =
     feat.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(col("x1")), lit(0L)).as("s1"),
-      coalesce(sum(col("x2")), lit(0L)).as("s2"),
-      coalesce(sum(col("x1") * col("x1")), lit(0L)).as("s11"),
-      coalesce(sum(col("x1") * col("x2")), lit(0L)).as("s12"),
-      coalesce(sum(col("x2") * col("x2")), lit(0L)).as("s22"),
+      coalesce(sum(col("x1").cast("decimal(38,0)")), lit(0L)).as("s1"),
+      coalesce(sum(col("x2").cast("decimal(38,0)")), lit(0L)).as("s2"),
+      xprod("x1", "x1").as("s11"),
+      xprod("x1", "x2").as("s12"),
+      xprod("x2", "x2").as("s22"),
       coalesce(sum(col("y")), lit(0L)).as("sy"),
-      coalesce(sum(col("x1") * col("y")), lit(0L)).as("s1y"),
-      coalesce(sum(col("x2") * col("y")), lit(0L)).as("s2y"))
+      xprod("x1", "y").as("s1y"),
+      xprod("x2", "y").as("s2y"))
 
   /** The solve, as STAGES of select expressions shared verbatim with
     * the DuckDB oracle — the cross-engine determinism guarantee is that
@@ -128,11 +141,11 @@ object QualityModel {
     */
   private def sumsN(feat: DataFrame, nFeat: Int): DataFrame = {
     val cols =
-      (1 to nFeat).map(i => coalesce(sum(col(s"x$i")), lit(0L)).as(s"s$i")) ++
+      (1 to nFeat).map(i => coalesce(sum(col(s"x$i").cast("decimal(38,0)")), lit(0L)).as(s"s$i")) ++
       (for (i <- 1 to nFeat; j <- i to nFeat)
-        yield coalesce(sum(col(s"x$i") * col(s"x$j")), lit(0L)).as(s"s$i$j")) ++
+        yield xprod(s"x$i", s"x$j").as(s"s$i$j")) ++
       Seq(coalesce(sum(col("y")), lit(0L)).as("sy")) ++
-      (1 to nFeat).map(i => coalesce(sum(col(s"x$i") * col("y")), lit(0L)).as(s"s${i}y"))
+      (1 to nFeat).map(i => xprod(s"x$i", "y").as(s"s${i}y"))
     feat.agg(count(lit(1)).as("n"), cols: _*)
   }
 
@@ -194,11 +207,11 @@ object QualityModel {
        |  FROM m WHERE n_words > 0),
        |sm AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS s1, CAST(COALESCE(SUM(x2), 0) AS BIGINT) AS s2,
-       |    CAST(COALESCE(SUM(x1 * x1), 0) AS BIGINT) AS s11, CAST(COALESCE(SUM(x1 * x2), 0) AS BIGINT) AS s12,
-       |    CAST(COALESCE(SUM(x2 * x2), 0) AS BIGINT) AS s22,
+       |    COALESCE(SUM(CAST(x1 AS HUGEINT)), 0) AS s1, COALESCE(SUM(CAST(x2 AS HUGEINT)), 0) AS s2,
+       |    COALESCE(SUM(CAST(x1 AS HUGEINT) * x1), 0) AS s11, COALESCE(SUM(CAST(x1 AS HUGEINT) * x2), 0) AS s12,
+       |    COALESCE(SUM(CAST(x2 AS HUGEINT) * x2), 0) AS s22,
        |    CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy,
-       |    CAST(COALESCE(SUM(x1 * y), 0) AS BIGINT) AS s1y, CAST(COALESCE(SUM(x2 * y), 0) AS BIGINT) AS s2y
+       |    COALESCE(SUM(CAST(x1 AS HUGEINT) * y), 0) AS s1y, COALESCE(SUM(CAST(x2 AS HUGEINT) * y), 0) AS s2y
        |  FROM feat),
        |$coefCtes,
        |scored AS (
@@ -246,11 +259,11 @@ object QualityModel {
 
   private def sumsSqlN(nFeat: Int): String = {
     val cols =
-      (1 to nFeat).map(i => s"CAST(COALESCE(SUM(x$i), 0) AS BIGINT) AS s$i") ++
+      (1 to nFeat).map(i => s"COALESCE(SUM(CAST(x$i AS HUGEINT)), 0) AS s$i") ++
       (for (i <- 1 to nFeat; j <- i to nFeat)
-        yield s"CAST(COALESCE(SUM(x$i * x$j), 0) AS BIGINT) AS s$i$j") ++
+        yield s"COALESCE(SUM(CAST(x$i AS HUGEINT) * x$j), 0) AS s$i$j") ++
       Seq("CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy") ++
-      (1 to nFeat).map(i => s"CAST(COALESCE(SUM(x$i * y), 0) AS BIGINT) AS s${i}y")
+      (1 to nFeat).map(i => s"COALESCE(SUM(CAST(x$i AS HUGEINT) * y), 0) AS s${i}y")
     ("CAST(COUNT(*) AS BIGINT) AS n" +: cols).mkString(", ")
   }
 
