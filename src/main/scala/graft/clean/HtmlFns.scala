@@ -97,4 +97,55 @@ object HtmlFns {
     re("[ ]+")
     s"regexp_replace($out, '(^\\s+)|(\\s+$$)', '', 'g')"
   }
+
+  // ------------------------------------------- page-structure signals
+
+  /** Anchor element with its inner markup as group 1 — anchors don't
+    * nest (HTML forbids it), so the non-greedy first-close match is the
+    * element.
+    */
+  private val anchorRe = "(?is)<a\\b[^>]*>(.*?)</a>"
+  private val anchorOpenRe = "(?is)<a\\b[^>]*>"
+  private val paraOpenRe = "(?is)<p\\b[^>]*>"
+
+  /** Meta-robots noindex, matched attribute-order-sensitively (name
+    * before content, the order every generator emits) — a deterministic
+    * simplification documented like the nested-element caveat above.
+    */
+  private val noindexRe = "(?is)<meta\\b[^>]*robots[^>]*noindex[^>]*>"
+
+  /** Count of anchor open tags. */
+  def nAnchors(c: Column): Column =
+    size(regexp_extract_all(c, lit(anchorOpenRe), lit(0))).cast("long")
+
+  /** Total visible characters inside anchors (inner tags stripped) —
+    * the numerator of LINK DENSITY, the classic boilerplate
+    * discriminator (Kohlschütter et al. 2010, public): navigation/chrome
+    * pages put most of their text in links, articles don't.
+    */
+  def anchorChars(c: Column): Column =
+    coalesce(aggregate(
+      transform(regexp_extract_all(c, lit(anchorRe), lit(1)),
+        m => length(regexp_replace(m, "(?s)<[^>]*>", "")).cast("long")),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+
+  /** Count of paragraph open tags. */
+  def nParagraphs(c: Column): Column =
+    size(regexp_extract_all(c, lit(paraOpenRe), lit(0))).cast("long")
+
+  /** 1 if the page carries a meta-robots noindex directive. */
+  def noindex(c: Column): Column =
+    when(c.rlike(noindexRe), 1L).otherwise(0L)
+
+  /** DuckDB twins of the four signals, over an HTML expression. */
+  def nAnchorsDuck(e: String): String =
+    s"CAST(len(regexp_extract_all($e, '$anchorOpenRe')) AS BIGINT)"
+  def anchorCharsDuck(e: String): String =
+    s"""CAST(COALESCE(list_sum(list_transform(
+       |  regexp_extract_all($e, '$anchorRe', 1),
+       |  m -> length(regexp_replace(m, '(?s)<[^>]*>', '', 'g')))), 0) AS BIGINT)""".stripMargin
+  def nParagraphsDuck(e: String): String =
+    s"CAST(len(regexp_extract_all($e, '$paraOpenRe')) AS BIGINT)"
+  def noindexDuck(e: String): String =
+    s"CAST(CASE WHEN regexp_matches($e, '$noindexRe') THEN 1 ELSE 0 END AS BIGINT)"
 }

@@ -189,6 +189,64 @@ object PipelineOps12 {
       .orderBy("doc_id")
   }
 
+  /** X-HTML4 — page-STRUCTURE signals: anchor count, anchor text mass,
+    * paragraph count, meta-robots noindex, extracted-text length, and
+    * LINK DENSITY (anchor chars per million extracted chars) — the
+    * boilerplate-page discriminator (Kohlschütter et al. 2010: chrome
+    * pages put their text in links) plus the politeness gate every crawl
+    * must respect (noindex pages don't enter the corpus). Pages extend
+    * the crawl template with a per-doc article anchor, a terms-of-service
+    * footer link, and a noindex directive on every 5th doc, so all four
+    * signals vary. One narrow regex projection — zero exchanges.
+    */
+  private val html4 = Probe(
+    "x_html4_structure_signals",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 5 = 0
+       |          THEN '</title><meta name="robots" content="noindex,nofollow">'
+       |          ELSE '</title>' END) ||
+       |    '</head><body><nav><a href="/">Home</a> <a href="/a">About</a></nav><article><p>' ||
+       |    text ||
+       |    '</p><p><a href="/more">Read more about doc ' || CAST(doc_id AS VARCHAR) ||
+       |    ' and related documents</a></p></article>' ||
+       |    '<footer><a href="/tos">Terms of service</a></footer></body></html>' AS html
+       |  FROM documents),
+       |sg AS (
+       |  SELECT doc_id,
+       |    ${HtmlFns.nAnchorsDuck("html")} AS n_anchors,
+       |    ${HtmlFns.anchorCharsDuck("html")} AS anchor_chars,
+       |    ${HtmlFns.nParagraphsDuck("html")} AS n_paragraphs,
+       |    ${HtmlFns.noindexDuck("html")} AS noindex,
+       |    CAST(length(${HtmlFns.htmlToTextDuck("html")}) AS BIGINT) AS text_chars
+       |  FROM h)
+       |SELECT doc_id, n_anchors, anchor_chars, n_paragraphs, noindex, text_chars,
+       |  CAST(anchor_chars * 1000000 // nullif(text_chars, 0) AS BIGINT) AS link_density_ppm
+       |FROM sg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pages = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0,
+          lit("</title><meta name=\"robots\" content=\"noindex,nofollow\">"))
+          .otherwise(lit("</title>")),
+        lit("</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><article><p>"),
+        col("text"),
+        lit("</p><p><a href=\"/more\">Read more about doc "), col("doc_id").cast("string"),
+        lit(" and related documents</a></p></article>"),
+        lit("<footer><a href=\"/tos\">Terms of service</a></footer></body></html>")).as("html"))
+    pages
+      .select(col("doc_id"),
+        HtmlFns.nAnchors(col("html")).as("n_anchors"),
+        HtmlFns.anchorChars(col("html")).as("anchor_chars"),
+        HtmlFns.nParagraphs(col("html")).as("n_paragraphs"),
+        HtmlFns.noindex(col("html")).as("noindex"),
+        length(HtmlFns.htmlToText(col("html"))).cast("long").as("text_chars"))
+      .withColumn("link_density_ppm",
+        expr("anchor_chars * 1000000 DIV nullif(text_chars, 0)"))
+      .orderBy("doc_id")
+  }
+
   /** X-SKT6 — the join ADVISOR wired to the x_skt4 primitive
     * ([[graft.util.Scale.adviseJoin]]): side counts, count-min join-size
     * estimate, per-side heaviest-key upper bounds, and the
@@ -298,5 +356,5 @@ object PipelineOps12 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(html1, html2, html3, skt6, pack5, mix4)
+  val all: Seq[Probe] = Seq(html1, html2, html3, html4, skt6, pack5, mix4)
 }

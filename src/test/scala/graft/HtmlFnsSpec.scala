@@ -108,6 +108,35 @@ class HtmlFnsSpec extends SparkSuite {
     assert(streamed.collect()(0).getAs[String]("text") == "kept words")
   }
 
+  test("structure signals: anchors, link density numerator, noindex edges") {
+    import graft.clean.HtmlFns
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // inner tags inside an anchor stripped from the char count: "Bold link" = 9
+      (1L, "<body><a href=\"/x\"><b>Bold</b> link</a><p>text here</p></body>"),
+      // empty anchor counts as an anchor, contributes 0 chars
+      (2L, "<body><a href=\"/y\"></a><p>t</p></body>"),
+      // uppercase tag + attribute-order noindex variant; two paragraphs
+      (3L, "<HTML><META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\"><P>a</P><p>b</p></HTML>"),
+      // robots meta WITHOUT noindex does not trip the flag
+      (4L, "<meta name=\"robots\" content=\"index,follow\"><p>c</p>"),
+      (5L, "no markup at all")).toDF("doc_id", "html")
+    val got = rows.select(col("doc_id"),
+        HtmlFns.nAnchors(col("html")).as("na"),
+        HtmlFns.anchorChars(col("html")).as("ac"),
+        HtmlFns.nParagraphs(col("html")).as("np"),
+        HtmlFns.noindex(col("html")).as("ni"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      (1L, 1L, 9L, 1L, 0L),
+      (2L, 1L, 0L, 1L, 0L),
+      (3L, 0L, 0L, 2L, 1L),
+      (4L, 0L, 0L, 1L, 0L),
+      (5L, 0L, 0L, 0L, 0L)), got.mkString(", "))
+  }
+
   test("streaming extraction == batch extraction on the same pages") {
     val dir = "/root/testdata/sf0.001"
     def pages(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
