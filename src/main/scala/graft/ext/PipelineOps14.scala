@@ -160,6 +160,101 @@ object PipelineOps14 {
     packPlacements(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
+  /** Context-length ADVISOR: for each candidate window size, the packing
+    * quality a sequential loader would see on this corpus — docs split
+    * across bin boundaries (attention-locality loss), bins used, and
+    * tail waste — plus the documented decision: the SMALLEST ctx whose
+    * split fraction meets `splitBudgetPpm` (attention is quadratic in
+    * ctx, so you take the shortest window the split budget allows; if
+    * none qualifies, the largest candidate). The x_skt6 adviseJoin
+    * pattern: the advice itself is a checked output, not a comment.
+    *
+    * Shape: the per-shard running offsets are computed ONCE (they don't
+    * depend on ctx); each candidate then costs only narrow arithmetic
+    * over (start_off, n_tok) and a 4-row rollup — one window pass + one
+    * aggregation regardless of how many candidates are screened.
+    */
+  def ctxAdvisor(docs: DataFrame, ctxs: Seq[Int] = Seq(256, 512, 1024, 2048),
+      shards: Int = 16, splitBudgetPpm: Long = 250000L): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ >= 1), s"bad ctx candidates: $ctxs")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val placed = docs
+      .select(col("doc_id"), size(CleanFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val perCtx = placed
+      .select(col("n_tok"), (col("cum") - col("n_tok")).as("start_off"),
+        explode(array(ctxs.map(c => lit(c.toLong)): _*)).as("ctx"))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN (start_off + n_tok - 1) DIV ctx > start_off DIV ctx THEN 1 ELSE 0 END")).as("n_split"))
+    val bins = placed
+      .groupBy("shard").agg(max(col("cum")).as("tot"))
+      .select(col("tot"), explode(array(ctxs.map(c => lit(c.toLong)): _*)).as("ctx"))
+      .groupBy("ctx")
+      .agg(sum(expr("(tot - 1) DIV ctx + 1")).as("n_bins"), sum(col("tot")).as("total_tok"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perCtx.join(bins, "ctx")
+      .withColumn("split_ppm", expr("n_split * 1000000 DIV n_docs"))
+      .withColumn("waste_ppm",
+        expr("(n_bins * ctx - total_tok) * 1000000 DIV (n_bins * ctx)"))
+      .withColumn("__ok_min",
+        min(when(col("split_ppm") <= splitBudgetPpm, col("ctx"))).over(wAll))
+      .withColumn("__max", max(col("ctx")).over(wAll))
+      .withColumn("chosen",
+        when(col("__ok_min").isNotNull, (col("ctx") === col("__ok_min")).cast("long"))
+          .otherwise((col("ctx") === col("__max")).cast("long")))
+      .select(col("ctx"), col("n_docs"), col("n_split"), col("split_ppm"),
+        col("n_bins"), col("total_tok"), col("waste_ppm"), col("chosen"))
+  }
+
+  /** X-PACK7 — the advisor over the standard candidates, every number
+    * and the choice itself oracle-checked (the oracle re-derives
+    * offsets, per-ctx splits, bins, waste, and the smallest-qualifying
+    * rule relationally).
+    */
+  private val pack7 = Probe(
+    "x_pack7_ctx_advisor",
+    s"""WITH d AS (
+       |  SELECT doc_id, len(${CleanFns.tokensDuck("text")}) AS n_tok
+       |  FROM documents
+       |  WHERE len(${CleanFns.tokensDuck("text")}) > 0),
+       |c AS (
+       |  SELECT doc_id, doc_id % 16 AS shard, n_tok,
+       |         SUM(n_tok) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d),
+       |pc AS (
+       |  SELECT ctx, COUNT(*) AS n_docs,
+       |         SUM(CASE WHEN (cum - 1) // ctx > (cum - n_tok) // ctx THEN 1 ELSE 0 END) AS n_split
+       |  FROM c, UNNEST([256, 512, 1024, 2048]) AS t(ctx) GROUP BY ctx),
+       |st AS (SELECT shard, MAX(cum) AS tot FROM c GROUP BY shard),
+       |bn AS (
+       |  SELECT ctx, SUM((tot - 1) // ctx + 1) AS n_bins, SUM(tot) AS total_tok
+       |  FROM st, UNNEST([256, 512, 1024, 2048]) AS t(ctx) GROUP BY ctx),
+       |j AS (
+       |  SELECT pc.ctx, n_docs, n_split,
+       |         n_split * 1000000 // n_docs AS split_ppm,
+       |         n_bins, total_tok,
+       |         (n_bins * pc.ctx - total_tok) * 1000000 // (n_bins * pc.ctx) AS waste_ppm
+       |  FROM pc JOIN bn ON bn.ctx = pc.ctx),
+       |ch AS (
+       |  SELECT *,
+       |    MIN(CASE WHEN split_ppm <= 250000 THEN ctx END) OVER () AS ok_min,
+       |    MAX(ctx) OVER () AS mx
+       |  FROM j)
+       |SELECT CAST(ctx AS BIGINT) AS ctx, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_split AS BIGINT) AS n_split, CAST(split_ppm AS BIGINT) AS split_ppm,
+       |  CAST(n_bins AS BIGINT) AS n_bins, CAST(total_tok AS BIGINT) AS total_tok,
+       |  CAST(waste_ppm AS BIGINT) AS waste_ppm,
+       |  CAST(CASE WHEN ok_min IS NOT NULL THEN (ctx = ok_min)::INT
+       |            ELSE (ctx = mx)::INT END AS BIGINT) AS chosen
+       |FROM ch ORDER BY ctx""".stripMargin) { (s, dir) =>
+    ctxAdvisor(Tables(s, dir, "documents")).orderBy("ctx")
+  }
+
   /** X-PIPE6 — CRAWL → TRAINING BATCHES, end to end: synthetic crawl
     * pages → [[graft.api.Corpus.fromHtml]] extraction → Gopher
     * repetition gate (x_txt23) → CCNet perplexity selection over the
@@ -293,5 +388,5 @@ object PipelineOps14 {
       .orderBy("lang", "bucket")
   }
 
-  val all: Seq[Probe] = Seq(mix5, pack6, pipe6)
+  val all: Seq[Probe] = Seq(mix5, pack6, pack7, pipe6)
 }
