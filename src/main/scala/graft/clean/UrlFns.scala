@@ -53,9 +53,12 @@ object UrlFns {
     val rest = s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
     val path = s"regexp_replace($rest, '(?s)\\?.*$$', '', 'g')"
     val query = s"CASE WHEN contains($rest, '?') THEN regexp_replace($rest, '(?s)^[^?]*\\?', '', 'g') ELSE '' END"
+    // COALESCE: DuckDB's array_to_string returns NULL on an EMPTY list
+    // (Spark's array_join returns '') — a query-less URL must not
+    // canonicalize to NULL
     val kept =
-      s"""array_to_string(list_sort(list_filter(string_split($query, '&'),
-         |  p -> NOT regexp_matches(p, '$trackingRe') AND p <> '')), '&')""".stripMargin
+      s"""COALESCE(array_to_string(list_sort(list_filter(string_split($query, '&'),
+         |  p -> NOT regexp_matches(p, '$trackingRe') AND p <> '')), '&'), '')""".stripMargin
     s"""($authNoPort || $path ||
        |  CASE WHEN $kept = '' THEN '' ELSE '?' || $kept END)""".stripMargin
   }

@@ -454,6 +454,95 @@ object PipelineOps13 {
       .orderBy("rank")
   }
 
+  // --------------------------------------------------- robots exclusion
+
+  /** Robots-exclusion gate (RFC 9309 semantics, public): given a rules
+    * table (host, prefix, allow) parsed from each host's robots.txt,
+    * mark every URL allowed/blocked — the politeness gate in front of
+    * the fetcher. The MOST SPECIFIC (longest-prefix) matching rule
+    * wins; on a length tie the allow rule wins; no matching rule means
+    * allowed. Empty prefixes must not be in the table (an empty
+    * Disallow means allow-all in robots.txt — drop it at parse time).
+    *
+    * Shape: robots files are tiny — the rules table BROADCASTS; the
+    * per-URL winner is a row_number over the ≤ rules-per-host matches,
+    * partitioned by doc_id (bounded partitions, never host-wide). Zero
+    * corpus-sized shuffles.
+    */
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = urls
+      .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
+      .withColumn("host", regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
+      .withColumn("path", regexp_replace(col("canon"), "^[a-z0-9+.-]+://[^/?#]*", ""))
+    val wBest = Window.partitionBy(col("doc_id")).orderBy(
+      col("__hit").desc, length(col("prefix")).desc, col("allow").desc, col("prefix").asc)
+    u.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("__hit",
+        col("prefix").isNotNull && expr("startswith(path, prefix)"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("host"), col("path"),
+        when(col("__hit"), col("allow").cast("long")).otherwise(lit(1L)).as("allowed"))
+  }
+
+  /** X-URL5 — the robots gate over a synthetic frontier with four path
+    * shapes per host and a 3-rule robots table (Disallow /private,
+    * Allow /private/ok, Allow /pub): exercises the longest-prefix win
+    * (an /private/ok/... URL is allowed THROUGH the broader /private
+    * disallow), the plain disallow, and the no-matching-rule default.
+    * Oracle recomputes the canonicalization, the prefix matching, and
+    * the specificity ordering relationally.
+    */
+  private val url5 = Probe(
+    "x_url5_robots_gate",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '/Path/To/Item'
+       |          WHEN doc_id % 4 = 1 THEN '/private/data'
+       |          WHEN doc_id % 4 = 2 THEN '/private/ok/page'
+       |          ELSE '/pub/x' END) AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon FROM u),
+       |p AS (
+       |  SELECT doc_id,
+       |    regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |    regexp_replace(canon, '^[a-z0-9+.-]+://[^/?#]*', '', 'g') AS path
+       |  FROM c),
+       |r AS (
+       |  SELECT h.host, t.prefix, t.allow
+       |  FROM (SELECT DISTINCT host FROM p) h,
+       |       (VALUES ('/private', 0), ('/private/ok', 1), ('/pub', 1)) AS t(prefix, allow)),
+       |m AS (
+       |  SELECT p.doc_id, p.host, p.path, r.prefix, r.allow,
+       |         (r.prefix IS NOT NULL AND starts_with(p.path, r.prefix)) AS hit
+       |  FROM p LEFT JOIN r ON r.host = p.host),
+       |w AS (
+       |  SELECT doc_id, host, path, hit, allow,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY hit DESC, length(prefix) DESC, allow DESC, prefix ASC) AS rn
+       |  FROM m)
+       |SELECT doc_id, host, path,
+       |  CAST(CASE WHEN hit THEN allow ELSE 1 END AS BIGINT) AS allowed
+       |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val urls = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://www.example"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 4 === 0, lit("/Path/To/Item"))
+          .when(col("doc_id") % 4 === 1, lit("/private/data"))
+          .when(col("doc_id") % 4 === 2, lit("/private/ok/page"))
+          .otherwise(lit("/pub/x"))).as("url"))
+    val hosts = urls
+      .select(graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
+      .select(regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
+      .distinct()
+    val rules = hosts.crossJoin(
+      Seq(("/private", 0), ("/private/ok", 1), ("/pub", 1)).toDF("prefix", "allow"))
+    robotsGate(urls, rules).orderBy("doc_id")
+  }
+
   // --------------------------------------------------- per-host doc cap
 
   /** RefinedWeb-style per-domain cap: keep at most `cap` documents per
@@ -598,5 +687,5 @@ object PipelineOps13 {
     frontierReport(Tables(s, dir, "documents").select(url.as("url")))
   }
 
-  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3, url4)
+  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3, url4, url5)
 }

@@ -247,7 +247,7 @@ object QualityModel {
        |  CAST(SUM(CASE WHEN pred = 0 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        |  CAST(SUM(CASE WHEN pred = 0 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
        |  CAST((SUM(CASE WHEN pred = keep THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
-       |FROM scored""".stripMargin) { (s, dir) =>
+       |FROM scored ORDER BY n""".stripMargin) { (s, dir) =>
     confusion(Tables(s, dir, "documents"))
   }
 

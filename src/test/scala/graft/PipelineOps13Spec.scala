@@ -81,6 +81,22 @@ class PipelineOps13Spec extends SparkSuite {
     assert(bucketed.columns.contains("bucket"))
   }
 
+  test("robotsGate: longest prefix wins, allow wins ties, no-rule default-allows") {
+    val rules = Seq(
+      ("a.com", "/private", 0L),
+      ("a.com", "/private/ok", 1L),
+      ("a.com", "/p", 1L)).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "https://a.com/private/data"),   // /private disallow wins over /p allow (longer)
+      (2L, "https://a.com/private/ok/x"),   // /private/ok allow wins (longest)
+      (3L, "https://a.com/public"),         // only /p matches -> allow
+      (4L, "https://a.com/other"),          // no rule matches -> default allow
+      (5L, "https://b.com/private/data")).toDF("doc_id", "url") // unknown host -> allow
+    val got = graft.ext.PipelineOps13.robotsGate(urls, rules)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toList
+    assert(got == List((1L, 0L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)), got.mkString(", "))
+  }
+
   test("hostCap: salted two-level == flat window on a skewed single host") {
     import org.apache.spark.sql.expressions.Window
     // one mega-host (200 docs), one small host (2 docs) — the salted
