@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
 object Roundtrips {
 
   private def rt(spark: org.apache.spark.sql.SparkSession, dir: String,
-      fmt: String): org.apache.spark.sql.DataFrame = {
+      fmt: String, options: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val out = s"/tmp/graft_rt/${fmt}_documents"
-    docs.write.mode("overwrite").format(fmt).save(out)
-    spark.read.schema(docs.schema).format(fmt).load(out)
+    val out = graft.util.TempDirs.scratch(s"graft_rt_$fmt")
+    docs.write.mode("overwrite").format(fmt).options(options).save(out)
+    spark.read.schema(docs.schema).format(fmt).options(options).load(out)
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"),
         md5(col("text")).as("content_fp"))
@@ -47,5 +47,15 @@ object Roundtrips {
     */
   private val src2 = Probe("x_src2_json_roundtrip", oracle)((s, dir) => rt(s, dir, "json"))
 
-  val all: Seq[Probe] = Seq(src1, src2)
+  /** X-SRC3 — GZIP-compressed JSON-lines round-trip: the crawl
+    * interchange format as it actually arrives (WET/WARC-derived dumps
+    * ship gzipped). Codec caveat at scale, stated where the operator
+    * lives: plain .gz files are NOT splittable — one stream per file —
+    * so ingest parallelism equals file count; dumps arrive as many
+    * shard files, which is exactly what the sharded write produces.
+    */
+  private val src3 = Probe("x_src3_jsonl_gzip_roundtrip", oracle)((s, dir) =>
+    rt(s, dir, "json", Map("compression" -> "gzip")))
+
+  val all: Seq[Probe] = Seq(src1, src2, src3)
 }
