@@ -680,6 +680,12 @@ final case class Corpus(df: DataFrame) {
   def frontierReport(urlCol: String = "url", k: Int = 5): DataFrame =
     graft.ext.PipelineOps13.frontierReport(df.select(col(urlCol).as("url")), k)
 
+  /** Pipeline funnel report (x_pipe7): per-stage in/out counts and drop
+    * rates for the standard curation chain (quality gate → exact dedup →
+    * decontamination) — the datacard table every release writes.
+    */
+  def funnelReport(): DataFrame = graft.ext.PipelineOps15.funnelReport(df)
+
   /** RefinedWeb-style per-domain cap (x_url4): keep at most `cap` docs
     * per canonical host, quality-ranked — no single domain dominates.
     * Skew-immune two-level top-K (exact; the oracle pins it against a
