@@ -38,5 +38,6 @@ object Registry {
     ext.TextAnalysis.all ++
     ext.Multimodal.all ++
     sources.Roundtrips.all ++
+    sources.Warc.all ++
     osm.OsmProbes.all
 }

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.{DataOutputBuffer, LongWritable, Text}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.mapreduce.{InputSplit, JobContext, RecordReader, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
+
+/** Splittable WARC input format: one record per `WARC/1.0` record from
+  * (possibly) one huge uncompressed WARC file — the CommonCrawl
+  * container, read in place ([[graft.osm.XmlElementInputFormat]]'s
+  * split contract applied to the crawl-archive tier).
+  *
+  * The split contract: a record BELONGS to the split in which its
+  * `WARC/1.0\r\n` magic begins; a reader positioned mid-file scans
+  * forward to the first magic at or after its split start (bytes before
+  * it belong to the previous split's reader, which reads past its own
+  * end to finish its last record). Unlike the XML case, the PAYLOAD is
+  * never delimiter-scanned — `Content-Length` directs an exact byte
+  * read, so payloads freely contain the magic, markup, or binary.
+  *
+  * False-sync discipline: the magic can occur inside a payload, so a
+  * mid-file sync is VALIDATED — the candidate must present parseable
+  * headers (terminated by CRLFCRLF within 64 KiB) carrying a numeric
+  * Content-Length; otherwise the scan continues. A payload that embeds
+  * a complete well-formed WARC record (a WARC-of-WARCs) is genuinely
+  * ambiguous to any mid-stream reader and documented unsupported, as is
+  * gzip input (per-record-gzipped .warc.gz is not byte-scannable —
+  * decompress or shard first; the reader refuses compressed paths
+  * loudly rather than returning an empty scan).
+  */
+class WarcInputFormat extends FileInputFormat[LongWritable, Text] {
+  override def isSplitable(ctx: JobContext, file: Path): Boolean =
+    new CompressionCodecFactory(ctx.getConfiguration).getCodec(file) == null
+
+  override def createRecordReader(split: InputSplit, ctx: TaskAttemptContext)
+      : RecordReader[LongWritable, Text] = new WarcRecordReader
+}
+
+object WarcInputFormat {
+  val Magic: Array[Byte] = "WARC/1.0\r\n".getBytes(StandardCharsets.US_ASCII)
+  val HeaderEnd: Array[Byte] = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+  val MaxHeaderBytes: Int = 64 * 1024
+}
+
+class WarcRecordReader extends RecordReader[LongWritable, Text] {
+  import WarcInputFormat._
+
+  private var start = 0L
+  private var end = 0L
+  private var pos = 0L
+  private var in: java.io.DataInputStream = _
+  private var fsIn: org.apache.hadoop.fs.FSDataInputStream = _
+  private val key = new LongWritable
+  private val value = new Text
+  private val buffer = new DataOutputBuffer
+
+  override def initialize(genericSplit: InputSplit, ctx: TaskAttemptContext): Unit = {
+    val split = genericSplit.asInstanceOf[FileSplit]
+    start = split.getStart
+    end = start + split.getLength
+    val codec = new CompressionCodecFactory(ctx.getConfiguration)
+      .getCodec(split.getPath)
+    if (codec != null)
+      throw new UnsupportedOperationException(
+        s"WarcInputFormat reads raw WARC bytes; ${split.getPath} is " +
+        s"${codec.getClass.getSimpleName}-compressed — decompress or shard it first")
+    val fs = split.getPath.getFileSystem(ctx.getConfiguration)
+    fsIn = fs.open(split.getPath)
+    fsIn.seek(start)
+    in = new java.io.DataInputStream(new java.io.BufferedInputStream(fsIn, 1 << 20))
+    pos = start
+  }
+
+  private def readByte(): Int = {
+    val b = in.read()
+    if (b >= 0) pos += 1
+    b
+  }
+
+  /** Scan forward for the record magic. Returns false at EOF, or once
+    * the scan position passes the split end with no match in progress
+    * (the next record belongs to the next split).
+    */
+  private def scanToMagic(): Boolean = {
+    var i = 0
+    while (true) {
+      val b = readByte()
+      if (b == -1) return false
+      if (b == Magic(i)) {
+        i += 1
+        if (i >= Magic.length) return true
+      } else {
+        i = if (b == Magic(0)) 1 else 0
+        if (i == 0 && pos >= end) return false
+      }
+    }
+    false
+  }
+
+  /** Read header bytes (recording) through CRLFCRLF, capped. */
+  private def readHeaders(): Boolean = {
+    var i = 0
+    var n = 0
+    while (n < MaxHeaderBytes) {
+      val b = readByte()
+      if (b == -1) return false
+      buffer.write(b)
+      n += 1
+      if (b == HeaderEnd(i)) {
+        i += 1
+        if (i >= HeaderEnd.length) return true
+      } else i = if (b == HeaderEnd(0)) 1 else 0
+    }
+    false
+  }
+
+  /** Content-Length from the buffered header bytes (ASCII), or -1. */
+  private def contentLength(): Long = {
+    val h = new String(buffer.getData, 0, buffer.getLength,
+      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    val k = h.indexOf("\r\ncontent-length:")
+    if (k < 0) return -1L
+    var i = k + "\r\ncontent-length:".length
+    while (i < h.length && h.charAt(i) == ' ') i += 1
+    var v = -1L
+    while (i < h.length && h.charAt(i) >= '0' && h.charAt(i) <= '9') {
+      v = (if (v < 0) 0L else v) * 10 + (h.charAt(i) - '0')
+      i += 1
+    }
+    v
+  }
+
+  override def nextKeyValue(): Boolean = {
+    while (true) {
+      buffer.reset()
+      if (!scanToMagic()) return false
+      val recordStart = pos - Magic.length
+      buffer.write(Magic)
+      if (readHeaders()) {
+        val cl = contentLength()
+        if (cl >= 0) {
+          var i = 0L
+          var truncated = false
+          while (i < cl && !truncated) {
+            val b = readByte()
+            if (b == -1) truncated = true
+            else { buffer.write(b); i += 1 }
+          }
+          if (!truncated) {
+            key.set(recordStart)
+            value.set(buffer.getData, 0, buffer.getLength)
+            return true
+          }
+          return false // EOF inside a payload: malformed tail, drop it
+        }
+      }
+      // false sync (no parseable headers / no Content-Length): keep
+      // scanning, unless we are already past the split end
+      if (pos >= end) return false
+    }
+    false
+  }
+
+  override def getCurrentKey: LongWritable = key
+  override def getCurrentValue: Text = value
+  override def getProgress: Float =
+    if (end == start) 1.0f else math.min(1.0f, (pos - start).toFloat / (end - start))
+  override def close(): Unit = if (in != null) in.close()
+}
