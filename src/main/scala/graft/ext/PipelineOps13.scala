@@ -464,10 +464,13 @@ object PipelineOps13 {
     * allowed. Empty prefixes must not be in the table (an empty
     * Disallow means allow-all in robots.txt — drop it at parse time).
     *
-    * Shape: robots files are tiny — the rules table BROADCASTS; the
+    * Shape: each host's rule set is tiny, but a crawl-wide rules table
+    * spans EVERY host — small for one site's robots, potentially 10⁸
+    * rows across the frontier — so the join is left UNHINTED: Spark
+    * broadcasts it under the threshold and shuffles on host beyond it
+    * (both sides key on host; no corpus×rules blowup either way). The
     * per-URL winner is a row_number over the ≤ rules-per-host matches,
-    * partitioned by doc_id (bounded partitions, never host-wide). Zero
-    * corpus-sized shuffles.
+    * partitioned by doc_id (bounded partitions, never host-wide).
     */
   def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -477,7 +480,7 @@ object PipelineOps13 {
       .withColumn("path", regexp_replace(col("canon"), "^[a-z0-9+.-]+://[^/?#]*", ""))
     val wBest = Window.partitionBy(col("doc_id")).orderBy(
       col("__hit").desc, length(col("prefix")).desc, col("allow").desc, col("prefix").asc)
-    u.join(broadcast(rules), Seq("host"), "left")
+    u.join(rules, Seq("host"), "left")
       .withColumn("__hit",
         col("prefix").isNotNull && expr("startswith(path, prefix)"))
       .withColumn("__rn", row_number().over(wBest))
