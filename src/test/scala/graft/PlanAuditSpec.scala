@@ -384,6 +384,44 @@ class PlanAuditSpec extends SparkSuite {
       s"global window funnel:\n$plan")
   }
 
+  test("x_html4: structure signals are narrow — no hash exchange at all") {
+    val df = SparkEntry.queries("x_html4_structure_signals")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"signal stage shuffled:\n$plan")
+  }
+
+  test("x_html3: one tagged digest-keyed exchange serves both granularities") {
+    val df = SparkEntry.queries("x_html3_dup_lines")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the fused form keys its aggregation on (doc_id, t, g-digest); a raw
+    // 'seg' string in any exchange key means the fusion regressed to the
+    // two-branch raw-payload shape
+    assert("hashpartitioning\\([^)]*\\bseg#".r.findFirstIn(plan).isEmpty,
+      s"raw-segment-keyed exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"two-branch join came back:\n$plan")
+  }
+
+  test("x_qc1: training is ONE aggregation pass; scoring joins a 1-row broadcast") {
+    val df = SparkEntry.queries("x_qc1_learned_quality")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"coefficient row should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-sized join in the scorer:\n$plan")
+  }
+
+  test("x_ded24: bloom artifact broadcasts; the shard is never content-shuffled") {
+    val df = SparkEntry.queries("x_ded24_bloom_prefilter")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // shard text never shuffles — only doc_id-keyed rollups and digests
+    assert("hashpartitioning\\([^)]*\\btext#".r.findFirstIn(plan).isEmpty,
+      s"text-keyed exchange:\n$plan")
+  }
+
   test("x_ret1: ranking pre-limits with WindowGroupLimit; term/query tables broadcast") {
     val df = SparkEntry.queries("x_ret1_bm25")(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
