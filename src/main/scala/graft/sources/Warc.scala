@@ -101,5 +101,77 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(warc1)
+  /** X-WARC2 — the FULL crawl front door in one oracle-checked pass:
+    * documents render as WARC response records whose HTML payload
+    * carries planted encoding damage (x_enc1's fixture) and chrome; the
+    * pipeline then reads the archive splittably, repairs the encoding,
+    * extracts text, runs the quality gate, and rolls up per HOST —
+    * warc framing × mojibake repair × extraction × gate × URL tier,
+    * every stage interaction pinned by one nested oracle recomputing
+    * the chain from the source table.
+    */
+  private val warc2 = Probe(
+    "x_warc2_ingest_pipeline",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       |    '<html><body><nav><a href="/">Home</a> menu chrome</nav><p>' ||
+       |      ${graft.clean.EncodingFns.sqlLit(graft.ext.PipelineOps15.planted)} || text ||
+       |      '</p></body></html>' AS payload
+       |  FROM documents),
+       |rep AS (
+       |  SELECT doc_id, url,
+       |    ${graft.clean.EncodingFns.repairEncodingDuck("payload")} AS payload
+       |  FROM d),
+       |x AS (
+       |  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       |         ${graft.clean.HtmlFns.htmlToTextDuck("payload")} AS text
+       |  FROM rep),
+       |t AS (
+       |  SELECT doc_id, host, list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w
+       |  FROM x),
+       |m AS (
+       |  SELECT doc_id, host,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, host, n_words,
+       |    CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+       |         AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+       |  FROM m)
+       |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words
+       |FROM k GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+    val out = graft.util.TrainOnce(s"warc_ingest:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_ing")
+      Tables(s, dir, "documents")
+        .select(responseRecord(
+          concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")),
+          concat(lit("<html><body><nav><a href=\"/\">Home</a> menu chrome</nav><p>"),
+            lit(graft.ext.PipelineOps15.planted), col("text"),
+            lit("</p></body></html>"))).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    }
+    val records = readRecords(s, out)
+    graft.ext.PipelineOps3.addQualityRuleSignals(
+        records
+          .withColumn("payload",
+            graft.clean.EncodingFns.repairEncoding(col("payload")))
+          .select(
+            regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+            graft.clean.HtmlFns.htmlToText(col("payload")).as("text")))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(col("n_words")).cast("long").as("n_words"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2)
 }
