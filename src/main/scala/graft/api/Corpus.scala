@@ -464,8 +464,12 @@ final case class Corpus(df: DataFrame) {
     */
   def dedupExactIncremental(bloomDir: String, baseDigests: DataFrame): Corpus =
     chain { d =>
+      // geometry comes from the artifact's own meta — probing with a
+      // different (m, k) than the filter was built with would silently
+      // produce false negatives (missed duplicates)
+      val (m, k) = graft.ext.BloomIndex.loadMeta(d.sparkSession, bloomDir)
       val marked = graft.ext.BloomIndex.markDuplicates(
-        d, graft.ext.BloomIndex.load(d.sparkSession, bloomDir), baseDigests)
+        d, graft.ext.BloomIndex.load(d.sparkSession, bloomDir), baseDigests, m, k)
       d.join(marked.filter(col("is_dup") === 1L).select("doc_id"),
         Seq("doc_id"), "left_anti")
     }
@@ -655,30 +659,15 @@ final case class Corpus(df: DataFrame) {
     graft.ext.PipelineOps6.splitByGroup(d, col(groupCol), names, cuts)
   }
 
-  /** Greedy token-budget fill (x_mix3): keep documents per `groupCol` (in a
-    * deterministic md5 permutation) while the running token total stays
-    * within `budget` — "take ~N tokens of each language", the mixing
-    * primitive data recipes express in tokens, not documents. Adds
-    * `cum_tok`. Routed through the SHARDED two-level prefix sum
-    * (x_mix3b): identical result to the single-window form, but a
-    * mega-group ("all of English") never funnels through one task and
-    * shards past the budget boundary are pruned before the window.
-    */
-  /** Honest subword token accounting (x_tok1): adds `n_tok_bpe`, the
-    * byte-level BPE count under the checked-in vocabulary — the
-    * token-denominated operators' alternative to whitespace word counts
-    * (which undercount code/CJK by multiples). A pure narrow native
-    * expression; feed it to [[takeTokenBudget]]-class operators via
-    * `PipelineOps6.takeTokenBudgetSharded(df, g, col("n_tok_bpe"), b)`
-    * or [[lengthBatches]]' tokens argument.
-    */
   /** Frontier politeness report (x_url3): per-host raw/canonical counts
     * and variant-noise ppm for the top-`k` hosts by canonical page
     * count — the fetch scheduler's planning table over a corpus that
     * carries a `urlCol`. Returns a k-row report frame (not a corpus).
     */
-  def frontierReport(urlCol: String = "url", k: Int = 5): DataFrame =
-    graft.ext.PipelineOps13.frontierReport(df.select(col(urlCol).as("url")), k)
+  def frontierReport(urlCol: String = "url", k: Int = 5,
+      maxBuffer: Int = 4096): DataFrame =
+    graft.ext.PipelineOps13.frontierReport(
+      df.select(col(urlCol).as("url")), k, maxBuffer)
 
   /** Pipeline funnel report (x_pipe7): per-stage in/out counts and drop
     * rates for the standard curation chain (quality gate → exact dedup →
@@ -712,6 +701,14 @@ final case class Corpus(df: DataFrame) {
     Corpus.refreshNChars(d.withColumn("text", repaired))
   }
 
+  /** Honest subword token accounting (x_tok1): adds `n_tok_bpe`, the
+    * byte-level BPE count under the checked-in vocabulary — the
+    * token-denominated operators' alternative to whitespace word counts
+    * (which undercount code/CJK by multiples). A pure narrow native
+    * expression; feed it to [[takeTokenBudget]]-class operators via
+    * `PipelineOps6.takeTokenBudgetSharded(df, g, col("n_tok_bpe"), b)`
+    * or [[lengthBatches]]' tokens argument.
+    */
   def withBpeTokenCount(): Corpus = chain { d =>
     GraftExtensions.register(d.sparkSession)
     d.withColumn("n_tok_bpe", expr("CAST(bpe_count(text) AS BIGINT)"))

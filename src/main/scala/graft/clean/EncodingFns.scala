@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   *      mid-text, not just at offset 0
   *   2. mojibake table, longest entries first: the COMMON TABLE of
   *      UTF-8-decoded-as-cp1252 renderings — 3-char sequences (curly
-  *      quotes, dashes, ellipsis, €, ™, •) then 2-char sequences
-  *      (Latin-1 accents, «», °, ·, ¿¡, ©®). Replacements are single
-  *      repaired codepoints that never contain a table prefix, so the
-  *      chain cannot cascade. "Ãƒ" → "Ã" unwinds DOUBLE encodings one
-  *      level per application (apply the chain twice for two levels —
-  *      [[graft.api.Corpus.repairEncoding]] documents this).
+  *      quotes, dashes, ellipsis, €, ™, •, and the double-encoded à/í
+  *      composites) then 2-char sequences (Latin-1 accents, «», °, ·,
+  *      ¿¡, ©®). Double encodings unwind one level per application in
+  *      general ("Ãƒ" → "Ã"; apply the chain twice for two levels —
+  *      [[graft.api.Corpus.repairEncoding]] documents this), EXCEPT the
+  *      à/í composites, which exist because their continuation
+  *      renderings are otherwise normalized away (nbsp → space) or
+  *      uncovered (soft hyphen): their one-level output feeds the later
+  *      single-level rule within the same pass, so those two repair
+  *      fully in one application (pinned in EncodingFnsSpec).
   *   3. drop C1 controls (U+0080–U+009F): decode debris with no text
   *      meaning (the cp1252-unmapped bytes that survive step 2)
   *
@@ -59,6 +63,13 @@ object EncodingFns {
     "â€¢" -> "•", // â€¢ -> •
     "â‚¬" -> "€", // â‚¬ -> €
     "â„¢" -> "™", // â„¢ -> ™
+    // C3 83 C2 A0/AD — double-encoded à/í composites, BEFORE the general
+    // "Ãƒ" rule: their continuation renderings ("Â"+nbsp, "Â"+shy) are
+    // exactly what the single-level rules normalize AWAY ("Â"+nbsp →
+    // plain space) or don't cover, so without these two the second pass
+    // has nothing left to repair ("déjà" would unwind to "déjÃ ")
+    "ÃƒÂ\u00a0" -> "Ã\u00a0", // double-encoded à, one level down
+    "ÃƒÂ\u00ad" -> "Ã\u00ad", // double-encoded í, one level down
     // C3 83 — the double-encoding marker: one level per pass
     "Ãƒ" -> "Ã", // Ãƒ -> Ã
     // C3 xx — Latin-1 letters

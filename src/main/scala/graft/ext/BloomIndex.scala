@@ -52,33 +52,49 @@ object BloomIndex {
   val defaultBits = 65536
   val defaultK = 5
 
-  /** The k probe rows of each doc's digest: (doc_id, w, bv) — word
-    * index and the single-bit value to test (or set) in that word.
+  /** The k probe rows of each doc's digest: (doc_id, h, w, bv) — the
+    * digest rides along so downstream stages (the confirm join) never
+    * rescan or re-digest the shard.
     */
   private def probeRows(docs: DataFrame, m: Int, k: Int): DataFrame =
     docs
       .select(col("doc_id"), md5(col("text")).as("h"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("h"),
         expr("cast(conv(substr(h, 1, 15), 16, 10) as bigint)").as("h1"),
         expr("cast(conv(substr(h, 16, 15), 16, 10) as bigint) | 1").as("h2"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("h"), explode(expr(
         s"transform(sequence(0, ${k - 1}), i -> (h1 % $m + i * (h2 % $m)) % $m)")).as("g"))
-      .select(col("doc_id"), (col("g") / 32).cast("long").as("w"),
+      .select(col("doc_id"), col("h"), (col("g") / 32).cast("long").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(g % 32 as int))").as("bv"))
 
   /** One pass over `docs` (doc_id, text): the sparse Bloom word table
-    * (w, bits) written at `dir/bloom`. The only exchange is the bit_or
-    * aggregation on word index — at most m/32 groups.
+    * (w, bits) written at `dir/bloom`, plus the GEOMETRY row (m, k) at
+    * `dir/meta` — a filter probed under a different (m, k) than it was
+    * built with silently produces false negatives, so the geometry is
+    * part of the artifact and the readers that matter ([[loadMeta]],
+    * `Corpus.dedupExactIncremental`, [[mergeBloom]]) take it from disk
+    * rather than trusting a caller to repeat it.
     */
   def build(docs: DataFrame, dir: String,
-      m: Int = defaultBits, k: Int = defaultK): Unit =
+      m: Int = defaultBits, k: Int = defaultK): Unit = {
     probeRows(docs, m, k)
       .groupBy("w").agg(expr("bit_or(bv)").as("bits"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/bloom")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((m, k)).toDF("m", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
 
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/bloom")
+
+  /** The stored geometry (m, k) of the filter at `dir`. */
+  def loadMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").collect()(0)
+    (r.getInt(0), r.getInt(1))
+  }
 
   /** Merge a NEW SHARD's digests into the filter at `basePath`, writing
     * the union filter to `outPath` — Bloom bitmaps of the SAME geometry
@@ -86,15 +102,22 @@ object BloomIndex {
     * bit), so the shipped artifact stays current without ever rescanning
     * the released corpus: the daily increment costs one pass over the
     * shard plus a bit_or over ≤ m/32 words (the [[KnLm.mergeKnTypes]] /
-    * BandIndex daily-increment shape at the filter tier).
+    * BandIndex daily-increment shape at the filter tier). The geometry
+    * comes from the BASE artifact's meta — it is a property of the
+    * filter, not a per-call choice — and is carried to `outPath`.
     */
   def mergeBloom(spark: SparkSession, basePath: String, shard: DataFrame,
-      outPath: String, m: Int = defaultBits, k: Int = defaultK): Unit =
+      outPath: String): Unit = {
+    val (m, k) = loadMeta(spark, basePath)
     spark.read.parquet(s"$basePath/bloom")
       .unionAll(probeRows(shard, m, k).select(col("w"), col("bv").as("bits")))
       .groupBy("w").agg(expr("bit_or(bits)").as("bits"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outPath/bloom")
+    import spark.implicits._
+    Seq((m, k)).toDF("m", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+  }
 
   /** Per-doc Bloom verdict for `shard` against a built filter:
     * (doc_id, bloom_pos) where bloom_pos = 1 iff ALL k probed bits are
@@ -104,11 +127,20 @@ object BloomIndex {
     */
   def mightContain(shard: DataFrame, bloom: DataFrame,
       m: Int = defaultBits, k: Int = defaultK): DataFrame =
+    flaggedWithDigest(shard, bloom, m, k).select("doc_id", "bloom_pos")
+
+  /** [[mightContain]] with the content digest riding along: (doc_id,
+    * bloom_pos, h) — one shard scan serves both the verdict and any
+    * downstream digest consumer.
+    */
+  private def flaggedWithDigest(shard: DataFrame, bloom: DataFrame,
+      m: Int, k: Int): DataFrame =
     probeRows(shard, m, k)
       .join(broadcast(bloom), Seq("w"), "left")
       .groupBy("doc_id")
       .agg(min(when(coalesce(expr("bits & bv"), lit(0L)) =!= 0L, 1L)
-        .otherwise(0L)).as("bloom_pos"))
+        .otherwise(0L)).as("bloom_pos"),
+        max(col("h")).as("h"))
 
   /** The sparse word table as a dense ONE-ROW bitmap array (length m/32)
     * — the zero-state form: broadcast it with a nested-loop join and
@@ -156,16 +188,18 @@ object BloomIndex {
   def markDuplicates(shard: DataFrame, bloom: DataFrame,
       baseDigests: DataFrame, m: Int = defaultBits,
       k: Int = defaultK): DataFrame = {
-    val flagged = mightContain(shard, bloom, m, k)
-      .join(shard.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
-    val confirmed = flagged.filter(col("bloom_pos") === 1)
-      .join(baseDigests.select(col("h"), lit(1L).as("__hit")).distinct(),
-        Seq("h"), "left")
-      .select(col("doc_id"), coalesce(col("__hit"), lit(0L)).as("is_dup"))
-    flagged.select("doc_id", "bloom_pos")
-      .join(confirmed, Seq("doc_id"), "left")
+    // ONE shard scan: the digest rides through the verdict aggregation,
+    // and the confirm join's compound condition (digest equality AND
+    // bloom_pos = 1) lets negatives stream through unmatched — only
+    // Bloom positives can probe the base side
+    val flagged = flaggedWithDigest(shard, bloom, m, k)
+    val base = baseDigests
+      .select(col("h").as("__bh"), lit(1L).as("__hit")).distinct()
+    flagged
+      .join(base, flagged("h") === base("__bh") && flagged("bloom_pos") === 1L,
+        "left")
       .select(col("doc_id"), col("bloom_pos"),
-        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+        coalesce(col("__hit"), lit(0L)).as("is_dup"))
   }
 
   /** X-DED24 — Bloom-prefiltered incremental exact dedup: the released

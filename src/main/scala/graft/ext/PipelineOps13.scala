@@ -426,8 +426,17 @@ object PipelineOps13 {
     * the host table), and its k-row result broadcasts back onto the
     * per-host stats. Expects a (…, url) frame; exposed on the corpus as
     * [[graft.api.Corpus.frontierReport]].
+    *
+    * Exactness bound (TopKByCount's own contract): the ranking is exact
+    * only while `maxBuffer` exceeds the DISTINCT HOST count — beyond it
+    * the buffer evicts rarest partial counts and the top-k is
+    * approximate. A crawl-scale frontier has millions of hosts: size
+    * `maxBuffer` to the host cardinality (the buffer is one (host,
+    * count) entry each), or pre-aggregate per host and take the k
+    * smallest by (-count, host) exactly.
     */
-  def frontierReport(urls: DataFrame, k: Int = 5): DataFrame = {
+  def frontierReport(urls: DataFrame, k: Int = 5,
+      maxBuffer: Int = 4096): DataFrame = {
     val s = urls.sparkSession
     import s.implicits._
     val canon = urls
@@ -442,7 +451,7 @@ object PipelineOps13 {
     // hosts have no ':' (the extractor's class excludes it), so the
     // aggregator's "value:count" rendering splits back unambiguously
     val top = canon.select(col("host")).as[String]
-      .select(new graft.functions.TopKByCount(k).toColumn)
+      .select(new graft.functions.TopKByCount(k, maxBuffer).toColumn)
       .toDF("top")
     val ranked = top
       .select(posexplode(col("top")).as(Seq("rk", "hc")))

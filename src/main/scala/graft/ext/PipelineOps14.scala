@@ -196,10 +196,17 @@ object PipelineOps14 {
       .groupBy("ctx")
       .agg(sum(expr("(tot - 1) DIV ctx + 1")).as("n_bins"), sum(col("tot")).as("total_tok"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ppm intermediates in DECIMAL(38,0): at the 10^13-token corpora the
+    // docstring targets, n_split·1e6 and n_bins·ctx·1e6 exceed Long and
+    // non-ANSI Spark would wrap silently while the oracle stays exact —
+    // the mixturePlan discipline (round-9 verdict #3) applied here
+    val wide = "CAST(%s AS DECIMAL(38,0))"
     perCtx.join(bins, "ctx")
-      .withColumn("split_ppm", expr("n_split * 1000000 DIV n_docs"))
-      .withColumn("waste_ppm",
-        expr("(n_bins * ctx - total_tok) * 1000000 DIV (n_bins * ctx)"))
+      .withColumn("split_ppm", expr(
+        s"CAST(${wide.format("n_split")} * 1000000 DIV ${wide.format("n_docs")} AS BIGINT)"))
+      .withColumn("waste_ppm", expr(
+        s"CAST((${wide.format("n_bins")} * ctx - total_tok) * 1000000" +
+          s" DIV (${wide.format("n_bins")} * ctx) AS BIGINT)"))
       .withColumn("__ok_min",
         min(when(col("split_ppm") <= splitBudgetPpm, col("ctx"))).over(wAll))
       .withColumn("__max", max(col("ctx")).over(wAll))

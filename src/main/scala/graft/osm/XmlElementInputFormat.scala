@@ -89,19 +89,28 @@ class XmlElementRecordReader extends RecordReader[LongWritable, Text] {
   /** Scan forward for `tag`; when `record` is true, copy scanned bytes into
     * `buffer`. Returns false at EOF, or — when not recording — once the
     * scan position passes the split end with no match in progress (the next
-    * element belongs to the next split).
+    * element belongs to the next split). In non-recording (start-tag
+    * search) mode a match is accepted only if its FIRST byte lies before
+    * the split end: a start tag beginning at/after `end`, reached through
+    * a partial-match run crossing the boundary (e.g. "<nod<node"), is the
+    * next split's element — emitting it here would duplicate it.
     */
   private def readUntilMatch(tag: Array[Byte], record: Boolean): Boolean = {
     var i = 0
+    var matchStart = 0L
     while (true) {
       val b = readByte()
       if (b == -1) return false
       if (record) buffer.write(b)
       if (b == tag(i)) {
+        if (i == 0) matchStart = pos - 1
         i += 1
-        if (i >= tag.length) return true
+        if (i >= tag.length) {
+          if (record || matchStart < end) return true
+          return false // tag begins in the next split: not ours
+        }
       } else {
-        i = if (b == tag(0)) 1 else 0
+        if (b == tag(0)) { i = 1; matchStart = pos - 1 } else i = 0
         if (!record && i == 0 && pos >= end) return false
       }
     }

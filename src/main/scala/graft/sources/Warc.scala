@@ -47,9 +47,14 @@ object Warc {
             line.substring(c + 1).trim)
         }.toMap
         val payload = s.substring(hEnd + 4)
+        // leading-digits parse, matching the record reader's own
+        // lenience — a decorated value ("42;chunked") the reader framed
+        // successfully must not kill the scan here
+        val cl = headers.get("content-length")
+          .map(_.takeWhile(_.isDigit)).filter(d => d.nonEmpty && d.length <= 15)
+          .map(_.toLong).getOrElse(-1L)
         Row(off.get(), headers.get("warc-type").orNull,
-          headers.get("warc-target-uri").orNull,
-          headers.get("content-length").map(_.toLong).getOrElse(-1L), payload)
+          headers.get("warc-target-uri").orNull, cl, payload)
       }
     spark.createDataFrame(rows, schema)
   }

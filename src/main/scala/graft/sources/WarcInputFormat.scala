@@ -23,13 +23,16 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   *
   * False-sync discipline: the magic can occur inside a payload, so a
   * mid-file sync is VALIDATED — the candidate must present parseable
-  * headers (terminated by CRLFCRLF within 64 KiB) carrying a numeric
-  * Content-Length; otherwise the scan continues. A payload that embeds
-  * a complete well-formed WARC record (a WARC-of-WARCs) is genuinely
-  * ambiguous to any mid-stream reader and documented unsupported, as is
-  * gzip input (per-record-gzipped .warc.gz is not byte-scannable —
-  * decompress or shard first; the reader refuses compressed paths
-  * loudly rather than returning an empty scan).
+  * headers (terminated by CRLFCRLF within 64 KiB) carrying BOTH a
+  * WARC-Type header and a plausible numeric Content-Length; otherwise
+  * the scan continues. An embedded HTTP response (the common payload —
+  * it has Content-Length and CRLFCRLF but no WARC-Type) therefore does
+  * not validate. A payload that embeds a complete well-formed WARC
+  * record (a WARC-of-WARCs) is genuinely ambiguous to any mid-stream
+  * reader and documented unsupported, as is gzip input
+  * (per-record-gzipped .warc.gz is not byte-scannable — decompress or
+  * shard first; the reader refuses compressed paths loudly rather than
+  * returning an empty scan).
   */
 class WarcInputFormat extends FileInputFormat[LongWritable, Text] {
   override def isSplitable(ctx: JobContext, file: Path): Boolean =
@@ -43,6 +46,11 @@ object WarcInputFormat {
   val Magic: Array[Byte] = "WARC/1.0\r\n".getBytes(StandardCharsets.US_ASCII)
   val HeaderEnd: Array[Byte] = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
   val MaxHeaderBytes: Int = 64 * 1024
+  /** Plausibility ceiling on a single record's Content-Length (1 TiB):
+    * a garbage or overflowing length rejects the sync candidate instead
+    * of directing a near-infinite read.
+    */
+  val MaxRecordBytes: Long = 1L << 40
 }
 
 class WarcRecordReader extends RecordReader[LongWritable, Text] {
@@ -80,20 +88,28 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     b
   }
 
-  /** Scan forward for the record magic. Returns false at EOF, or once
-    * the scan position passes the split end with no match in progress
-    * (the next record belongs to the next split).
+  /** Scan forward for the record magic. Returns false at EOF, or when
+    * no magic can still BEGIN before the split end — a match is accepted
+    * only if its first byte lies before `end` (the ownership contract:
+    * a record belongs to the split its magic begins in; a magic starting
+    * at or after `end` is the next split's record, even when the scan
+    * reached it through a partial-match run crossing the boundary).
     */
   private def scanToMagic(): Boolean = {
     var i = 0
+    var matchStart = 0L
     while (true) {
       val b = readByte()
       if (b == -1) return false
       if (b == Magic(i)) {
+        if (i == 0) matchStart = pos - 1
         i += 1
-        if (i >= Magic.length) return true
+        if (i >= Magic.length) {
+          if (matchStart < end) return true
+          return false // magic begins in the next split: not ours
+        }
       } else {
-        i = if (b == Magic(0)) 1 else 0
+        if (b == Magic(0)) { i = 1; matchStart = pos - 1 } else i = 0
         if (i == 0 && pos >= end) return false
       }
     }
@@ -117,10 +133,19 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     false
   }
 
-  /** Content-Length from the buffered header bytes (ASCII), or -1. */
+  /** Content-Length from the buffered header bytes (ASCII): the leading
+    * digits of the value, or -1 when absent / implausibly large (beyond
+    * [[WarcInputFormat.MaxRecordBytes]] — a wrapped or garbage length
+    * must reject the candidate, never direct a near-infinite read). The
+    * candidate must also carry a WARC-Type header: an HTTP response
+    * embedded in a payload has Content-Length + CRLFCRLF but no
+    * WARC-Type, so this is what separates a real record from the most
+    * common false sync.
+    */
   private def contentLength(): Long = {
     val h = new String(buffer.getData, 0, buffer.getLength,
       StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    if (!h.contains("\r\nwarc-type:")) return -1L
     val k = h.indexOf("\r\ncontent-length:")
     if (k < 0) return -1L
     var i = k + "\r\ncontent-length:".length
@@ -128,6 +153,7 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     var v = -1L
     while (i < h.length && h.charAt(i) >= '0' && h.charAt(i) <= '9') {
       v = (if (v < 0) 0L else v) * 10 + (h.charAt(i) - '0')
+      if (v > WarcInputFormat.MaxRecordBytes) return -1L
       i += 1
     }
     v

@@ -35,6 +35,18 @@ class EncodingFnsSpec extends SparkSuite {
     assert(repair("ÃƒÂ©", passes = 2) == "é")
   }
 
+  test("double-encoded à and í unwind despite invisible continuations") {
+    // à's continuation renders as "Â"+nbsp — which the single-level table
+    // normalizes to a plain space — and í's as "Â"+soft-hyphen, which no
+    // single-level rule covers: both need their composite entries
+    assert(repair("dÃƒÂ©jÃƒÂ\u00a0 vu", passes = 2) == "déjà vu")
+    assert(repair("ÃƒÂ\u00adntimo", passes = 2) == "íntimo")
+    // the composite's output feeds the LATER single-level rule within
+    // the same pass, so these two repair fully in ONE pass
+    assert(repair("ÃƒÂ\u00a0", passes = 1) == "à")
+    assert(repair("ÃƒÂ\u00ad", passes = 1) == "í")
+  }
+
   test("clean text never fires: legit accents, quotes, and plain ASCII are untouched") {
     for (s <- Seq(
       "déjà vu — “fine” text…",

@@ -69,6 +69,42 @@ class WarcSpec extends SparkSuite {
       cl == p.getBytes(StandardCharsets.UTF_8).length })
   }
 
+  test("a record whose magic starts exactly at a split boundary is emitted ONCE") {
+    val r1 = record("http://a/1", "first record payload")
+    val r2 = record("http://a/2", "second record payload")
+    val dir = writeWarc(r1 + r2)
+    // split size = |r1| puts the boundary exactly at r2's magic: reader 0
+    // must NOT claim it (ownership = the split the magic BEGINS in)
+    val rows = Warc.readRecords(spark, dir,
+        Some(r1.getBytes(StandardCharsets.UTF_8).length.toLong))
+      .collect().map(_.getString(2)).sorted.toList
+    assert(rows == List("http://a/1", "http://a/2"), rows.mkString(", "))
+  }
+
+  test("an embedded HTTP response (Content-Length, no WARC-Type) is not a record") {
+    // the common false-sync candidate: payload is a raw HTTP response
+    val http = "WARC/1.0\r\nHTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nhello"
+    val dir = writeWarc(record("http://a/1", http) + record("http://a/2", "two"))
+    // force tiny splits so mid-payload syncs actually happen
+    val rows = Warc.readRecords(spark, dir, Some(64L))
+      .collect().map(_.getString(2)).sorted.toList
+    assert(rows == List("http://a/1", "http://a/2"), rows.mkString(", "))
+  }
+
+  test("decorated or absurd Content-Length values don't kill the scan") {
+    val good = record("http://a/1", "fine")
+    val decorated = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/2\r\n" +
+      "Content-Length: 3;chunked\r\n\r\nabc\r\n\r\n"
+    val absurd = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/3\r\n" +
+      "Content-Length: 99999999999999999999999\r\n\r\nxyz\r\n\r\n"
+    val dir = writeWarc(good + decorated + absurd)
+    val rows = Warc.readRecords(spark, dir)
+      .collect().map(r => (r.getString(2), r.getLong(3))).sortBy(_._1).toList
+    // decorated length parses leniently (3); the absurd length rejects its
+    // candidate record rather than directing a near-infinite read
+    assert(rows == List(("http://a/1", 4L), ("http://a/2", 3L)), rows.mkString(", "))
+  }
+
   test("unicode payload round-trips byte-exactly through Content-Length") {
     val payload = "héllo wörld — ünïcode 你好   end"
     val dir = writeWarc(record("http://u/1", payload))
