@@ -29,10 +29,14 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   * it has Content-Length and CRLFCRLF but no WARC-Type) therefore does
   * not validate. A payload that embeds a complete well-formed WARC
   * record (a WARC-of-WARCs) is genuinely ambiguous to any mid-stream
-  * reader and documented unsupported, as is gzip input
-  * (per-record-gzipped .warc.gz is not byte-scannable — decompress or
-  * shard first; the reader refuses compressed paths loudly rather than
-  * returning an empty scan).
+  * reader and documented unsupported.
+  *
+  * Compressed archives (the shipped `.warc.gz` form) are supported as
+  * WHOLE-FILE streams: a codec path is never split (`isSplitable`), its
+  * reader decompresses the full stream and parses records sequentially
+  * — parallelism equals file count, which is exactly how crawl dumps
+  * shard (thousands of ~1 GB .warc.gz files). Splittable in-place scans
+  * need the uncompressed form.
   */
 class WarcInputFormat extends FileInputFormat[LongWritable, Text] {
   override def isSplitable(ctx: JobContext, file: Path): Boolean =
@@ -71,15 +75,26 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     end = start + split.getLength
     val codec = new CompressionCodecFactory(ctx.getConfiguration)
       .getCodec(split.getPath)
-    if (codec != null)
-      throw new UnsupportedOperationException(
-        s"WarcInputFormat reads raw WARC bytes; ${split.getPath} is " +
-        s"${codec.getClass.getSimpleName}-compressed — decompress or shard it first")
     val fs = split.getPath.getFileSystem(ctx.getConfiguration)
     fsIn = fs.open(split.getPath)
-    fsIn.seek(start)
-    in = new java.io.DataInputStream(new java.io.BufferedInputStream(fsIn, 1 << 20))
-    pos = start
+    if (codec != null) {
+      // compressed archives (the shipped .warc.gz form) are NOT
+      // byte-seekable — isSplitable already pinned one split per file,
+      // so this reader owns the WHOLE decompressed stream: positions
+      // below are decompressed-stream offsets and `end` is unbounded
+      // (parallelism = file count, which is how crawl dumps shard).
+      require(start == 0L,
+        s"compressed ${split.getPath} must be a single split (got start=$start)")
+      start = 0L
+      end = Long.MaxValue
+      in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        codec.createInputStream(fsIn), 1 << 20))
+      pos = 0L
+    } else {
+      fsIn.seek(start)
+      in = new java.io.DataInputStream(new java.io.BufferedInputStream(fsIn, 1 << 20))
+      pos = start
+    }
   }
 
   private def readByte(): Int = {

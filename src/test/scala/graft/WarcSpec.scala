@@ -105,6 +105,20 @@ class WarcSpec extends SparkSuite {
     assert(rows == List(("http://a/1", 4L), ("http://a/2", 3L)), rows.mkString(", "))
   }
 
+  test("gzipped archive reads as a whole-file stream, identical records") {
+    val content = record("http://g/1", "first gz payload") +
+      record("http://g/2", "second gz payload with ünïcode")
+    val dir = graft.util.TempDirs.scratch("warc_spec_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(dir, "f.warc.gz")))
+    gz.write(content.getBytes(StandardCharsets.UTF_8)); gz.close()
+    val got = Warc.readRecords(spark, dir)
+      .collect().map(r => (r.getString(2), r.getString(4))).sorted.toList
+    val plain = Warc.readRecords(spark, writeWarc(content))
+      .collect().map(r => (r.getString(2), r.getString(4))).sorted.toList
+    assert(got == plain && got.size == 2, got.mkString(", "))
+  }
+
   test("unicode payload round-trips byte-exactly through Content-Length") {
     val payload = "héllo wörld — ünïcode 你好   end"
     val dir = writeWarc(record("http://u/1", payload))
