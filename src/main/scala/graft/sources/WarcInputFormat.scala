@@ -63,6 +63,8 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   private var start = 0L
   private var end = 0L
   private var pos = 0L
+  private var compressed = false
+  private var compressedLen = 0L
   private var in: java.io.DataInputStream = _
   private var fsIn: org.apache.hadoop.fs.FSDataInputStream = _
   private val key = new LongWritable
@@ -77,28 +79,41 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
       .getCodec(split.getPath)
     val fs = split.getPath.getFileSystem(ctx.getConfiguration)
     fsIn = fs.open(split.getPath)
-    if (codec != null) {
-      // compressed archives (the shipped .warc.gz form) are NOT
-      // byte-seekable — isSplitable already pinned one split per file,
-      // so this reader owns the WHOLE decompressed stream: positions
-      // below are decompressed-stream offsets and `end` is unbounded
-      // (parallelism = file count, which is how crawl dumps shard).
-      require(start == 0L,
-        s"compressed ${split.getPath} must be a single split (got start=$start)")
-      start = 0L
-      end = Long.MaxValue
-      in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        codec.createInputStream(fsIn), 1 << 20))
-      pos = 0L
-    } else {
-      fsIn.seek(start)
-      in = new java.io.DataInputStream(new java.io.BufferedInputStream(fsIn, 1 << 20))
-      pos = start
+    try {
+      if (codec != null) {
+        // compressed archives (the shipped .warc.gz form) are NOT
+        // byte-seekable — isSplitable already pinned one split per file,
+        // so this reader owns the WHOLE decompressed stream: positions
+        // below are decompressed-stream offsets and `end` is unbounded
+        // (parallelism = file count, which is how crawl dumps shard).
+        require(start == 0L,
+          s"compressed ${split.getPath} must be a single split (got start=$start)")
+        compressed = true
+        compressedLen = split.getLength
+        end = Long.MaxValue
+        in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          codec.createInputStream(fsIn), 1 << 20))
+        pos = 0L
+      } else {
+        fsIn.seek(start)
+        in = new java.io.DataInputStream(new java.io.BufferedInputStream(fsIn, 1 << 20))
+        pos = start
+      }
+    } catch {
+      case e: Throwable =>
+        fsIn.close() // `close()` only closes `in`, which is still null here
+        throw e
     }
   }
 
   private def readByte(): Int = {
-    val b = in.read()
+    // a truncated/corrupt gzip stream surfaces as an IOException from the
+    // decompressor mid-read; treat it as EOF so the malformed TAIL drops
+    // (the plain path's truncated-record semantics) instead of failing
+    // the task — salvage every complete record before the corruption
+    val b =
+      try in.read()
+      catch { case _: java.io.IOException if compressed => -1 }
     if (b >= 0) pos += 1
     b
   }
@@ -208,6 +223,14 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   override def getCurrentKey: LongWritable = key
   override def getCurrentValue: Text = value
   override def getProgress: Float =
-    if (end == start) 1.0f else math.min(1.0f, (pos - start).toFloat / (end - start))
+    if (compressed)
+      // decompressed `pos` has no meaningful ceiling; report the
+      // COMPRESSED bytes consumed against the file length instead of a
+      // permanently-0 pos/Long.MaxValue (which starves the Spark UI and
+      // trips speculative-execution stall heuristics)
+      if (compressedLen == 0L) 1.0f
+      else math.min(1.0f, fsIn.getPos.toFloat / compressedLen)
+    else if (end == start) 1.0f
+    else math.min(1.0f, (pos - start).toFloat / (end - start))
   override def close(): Unit = if (in != null) in.close()
 }

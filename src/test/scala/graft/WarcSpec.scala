@@ -119,6 +119,39 @@ class WarcSpec extends SparkSuite {
     assert(got == plain && got.size == 2, got.mkString(", "))
   }
 
+  test("MULTI-MEMBER gzip (the shipped per-record .warc.gz form) reads every member") {
+    // real crawl dumps are one gzip member PER RECORD concatenated; the
+    // codec must keep reading past the first member boundary
+    val dir = graft.util.TempDirs.scratch("warc_spec_gzm")
+    val out = java.nio.file.Files.newOutputStream(Paths.get(dir, "f.warc.gz"))
+    for (r <- Seq(record("http://m/1", "member one"),
+        record("http://m/2", "member two"), record("http://m/3", "member three"))) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r.getBytes(StandardCharsets.UTF_8))
+      gz.finish() // close the MEMBER, keep the file stream open
+    }
+    out.close()
+    val rows = Warc.readRecords(spark, dir)
+      .collect().map(_.getString(2)).sorted.toList
+    assert(rows == List("http://m/1", "http://m/2", "http://m/3"), rows.mkString(", "))
+  }
+
+  test("truncated gzip stream drops the malformed tail, keeps complete records") {
+    val content = record("http://t/1", "complete record") +
+      record("http://t/2", "this record will be cut")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(content.getBytes(StandardCharsets.UTF_8)); gz.close()
+    val bytes = bos.toByteArray
+    val dir = graft.util.TempDirs.scratch("warc_spec_gztrunc")
+    java.nio.file.Files.write(Paths.get(dir, "f.warc.gz"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 20)) // cut mid-stream
+    // must not fail the job: every record completed before the corruption
+    // survives, the torn tail drops (plain-path truncated-tail semantics)
+    val rows = Warc.readRecords(spark, dir).collect().map(_.getString(2)).toList
+    assert(rows.nonEmpty && rows.head == "http://t/1", rows.mkString(", "))
+  }
+
   test("unicode payload round-trips byte-exactly through Content-Length") {
     val payload = "héllo wörld — ünïcode 你好   end"
     val dir = writeWarc(record("http://u/1", payload))
