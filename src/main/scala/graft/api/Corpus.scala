@@ -663,11 +663,13 @@ final case class Corpus(df: DataFrame) {
     * and variant-noise ppm for the top-`k` hosts by canonical page
     * count — the fetch scheduler's planning table over a corpus that
     * carries a `urlCol`. Returns a k-row report frame (not a corpus).
+    * Exact at any host cardinality by default; pass `approxBuffer` to
+    * opt into the bounded single-pass aggregator ranking.
     */
   def frontierReport(urlCol: String = "url", k: Int = 5,
-      maxBuffer: Int = 4096): DataFrame =
+      approxBuffer: Option[Int] = None): DataFrame =
     graft.ext.PipelineOps13.frontierReport(
-      df.select(col(urlCol).as("url")), k, maxBuffer)
+      df.select(col(urlCol).as("url")), k, approxBuffer)
 
   /** Pipeline funnel report (x_pipe7): per-stage in/out counts and drop
     * rates for the standard curation chain (quality gate → exact dedup →

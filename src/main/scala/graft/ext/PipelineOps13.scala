@@ -421,22 +421,25 @@ object PipelineOps13 {
     * (raw entries that canonicalization collapses — re-fetch waste).
     *
     * Shape: one exchange on the canonical key, one on host; the top-k
-    * selection runs through the bounded [[graft.functions.TopKByCount]]
-    * aggregator (map-side partials, capped buffer — no global sort of
-    * the host table), and its k-row result broadcasts back onto the
-    * per-host stats. Expects a (…, url) frame; exposed on the corpus as
+    * selection is EXACT by default — the per-host aggregate (already
+    * computed for the stats) feeds a distributed take-ordered by
+    * (n_canonical DESC, host ASC), so correctness never depends on a
+    * buffer size. A crawl-scale frontier has millions of hosts and the
+    * take-ordered keeps k rows per partition, never the host table.
+    * Expects a (…, url) frame; exposed on the corpus as
     * [[graft.api.Corpus.frontierReport]].
     *
-    * Exactness bound (TopKByCount's own contract): the ranking is exact
-    * only while `maxBuffer` exceeds the DISTINCT HOST count — beyond it
-    * the buffer evicts rarest partial counts and the top-k is
-    * approximate. A crawl-scale frontier has millions of hosts: size
-    * `maxBuffer` to the host cardinality (the buffer is one (host,
-    * count) entry each), or pre-aggregate per host and take the k
-    * smallest by (-count, host) exactly.
+    * `approxBuffer`: opt-in single-pass approximate ranking through the
+    * bounded [[graft.functions.TopKByCount]] aggregator (map-side
+    * partials, capped buffer) — exact only while the buffer exceeds the
+    * DISTINCT HOST count; beyond it rarest partials evict and the top-k
+    * is approximate. Useful when the ranking pass must avoid the second
+    * exchange; the DEFAULT is the exact path precisely because a
+    * defaults-trusting caller must not get a silently-approximate
+    * politeness report (round-10 ADVICE).
     */
   def frontierReport(urls: DataFrame, k: Int = 5,
-      maxBuffer: Int = 4096): DataFrame = {
+      approxBuffer: Option[Int] = None): DataFrame = {
     val s = urls.sparkSession
     import s.implicits._
     val canon = urls
@@ -448,15 +451,27 @@ object PipelineOps13 {
         count(lit(1)).cast("long").as("n_canonical"))
       .withColumn("variant_noise_ppm",
         expr("(n_raw - n_canonical) * 1000000 DIV n_raw"))
-    // hosts have no ':' (the extractor's class excludes it), so the
-    // aggregator's "value:count" rendering splits back unambiguously
-    val top = canon.select(col("host")).as[String]
-      .select(new graft.functions.TopKByCount(k, maxBuffer).toColumn)
-      .toDF("top")
-    val ranked = top
-      .select(posexplode(col("top")).as(Seq("rk", "hc")))
-      .select((col("rk") + 1).cast("long").as("rank"),
-        expr("substring_index(hc, ':', 1)").as("host"))
+    val ranked = approxBuffer match {
+      case Some(maxBuffer) =>
+        // hosts have no ':' (the extractor's class excludes it), so the
+        // aggregator's "value:count" rendering splits back unambiguously
+        canon.select(col("host")).as[String]
+          .select(new graft.functions.TopKByCount(k, maxBuffer).toColumn)
+          .toDF("top")
+          .select(posexplode(col("top")).as(Seq("rk", "hc")))
+          .select((col("rk") + 1).cast("long").as("rank"),
+            expr("substring_index(hc, ':', 1)").as("host"))
+      case None =>
+        // TakeOrderedAndProject: k rows per partition then k at the
+        // driver-side merge — exact at any host cardinality. The k-row
+        // local window only ranks the already-taken rows.
+        perHost.select(col("host"), col("n_canonical"))
+          .orderBy(col("n_canonical").desc, col("host").asc)
+          .limit(k)
+          .select(row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_canonical").desc, col("host").asc)).cast("long").as("rank"),
+            col("host"))
+    }
     perHost.join(broadcast(ranked), "host")
       .select(col("rank"), col("host"), col("n_raw"), col("n_canonical"),
         col("variant_noise_ppm"))

@@ -40,6 +40,13 @@ object Warc {
       .map { case (off, t) =>
         val s = new String(t.copyBytes(), java.nio.charset.StandardCharsets.UTF_8)
         val hEnd = s.indexOf("\r\n\r\n")
+        // WarcRecordReader's emission contract: a record is only emitted
+        // after readHeaders() found CRLFCRLF within 64 KiB, so hEnd >= 0
+        // for every value this scan can see — named here because the
+        // invariant lives two files apart and a silent -1 would slice
+        // garbage instead of failing loudly
+        require(hEnd >= 0,
+          "WarcRecordReader contract violated: emitted record without CRLFCRLF")
         val headers = s.substring(0, hEnd).split("\r\n").drop(1).flatMap { line =>
           val c = line.indexOf(':')
           if (c < 0) None

@@ -55,6 +55,24 @@ object WarcInputFormat {
     * of directing a near-infinite read.
     */
   val MaxRecordBytes: Long = 1L << 40
+  /** A VALID record larger than this is skipped with exact framing (the
+    * payload is consumed, nothing is emitted) instead of buffered:
+    * DataOutputBuffer/Text are int-indexed, so a 2 GiB+ record would
+    * otherwise pass sync validation and then crash the task mid-buffer.
+    * Configurable (tests shrink it); clamped below Int.MaxValue.
+    */
+  val MaxBufferedBytesKey = "graft.warc.max.buffered.bytes"
+  val MaxBufferedBytesDefault: Long = 1L << 30
+  /** Task counters: salvaged compressed streams (records after a
+    * corruption point dropped) and skipped oversized records — both
+    * observable per job instead of silently indistinguishable from a
+    * short file.
+    */
+  val CounterGroup = "graft.warc"
+  val SalvagedStreams = "salvaged_compressed_streams"
+  val SkippedOversized = "skipped_oversized_records"
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[WarcInputFormat])
 }
 
 class WarcRecordReader extends RecordReader[LongWritable, Text] {
@@ -65,6 +83,9 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   private var pos = 0L
   private var compressed = false
   private var compressedLen = 0L
+  private var maxBuffered = MaxBufferedBytesDefault
+  private var ctx: TaskAttemptContext = _
+  private var salvaged = false
   private var in: java.io.DataInputStream = _
   private var fsIn: org.apache.hadoop.fs.FSDataInputStream = _
   private val key = new LongWritable
@@ -72,9 +93,14 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   private val buffer = new DataOutputBuffer
 
   override def initialize(genericSplit: InputSplit, ctx: TaskAttemptContext): Unit = {
+    this.ctx = ctx
     val split = genericSplit.asInstanceOf[FileSplit]
     start = split.getStart
     end = start + split.getLength
+    // clamp below Int.MaxValue: the buffer and Text are int-indexed
+    maxBuffered = math.min(
+      ctx.getConfiguration.getLong(MaxBufferedBytesKey, MaxBufferedBytesDefault),
+      (Int.MaxValue - 16).toLong)
     val codec = new CompressionCodecFactory(ctx.getConfiguration)
       .getCodec(split.getPath)
     val fs = split.getPath.getFileSystem(ctx.getConfiguration)
@@ -106,14 +132,45 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     }
   }
 
+  private def count(name: String): Unit =
+    if (ctx != null) ctx.getCounter(CounterGroup, name).increment(1L)
+
+  /** Is this the DECOMPRESSOR reporting a corrupt/truncated stream (vs a
+    * transient filesystem fault, which must still fail the task)? The
+    * codec surfaces truncation as EOFException and framing/CRC damage as
+    * ZipException or an IOException naming the format — an HDFS/network
+    * read error is a plain IOException from `fsIn` with none of those
+    * markers.
+    */
+  private def isCorruptStream(e: java.io.IOException): Boolean = e match {
+    case _: java.io.EOFException => true
+    case _: java.util.zip.ZipException => true
+    case _ =>
+      val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase(java.util.Locale.ROOT)
+      m.contains("gzip") || m.contains("zlib") || m.contains("deflate") ||
+        m.contains("crc") || m.contains("decompress")
+  }
+
   private def readByte(): Int = {
-    // a truncated/corrupt gzip stream surfaces as an IOException from the
-    // decompressor mid-read; treat it as EOF so the malformed TAIL drops
-    // (the plain path's truncated-record semantics) instead of failing
-    // the task — salvage every complete record before the corruption
+    // a truncated/corrupt gzip stream surfaces from the DECOMPRESSOR
+    // mid-read; treat it as EOF so the malformed TAIL drops (the plain
+    // path's truncated-record semantics) instead of failing the task —
+    // salvage every complete record before the corruption. The catch is
+    // NARROW: a transient filesystem fault still fails the task rather
+    // than silently truncating the archive, and a salvage is observable
+    // (one log line + a task counter), never indistinguishable from a
+    // genuinely short file.
     val b =
       try in.read()
-      catch { case _: java.io.IOException if compressed => -1 }
+      catch {
+        case e: java.io.IOException if compressed && isCorruptStream(e) =>
+          if (!salvaged) {
+            salvaged = true
+            count(SalvagedStreams)
+            log.warn(s"corrupt compressed WARC stream salvaged at pos=$pos: ${e.getMessage}")
+          }
+          -1
+      }
     if (b >= 0) pos += 1
     b
   }
@@ -163,30 +220,43 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     false
   }
 
-  /** Content-Length from the buffered header bytes (ASCII): the leading
-    * digits of the value, or -1 when absent / implausibly large (beyond
-    * [[WarcInputFormat.MaxRecordBytes]] — a wrapped or garbage length
-    * must reject the candidate, never direct a near-infinite read). The
-    * candidate must also carry a WARC-Type header: an HTTP response
+  /** Header resolution from the buffered candidate bytes (ASCII),
+    * relative to the LAST `WARC/1.0\r\n` occurrence in the buffer: a
+    * false sync whose junk prefix carries a stray Content-Length line
+    * (with no CRLFCRLF before a real record's headers) must not have
+    * that junk length applied to the real record — the headers that
+    * validate the candidate and the length that frames it must come
+    * from the SAME (last) magic. Returns (magicIdx, contentLength):
+    * `magicIdx` is the byte offset of that last magic within the buffer
+    * (0 when the sync was genuine), `contentLength` the leading digits
+    * of its Content-Length value, or -1 when the candidate lacks a
+    * WARC-Type or Content-Length after the last magic, or the length is
+    * implausibly large (beyond [[WarcInputFormat.MaxRecordBytes]] — a
+    * wrapped or garbage length must reject the candidate, never direct
+    * a near-infinite read). The WARC-Type requirement is what separates
+    * a real record from the most common false sync: an HTTP response
     * embedded in a payload has Content-Length + CRLFCRLF but no
-    * WARC-Type, so this is what separates a real record from the most
-    * common false sync.
+    * WARC-Type.
     */
-  private def contentLength(): Long = {
+  private def resolveHeaders(): (Int, Long) = {
     val h = new String(buffer.getData, 0, buffer.getLength,
       StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
-    if (!h.contains("\r\nwarc-type:")) return -1L
-    val k = h.indexOf("\r\ncontent-length:")
-    if (k < 0) return -1L
+    // ISO-8859-1 maps one byte to one char, so char index == byte index
+    val magicIdx = h.lastIndexOf("warc/1.0\r\n")
+    if (magicIdx < 0) return (0, -1L) // unreachable: buffer starts with Magic
+    val from = magicIdx + "warc/1.0".length // include the magic's own \r\n
+    if (h.indexOf("\r\nwarc-type:", from) < 0) return (magicIdx, -1L)
+    val k = h.indexOf("\r\ncontent-length:", from)
+    if (k < 0) return (magicIdx, -1L)
     var i = k + "\r\ncontent-length:".length
     while (i < h.length && h.charAt(i) == ' ') i += 1
     var v = -1L
     while (i < h.length && h.charAt(i) >= '0' && h.charAt(i) <= '9') {
       v = (if (v < 0) 0L else v) * 10 + (h.charAt(i) - '0')
-      if (v > WarcInputFormat.MaxRecordBytes) return -1L
+      if (v > WarcInputFormat.MaxRecordBytes) return (magicIdx, -1L)
       i += 1
     }
-    v
+    (magicIdx, v)
   }
 
   override def nextKeyValue(): Boolean = {
@@ -196,8 +266,17 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
       val recordStart = pos - Magic.length
       buffer.write(Magic)
       if (readHeaders()) {
-        val cl = contentLength()
-        if (cl >= 0) {
+        val (magicIdx, cl) = resolveHeaders()
+        if (cl >= 0 && cl > maxBuffered) {
+          // a VALID record too large to buffer: consume its payload with
+          // exact framing (so the scan resumes at the next record), emit
+          // nothing, and make the skip observable
+          count(SkippedOversized)
+          log.warn(s"skipping oversized WARC record at $recordStart: " +
+            s"Content-Length=$cl > maxBuffered=$maxBuffered")
+          var i = 0L
+          while (i < cl && readByte() != -1) i += 1
+        } else if (cl >= 0) {
           var i = 0L
           var truncated = false
           while (i < cl && !truncated) {
@@ -206,8 +285,16 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
             else { buffer.write(b); i += 1 }
           }
           if (!truncated) {
-            key.set(recordStart)
-            value.set(buffer.getData, 0, buffer.getLength)
+            // emit from the LAST magic: on a junk-prefixed sync the bytes
+            // before it are noise, and the reported offset must point at
+            // the record's real magic (split-invariant). Ownership is
+            // re-checked against THAT magic: if the junk prefix straddles
+            // the split end, the real record begins in the next split and
+            // its reader (scanning from `end`) will claim it — emitting
+            // here would double-count it.
+            if (recordStart + magicIdx >= end) return false
+            key.set(recordStart + magicIdx)
+            value.set(buffer.getData, magicIdx, buffer.getLength - magicIdx)
             return true
           }
           return false // EOF inside a payload: malformed tail, drop it

@@ -59,13 +59,15 @@ class WarcSpec extends SparkSuite {
         concat(lit("<p>"), col("text"), lit("</p>"))).as("value"))
       .coalesce(1).write.mode("overwrite").text(out)
     def rows(split: Option[Long]) = Warc.readRecords(spark, out, split)
-      .select("url", "content_length", "payload")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      .select("offset", "url", "content_length", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
     val single = rows(None)
     val many = rows(Some(2048L))
+    // offset included: the reported record position is split-invariant
     assert(single.nonEmpty && many == single)
     // and every record round-trips its exact byte length
-    assert(single.forall { case (_, cl, p) =>
+    assert(single.forall { case (_, _, cl, p) =>
       cl == p.getBytes(StandardCharsets.UTF_8).length })
   }
 
@@ -103,6 +105,38 @@ class WarcSpec extends SparkSuite {
     // decorated length parses leniently (3); the absurd length rejects its
     // candidate record rather than directing a near-infinite read
     assert(rows == List(("http://a/1", 4L), ("http://a/2", 3L)), rows.mkString(", "))
+  }
+
+  test("false sync with a stray Content-Length resolves headers at the LAST magic") {
+    // the round-10 ADVICE scenario: a false magic whose junk prefix
+    // carries a Content-Length line but no CRLFCRLF, directly before a
+    // real record — the junk length must NOT be applied past the real
+    // record's header end (it would misframe the record), and the
+    // emitted offset must point at the REAL magic, not the false sync
+    val r1 = record("http://a/1", "first payload")
+    val junk = "WARC/1.0\r\nContent-Length: 2\r\nnoise with no blank line "
+    val r2 = record("http://a/2", "second payload intact")
+    val dir = writeWarc(r1 + junk + r2)
+    val rows = Warc.readRecords(spark, dir).orderBy("offset")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(4))).toList
+    val r2Offset = (r1 + junk).getBytes(StandardCharsets.UTF_8).length.toLong
+    assert(rows == List(
+      (0L, "http://a/1", "first payload"),
+      (r2Offset, "http://a/2", "second payload intact")), rows.mkString(", "))
+  }
+
+  test("a valid record larger than the buffered cap is skipped with exact framing") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setLong(graft.sources.WarcInputFormat.MaxBufferedBytesKey, 16L)
+    try {
+      val dir = writeWarc(
+        record("http://a/1", "tiny") +
+          record("http://a/2", "x" * 40) + // over the 16-byte cap: skipped
+          record("http://a/3", "ok"))
+      val rows = Warc.readRecords(spark, dir)
+        .collect().map(_.getString(2)).sorted.toList
+      assert(rows == List("http://a/1", "http://a/3"), rows.mkString(", "))
+    } finally hc.unset(graft.sources.WarcInputFormat.MaxBufferedBytesKey)
   }
 
   test("gzipped archive reads as a whole-file stream, identical records") {
