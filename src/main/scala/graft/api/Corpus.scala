@@ -687,6 +687,23 @@ final case class Corpus(df: DataFrame) {
       .select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
+  /** Robots-exclusion gate from RAW robots.txt files (x_url6): parse
+    * each host's robots.txt per RFC 9309 ([[graft.ext.RobotsTxt]] —
+    * user-agent group selection, Allow/Disallow, `*`/`$` wildcards,
+    * unreserved percent normalization) and keep only documents whose
+    * `urlCol` the selected rules allow. `robots` is a (host,
+    * robots_txt) frame; documents of hosts with no robots.txt (or no
+    * matching group) pass.
+    */
+  def gateByRobotsTxt(robots: DataFrame, urlCol: String = "url",
+      agent: String = graft.ext.RobotsTxt.DefaultAgent): Corpus = chain { d =>
+    val allowed = graft.ext.RobotsTxt.robotsGateWild(
+      d.select(col("doc_id"), col(urlCol).as("url")),
+      graft.ext.RobotsTxt.parseRobots(robots, agent))
+      .filter(col("allowed") === 1L).select("doc_id")
+    d.join(allowed, Seq("doc_id"), "left_semi")
+  }
+
   /** Encoding repair (x_enc1): the deterministic ftfy-lite chain of
     * [[graft.clean.EncodingFns]] — BOM strip, the cp1252-mojibake common
     * table, C1-control drop — run before any text statistic. One narrow

@@ -1,0 +1,299 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt PARSING (RFC 9309, public) — the grammar half in front of
+  * the [[PipelineOps13.robotsGate]] matching semantics: raw robots.txt
+  * text per host → the (host, pattern, allow) rules table the gate
+  * consumes. Round-10 verdict #2: the gate's longest-prefix-wins
+  * matching was done; nothing turned actual robots.txt files into its
+  * rules table.
+  *
+  * Grammar implemented (RFC 9309 §2.2, cross-engine relational form):
+  *   - lines split on LF (trailing CR stripped), `#` comments dropped,
+  *     whitespace trimmed; directives matched case-insensitively
+  *   - GROUPS: consecutive `User-agent:` lines stack onto one group;
+  *     the group's rules run until the next User-agent line that follows
+  *     a rule. Rules before any User-agent line are invalid and dropped.
+  *   - GROUP SELECTION: if any group names our product token (exact,
+  *     case-insensitive), the union of ALL such groups' rules applies
+  *     and `*` groups are ignored; otherwise the `*` groups apply;
+  *     otherwise no rules (everything allowed).
+  *   - `Allow:` / `Disallow:` values are match PATTERNS: percent-encoded
+  *     UNRESERVED octets are decoded before comparison (RFC 9309 §2.2.2
+  *     via RFC 3986 — decoding a reserved octet would change meaning, so
+  *     only unreserved forms normalize; uppercase hex, the canonical
+  *     encoder output). An empty Disallow value means allow-all and is
+  *     dropped at parse time (the gate's documented contract).
+  *   - `*` matches any octet sequence; a TRAILING `$` anchors the
+  *     pattern end ([[robotsGateWild]]). A `$` elsewhere is literal.
+  *
+  * Shape at scale: parsing is per-host-file — line explode keyed by
+  * host, two host-partitioned windows over line numbers (a robots.txt
+  * is ≤ 500 KiB by the RFC's own cap, so per-host partitions are tiny),
+  * one aggregation per group. The output rules table is exactly what
+  * [[PipelineOps13.robotsGate]] (prefix semantics) or
+  * [[robotsGateWild]] (full RFC `*`/`$` semantics) joins on host.
+  */
+object RobotsTxt {
+
+  /** Default product token — the crawler's own name in robots files. */
+  val DefaultAgent = "graftbot"
+
+  private val unreserved: Seq[Char] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) ++ Seq('-', '.', '_', '~')
+
+  /** Decode percent-encoded UNRESERVED octets (uppercase hex) — the
+    * RFC 3986 normalization both the rule pattern and the matched path
+    * must agree on. Reserved octets stay encoded (decoding them would
+    * change path semantics).
+    */
+  def pctDecodeUnreserved(c: Column): Column =
+    unreserved.foldLeft(c)((acc, ch) =>
+      replace(acc, lit(f"%%${ch.toInt}%02X"), lit(ch.toString)))
+
+  /** The identical decode in DuckDB's dialect, for oracles. */
+  def pctDecodeUnreservedDuck(e: String): String =
+    unreserved.foldLeft(e)((acc, ch) =>
+      f"replace($acc%s, '%%${ch.toInt}%02X', '$ch%s')")
+
+  /** Regex metacharacters escaped in a robots pattern before `*`
+    * translation: everything Java regex and RE2 both treat specially
+    * (the translated pattern must evaluate identically cross-engine).
+    */
+  private val rxMeta = Seq('\\', '.', '+', '?', '(', ')', '[', ']', '{', '}', '^', '$', '|')
+
+  private def escRx(c: Column): Column =
+    rxMeta.foldLeft(c)((acc, ch) =>
+      replace(acc, lit(ch.toString), lit("\\" + ch)))
+
+  private def escRxDuck(e: String): String =
+    rxMeta.foldLeft(e)((acc, ch) => {
+      val q = if (ch == '\'') "''" else ch.toString
+      s"replace($acc, '$q', '\\$q')"
+    })
+
+  /** A robots match pattern translated to an anchored regex: literal
+    * chars escaped, `*` → `.*`, a TRAILING `$` → the end anchor (a `$`
+    * anywhere else is literal and stays escaped). Evaluates identically
+    * under Java regex and RE2 — only `^`, escaped literals, `.*`, `$`.
+    */
+  def patternRegex(pattern: Column): Column = {
+    val anchored = pattern.substr(length(pattern), lit(1)) === "$"
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val esc = replace(escRx(body), lit("*"), lit(".*"))
+    concat(lit("^"), esc, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** The identical translation in DuckDB's dialect, for oracles. */
+  def patternRegexDuck(e: String): String = {
+    val anchored = s"substr($e, length($e), 1) = '$$'"
+    def esc(x: String) = s"replace(${escRxDuck(x)}, '*', '.*')"
+    s"""(CASE WHEN $anchored
+       |  THEN '^' || ${esc(s"substr($e, 1, length($e) - 1)")} || '$$'
+       |  ELSE '^' || ${esc(e)} END)""".stripMargin
+  }
+
+  /** Parse raw robots.txt files into the gate's rules table.
+    * Input: (host, robots_txt). Output: (host, pattern, allow) — the
+    * selected group's rules, percent-normalized, empty patterns
+    * dropped, deduplicated.
+    */
+  def parseRobots(robots: DataFrame, agent: String = DefaultAgent): DataFrame = {
+    val w = Window.partitionBy("host").orderBy("i")
+    val lines = robots
+      .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
+      .withColumn("ln",
+        trim(regexp_replace(regexp_replace(col("raw"), "\r$", ""), "#.*$", "")))
+    val sig = lines
+      .withColumn("kind",
+        when(lower(col("ln")).rlike("^user-agent\\s*:"), "ua")
+          .when(lower(col("ln")).rlike("^allow\\s*:"), "allow")
+          .when(lower(col("ln")).rlike("^disallow\\s*:"), "disallow"))
+      .filter(col("kind").isNotNull)
+      .withColumn("value",
+        trim(regexp_replace(col("ln"), "(?i)^(user-agent|allow|disallow)\\s*:\\s*", "")))
+    val grouped = sig
+      .withColumn("prev", lag(col("kind"), 1).over(w))
+      .withColumn("strt",
+        (col("kind") === "ua" && (col("prev").isNull || col("prev") =!= "ua")).cast("int"))
+      .withColumn("gid", sum(col("strt")).over(w))
+    val groups = grouped.filter(col("kind") === "ua")
+      .groupBy("host", "gid")
+      .agg(max((lower(col("value")) === agent.toLowerCase).cast("int")).as("self"),
+        max((col("value") === "*").cast("int")).as("star"))
+    val hostSelf = groups.groupBy("host").agg(max(col("self")).as("has_self"))
+    grouped.filter(col("kind") =!= "ua" && col("gid") >= 1)
+      .join(groups, Seq("host", "gid"))
+      .join(hostSelf, Seq("host"))
+      .filter((col("has_self") === 1 && col("self") === 1) ||
+        (col("has_self") === 0 && col("star") === 1))
+      .withColumn("pattern", pctDecodeUnreserved(col("value")))
+      .filter(col("pattern") =!= "")
+      .select(col("host"), col("pattern"),
+        (col("kind") === "allow").cast("int").as("allow"))
+      .distinct()
+  }
+
+  /** The parse in DuckDB's dialect over a (host, txt) relation named
+    * `rb` — emits a `rules(host, pattern, allow)` CTE body, for oracles.
+    */
+  def parseRobotsDuck(agent: String = DefaultAgent): String =
+    s"""l0 AS (
+       |  SELECT host, i,
+       |    trim(regexp_replace(regexp_replace(ls[i], chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln
+       |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
+       |       UNNEST(generate_series(1, len(ls))) AS t(i)),
+       |sg0 AS (
+       |  SELECT host, i,
+       |    CASE WHEN regexp_matches(lower(ln), '^user-agent\\s*:') THEN 'ua'
+       |         WHEN regexp_matches(lower(ln), '^allow\\s*:') THEN 'allow'
+       |         WHEN regexp_matches(lower(ln), '^disallow\\s*:') THEN 'disallow' END AS kind,
+       |    trim(regexp_replace(ln, '(?i)^(user-agent|allow|disallow)\\s*:\\s*', '')) AS value
+       |  FROM l0),
+       |sg AS (SELECT * FROM sg0 WHERE kind IS NOT NULL),
+       |sg2 AS (
+       |  SELECT *, CASE WHEN kind = 'ua' AND
+       |      (lag(kind) OVER (PARTITION BY host ORDER BY i) IS NULL OR
+       |       lag(kind) OVER (PARTITION BY host ORDER BY i) <> 'ua') THEN 1 ELSE 0 END AS strt
+       |  FROM sg),
+       |sg3 AS (
+       |  SELECT *, SUM(strt) OVER (PARTITION BY host ORDER BY i) AS gid FROM sg2),
+       |grp AS (
+       |  SELECT host, gid,
+       |    MAX(CASE WHEN lower(value) = '${agent.toLowerCase}' THEN 1 ELSE 0 END) AS self,
+       |    MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS star
+       |  FROM sg3 WHERE kind = 'ua' GROUP BY host, gid),
+       |hsf AS (SELECT host, MAX(self) AS has_self FROM grp GROUP BY host),
+       |rules AS (
+       |  SELECT DISTINCT sg3.host, ${pctDecodeUnreservedDuck("value")} AS pattern,
+       |    CASE WHEN kind = 'allow' THEN 1 ELSE 0 END AS allow
+       |  FROM sg3
+       |  JOIN grp ON grp.host = sg3.host AND grp.gid = sg3.gid
+       |  JOIN hsf ON hsf.host = sg3.host
+       |  WHERE kind <> 'ua' AND sg3.gid >= 1
+       |    AND ((hsf.has_self = 1 AND grp.self = 1) OR (hsf.has_self = 0 AND grp.star = 1))
+       |    AND ${pctDecodeUnreservedDuck("value")} <> '')""".stripMargin
+
+  /** Wildcard-aware robots gate — [[PipelineOps13.robotsGate]]'s
+    * semantics generalized to full RFC 9309 patterns: `*` matches any
+    * sequence, a trailing `$` anchors the end, specificity = pattern
+    * OCTET length (wildcards count as written), longest wins, allow
+    * wins ties, no match means allowed. With wildcard-free patterns
+    * this reduces exactly to the prefix gate (pinned in RobotsTxtSpec).
+    * Paths percent-normalize the same way patterns did at parse.
+    *
+    * Shape: identical to the prefix gate — rules join UNHINTED on host,
+    * per-URL winner via a doc_id-partitioned row_number over the ≤
+    * rules-per-host matches. The per-row regex is compiled from tiny
+    * per-host patterns; never corpus-derived.
+    */
+  def robotsGateWild(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val u = urls
+      .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
+      .withColumn("host", regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
+      .withColumn("path", regexp_replace(col("canon"), "^[a-z0-9+.-]+://[^/?#]*", ""))
+      .withColumn("pathd", pctDecodeUnreserved(col("path")))
+    val wBest = Window.partitionBy(col("doc_id")).orderBy(
+      col("__hit").desc, length(col("pattern")).desc, col("allow").desc, col("pattern").asc)
+    u.join(rules, Seq("host"), "left")
+      .withColumn("__rx", patternRegex(col("pattern")))
+      .withColumn("__hit", col("pattern").isNotNull && expr("pathd RLIKE __rx"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("host"), col("path"),
+        when(col("__hit"), col("allow").cast("long")).otherwise(lit(1L)).as("allowed"))
+  }
+
+  /** Fixture robots.txt carrying a specific (graftbot) group: stacked
+    * user-agents, an allow carve-out through a broader disallow, a
+    * wildcard+anchor rule, a percent-encoded rule, an empty Disallow
+    * (allow-all marker, dropped), and a `*` group that must be IGNORED
+    * because the specific group exists.
+    */
+  private[graft] val robotsSelf =
+    "# fixture: specific group present\n" +
+      "User-agent: otherbot\nDisallow: /\n\n" +
+      "User-agent: GraftBot\nUser-agent: friendbot\n" +
+      "Allow: /private/ok\nDisallow: /private\n" +
+      "Disallow: /*/data$\nDisallow: /pri%76ate2\nDisallow:\n\n" +
+      "User-agent: *\nDisallow: /pub\n"
+
+  /** Fixture robots.txt with NO specific group — selection falls back
+    * to the `*` group (wildcard-anchored rule included).
+    */
+  private[graft] val robotsStar =
+    "User-agent: otherbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /pub\nAllow: /pub/ok\nDisallow: /p*e$\n"
+
+  /** X-URL6 — the FULL robots tier, parse composed with the gate: seven
+    * hosts alternate between a robots.txt that names the crawler
+    * (specific group selected, `*` group ignored) and one that doesn't
+    * (fallback to `*`), six path shapes exercise the allow carve-out,
+    * wildcard `*`, the `$` anchor, percent-decoding, and the
+    * no-matching-rule default. The oracle re-parses the identical
+    * robots text relationally (line split, comment strip, group
+    * windows, UA selection, percent decode) and re-matches with the
+    * same translated regexes.
+    */
+  private val url6 = Probe(
+    "x_url6_robots_parse",
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+       |rb AS (
+       |  SELECT 'www.example' || CAST(h AS VARCHAR) || '.com' AS host,
+       |    CASE WHEN h % 2 = 0
+       |      THEN ${graft.clean.EncodingFns.sqlLit(robotsSelf)}
+       |      ELSE ${graft.clean.EncodingFns.sqlLit(robotsStar)} END AS txt
+       |  FROM hosts),
+       |${parseRobotsDuck()},
+       |u AS (
+       |  SELECT doc_id,
+       |    'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+       |    (CASE doc_id % 6 WHEN 0 THEN '/Path/To/Item'
+       |          WHEN 1 THEN '/private/data'
+       |          WHEN 2 THEN '/private/ok/page'
+       |          WHEN 3 THEN '/pub/x'
+       |          WHEN 4 THEN '/pub/ok/y'
+       |          ELSE '/private2/x' END) AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon FROM u),
+       |p AS (
+       |  SELECT doc_id,
+       |    regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |    regexp_replace(canon, '^[a-z0-9+.-]+://[^/?#]*', '', 'g') AS path
+       |  FROM c),
+       |m AS (
+       |  SELECT p.doc_id, p.host, p.path, r.pattern, r.allow,
+       |    (r.pattern IS NOT NULL AND regexp_matches(
+       |      ${pctDecodeUnreservedDuck("p.path")}, ${patternRegexDuck("r.pattern")})) AS hit
+       |  FROM p LEFT JOIN rules r ON r.host = p.host),
+       |w AS (
+       |  SELECT doc_id, host, path, hit, allow,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hit DESC, length(pattern) DESC, allow DESC, pattern ASC) AS rn
+       |  FROM m)
+       |SELECT doc_id, host, path,
+       |  CAST(CASE WHEN hit THEN allow ELSE 1 END AS BIGINT) AS allowed
+       |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val robots = docs.select((col("doc_id") % 7).as("h")).distinct()
+      .select(concat(lit("www.example"), col("h").cast("string"), lit(".com")).as("host"),
+        when(col("h") % 2 === 0, lit(robotsSelf)).otherwise(lit(robotsStar)).as("robots_txt"))
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://www.example"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 6 === 0, lit("/Path/To/Item"))
+          .when(col("doc_id") % 6 === 1, lit("/private/data"))
+          .when(col("doc_id") % 6 === 2, lit("/private/ok/page"))
+          .when(col("doc_id") % 6 === 3, lit("/pub/x"))
+          .when(col("doc_id") % 6 === 4, lit("/pub/ok/y"))
+          .otherwise(lit("/private2/x"))).as("url"))
+    robotsGateWild(urls, parseRobots(robots)).orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(url6)
+}

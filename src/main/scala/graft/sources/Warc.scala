@@ -78,6 +78,98 @@ object Warc {
       lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
       lit("\r\n\r\n"), payload, lit("\r\n"))
 
+  // ------------------------------------------- HTTP response payloads
+
+  /** Real CommonCrawl `response` records carry a FULL HTTP response in
+    * the payload — status line, headers, CRLFCRLF, then the body. These
+    * helpers split it declaratively (shared-syntax regexes, DuckDB twins
+    * below) so the crawl front door filters on status/Content-Type and
+    * hands ONLY the body to HTML extraction — never the HTTP headers,
+    * which would otherwise flow into the extracted text and every
+    * downstream signal (round-10 verdict #1).
+    */
+  private val httpSep = "\r\n\r\n"
+  private val statusRe = "^HTTP/[0-9.]+ ([0-9]{3})"
+  private val ctypeRe = "(?i)\r\ncontent-type:[ \t]*([^\r;]+)"
+  private val charsetRe = "(?i)charset=[\"']?([A-Za-z0-9_-]+)"
+
+  /** The header section (status line + headers) of an HTTP payload —
+    * everything before the first CRLFCRLF, or the whole payload when no
+    * separator exists (a header-only/malformed response has no body).
+    */
+  private def httpHead(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(locate(httpSep, payload) > 0,
+      payload.substr(lit(1), locate(httpSep, payload) - 1))
+      .otherwise(payload)
+
+  /** HTTP status code (e.g. 200), or NULL when the payload is not an
+    * HTTP response (no status line) — non-response WARC records
+    * (warcinfo, request, metadata) parse to NULL and a keep-200s filter
+    * drops them with the error pages.
+    */
+  def httpStatus(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = regexp_extract(payload, statusRe, 1)
+    when(s =!= "", s.cast("int"))
+  }
+
+  /** Media type from the Content-Type header (lowercased, parameters
+    * stripped), or NULL when absent. Matched within the HEADER SECTION
+    * only — a body echoing "content-type:" text must not win.
+    */
+  def httpContentType(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ct = trim(lower(regexp_extract(httpHead(payload), ctypeRe, 1)))
+    when(ct =!= "", ct)
+  }
+
+  /** Declared charset from the Content-Type header (lowercased), or
+    * NULL when undeclared — the key the declared-charset decode tier
+    * dispatches on.
+    */
+  def httpCharset(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cs = lower(regexp_extract(httpHead(payload), charsetRe, 1))
+    when(cs =!= "", cs)
+  }
+
+  /** The response body — everything after the first CRLFCRLF; empty when
+    * the payload has no separator. The ONLY slice of a response record
+    * that may reach HTML extraction.
+    */
+  def httpBody(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(locate(httpSep, payload) > 0,
+      payload.substr(locate(httpSep, payload) + 4, length(payload)))
+      .otherwise(lit(""))
+
+  /** DuckDB twins of the four HTTP accessors, over a payload expression. */
+  private def httpHeadDuck(e: String): String = {
+    val sep = "chr(13) || chr(10) || chr(13) || chr(10)"
+    s"(CASE WHEN strpos($e, $sep) > 0 THEN substr($e, 1, strpos($e, $sep) - 1) ELSE $e END)"
+  }
+  def httpStatusDuck(e: String): String =
+    s"CAST(nullif(regexp_extract($e, '$statusRe', 1), '') AS INT)"
+  def httpContentTypeDuck(e: String): String =
+    s"nullif(trim(lower(regexp_extract(${httpHeadDuck(e)}, '(?i)' || chr(13) || chr(10) || 'content-type:[ \\t]*([^' || chr(13) || ';]+)', 1))), '')"
+  def httpCharsetDuck(e: String): String =
+    s"nullif(lower(regexp_extract(${httpHeadDuck(e)}, '${charsetRe.replace("'", "''")}', 1)), '')"
+  def httpBodyDuck(e: String): String = {
+    val sep = "chr(13) || chr(10) || chr(13) || chr(10)"
+    s"(CASE WHEN strpos($e, $sep) > 0 THEN substr($e, strpos($e, $sep) + 4) ELSE '' END)"
+  }
+
+  /** A full HTTP response rendered as a WARC record payload — the writer
+    * half of the x_warc3 fixture (Content-Length here is the HTTP
+    * header, byte length of the BODY; the WARC record's own
+    * Content-Length covers the whole payload via [[responseRecord]]).
+    */
+  def httpResponsePayload(status: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column,
+      extraHeaders: org.apache.spark.sql.Column,
+      body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("HTTP/1.1 "), status.cast("string"),
+      when(status === 200, lit(" OK")).otherwise(lit(" Error")),
+      lit("\r\nContent-Type: "), contentType,
+      lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+      lit("\r\n"), extraHeaders, lit("\r\n"), body)
+
   /** X-WARC1 — WARC round trip: documents render as response records
     * (HTML payload, exact byte Content-Length), write through the text
     * sink, and read back through the SPLITTABLE record reader; the
@@ -185,5 +277,87 @@ object Warc {
       .orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(warc1, warc2)
+  /** X-WARC3 — HTTP response parsing inside WARC payloads: documents
+    * render as WARC response records whose payload is a FULL HTTP
+    * response (status line, Content-Type with/without charset, planted
+    * marker headers, CRLFCRLF, HTML body) — the real CommonCrawl record
+    * shape. The pipeline reads the archive splittably, parses the HTTP
+    * envelope, keeps 200s with a text/html Content-Type, and extracts
+    * text from the BODY ONLY. The oracle recomputes status/content-type/
+    * charset through the DuckDB twins of the accessors on a byte-
+    * identical payload, but the extracted-text fingerprint comes from
+    * the ORIGINAL document text path (never any HTTP parsing), so header
+    * text leaking into the corpus breaks the hash — and `header_hits`
+    * counts the planted marker in the extracted text, recomputed (not
+    * assumed) by the oracle.
+    */
+  private val warc3 = Probe(
+    "x_warc3_http_responses",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+       |    CASE WHEN doc_id % 7 = 3 THEN 'application/pdf'
+       |         WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+       |         ELSE 'text/html' END AS ct,
+       |    '<html><body><p>' || text || '</p></body></html>' AS body
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, body,
+       |    'HTTP/1.1 ' || CAST(status AS VARCHAR) ||
+       |      CASE WHEN status = 200 THEN ' OK' ELSE ' Error' END ||
+       |    chr(13) || chr(10) || 'Content-Type: ' || ct ||
+       |    chr(13) || chr(10) || 'Content-Length: ' || CAST(strlen(body) AS VARCHAR) ||
+       |    chr(13) || chr(10) || 'Server: graft-fixture' ||
+       |    chr(13) || chr(10) || 'X-Planted: SECRETMARKER7 the and of to is that' ||
+       |    chr(13) || chr(10) || chr(13) || chr(10) || body AS payload
+       |  FROM d),
+       |x AS (
+       |  SELECT doc_id,
+       |    ${httpStatusDuck("payload")} AS status,
+       |    ${httpContentTypeDuck("payload")} AS content_type,
+       |    ${httpCharsetDuck("payload")} AS charset,
+       |    ${graft.clean.HtmlFns.htmlToTextDuck("body")} AS text
+       |  FROM p)
+       |SELECT doc_id, CAST(status AS BIGINT) AS status, content_type,
+       |  COALESCE(charset, '') AS charset,
+       |  CAST(len(regexp_extract_all(text, 'SECRETMARKER7')) AS BIGINT) AS header_hits,
+       |  md5(text) AS text_fp
+       |FROM x
+       |WHERE status = 200 AND content_type = 'text/html'
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val out = graft.util.TrainOnce(s"warc_http:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_http")
+      val body = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+      val status = when(col("doc_id") % 5 === 0, lit(404)).otherwise(lit(200))
+      val ct = when(col("doc_id") % 7 === 3, lit("application/pdf"))
+        .when(col("doc_id") % 2 === 0, lit("text/html; charset=UTF-8"))
+        .otherwise(lit("text/html"))
+      Tables(s, dir, "documents")
+        .select(responseRecord(
+          concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")),
+          httpResponsePayload(status, ct,
+            lit("Server: graft-fixture\r\nX-Planted: SECRETMARKER7 the and of to is that\r\n"),
+            body)).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    }
+    readRecords(s, out)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        httpStatus(col("payload")).as("status"),
+        httpContentType(col("payload")).as("content_type"),
+        coalesce(httpCharset(col("payload")), lit("")).as("charset"),
+        graft.clean.HtmlFns.htmlToText(httpBody(col("payload"))).as("text"))
+      .filter(col("status") === 200 && col("content_type") === "text/html")
+      .select(col("doc_id"), col("status").cast("long").as("status"),
+        col("content_type"), col("charset"),
+        size(regexp_extract_all(col("text"), lit("SECRETMARKER7"), lit(0)))
+          .cast("long").as("header_hits"),
+        md5(col("text")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2, warc3)
 }

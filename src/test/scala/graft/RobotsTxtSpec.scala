@@ -1,0 +1,94 @@
+package graft
+
+import graft.ext.RobotsTxt
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing: RFC 9309 grammar pins on planted files — group
+  * boundaries, UA selection precedence, empty-Disallow drop, comment
+  * strip, percent normalization — and the wildcard gate's reduction to
+  * the prefix gate on wildcard-free rules.
+  */
+class RobotsTxtSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def rules(txt: String, agent: String = "graftbot") =
+    RobotsTxt.parseRobots(Seq(("h.com", txt)).toDF("host", "robots_txt"), agent)
+      .collect().map(r => (r.getString(1), r.getInt(2))).sorted.toList
+
+  test("specific group wins and * group is ignored; stacked UAs share rules") {
+    val got = rules(RobotsTxt.robotsSelf)
+    // /pri%76ate2 percent-normalizes (v is unreserved); empty Disallow
+    // dropped; the otherbot and * groups contribute nothing
+    assert(got == List(("/*/data$", 0), ("/private", 0), ("/private/ok", 1),
+      ("/private2", 0)), got.mkString(", "))
+  }
+
+  test("no specific group falls back to the * group") {
+    val got = rules(RobotsTxt.robotsStar)
+    assert(got == List(("/p*e$", 0), ("/pub", 0), ("/pub/ok", 1)), got.mkString(", "))
+  }
+
+  test("rules before any user-agent line are invalid and dropped") {
+    assert(rules("Disallow: /early\nUser-agent: *\nDisallow: /late\n") ==
+      List(("/late", 0)))
+  }
+
+  test("comments strip mid-line; directive names match case-insensitively; CRLF tolerated") {
+    val got = rules(
+      "USER-AGENT: GraftBot # our bot\r\nDISALLOW: /a # trailing comment\r\nallow: /a/b\r\n")
+    assert(got == List(("/a", 0), ("/a/b", 1)), got.mkString(", "))
+  }
+
+  test("a user-agent line after rules starts a NEW group") {
+    // graftbot's group ends at the second User-agent line: /x is ours,
+    // /y belongs to the (unselected) star group
+    val got = rules("User-agent: graftbot\nDisallow: /x\nUser-agent: *\nDisallow: /y\n")
+    assert(got == List(("/x", 0)), got.mkString(", "))
+  }
+
+  test("multiple groups naming the agent union their rules") {
+    val got = rules(
+      "User-agent: graftbot\nDisallow: /a\n\nUser-agent: other\nDisallow: /b\n\n" +
+        "User-agent: graftbot\nDisallow: /c\n")
+    assert(got == List(("/a", 0), ("/c", 0)), got.mkString(", "))
+  }
+
+  test("reserved percent-encodings stay encoded (only unreserved normalize)") {
+    // %2F is '/', reserved: decoding it would change path structure
+    val got = rules("User-agent: *\nDisallow: /a%2Fb\nDisallow: /c%41d\n")
+    assert(got == List(("/a%2Fb", 0), ("/cAd", 0)), got.mkString(", "))
+  }
+
+  test("wildcard-free rules: robotsGateWild == the prefix robotsGate, row for row") {
+    val urls = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 3).cast("string"), lit(".com"),
+        when(col("id") % 4 === 0, lit("/private/data"))
+          .when(col("id") % 4 === 1, lit("/private/ok/p"))
+          .when(col("id") % 4 === 2, lit("/pub/x"))
+          .otherwise(lit("/other"))).as("url"))
+    val hosts = (0 until 3).map(i => s"h$i.com")
+    val ruleRows = for (h <- hosts; r <- Seq(("/private", 0), ("/private/ok", 1), ("/pub", 1)))
+      yield (h, r._1, r._2)
+    val prefixRules = ruleRows.toDF("host", "prefix", "allow")
+    val wildRules = ruleRows.toDF("host", "pattern", "allow")
+    val a = graft.ext.PipelineOps13.robotsGate(urls, prefixRules)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toList
+    val b = RobotsTxt.robotsGateWild(urls, wildRules)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toList
+    assert(a == b && a.nonEmpty, s"${a.take(5)} vs ${b.take(5)}")
+  }
+
+  test("$ anchors only at the end; elsewhere it is literal") {
+    val urls = Seq((1L, "https://h.com/ab"), (2L, "https://h.com/abc"),
+      (3L, "https://h.com/a$b")).toDF("doc_id", "url")
+    val anchored = Seq(("h.com", "/ab$", 0)).toDF("host", "pattern", "allow")
+    val gotA = RobotsTxt.robotsGateWild(urls, anchored).orderBy("doc_id")
+      .collect().map(_.getLong(3)).toList
+    assert(gotA == List(0L, 1L, 1L), gotA.mkString(", ")) // only exact /ab blocked
+    val literal = Seq(("h.com", "/a$b", 0)).toDF("host", "pattern", "allow")
+    val gotL = RobotsTxt.robotsGateWild(urls, literal).orderBy("doc_id")
+      .collect().map(_.getLong(3)).toList
+    assert(gotL == List(1L, 1L, 0L), gotL.mkString(", ")) // only literal /a$b blocked
+  }
+}
