@@ -25,6 +25,7 @@ object Registry {
     ext.PipelineOps13.all ++
     ext.PipelineOps14.all ++
     ext.PipelineOps15.all ++
+    ext.PipelineOps16.all ++
     ext.RobotsTxt.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++

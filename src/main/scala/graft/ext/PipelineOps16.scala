@@ -1,0 +1,384 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.{CharsetFns, EncodingFns}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions (eleventh wave): declared-charset decode — the
+  * byte tier in front of encoding repair ([[graft.clean.CharsetFns]]),
+  * pinned on staged binary fixtures (the media-probe discipline: the
+  * ENCODE side builds the fixture train-once, the DECODE side is the
+  * operator under test, and the oracle recomputes expected text straight
+  * from the documents table without ever touching bytes).
+  */
+object PipelineOps16 {
+
+  /** The planted cp1252-expressible prefix: guillemets and Latin-1
+    * accents (single-byte in cp1252, multi-byte in UTF-8), plus the
+    * 0x80–0x9F specials (€ ™ „ “ ” – …) whose meaning DIFFERS between
+    * cp1252 and Latin-1/C1 — one sample per decode-table family.
+    */
+  private[graft] val planted2 = "«Café» – déjà™ „x“y” …€99 ®züri: "
+
+  /** X-ENC2 — declared-charset decode over staged page BYTES: four
+    * declaration shapes (Content-Type charset=Windows-1252 mixed-case;
+    * `<meta charset>` only; Content-Type utf-8; no declaration →
+    * default) over two real encodings (cp1252 bytes via the inverse
+    * table + ISO-8859-1 byte identity; UTF-8 bytes). The operator
+    * resolves the charset (header → meta sniff → default) and decodes;
+    * the oracle recomputes the expected TEXT from the documents table
+    * alone, so any wrong byte→codepoint mapping, wrong resolution, or
+    * sniff failure breaks the hash.
+    */
+  private val enc2 = Probe(
+    "x_enc2_charset_decode",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+       |    '<html><head>' ||
+       |      CASE WHEN doc_id % 4 = 1 THEN '<meta charset="windows-1252">' ELSE '' END ||
+       |      '</head><body>' || ${EncodingFns.sqlLit(planted2)} ||
+       |      regexp_replace(text, '[^ -~]', '', 'g') || '</body></html>' AS expected
+       |  FROM documents)
+       |SELECT doc_id, charset,
+       |  CAST(length(expected) AS BIGINT) AS n_chars,
+       |  md5(expected) AS text_fp
+       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val staged = graft.util.TrainOnce(s"charset_fixture:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_charset")
+      val full = concat(lit("<html><head>"),
+        when(col("doc_id") % 4 === 1, lit("<meta charset=\"windows-1252\">"))
+          .otherwise(lit("")),
+        lit("</head><body>"), lit(planted2),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 3, lit("text/html; charset=Windows-1252"))
+            .when(col("doc_id") % 4 === 2, lit("text/html; charset=UTF-8"))
+            .otherwise(lit("text/html")).as("content_type"),
+          when(col("doc_id") % 2 === 1,
+            encode(CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
+            .otherwise(encode(full, "UTF-8")).as("bin"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val pages = s.read.parquet(staged)
+    val cs = CharsetFns.resolveCharset(col("content_type"), col("bin"))
+    pages
+      .select(col("doc_id"), cs.as("charset"),
+        CharsetFns.decodeCharset(col("bin"), cs).as("text"))
+      .select(col("doc_id"), col("charset"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------ composed daily increment
+
+  /** 16 deterministic filler tokens — exactly one 16-word segment. */
+  private val pipe8Tail = "pipe8 seg tail alpha beta gamma delta epsilon " +
+    "zeta eta theta iota kappa lambda mu nu"
+
+  /** The synthetic DAILY SHARD for x_pipe8 — fresh documents plus three
+    * planted replica kinds, one per drop tier: EXACT replicas
+    * (re-crawled pages: same bytes, new ids — the Bloom/exact tier),
+    * NEAR replicas (re-rendered pages: released text + an appended tail
+    * — the band tier), and STALE-EXCERPT replicas (the first 64 tokens
+    * of a released page — four segment-ALIGNED old chunks — plus one
+    * 16-token new segment: the truncated shingle set usually escapes
+    * the band signatures, but 4/5 of the segments are known, so the
+    * novelty gate drops the long ones). Replica id offsets keep shard
+    * ids disjoint from the released corpus and from each other.
+    */
+  private def pipe8Shard(docs: org.apache.spark.sql.DataFrame) = {
+    val fresh = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") % 8 === 1)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 8 === 3)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" graft extra appended tail words")).as("text"))
+    val excerpt = docs.filter(col("doc_id") % 8 === 5)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(concat_ws(" ", slice(graft.clean.CleanFns.tokens(col("text")), 1, 64)),
+          lit(" " + pipe8Tail)).as("text"))
+    fresh.unionAll(exact).unionAll(near).unionAll(excerpt)
+  }
+
+  /** Stages A–C of the daily increment against the persisted artifacts
+    * at `art`: Bloom-prefiltered exact dedup (drop), band near-dup
+    * against the released index (drop), segment novelty against the
+    * segment index (keep docs with ≥ half their segments unseen, or no
+    * segments at all). Returns one row per SHARD doc: (doc_id, text,
+    * is_exact, is_near, n_segs, n_new, kept) — columns 0 where a doc
+    * dropped before the stage that computes them.
+    */
+  private def pipe8Flags(s: org.apache.spark.sql.SparkSession, art: String,
+      shard: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (m, k) = BloomIndex.loadMeta(s, s"$art/bloom_idx")
+    val withA = shard.join(
+      BloomIndex.markDuplicates(shard, BloomIndex.load(s, s"$art/bloom_idx"),
+          s.read.parquet(s"$art/digests"), m, k)
+        .select(col("doc_id"), col("is_dup").as("is_exact")),
+      Seq("doc_id"))
+    val survA = withA.filter(col("is_exact") === 0)
+    val nearIds = BandIndex.collidingNewIds(survA, BandIndex.load(s, s"$art/bands_idx"))
+      .withColumn("is_near", lit(1L))
+    val withB = survA.join(nearIds, Seq("doc_id"), "left")
+      .withColumn("is_near", coalesce(col("is_near"), lit(0L)))
+    val survB = withB.filter(col("is_near") === 0)
+    val withC = survB.join(
+        SegIndex.newSegmentCounts(survB, SegIndex.load(s, s"$art/seg_idx")),
+        Seq("doc_id"), "left")
+      .withColumn("n_segs", coalesce(col("n_segs"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("kept",
+        (col("n_segs") === 0L || col("n_new") * 2 >= col("n_segs")).cast("long"))
+    withA.select(col("doc_id"), col("text"), col("is_exact").cast("long").as("is_exact"))
+      .join(withB.select(col("doc_id"), col("is_near")), Seq("doc_id"), "left")
+      .join(withC.select(col("doc_id"), col("n_segs"), col("n_new"), col("kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("is_exact"),
+        coalesce(col("is_near"), lit(0L)).as("is_near"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+
+  /** X-PIPE8 — the COMPOSED daily increment: one new shard through ALL
+    * the persisted incremental tiers, stage interactions pinned by one
+    * nested oracle (round-10 verdict #4). Train-once builds the
+    * released-corpus artifacts — Bloom filter + digest index, band
+    * index, segment index, KN type store, IVF index — then runs the
+    * once-per-shard side effects (KN merge of the ACCEPTED docs, IVF
+    * append of their embeddings). Steady state times the per-shard
+    * job: Bloom exact dedup (prefilter + confirm) → band near-dup →
+    * segment novelty gate → KN scoring through the MERGED store → the
+    * appended cell assignments. Every artifact is visibly REUSED, not
+    * rebuilt: the released corpus's text is never rescanned in the
+    * steady path.
+    *
+    * The oracle recomputes the whole chain relationally: exact
+    * membership (≡ bloom+confirm by x_ded24's no-false-negative
+    * property), the full MinHash band algebra over released × shard
+    * survivors, segment-digest novelty, the first-principles KN model
+    * over released ∪ ACCEPTED (≡ the merged type store by x_txt22e),
+    * and centroid assignment against the base-trained quantizer
+    * (≡ the append path by x_sim9).
+    */
+  private val pipe8 = Probe(
+    "x_pipe8_daily_increment",
+    s"""WITH rl AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+       |sd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 8 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' graft extra appended tail words'
+       |  FROM documents WHERE doc_id % 8 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 30000,
+       |    array_to_string((${graft.clean.CleanFns.tokensDuck("text")})[1:64], ' ')
+       |      || ' $pipe8Tail'
+       |  FROM documents WHERE doc_id % 8 = 5),
+       |basedg AS (SELECT DISTINCT md5(text) AS h FROM rl),
+       |fa AS (
+       |  SELECT sd.doc_id, sd.text,
+       |    CASE WHEN basedg.h IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+       |  FROM sd LEFT JOIN basedg ON basedg.h = md5(sd.text)),
+       |alltx AS (
+       |  SELECT 'r' AS side, doc_id, text FROM rl
+       |  UNION ALL
+       |  SELECT 's', doc_id, text FROM fa WHERE is_exact = 0),
+       |aw AS (SELECT side, doc_id, text,
+       |         ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM alltx),
+       |bsh AS (
+       |  SELECT DISTINCT side, doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM (SELECT * FROM aw WHERE len(ws) >= 3),
+       |       UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+       |bhx AS (
+       |  SELECT side, doc_id, h, MIN(md5(h || '|' || s)) AS mh
+       |  FROM bsh, UNNEST([0,1,2,3,4,5,6,7]) AS u(h) GROUP BY side, doc_id, h),
+       |bbd AS (
+       |  SELECT side, doc_id, h // 4 AS band,
+       |         md5(string_agg(h || ':' || mh, '|' ORDER BY h)) AS sig
+       |  FROM bhx GROUP BY side, doc_id, h // 4),
+       |nearh AS (
+       |  SELECT DISTINCT a.doc_id FROM bbd a JOIN bbd r
+       |  ON a.side = 's' AND r.side = 'r' AND a.band = r.band AND a.sig = r.sig),
+       |fb AS (
+       |  SELECT fa.doc_id, fa.text, fa.is_exact,
+       |    CASE WHEN fa.is_exact = 0 AND nearh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near
+       |  FROM fa LEFT JOIN nearh ON nearh.doc_id = fa.doc_id),
+       |sg0 AS (SELECT side, doc_id, ${PipelineOps8.segsDuck} AS segs
+       |        FROM aw WHERE len(ws) > 0),
+       |sge AS (
+       |  SELECT side, doc_id, substr(md5(segs[k]), 1, 16) AS fp
+       |  FROM sg0, UNNEST(generate_series(1, len(segs))) AS t(k)),
+       |rfp AS (SELECT DISTINCT fp FROM sge WHERE side = 'r'),
+       |scc AS (
+       |  SELECT sge.doc_id, COUNT(*) AS n_segs,
+       |         SUM(CASE WHEN rfp.fp IS NULL THEN 1 ELSE 0 END) AS n_new
+       |  FROM sge LEFT JOIN rfp ON rfp.fp = sge.fp
+       |  WHERE sge.side = 's'
+       |    AND sge.doc_id IN (SELECT doc_id FROM fb WHERE is_exact = 0 AND is_near = 0)
+       |  GROUP BY sge.doc_id),
+       |fc AS (
+       |  SELECT fb.doc_id, fb.text, fb.is_exact, fb.is_near,
+       |    CASE WHEN fb.is_exact = 0 AND fb.is_near = 0
+       |         THEN COALESCE(scc.n_segs, 0) ELSE 0 END AS n_segs,
+       |    CASE WHEN fb.is_exact = 0 AND fb.is_near = 0
+       |         THEN COALESCE(scc.n_new, 0) ELSE 0 END AS n_new,
+       |    CASE WHEN fb.is_exact = 0 AND fb.is_near = 0
+       |         AND (COALESCE(scc.n_segs, 0) = 0 OR COALESCE(scc.n_new, 0) * 2 >= scc.n_segs)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM fb LEFT JOIN scc ON scc.doc_id = fb.doc_id),
+       |kna AS (
+       |  SELECT doc_id, text FROM rl
+       |  UNION ALL
+       |  SELECT doc_id, text FROM fc WHERE kept = 1),
+       |knt AS (SELECT doc_id, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM kna),
+       |tr AS (${KnLm.trigramsDuck("(SELECT * FROM knt)")}),
+       |t3f AS (
+       |  SELECT h3, COUNT(*) AS c3, MIN(hab) AS hab, MIN(hbc) AS hbc,
+       |         MIN(hb) AS hb, MIN(c) AS c
+       |  FROM (SELECT substr(md5(a || ' ' || b || ' ' || c), 1, 16) AS h3,
+       |               substr(md5(a || ' ' || b), 1, 16) AS hab,
+       |               substr(md5(b || ' ' || c), 1, 16) AS hbc,
+       |               substr(md5(b), 1, 16) AS hb, c
+       |        FROM tr)
+       |  GROUP BY h3),
+       |t3 AS (SELECT h3, c3 FROM t3f),
+       |cx AS (
+       |  SELECT hab, SUM(c3) AS ctx2, COUNT(DISTINCT c) AS n3f
+       |  FROM t3f GROUP BY hab),
+       |bc AS (SELECT hbc, COUNT(*) AS cont3 FROM t3f GROUP BY hbc),
+       |md AS (
+       |  SELECT hb, COUNT(*) AS mid, COUNT(DISTINCT c) AS n2f
+       |  FROM t3f GROUP BY hb),
+       |bg AS (${PipelineOps10.bigramsDuck("knt")}),
+       |b2t AS (
+       |  SELECT substr(md5(b), 1, 16) AS h2, MIN(w2) AS c
+       |  FROM bg GROUP BY 1),
+       |u2 AS (SELECT c, COUNT(*) AS cont2 FROM b2t GROUP BY 1),
+       |sc0 AS (
+       |  SELECT (SELECT COUNT(*) FROM b2t) AS bt,
+       |         (SELECT COUNT(DISTINCT w)
+       |          FROM (SELECT UNNEST(ws) AS w FROM knt)) AS v),
+       |trs AS (${KnLm.trigramsDuck(
+            "(SELECT doc_id, ws FROM knt WHERE doc_id IN (SELECT doc_id FROM fc WHERE kept = 1))")}),
+       |j1 AS (
+       |  SELECT trs.doc_id,
+       |    t3.c3, cx.ctx2, cx.n3f, bc.cont3, md.mid, md.n2f,
+       |    (COALESCE(u2.cont2, 0) + 1) / CAST(sc0.bt + sc0.v AS DOUBLE) AS p1
+       |  FROM trs
+       |  LEFT JOIN t3 ON t3.h3 = substr(md5(trs.a || ' ' || trs.b || ' ' || trs.c), 1, 16)
+       |  LEFT JOIN cx ON cx.hab = substr(md5(trs.a || ' ' || trs.b), 1, 16)
+       |  LEFT JOIN bc ON bc.hbc = substr(md5(trs.b || ' ' || trs.c), 1, 16)
+       |  LEFT JOIN md ON md.hb = substr(md5(trs.b), 1, 16)
+       |  LEFT JOIN u2 ON u2.c = trs.c, sc0),
+       |j2 AS (
+       |  SELECT doc_id, c3, ctx2, n3f,
+       |    CASE WHEN mid IS NOT NULL
+       |         THEN (greatest(COALESCE(cont3, 0) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |               CAST(0.75 AS DOUBLE) * n2f * p1) / mid
+       |         ELSE p1 END AS p2
+       |  FROM j1),
+       |j3 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ctx2 IS NOT NULL
+       |         THEN (greatest(COALESCE(c3, 0) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |               CAST(0.75 AS DOUBLE) * n3f * p2) / ctx2
+       |         ELSE p2 END AS p3
+       |  FROM j2),
+       |knagg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tri,
+       |         round(-SUM(ln(p3)) / COUNT(*), 6) AS kn_avg
+       |  FROM j3 GROUP BY doc_id),
+       |iv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS c_id, v AS cv FROM iv WHERE vec_id % 4 <> 0
+       |  ORDER BY vec_id LIMIT 8),
+       |ad0 AS (
+       |  SELECT iv.vec_id, cent0.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent0.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv, cent0 WHERE iv.vec_id % 4 <> 0),
+       |assign0 AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM ad0)
+       |  WHERE rn = 1),
+       |dims AS (
+       |  SELECT a.cell, t.i, CAST(CAST(SUM(iv.v[t.i]) AS BIGINT) // COUNT(*) AS DOUBLE) AS m
+       |  FROM assign0 a JOIN iv ON iv.vec_id = a.vec_id,
+       |       UNNEST(generate_series(1, 64)) AS t(i)
+       |  GROUP BY a.cell, t.i),
+       |cent1 AS (SELECT cell AS c_id, list(m ORDER BY i) AS cv FROM dims GROUP BY cell),
+       |adk AS (
+       |  SELECT iv.vec_id, cent1.c_id,
+       |         list_sum(list_transform(list_zip(iv.v, cent1.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |  FROM iv
+       |  JOIN (SELECT doc_id FROM fc WHERE kept = 1 AND doc_id < 10000) kf
+       |    ON kf.doc_id = iv.vec_id, cent1),
+       |cellk AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM adk)
+       |  WHERE rn = 1)
+       |SELECT fc.doc_id,
+       |  CAST(fc.is_exact AS BIGINT) AS is_exact,
+       |  CAST(fc.is_near AS BIGINT) AS is_near,
+       |  CAST(fc.n_segs AS BIGINT) AS n_segs,
+       |  CAST(fc.n_new AS BIGINT) AS n_new,
+       |  CAST(fc.kept AS BIGINT) AS kept,
+       |  CAST(COALESCE(knagg.n_tri, 0) AS BIGINT) AS n_tri,
+       |  COALESCE(knagg.kn_avg, CAST(0 AS DOUBLE)) AS kn_avg,
+       |  CAST(COALESCE(cellk.cell, -1) AS BIGINT) AS ivf_cell
+       |FROM fc
+       |LEFT JOIN knagg ON knagg.doc_id = fc.doc_id
+       |LEFT JOIN cellk ON cellk.vec_id = fc.doc_id
+       |ORDER BY fc.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val emb = Tables(s, dir, "embeddings")
+    val released = docs.filter(col("doc_id") % 4 =!= 0)
+    val shard = pipe8Shard(docs)
+    val art = graft.util.TrainOnce(s"pipe8:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_pipe8")
+      // released-corpus artifacts (once per release)
+      BloomIndex.build(released, s"$p/bloom_idx")
+      released.select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$p/digests")
+      BandIndex.build(released, s"$p/bands_idx")
+      SegIndex.build(released, s"$p/seg_idx")
+      KnLm.buildKnTypes(released, s"$p/kn_base")
+      IvfIndex.save(IvfIndex.train(s, emb.filter(col("vec_id") % 4 =!= 0)), s"$p/ivf")
+      // once-per-shard side effects: merge the ACCEPTED docs into the KN
+      // store; append their embeddings into the IVF layout
+      val kept = pipe8Flags(s, p, shard).filter(col("kept") === 1L)
+        .select(col("doc_id"), col("text"))
+      KnLm.mergeKnTypes(s, s"$p/kn_base", kept, s"$p/kn_merged")
+      IvfIndex.append(s, s"$p/ivf",
+        emb.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
+      p
+    }
+    val flags = pipe8Flags(s, art, shard)
+    val kn = KnLm.knScoreWithTok(
+      PipelineOps10.docTokens(flags.filter(col("kept") === 1L)),
+      KnLm.loadKnTypes(s, s"$art/kn_merged"))
+    val cells = s.read.parquet(s"$art/ivf/assignments")
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("doc_id"), col("cell").cast("long").as("ivf_cell"))
+    flags
+      .join(kn, Seq("doc_id"), "left")
+      .join(cells, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact"), col("is_near"),
+        col("n_segs"), col("n_new"), col("kept"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_tri"),
+        coalesce(col("kn_avg"), lit(0.0)).as("kn_avg"),
+        coalesce(col("ivf_cell"), lit(-1L)).as("ivf_cell"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(enc2, pipe8)
+}
