@@ -528,6 +528,23 @@ final case class Corpus(df: DataFrame) {
       Seq("doc_id"), "left")
   }
 
+  /** CALIBRATED learned quality (x_qc4): fixed-iteration IRLS logistic
+    * on the 3-feature system — appends (quality_prob, quality_pred)
+    * where quality_prob is a probability in (0, 1). Train = `iters`
+    * aggregation passes over `labeled` (default: self-labeled by the
+    * rules); score = 1-row broadcast + narrow arithmetic.
+    */
+  def withCalibratedQuality(labeled: Option[DataFrame] = None,
+      iters: Int = 3): Corpus = chain { d =>
+    val beta = graft.ext.QualityModel.trainIrls3(
+      graft.ext.QualityModel.features3(labeled.getOrElse(d)), iters)
+    d.join(graft.ext.QualityModel.scoreIrls3(
+        graft.ext.QualityModel.features3(d), beta)
+        .select(col("doc_id"), col("prob").as("quality_prob"),
+          col("pred").as("quality_pred")),
+      Seq("doc_id"), "left")
+  }
+
   /** Drop documents failing the quality rules (adds the signals if not
     * already present, then filters on the combined verdict).
     */

@@ -23,6 +23,26 @@ object Warc {
     StructField("content_length", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
 
+  /** Header lines of one record (everything between the magic line and
+    * CRLFCRLF) parsed to a lowercase-keyed map — shared by the scanning
+    * reader and the record-addressed reader.
+    */
+  private def headerFields(headerBlock: String): Map[String, String] =
+    headerBlock.split("\r\n").drop(1).flatMap { line =>
+      val c = line.indexOf(':')
+      if (c < 0) None
+      else Some(line.substring(0, c).toLowerCase(java.util.Locale.ROOT) ->
+        line.substring(c + 1).trim)
+    }.toMap
+
+  /** Content-Length with the record reader's own lenience: leading
+    * digits of a possibly-decorated value ("42;chunked"), or -1.
+    */
+  private def lenientLength(headers: Map[String, String]): Long =
+    headers.get("content-length")
+      .map(_.takeWhile(_.isDigit)).filter(d => d.nonEmpty && d.length <= 15)
+      .map(_.toLong).getOrElse(-1L)
+
   /** DataFrame over every record of the WARC file(s) at `path`.
     * `maxSplitBytes` bounds the Hadoop split size (else block sizing
     * applies). Payloads decode as UTF-8 text — binary payloads belong
@@ -47,21 +67,106 @@ object Warc {
         // garbage instead of failing loudly
         require(hEnd >= 0,
           "WarcRecordReader contract violated: emitted record without CRLFCRLF")
-        val headers = s.substring(0, hEnd).split("\r\n").drop(1).flatMap { line =>
-          val c = line.indexOf(':')
-          if (c < 0) None
-          else Some(line.substring(0, c).toLowerCase(java.util.Locale.ROOT) ->
-            line.substring(c + 1).trim)
-        }.toMap
+        val headers = headerFields(s.substring(0, hEnd))
         val payload = s.substring(hEnd + 4)
-        // leading-digits parse, matching the record reader's own
-        // lenience — a decorated value ("42;chunked") the reader framed
-        // successfully must not kill the scan here
-        val cl = headers.get("content-length")
-          .map(_.takeWhile(_.isDigit)).filter(d => d.nonEmpty && d.length <= 15)
-          .map(_.toLong).getOrElse(-1L)
         Row(off.get(), headers.get("warc-type").orNull,
-          headers.get("warc-target-uri").orNull, cl, payload)
+          headers.get("warc-target-uri").orNull, lenientLength(headers), payload)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // --------------------------------------- record-addressed access (CDX)
+
+  /** Read EXACTLY ONE record per (path, offset, length) index entry —
+    * the CommonCrawl CDX replay pattern: an index lookup hands back the
+    * record's address inside a multi-GB archive, and the fetch must
+    * cost one seek + one record read, never an archive scan.
+    *
+    * `length` > 0 means the address names a COMPRESSED GZIP MEMBER of
+    * `length` bytes (the per-record .warc.gz form CommonCrawl ships —
+    * each record its own gzip member, the CDX triple addresses the
+    * member); `length` <= 0 means a plain archive — seek to `offset`
+    * and length-direct the read from the record's own Content-Length.
+    *
+    * Output schema = [[readRecords]] (offset echoes the index entry).
+    * A mismatched address (no record magic at `offset`) FAILS LOUDLY —
+    * the index is authoritative, and silently skipping a corrupt
+    * address would make replay losses invisible.
+    *
+    * Shape: genuinely per-row imperative I/O (point reads), so this is
+    * the documented `mapPartitions` case — one open stream per distinct
+    * path per partition (callers replaying many records from few
+    * archives should cluster by path first: `entries.repartition(N,
+    * col("path")).sortWithinPartitions("path", "offset")` turns the
+    * seeks monotonic). Memory is O(one record).
+    */
+  def readRecordsAt(entries: DataFrame): DataFrame = {
+    val spark = entries.sparkSession
+    val rows = entries
+      .select(col("path").cast("string"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .rdd.mapPartitions { it =>
+        // executor-side Configuration: defaults + classpath site files
+        // (core-site.xml etc.) — the same resolution newAPIHadoopFile's
+        // tasks perform for the scanning reader
+        val conf = new Configuration()
+        val open = scala.collection.mutable.Map.empty[
+          String, org.apache.hadoop.fs.FSDataInputStream]
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true; open.values.foreach(_.close())
+        }
+        val base = it.map { r =>
+          val (path, offset, len) = (r.getString(0), r.getLong(1), r.getLong(2))
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fsIn = open.getOrElseUpdate(path,
+            hp.getFileSystem(conf).open(hp))
+          fsIn.seek(offset)
+          val in: java.io.DataInputStream =
+            if (len > 0) {
+              require(len <= Int.MaxValue - 16,
+                s"compressed member at $path:$offset too large: $len")
+              val buf = new Array[Byte](len.toInt)
+              fsIn.readFully(buf)
+              new java.io.DataInputStream(new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(buf)))
+            } else new java.io.DataInputStream(
+              new java.io.BufferedInputStream(fsIn, 64 * 1024))
+          // magic + headers through CRLFCRLF (the scanning reader's cap)
+          val head = new StringBuilder
+          val magic = new Array[Byte](WarcInputFormat.Magic.length)
+          in.readFully(magic)
+          require(java.util.Arrays.equals(magic, WarcInputFormat.Magic),
+            s"no WARC record magic at $path:$offset — stale or corrupt index entry")
+          head.append(new String(magic, java.nio.charset.StandardCharsets.ISO_8859_1))
+          def atHeaderEnd: Boolean = head.length >= 4 &&
+            head.charAt(head.length - 4) == '\r' && head.charAt(head.length - 3) == '\n' &&
+            head.charAt(head.length - 2) == '\r' && head.charAt(head.length - 1) == '\n'
+          while (!atHeaderEnd) {
+            require(head.length < WarcInputFormat.MaxHeaderBytes,
+              s"unterminated record headers at $path:$offset")
+            val b = in.read()
+            require(b >= 0, s"EOF inside record headers at $path:$offset")
+            head.append(b.toChar): Unit
+          }
+          val headers = headerFields(head.substring(0, head.length - 4))
+          val cl = lenientLength(headers)
+          require(cl >= 0 && cl <= Int.MaxValue - 16,
+            s"unreadable Content-Length at $path:$offset")
+          val payload = new Array[Byte](cl.toInt)
+          in.readFully(payload)
+          Row(offset, headers.get("warc-type").orNull,
+            headers.get("warc-target-uri").orNull, cl,
+            new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) closeAll()
+            h
+          }
+          def next(): Row = base.next()
+        }
       }
     spark.createDataFrame(rows, schema)
   }
@@ -359,5 +464,68 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(warc1, warc2, warc3)
+  /** X-WARC4 — record-addressed access (the CDX replay pattern):
+    * documents render into ONE ordered plain archive whose per-record
+    * byte offsets are computed DECLARATIVELY (a window cumsum of
+    * rendered record lengths — the index a WARC writer would emit);
+    * every fifth document is then point-fetched through
+    * [[readRecordsAt]] — seek + one record read, no archive scan — and
+    * the oracle recomputes type/length/payload fingerprint straight
+    * from the documents table. A wrong offset in the index, a wrong
+    * seek, or any framing error in the point reader breaks the hash.
+    * WarcSpec additionally pins random access ≡ sequential scan record
+    * for record, and the gzip-member form.
+    */
+  private val warc4 = Probe(
+    "x_warc4_random_access",
+    """SELECT doc_id, 'response' AS warc_type,
+      |  CAST(strlen(payload) AS BIGINT) AS content_length,
+      |  md5(payload) AS payload_fp
+      |FROM (
+      |  SELECT doc_id,
+      |    '<html><body><p>' || text || '</p></body></html>' AS payload
+      |  FROM documents)
+      |WHERE doc_id % 5 = 2
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val rendered = Tables(s, dir, "documents")
+      .select(col("doc_id"), responseRecord(
+        concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+          lit(".com/doc/"), col("doc_id").cast("string")),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+        .as("rec"))
+    val idxDir = graft.util.TrainOnce(s"warc_cdx:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_cdx")
+      // ONE ordered archive file (fixture: the global sort is the
+      // archive writer's own output order) + the offset index: record i
+      // starts at sum of earlier rendered lengths, +1 each for the text
+      // sink's record separator
+      rendered.repartition(1).sortWithinPartitions("doc_id")
+        .select(col("rec").as("value"))
+        .write.mode("overwrite").text(s"$p/archive")
+      val part = new org.apache.hadoop.fs.Path(s"$p/archive")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(s"$p/archive"))
+        .map(_.getPath.toString).filter(_.contains("part-")).head
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      rendered
+        .select(col("doc_id"),
+          coalesce(sum(octet_length(col("rec")) + 1).over(w), lit(0L)).as("offset"))
+        .select(col("doc_id"), lit(part).as("path"), col("offset"),
+          lit(-1L).as("length"))
+        .write.mode("overwrite").parquet(s"$p/index")
+      p
+    }
+    val picked = s.read.parquet(s"$idxDir/index")
+      .filter(col("doc_id") % 5 === 2)
+      .select("path", "offset", "length")
+    readRecordsAt(picked)
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("warc_type"), col("content_length"),
+        md5(col("payload")).as("payload_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4)
 }

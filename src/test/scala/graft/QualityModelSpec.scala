@@ -128,6 +128,37 @@ class QualityModelSpec extends SparkSuite {
     assert(a3 > 0.7, s"3-feature agreement $a3")
   }
 
+  test("IRLS logistic: calibrated probabilities, agreement >= the ridge models") {
+    val docs = Tables(spark, dir, "documents")
+    def agreement(out: org.apache.spark.sql.DataFrame) = {
+      val r = out.agg(count(lit(1)), sum(when(col("pred") === col("keep"), 1L).otherwise(0L)))
+        .collect()(0)
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    val irls = QualityModel.distillIrls3(docs)
+    val rows = irls.collect()
+    // every score is a probability
+    assert(rows.forall { r =>
+      val p = r.getDouble(5); p >= 0.0 && p <= 1.0 && !p.isNaN
+    })
+    val aI = agreement(irls)
+    val aR = agreement(QualityModel.distill3(docs))
+    assert(aI >= aR, s"IRLS $aI < ridge $aR")
+  }
+
+  test("IRLS degenerate inputs: empty corpus trains finite, single-class solves") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("doc_id", "x1", "x2", "x3", "y")
+    val b = QualityModel.trainIrls3(empty).collect()(0)
+    assert((0 to 3).forall(i => !b.getDouble(i).isNaN && !b.getDouble(i).isInfinite))
+    val one = Seq((1L, 300L, 900L, 5L, 1L), (2L, 400L, 800L, 3L, 1L))
+      .toDF("doc_id", "x1", "x2", "x3", "y")
+    val b1 = QualityModel.trainIrls3(one).collect()(0)
+    assert((0 to 3).forall(i => !b1.getDouble(i).isNaN && !b1.getDouble(i).isInfinite))
+  }
+
   test("degenerate inputs: empty corpus trains to finite zeros, no NaN") {
     val s = spark
     import s.implicits._

@@ -186,6 +186,61 @@ class WarcSpec extends SparkSuite {
     assert(rows.nonEmpty && rows.head == "http://t/1", rows.mkString(", "))
   }
 
+  test("record-addressed access == sequential scan, record for record (plain)") {
+    import spark.implicits._
+    val content = record("http://r/1", "first payload") +
+      record("http://r/2", "second — with ünïcode") +
+      record("http://r/3", "third payload here")
+    val dir = writeWarc(content)
+    val scanned = Warc.readRecords(spark, dir)
+      .select("offset", "warc_type", "url", "content_length", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toList
+    // fetch each scanned record BY ITS OFFSET through the point reader
+    val entries = scanned.map(_._1)
+      .map(off => (s"$dir/f.warc", off, -1L)).toDF("path", "offset", "length")
+    val fetched = Warc.readRecordsAt(entries)
+      .select("offset", "warc_type", "url", "content_length", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toList
+    assert(scanned.size == 3 && fetched == scanned,
+      s"${fetched.take(2)} vs ${scanned.take(2)}")
+  }
+
+  test("record-addressed access fetches ONE gzip member by (offset, length)") {
+    import spark.implicits._
+    // the shipped CommonCrawl form: one gzip member per record; the CDX
+    // triple addresses the member
+    val recs = Seq(record("http://g/1", "member one"),
+      record("http://g/2", "member two — target"), record("http://g/3", "member three"))
+    val dir = graft.util.TempDirs.scratch("warc_spec_cdx_gz")
+    val file = Paths.get(dir, "f.warc.gz")
+    val members = recs.map { r =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r.getBytes(StandardCharsets.UTF_8)); gz.close()
+      bos.toByteArray
+    }
+    Files.write(file, members.flatten.toArray)
+    val offsets = members.scanLeft(0L)(_ + _.length)
+    // fetch only the MIDDLE member
+    val entries = Seq((file.toString, offsets(1), members(1).length.toLong))
+      .toDF("path", "offset", "length")
+    val got = Warc.readRecordsAt(entries)
+      .collect().map(r => (r.getString(2), r.getString(4))).toList
+    assert(got == List(("http://g/2", "member two — target")), got.mkString(", "))
+  }
+
+  test("a stale index entry (no magic at offset) fails loudly, not silently") {
+    import spark.implicits._
+    val dir = writeWarc(record("http://s/1", "payload"))
+    val entries = Seq((s"$dir/f.warc", 7L, -1L)).toDF("path", "offset", "length")
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readRecordsAt(entries).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("unicode payload round-trips byte-exactly through Content-Length") {
     val payload = "héllo wörld — ünïcode 你好   end"
     val dir = writeWarc(record("http://u/1", payload))
