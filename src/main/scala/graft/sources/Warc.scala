@@ -75,6 +75,94 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
+  // ------------------------------------------- binary payloads + sink
+
+  /** [[schema]] with the payload as raw BYTES — the charset-honest
+    * form: a cp1252 page's bytes are not valid UTF-8, and the string
+    * reader's UTF-8 decode would mangle them BEFORE the declared-
+    * charset tier ([[graft.clean.CharsetFns]]) could see them.
+    */
+  val binarySchema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("url", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** [[readRecords]] with BYTE-PRESERVING payloads: same splittable
+    * reader, headers decoded as text (they are ASCII/UTF-8 by the WARC
+    * spec), the payload surfaced as the exact bytes Content-Length
+    * framed. The front door for non-UTF-8 crawl content — compose with
+    * [[httpBody]] over an ISO-8859-1 (byte-identity) view and
+    * [[graft.clean.CharsetFns.decodeCharset]].
+    */
+  def readRecordsBinary(spark: SparkSession, path: String,
+      maxSplitBytes: Option[Long] = None): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    maxSplitBytes.foreach { b =>
+      conf.set("mapreduce.input.fileinputformat.split.maxsize", b.toString)
+    }
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[WarcInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (off, t) =>
+        val bytes = t.copyBytes()
+        // first CRLFCRLF by BYTE scan (the reader's emission contract
+        // guarantees one — see readRecords)
+        var hEnd = -1
+        var i = 0
+        while (hEnd < 0 && i + 3 < bytes.length) {
+          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+            bytes(i + 2) == '\r' && bytes(i + 3) == '\n') hEnd = i
+          i += 1
+        }
+        require(hEnd >= 0,
+          "WarcRecordReader contract violated: emitted record without CRLFCRLF")
+        val headers = headerFields(new String(bytes, 0, hEnd,
+          java.nio.charset.StandardCharsets.UTF_8))
+        val payload = java.util.Arrays.copyOfRange(bytes, hEnd + 4, bytes.length)
+        Row(off.get(), headers.get("warc-type").orNull,
+          headers.get("warc-target-uri").orNull, lenientLength(headers), payload)
+      }
+    spark.createDataFrame(rows, binarySchema)
+  }
+
+  /** Distributed WARC SINK: write (url, payload BINARY) rows as
+    * response records into `dir`, ONE `.warc` FILE PER PARTITION —
+    * exactly how crawl dumps shard, and the byte-capable counterpart
+    * of staging records through the text sink (which UTF-8-encodes and
+    * therefore cannot carry cp1252/binary payloads). Content-Length is
+    * the payload's exact byte count, so the splittable reader's
+    * length-directed contract holds whatever the bytes are. Each task
+    * writes its own part file with `overwrite = true` (a retried task
+    * rewrites the identical content — the rows of its partition).
+    */
+  def writeRecords(records: DataFrame, dir: String): Unit = {
+    val spark = records.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true): Unit
+    fs.mkdirs(hp): Unit
+    records.select(col("url").cast("string"), col("payload").cast("binary"))
+      .rdd.foreachPartition { it =>
+        if (it.hasNext) {
+          val conf = new Configuration()
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val part = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
+          val out = part.getFileSystem(conf).create(part, true)
+          try it.foreach { r =>
+            val payload = r.getAs[Array[Byte]](1)
+            val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n"
+            out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.write(payload)
+            out.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          } finally out.close()
+        }
+      }
+  }
+
   // --------------------------------------- record-addressed access (CDX)
 
   /** Read EXACTLY ONE record per (path, offset, length) index entry —
@@ -527,5 +615,82 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4)
+  /** X-WARC5 — the BYTE-honest crawl front door: documents render as
+    * HTTP responses whose BODY BYTES are genuinely cp1252 (odd docs)
+    * or UTF-8 (even docs), written through the binary WARC SINK
+    * ([[writeRecords]] — the text sink cannot carry non-UTF-8 bytes),
+    * read back through the splittable reader byte-preserving
+    * ([[readRecordsBinary]]), HTTP-split over an ISO-8859-1 identity
+    * view, charset-resolved (Content-Type param → meta sniff →
+    * default), byte-decoded ([[graft.clean.CharsetFns]]), and
+    * extracted. The oracle recomputes the expected text from the
+    * documents table alone — any byte mangled anywhere in
+    * write → split-read → HTTP split → charset decode breaks the hash.
+    */
+  private val warc5 = Probe(
+    "x_warc5_binary_charset_door",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+       |    '<html><head>' ||
+       |      CASE WHEN doc_id % 4 = 2 THEN '<meta charset="utf-8">' ELSE '' END ||
+       |      '</head><body><p>' ||
+       |      ${graft.clean.EncodingFns.sqlLit(graft.ext.PipelineOps16.planted2)} ||
+       |      regexp_replace(text, '[^ -~]', '', 'g') || '</p></body></html>' AS body
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, charset,
+       |    ${graft.clean.HtmlFns.htmlToTextDuck("body")} AS text
+       |  FROM d)
+       |SELECT doc_id, CAST(200 AS BIGINT) AS status, charset,
+       |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_fp
+       |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val out = graft.util.TrainOnce(s"warc_bin:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_bin")
+      val bodyStr = concat(lit("<html><head>"),
+        when(col("doc_id") % 4 === 2, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
+        lit("</head><body><p>"), lit(graft.ext.PipelineOps16.planted2),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</p></body></html>"))
+      val bodyBytes = when(col("doc_id") % 2 === 1,
+        encode(graft.clean.CharsetFns.cp1252Unfix(bodyStr), "ISO-8859-1"))
+        .otherwise(encode(bodyStr, "UTF-8"))
+      val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
+        .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
+        .otherwise(lit("text/html"))
+      val httpPayload = concat(
+        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\nContent-Length: "), length(bodyBytes).cast("string"),
+          lit("\r\n\r\n")), "UTF-8"),
+        bodyBytes)
+      writeRecords(
+        Tables(s, dir, "documents")
+          .select(concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
+            httpPayload.as("payload")),
+        s"$p/archive")
+      s"$p/archive"
+    }
+    val pstr = decode(col("payload"), "ISO-8859-1") // byte-identity view
+    val bodyBytes = encode(httpBody(pstr), "ISO-8859-1") // exact body bytes
+    val resolved = coalesce(
+      graft.clean.CharsetFns.normalizeCharset(httpCharset(pstr)),
+      graft.clean.CharsetFns.normalizeCharset(
+        graft.clean.CharsetFns.metaCharset(bodyBytes)),
+      lit("utf-8"))
+    readRecordsBinary(s, out)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        httpStatus(pstr).cast("long").as("status"),
+        resolved.as("charset"),
+        graft.clean.HtmlFns.htmlToText(
+          graft.clean.CharsetFns.decodeCharset(bodyBytes, resolved)).as("text"))
+      .filter(col("status") === 200)
+      .select(col("doc_id"), col("status"), col("charset"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5)
 }

@@ -241,6 +241,39 @@ class WarcSpec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("binary sink + binary read: non-UTF-8 bytes round-trip exactly") {
+    import spark.implicits._
+    // cp1252 bytes (0x93 0x94 0x80: invalid UTF-8) — the payload the
+    // text-sink staging path cannot carry
+    val evil = Array(0x93, 'H', 'i', 0x94, ' ', 0x80, 0xE9).map(_.toByte)
+    val plain = "plain ascii".getBytes(StandardCharsets.UTF_8)
+    val dir = graft.util.TempDirs.scratch("warc_spec_bin") + "/a"
+    Warc.writeRecords(
+      Seq(("http://b/1", evil), ("http://b/2", plain)).toDF("url", "payload"),
+      dir)
+    val got = Warc.readRecordsBinary(spark, dir)
+      .collect().map(r => (r.getString(2), r.getAs[Array[Byte]](4).toSeq)).sortBy(_._1).toList
+    assert(got == List(("http://b/1", evil.toSeq), ("http://b/2", plain.toSeq)),
+      got.map(x => (x._1, x._2.map(b => b & 0xff).mkString(","))).mkString(" | "))
+    // and the STRING reader sees the same records for UTF-8-safe payloads
+    val viaString = Warc.readRecords(spark, dir)
+      .collect().map(r => (r.getString(2), r.getLong(3))).sortBy(_._1).toList
+    assert(viaString.map(_._1) == List("http://b/1", "http://b/2"))
+    assert(viaString(1)._2 == plain.length.toLong)
+  }
+
+  test("binary read == string read, record for record, on UTF-8 archives") {
+    val content = record("http://c/1", "héllo wörld") + record("http://c/2", "two")
+    val dir = writeWarc(content)
+    val a = Warc.readRecords(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1).toList
+    val b = Warc.readRecordsBinary(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        new String(r.getAs[Array[Byte]](4), StandardCharsets.UTF_8))).sortBy(_._1).toList
+    assert(a == b && a.size == 2, s"$a vs $b")
+  }
+
   test("unicode payload round-trips byte-exactly through Content-Length") {
     val payload = "héllo wörld — ünïcode 你好   end"
     val dir = writeWarc(record("http://u/1", payload))
