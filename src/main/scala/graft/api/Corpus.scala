@@ -518,6 +518,12 @@ final case class Corpus(df: DataFrame) {
     * append (quality_score, quality_pred). Train = one aggregation pass
     * over `labeled`; score = 1-row broadcast + narrow arithmetic —
     * zero exchanges on this corpus beyond the doc_id join back.
+    *
+    * DISTILLATION semantics: `labeled` chooses the TRAINING SUBSET; the
+    * label y is always the rule gate recomputed over it (a `keep`/`y`
+    * column on the frame is ignored). To fit human labels, call
+    * [[graft.ext.QualityModel.trainRidge]] on a hand-built
+    * (doc_id, x1, x2, y) frame directly.
     */
   def withLearnedQuality(labeled: Option[DataFrame] = None): Corpus = chain { d =>
     val coef = graft.ext.QualityModel.trainRidge(
@@ -533,6 +539,11 @@ final case class Corpus(df: DataFrame) {
     * where quality_prob is a probability in (0, 1). Train = `iters`
     * aggregation passes over `labeled` (default: self-labeled by the
     * rules); score = 1-row broadcast + narrow arithmetic.
+    *
+    * DISTILLATION semantics (as [[withLearnedQuality]]): `labeled`
+    * chooses the training SUBSET, y is the rule gate recomputed over
+    * it. For human labels, feed a (doc_id, x1..x3, y) frame to
+    * [[graft.ext.QualityModel.trainIrls3]] directly.
     */
   def withCalibratedQuality(labeled: Option[DataFrame] = None,
       iters: Int = 3): Corpus = chain { d =>

@@ -48,12 +48,16 @@ object CharsetFns {
     '\u0097' -> '—', '\u0098' -> '˜', '\u0099' -> '™', '\u009a' -> 'š',
     '\u009b' -> '›', '\u009c' -> 'œ', '\u009e' -> 'ž', '\u009f' -> 'Ÿ')
 
+  private val cp1252From = cp1252.map(_._1).mkString
+  private val cp1252To = cp1252.map(_._2).mkString
+
   /** C1 stand-ins → cp1252 characters, over an ISO-8859-1-decoded
-    * string.
+    * string. Every mapping is one char to one char, so this is a SINGLE
+    * `translate` pass — not 27 chained replace rewrites copying the
+    * page once each.
     */
   private def cp1252Fix(c: Column): Column =
-    cp1252.foldLeft(c)((acc, kv) =>
-      replace(acc, lit(kv._1.toString), lit(kv._2.toString)))
+    translate(c, cp1252From, cp1252To)
 
   /** The INVERSE map — cp1252 characters back to their C1 stand-ins, so
     * a fixture can stage genuine cp1252 BYTES through the ISO-8859-1
@@ -61,8 +65,7 @@ object CharsetFns {
     * staging only; never part of a decode path.
     */
   private[graft] def cp1252Unfix(c: Column): Column =
-    cp1252.foldLeft(c)((acc, kv) =>
-      replace(acc, lit(kv._2.toString), lit(kv._1.toString)))
+    translate(c, cp1252To, cp1252From)
 
   /** Normalize a charset label to this tier's decode key:
     * 'windows-1252' | 'utf-8' | NULL (unknown/undeclared). The
@@ -79,13 +82,16 @@ object CharsetFns {
 
   /** Charset sniffed from a `<meta charset=…>` or
     * `<meta http-equiv="Content-Type" content="…charset=…">` tag in a
-    * byte-identity preview of the page. ASCII-safe: in UTF-8 and every
-    * single-byte charset here, the markup bytes are ASCII, so the
-    * ISO-8859-1 preview sees the tag verbatim regardless of the page's
-    * real charset.
+    * byte-identity preview of the page — BOUNDED to the first 1024
+    * bytes, the HTML5 prescan window: a charset token quoted deep in
+    * body content must not hijack decoding, and an undeclared multi-MB
+    * page must not pay a full-document regex scan. ASCII-safe: in UTF-8
+    * and every single-byte charset here, the markup bytes are ASCII, so
+    * the ISO-8859-1 preview sees the tag verbatim regardless of the
+    * page's real charset.
     */
   def metaCharset(bin: Column): Column = {
-    val preview = decode(bin, "ISO-8859-1")
+    val preview = decode(bin, "ISO-8859-1").substr(lit(1), lit(1024))
     val m = regexp_extract(preview,
       "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_-]+)", 1)
     when(m =!= "", m)

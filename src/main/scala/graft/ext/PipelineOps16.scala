@@ -112,21 +112,33 @@ object PipelineOps16 {
     * segments at all). Returns one row per SHARD doc: (doc_id, text,
     * is_exact, is_near, n_segs, n_new, kept) — columns 0 where a doc
     * dropped before the stage that computes them.
+    *
+    * Each stage STAGES its (shard-sized, kilobytes-per-row) survivor
+    * frame to `runDir` parquet — the x_pipe6 staged-write discipline:
+    * the final assembly and the downstream consumers (the KN scorer,
+    * the output join) would otherwise re-evaluate every upstream stage
+    * tree once per reference (the whole Bloom probe ran 3×, the band
+    * join 2× — measured 25 s in-suite at sf0.1 before staging).
     */
   private def pipe8Flags(s: org.apache.spark.sql.SparkSession, art: String,
-      shard: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      shard: org.apache.spark.sql.DataFrame,
+      runDir: String): org.apache.spark.sql.DataFrame = {
     val (m, k) = BloomIndex.loadMeta(s, s"$art/bloom_idx")
-    val withA = shard.join(
+    shard.join(
       BloomIndex.markDuplicates(shard, BloomIndex.load(s, s"$art/bloom_idx"),
           s.read.parquet(s"$art/digests"), m, k)
-        .select(col("doc_id"), col("is_dup").as("is_exact")),
+        .select(col("doc_id"), col("is_dup").cast("long").as("is_exact")),
       Seq("doc_id"))
-    val survA = withA.filter(col("is_exact") === 0)
-    val nearIds = BandIndex.collidingNewIds(survA, BandIndex.load(s, s"$art/bands_idx"))
-      .withColumn("is_near", lit(1L))
-    val withB = survA.join(nearIds, Seq("doc_id"), "left")
+      .write.mode("overwrite").parquet(s"$runDir/a")
+    val a = s.read.parquet(s"$runDir/a")
+    val survA = a.filter(col("is_exact") === 0)
+    survA
+      .join(BandIndex.collidingNewIds(survA, BandIndex.load(s, s"$art/bands_idx"))
+        .withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
       .withColumn("is_near", coalesce(col("is_near"), lit(0L)))
-    val survB = withB.filter(col("is_near") === 0)
+      .write.mode("overwrite").parquet(s"$runDir/b")
+    val b = s.read.parquet(s"$runDir/b")
+    val survB = b.filter(col("is_near") === 0)
     val withC = survB.join(
         SegIndex.newSegmentCounts(survB, SegIndex.load(s, s"$art/seg_idx")),
         Seq("doc_id"), "left")
@@ -134,8 +146,8 @@ object PipelineOps16 {
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
       .withColumn("kept",
         (col("n_segs") === 0L || col("n_new") * 2 >= col("n_segs")).cast("long"))
-    withA.select(col("doc_id"), col("text"), col("is_exact").cast("long").as("is_exact"))
-      .join(withB.select(col("doc_id"), col("is_near")), Seq("doc_id"), "left")
+    a.select(col("doc_id"), col("text"), col("is_exact"))
+      .join(b.select(col("doc_id"), col("is_near")), Seq("doc_id"), "left")
       .join(withC.select(col("doc_id"), col("n_segs"), col("n_new"), col("kept")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("is_exact"),
@@ -143,6 +155,8 @@ object PipelineOps16 {
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(col("kept"), lit(0L)).as("kept"))
+      .write.mode("overwrite").parquet(s"$runDir/flags")
+    s.read.parquet(s"$runDir/flags")
   }
 
   /** X-PIPE8 — the COMPOSED daily increment: one new shard through ALL
@@ -355,14 +369,16 @@ object PipelineOps16 {
       IvfIndex.save(IvfIndex.train(s, emb.filter(col("vec_id") % 4 =!= 0)), s"$p/ivf")
       // once-per-shard side effects: merge the ACCEPTED docs into the KN
       // store; append their embeddings into the IVF layout
-      val kept = pipe8Flags(s, p, shard).filter(col("kept") === 1L)
+      val kept = pipe8Flags(s, p, shard, s"$p/build_run")
+        .filter(col("kept") === 1L)
         .select(col("doc_id"), col("text"))
       KnLm.mergeKnTypes(s, s"$p/kn_base", kept, s"$p/kn_merged")
       IvfIndex.append(s, s"$p/ivf",
         emb.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"))
       p
     }
-    val flags = pipe8Flags(s, art, shard)
+    val flags = pipe8Flags(s, art, shard,
+      graft.util.TempDirs.scratch("graft_pipe8_run"))
     val kn = KnLm.knScoreWithTok(
       PipelineOps10.docTokens(flags.filter(col("kept") === 1L)),
       KnLm.loadKnTypes(s, s"$art/kn_merged"))

@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *   - `Allow:` / `Disallow:` values are match PATTERNS: percent-encoded
   *     UNRESERVED octets are decoded before comparison (RFC 9309 §2.2.2
   *     via RFC 3986 — decoding a reserved octet would change meaning, so
-  *     only unreserved forms normalize; uppercase hex, the canonical
-  *     encoder output). An empty Disallow value means allow-all and is
-  *     dropped at parse time (the gate's documented contract).
+  *     only unreserved forms normalize; both hex cases, since site
+  *     owners author these by hand). An empty Disallow value means
+  *     allow-all and is dropped at parse time (the gate's documented
+  *     contract). A UTF-8 BOM is stripped (a BOM-prefixed first
+  *     User-agent line would otherwise void the whole file).
   *   - `*` matches any octet sequence; a TRAILING `$` anchors the
   *     pattern end ([[robotsGateWild]]). A `$` elsewhere is literal.
   *
@@ -46,19 +48,29 @@ object RobotsTxt {
   private val unreserved: Seq[Char] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) ++ Seq('-', '.', '_', '~')
 
-  /** Decode percent-encoded UNRESERVED octets (uppercase hex) — the
-    * RFC 3986 normalization both the rule pattern and the matched path
-    * must agree on. Reserved octets stay encoded (decoding them would
-    * change path semantics).
+  /** Decode percent-encoded UNRESERVED octets — the RFC 3986
+    * normalization both the rule pattern and the matched path must
+    * agree on. BOTH hex cases decode (RFC 3986 hex digits are
+    * case-insensitive, and robots.txt patterns are authored by site
+    * owners who routinely write `%7e`); reserved octets stay encoded
+    * (decoding them would change path semantics).
     */
   def pctDecodeUnreserved(c: Column): Column =
-    unreserved.foldLeft(c)((acc, ch) =>
-      replace(acc, lit(f"%%${ch.toInt}%02X"), lit(ch.toString)))
+    unreserved.foldLeft(c) { (acc, ch) =>
+      val up = f"%%${ch.toInt}%02X"
+      val lo = up.toLowerCase(java.util.Locale.ROOT)
+      val r = replace(acc, lit(up), lit(ch.toString))
+      if (lo != up) replace(r, lit(lo), lit(ch.toString)) else r
+    }
 
   /** The identical decode in DuckDB's dialect, for oracles. */
   def pctDecodeUnreservedDuck(e: String): String =
-    unreserved.foldLeft(e)((acc, ch) =>
-      f"replace($acc%s, '%%${ch.toInt}%02X', '$ch%s')")
+    unreserved.foldLeft(e) { (acc, ch) =>
+      val up = f"%%${ch.toInt}%02X"
+      val lo = up.toLowerCase(java.util.Locale.ROOT)
+      val r = s"replace($acc, '$up', '$ch')"
+      if (lo != up) s"replace($r, '$lo', '$ch')" else r
+    }
 
   /** Regex metacharacters escaped in a robots pattern before `*`
     * translation: everything Java regex and RE2 both treat specially
@@ -107,8 +119,12 @@ object RobotsTxt {
     val w = Window.partitionBy("host").orderBy("i")
     val lines = robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
+      // BOM strip FIRST: a robots.txt saved with a UTF-8 BOM would
+      // otherwise fail the '^user-agent' match on its first line and
+      // silently allow everything (Google's reference parser skips it)
       .withColumn("ln",
-        trim(regexp_replace(regexp_replace(col("raw"), "\r$", ""), "#.*$", "")))
+        trim(regexp_replace(regexp_replace(
+          replace(col("raw"), lit("\ufeff"), lit("")), "\r$", ""), "#.*$", "")))
     val sig = lines
       .withColumn("kind",
         when(lower(col("ln")).rlike("^user-agent\\s*:"), "ua")
@@ -145,7 +161,8 @@ object RobotsTxt {
   def parseRobotsDuck(agent: String = DefaultAgent): String =
     s"""l0 AS (
        |  SELECT host, i,
-       |    trim(regexp_replace(regexp_replace(ls[i], chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln
+       |    trim(regexp_replace(regexp_replace(
+       |      replace(ls[i], chr(65279), ''), chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln
        |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
        |       UNNEST(generate_series(1, len(ls))) AS t(i)),
        |sg0 AS (

@@ -143,13 +143,26 @@ object Warc {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) fs.delete(hp, true): Unit
     fs.mkdirs(hp): Unit
+    // the SESSION conf ships to tasks (an executor-side `new
+    // Configuration()` sees only classpath defaults — it would drop
+    // spark.hadoop.* settings, credentials, and fs.defaultFS)
+    val confSer = spark.sparkContext.broadcast(
+      new graft.util.SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     records.select(col("url").cast("string"), col("payload").cast("binary"))
       .rdd.foreachPartition { it =>
         if (it.hasNext) {
-          val conf = new Configuration()
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val part = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
-          val out = part.getFileSystem(conf).create(part, true)
+          // write-then-rename commit: concurrent attempts of the same
+          // partition (speculation, zombie-vs-retry races) each stream
+          // to their OWN attempt file; exactly one rename wins the final
+          // name, the loser deletes its attempt — the final file is
+          // never written to directly, so it is never interleaved
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".part-$pid%05d.warc.attempt-${tc.taskAttemptId()}")
+          val pfs = part.getFileSystem(confSer.value.value)
+          val out = pfs.create(tmp, true)
           try it.foreach { r =>
             val payload = r.getAs[Array[Byte]](1)
             val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
@@ -159,6 +172,7 @@ object Warc {
             out.write(payload)
             out.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           } finally out.close()
+          if (pfs.exists(part) || !pfs.rename(tmp, part)) pfs.delete(tmp, false): Unit
         }
       }
   }
@@ -190,20 +204,28 @@ object Warc {
     */
   def readRecordsAt(entries: DataFrame): DataFrame = {
     val spark = entries.sparkSession
+    // the SESSION conf ships to tasks (a bare executor-side
+    // Configuration would drop spark.hadoop.* settings, credentials,
+    // and fs.defaultFS — the scanning reader gets the driver conf from
+    // newAPIHadoopFile; the point reader must match)
+    val confSer = spark.sparkContext.broadcast(
+      new graft.util.SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     val rows = entries
       .select(col("path").cast("string"), col("offset").cast("long"),
         col("length").cast("long"))
       .rdd.mapPartitions { it =>
-        // executor-side Configuration: defaults + classpath site files
-        // (core-site.xml etc.) — the same resolution newAPIHadoopFile's
-        // tasks perform for the scanning reader
-        val conf = new Configuration()
+        val conf = confSer.value.value
         val open = scala.collection.mutable.Map.empty[
           String, org.apache.hadoop.fs.FSDataInputStream]
         var closed = false
         def closeAll(): Unit = if (!closed) {
           closed = true; open.values.foreach(_.close())
         }
+        // streams also close on task completion/failure — iterator
+        // drain alone leaks them under limit()/take() or a mid-
+        // partition require (stale index entry)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         val base = it.map { r =>
           val (path, offset, len) = (r.getString(0), r.getLong(1), r.getLong(2))
           val hp = new org.apache.hadoop.fs.Path(path)

@@ -148,7 +148,13 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     case _ =>
       val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase(java.util.Locale.ROOT)
       m.contains("gzip") || m.contains("zlib") || m.contains("deflate") ||
-        m.contains("crc") || m.contains("decompress")
+        m.contains("crc") || m.contains("decompress") ||
+        // the inflater's own corruption vocabulary, wrapped as plain
+        // IOException by Hadoop's built-in gzip codec ("invalid distance
+        // too far back", "incorrect header check", "unknown compression
+        // method", "too many length or distance symbols", …)
+        m.contains("invalid") || m.contains("incorrect") ||
+        m.contains("unknown compression") || m.contains("too many length")
   }
 
   private def readByte(): Int = {
@@ -239,24 +245,43 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     * WARC-Type.
     */
   private def resolveHeaders(): (Int, Long) = {
-    val h = new String(buffer.getData, 0, buffer.getLength,
-      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
-    // ISO-8859-1 maps one byte to one char, so char index == byte index
-    val magicIdx = h.lastIndexOf("warc/1.0\r\n")
-    if (magicIdx < 0) return (0, -1L) // unreachable: buffer starts with Magic
-    val from = magicIdx + "warc/1.0".length // include the magic's own \r\n
-    if (h.indexOf("\r\nwarc-type:", from) < 0) return (magicIdx, -1L)
-    val k = h.indexOf("\r\ncontent-length:", from)
-    if (k < 0) return (magicIdx, -1L)
-    var i = k + "\r\ncontent-length:".length
-    while (i < h.length && h.charAt(i) == ' ') i += 1
-    var v = -1L
-    while (i < h.length && h.charAt(i) >= '0' && h.charAt(i) <= '9') {
-      v = (if (v < 0) 0L else v) * 10 + (h.charAt(i) - '0')
-      if (v > WarcInputFormat.MaxRecordBytes) return (magicIdx, -1L)
-      i += 1
+    // ISO-8859-1 maps one byte to one char, so char index == byte index.
+    // The RAW string anchors the magic CASE-EXACTLY (scanToMagic is
+    // byte-exact; a lowercased search would let 'Warc/1.0' in a header
+    // value mis-anchor); the lowercased copy serves header-NAME lookups,
+    // which are case-insensitive per the spec.
+    val hRaw = new String(buffer.getData, 0, buffer.getLength,
+      StandardCharsets.ISO_8859_1)
+    val h = hRaw.toLowerCase(java.util.Locale.ROOT)
+    // Anchor candidates are tried LAST magic first: a genuine header
+    // value ending in the magic text ('WARC-Conformance: WARC/1.0') must
+    // not steal the anchor from the true record start, so an anchor is
+    // only accepted when a WARC-Type AND Content-Length follow it —
+    // otherwise the next-earlier magic is tried. Index 0 (the magic the
+    // scan matched) is always a candidate, so a genuine record is never
+    // lost to a decorative magic string in its own headers.
+    def resolveAt(magicIdx: Int): Long = {
+      val from = magicIdx + "WARC/1.0".length // include the magic's own \r\n
+      if (h.indexOf("\r\nwarc-type:", from) < 0) return -1L
+      val k = h.indexOf("\r\ncontent-length:", from)
+      if (k < 0) return -1L
+      var i = k + "\r\ncontent-length:".length
+      while (i < h.length && h.charAt(i) == ' ') i += 1
+      var v = -1L
+      while (i < h.length && h.charAt(i) >= '0' && h.charAt(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (h.charAt(i) - '0')
+        if (v > WarcInputFormat.MaxRecordBytes) return -1L
+        i += 1
+      }
+      v
     }
-    (magicIdx, v)
+    var magicIdx = hRaw.lastIndexOf("WARC/1.0\r\n")
+    while (magicIdx > 0) {
+      val v = resolveAt(magicIdx)
+      if (v >= 0) return (magicIdx, v)
+      magicIdx = hRaw.lastIndexOf("WARC/1.0\r\n", magicIdx - 1)
+    }
+    (0, resolveAt(0))
   }
 
   override def nextKeyValue(): Boolean = {

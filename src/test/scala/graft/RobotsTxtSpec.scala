@@ -60,6 +60,16 @@ class RobotsTxtSpec extends SparkSuite {
     assert(got == List(("/a%2Fb", 0), ("/cAd", 0)), got.mkString(", "))
   }
 
+  test("lowercase hex percent-encodings decode too (site owners hand-author)") {
+    val got = rules("User-agent: *\nDisallow: /%7euser\nDisallow: /%7Euser2\n")
+    assert(got == List(("/~user", 0), ("/~user2", 0)), got.mkString(", "))
+  }
+
+  test("a UTF-8 BOM on the first line does not void the file") {
+    val got = rules("\ufeffUser-agent: *\nDisallow: /blocked\n")
+    assert(got == List(("/blocked", 0)), got.mkString(", "))
+  }
+
   test("wildcard-free rules: robotsGateWild == the prefix robotsGate, row for row") {
     val urls = spark.range(60).select(col("id").as("doc_id"),
       concat(lit("https://h"), (col("id") % 3).cast("string"), lit(".com"),

@@ -125,6 +125,20 @@ class WarcSpec extends SparkSuite {
       (r2Offset, "http://a/2", "second payload intact")), rows.mkString(", "))
   }
 
+  test("a header VALUE ending in the magic text does not steal the anchor") {
+    // 'WARC-Conformance: WARC/1.0' is a legal header whose value ends
+    // with the magic bytes: the last-magic anchor must fall back to the
+    // true record start when the decorative match doesn't resolve
+    val dir = writeWarc(
+      record("http://a/1", "payload one", extra = "WARC-Conformance: WARC/1.0\r\n") +
+        record("http://a/2", "payload two"))
+    val rows = Warc.readRecords(spark, dir).orderBy("offset")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(4))).toList
+    assert(rows.map(_._2) == List("http://a/1", "http://a/2"), rows.mkString(", "))
+    assert(rows.map(_._3) == List("payload one", "payload two"), rows.mkString(", "))
+    assert(rows.head._1 == 0L, s"offset must be the true magic: ${rows.head}")
+  }
+
   test("a valid record larger than the buffered cap is skipped with exact framing") {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.setLong(graft.sources.WarcInputFormat.MaxBufferedBytesKey, 16L)
