@@ -424,20 +424,69 @@ object PipelineOps7 {
       .orderBy("doc_id")
   }
 
-  /** X-TOK1 — honest subword token accounting (round 7, the declared
-    * stretch): per-document whitespace word count vs byte-level BPE
-    * subword count under the checked-in vocabulary (`graft.BpeTrain`
-    * recipe; Sennrich et al. 2016 greedy merges). Iterative greedy
-    * merging has no DuckDB-expressible form, so this is the registry's
-    * one `unchecked` entry (rows-only driver check) — correctness is
-    * pinned by BpeSpec instead: encode round-trips, count bounds,
-    * cross-partitioning determinism, interpreted ≡ codegen, trainer
-    * determinism. The column exists precisely to re-denominate the
-    * token-budget/packing operators (`Corpus.withBpeTokenCount` feeds
-    * `takeTokenBudget*` / `lengthBatches` via their `tokens` argument),
-    * where whitespace counts undercount code/CJK by multiples.
+  /** The 89 checked-in merges as a DuckDB struct-literal list, symbols
+    * as lowercase hex of the latin-1 byte strings: `k` is the delimited
+    * adjacent-pair key, `p` its merged replacement (each symbol wrapped
+    * `_hex_`, so `replace(s, k, p)` merges every left-to-right
+    * non-overlapping occurrence — exactly [[graft.functions.Bpe]]
+    * .encodeWord's inner pass).
     */
-  private val tok1 = Probe.unchecked("x_tok1_bpe_token_counts") { (s, dir) =>
+  private def bpeMergeLits: String = {
+    def hx(sym: String) = sym.map(c => f"${c.toInt}%02x").mkString
+    graft.functions.Bpe.defaultMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"{'r': $i, 'k': '_${hx(a)}__${hx(b)}_', 'p': '_${hx(a)}${hx(b)}_'}"
+    }.mkString(", ")
+  }
+
+  /** X-TOK1 — honest subword token accounting (round 7 stretch):
+    * per-document whitespace word count vs byte-level BPE subword count
+    * under the checked-in vocabulary (`graft.BpeTrain` recipe; Sennrich
+    * et al. 2016 greedy merges). ORACLE-CHECKED since round 11 — the
+    * registry's last `unchecked` entry falls: the oracle replays greedy
+    * lowest-rank-first merging as a RECURSIVE CTE over per-word symbol
+    * strings (UTF-8 bytes as delimited lowercase hex; one recursion
+    * level = one merge round — pick the minimum applicable rank, then
+    * `replace()` merges every left-to-right occurrence with both
+    * engines' identical non-overlap semantics; a word's terminal state
+    * is the one where no rank applies). Distinct words recurse once and
+    * join back to the token stream, mirroring bpe_count's memo. BpeSpec
+    * still pins encode round-trips, count bounds, determinism, and
+    * interpreted ≡ codegen on top. The column exists to re-denominate
+    * the token-budget/packing operators (`Corpus.withBpeTokenCount`
+    * feeds `takeTokenBudget*` / `lengthBatches`), where whitespace
+    * counts undercount code/CJK by multiples.
+    */
+  private val tok1 = Probe(
+    "x_tok1_bpe_token_counts",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM documents),
+       |wrd AS (SELECT DISTINCT w FROM (SELECT UNNEST(ws) AS w FROM t)),
+       |st AS (
+       |  SELECT w,
+       |    array_to_string(list_transform(
+       |      regexp_extract_all(lower(hex(encode(w))), '[0-9a-f][0-9a-f]'),
+       |      g -> '_' || g || '_'), '') AS s
+       |  FROM wrd
+       |  UNION ALL
+       |  SELECT w, replace(s, ([$bpeMergeLits])[b + 1].k, ([$bpeMergeLits])[b + 1].p)
+       |  FROM (
+       |    SELECT w, s,
+       |      list_min(list_filter(list_transform([$bpeMergeLits],
+       |        m -> CASE WHEN contains(s, m.k) THEN m.r END), x -> x IS NOT NULL)) AS b
+       |    FROM st) WHERE b IS NOT NULL),
+       |fin AS (
+       |  SELECT w, CAST((length(s) - length(replace(s, '_', ''))) // 2 AS BIGINT) AS n_sym
+       |  FROM st
+       |  WHERE list_min(list_filter(list_transform([$bpeMergeLits],
+       |    m -> CASE WHEN contains(s, m.k) THEN m.r END), x -> x IS NOT NULL)) IS NULL),
+       |tok AS (SELECT doc_id, UNNEST(ws) AS w FROM t),
+       |cnt AS (
+       |  SELECT tok.doc_id, SUM(fin.n_sym) AS n_bpe
+       |  FROM tok JOIN fin ON fin.w = tok.w GROUP BY tok.doc_id)
+       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(cnt.n_bpe, 0) AS BIGINT) AS n_tok_bpe
+       |FROM t LEFT JOIN cnt ON cnt.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
     graft.GraftExtensions.register(s)
     Tables(s, dir, "documents")
       .select(col("doc_id"),

@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * any JVM (no RNG, no locale). Words repeat heavily (Zipf), so a
   * per-executor bounded memo caches word → count.
   *
-  * No DuckDB oracle exists for iterative greedy merging, so the x_tok1
-  * probe is declared `unchecked` (rows-only driver check); correctness
-  * is pinned by BpeSpec: encode round-trips (symbols reconcatenate to
-  * the word), count bounds, cross-run/cross-partitioning determinism,
+  * Oracle-checked since round 11: the x_tok1 oracle replays the greedy
+  * lowest-rank-first merge loop as a DuckDB RECURSIVE CTE over
+  * delimited hex-symbol strings (see PipelineOps7.tok1 — one recursion
+  * level per merge round, `replace()`'s shared left-to-right
+  * non-overlap semantics doing the per-round merge-all). BpeSpec
+  * additionally pins encode round-trips (symbols reconcatenate to the
+  * word), count bounds, cross-run/cross-partitioning determinism,
   * interpreted ≡ codegen, and trainer determinism.
   */
 case class BpeCount(child: Expression) extends UnaryExpression {

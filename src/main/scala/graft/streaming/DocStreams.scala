@@ -257,6 +257,50 @@ object DocStreams {
     docs.withColumn(urlCol,
       graft.clean.UrlFns.canonicalUrl(org.apache.spark.sql.functions.col(urlCol)))
 
+  /** Stream-capable declared-charset decode (x_enc2's
+    * [[graft.clean.CharsetFns]]): resolve the charset from the carried
+    * Content-Type / a bounded meta sniff and decode `binCol` bytes into
+    * `textCol` — one narrow per-row projection, zero state, the byte
+    * tier of the crawl door running inside a micro-batch exactly as in
+    * batch.
+    */
+  def charsetDecoded(docs: DataFrame, binCol: String = "bin",
+      contentTypeCol: String = "content_type",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cs = graft.clean.CharsetFns.resolveCharset(col(contentTypeCol), col(binCol))
+    docs.withColumn(textCol,
+      graft.clean.CharsetFns.decodeCharset(col(binCol), cs))
+  }
+
+  /** Stream-capable robots gate (x_url6): mark each streamed URL
+    * allowed/blocked against a STATIC parsed-rules frame
+    * ([[graft.ext.RobotsTxt.parseRobots]] output) — a stream-static
+    * join on host plus the per-URL winner resolved WITHOUT a window
+    * (windows don't stream): the max_by(struct) aggregation keyed by
+    * doc_id picks the most specific rule under the same (hit, length,
+    * allow, pattern) ordering the batch gate uses.
+    */
+  def robotsGated(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val u = docs
+      .withColumn("__canon", graft.clean.UrlFns.canonicalUrl(col(urlCol)))
+      .withColumn("__host", regexp_extract(col("__canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
+      .withColumn("__path", regexp_replace(col("__canon"), "^[a-z0-9+.-]+://[^/?#]*", ""))
+      .withColumn("__pathd", graft.ext.RobotsTxt.pctDecodeUnreserved(col("__path")))
+    u.join(rules.withColumnRenamed("host", "__host"), Seq("__host"), "left")
+      .withColumn("__rx", graft.ext.RobotsTxt.patternRegex(col("pattern")))
+      .withColumn("__hit", col("pattern").isNotNull && expr("__pathd RLIKE __rx"))
+      .groupBy("doc_id")
+      .agg(expr(
+        """max_by(CASE WHEN __hit THEN allow ELSE NULL END,
+          |  struct(__hit, length(pattern), allow, pattern))""".stripMargin).as("__best"),
+        first(col(urlCol)).as(urlCol))
+      .select(col("doc_id"), col(urlCol),
+        coalesce(col("__best").cast("long"), lit(1L)).as("allowed"))
+  }
+
   /** Stream-capable LEARNED quality scoring — x_qc1/x_qc3's ridge model
     * at the stream door: the coefficient row comes from a model trained
     * on the released corpus (`QualityModel.trainRidge` /

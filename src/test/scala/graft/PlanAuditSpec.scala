@@ -431,4 +431,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"a bounded table left its broadcast:\n$plan")
   }
+
+  test("x_url6: the rules join is host-KEYED, never a nested loop over the frontier") {
+    val df = SparkEntry.queries("x_url6_robots_parse")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-row regex matching must ride an equi-join on host (broadcast or
+    // shuffled) — a BNLJ here would evaluate every rule against every URL
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rules joined as a nested loop:\n$plan")
+  }
+
+  test("x_enc2: charset decode is one narrow projection — zero hash exchanges") {
+    val df = SparkEntry.queries("x_enc2_charset_decode")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // byte decode + resolution are per-row (the stream-door property);
+    // the only exchange allowed is the final ORDER BY's range partition
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }

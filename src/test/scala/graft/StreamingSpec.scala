@@ -220,6 +220,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming charset decode == batch == the x_enc2 fingerprints") {
+    import graft.streaming.DocStreams
+    // the x_enc2 fixture construction, computed IN the stream projection
+    // (encode/translate are stateless): cp1252 bytes for odd docs, UTF-8
+    // for even, four declaration shapes
+    def pages(df: org.apache.spark.sql.DataFrame) = {
+      val full = concat(lit("<html><head>"),
+        when(col("doc_id") % 4 === 1, lit("<meta charset=\"windows-1252\">"))
+          .otherwise(lit("")),
+        lit("</head><body>"), lit(graft.ext.PipelineOps16.planted2),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
+      df.select(col("doc_id"),
+        when(col("doc_id") % 4 === 3, lit("text/html; charset=Windows-1252"))
+          .when(col("doc_id") % 4 === 2, lit("text/html; charset=UTF-8"))
+          .otherwise(lit("text/html")).as("content_type"),
+        when(col("doc_id") % 2 === 1,
+          encode(graft.clean.CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
+          .otherwise(encode(full, "UTF-8")).as("bin"))
+    }
+    def decoded(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.charsetDecoded(pages(df))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+    val q = decoded(DocStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("cs_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cs_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val want = decoded(Tables(spark, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val oracle = graft.ext.PipelineOps16.all.find(_.name == "x_enc2_charset_decode").get
+        .run(spark, dir).select("doc_id", "text_fp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got.nonEmpty && got == want && got == oracle)
+    } finally q.stop()
+  }
+
+  test("streaming robots gate == batch gate == the x_url6 verdicts") {
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    def urls(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(lit("https://www.example"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 6 === 0, lit("/Path/To/Item"))
+          .when(col("doc_id") % 6 === 1, lit("/private/data"))
+          .when(col("doc_id") % 6 === 2, lit("/private/ok/page"))
+          .when(col("doc_id") % 6 === 3, lit("/pub/x"))
+          .when(col("doc_id") % 6 === 4, lit("/pub/ok/y"))
+          .otherwise(lit("/private2/x"))).as("url"))
+    val robots = (0 until 7).map { h =>
+      (s"www.example$h.com",
+        if (h % 2 == 0) graft.ext.RobotsTxt.robotsSelf else graft.ext.RobotsTxt.robotsStar)
+    }.toDF("host", "robots_txt")
+    val rules = graft.ext.RobotsTxt.parseRobots(robots) // static side
+    val q = DocStreams.robotsGated(urls(DocStreams.readStream(spark, dir)), rules)
+      .writeStream.outputMode("complete").format("memory").queryName("rg_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rg_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      val want = graft.ext.RobotsTxt
+        .robotsGateWild(urls(Tables(spark, dir, "documents")), rules)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      val oracle = graft.ext.RobotsTxt.all.find(_.name == "x_url6_robots_parse").get
+        .run(spark, dir).select("doc_id", "allowed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got.nonEmpty && got == want && got == oracle)
+    } finally q.stop()
+  }
+
   test("streaming stratified sample == batch x_smp2 rows (stateless filter)") {
     import graft.streaming.DocStreams
     val q = DocStreams.stratifiedSample(DocStreams.readStream(spark, dir))
