@@ -41,5 +41,6 @@ object Registry {
     ext.Multimodal.all ++
     sources.Roundtrips.all ++
     sources.Warc.all ++
+    sources.Sitemap.all ++
     osm.OsmProbes.all
 }

@@ -396,5 +396,106 @@ object PipelineOps16 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(enc2, pipe8)
+  /** X-PIPE9 — the crawl-REPLAY regime: where x_warc2/x_warc5 SCAN an
+    * archive, a replay job point-fetches a SUBSET by CDX address and
+    * re-runs the text pipeline over just those records — the
+    * reprocess-after-a-pipeline-fix workflow every crawl shop runs.
+    * Train-once: the binary archive (mixed cp1252/UTF-8 HTTP bodies,
+    * x_warc5's construction) is written through the WARC sink and
+    * indexed by ONE scan (exactly how CDX indexes are built). Steady
+    * state times the replay: filter the index to the wanted third of
+    * the corpus, point-fetch ONLY those records byte-preserving
+    * ([[graft.sources.Warc.readRecordsAtBinary]] — seek + one record
+    * read each), HTTP-split, charset-resolve, byte-decode, extract,
+    * quality-gate. The oracle recomputes everything for the replayed
+    * subset from the documents table alone.
+    */
+  private val pipe9 = Probe(
+    "x_pipe9_crawl_replay",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+       |    '<html><head>' ||
+       |      CASE WHEN doc_id % 4 = 2 THEN '<meta charset="utf-8">' ELSE '' END ||
+       |      '</head><body><p>' || ${EncodingFns.sqlLit(planted2)} ||
+       |      regexp_replace(text, '[^ -~]', '', 'g') || '</p></body></html>' AS body
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |x AS (
+       |  SELECT doc_id, charset,
+       |    ${graft.clean.HtmlFns.htmlToTextDuck("body")} AS text
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, charset, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), tkn -> tkn <> '') AS w
+       |  FROM x),
+       |m AS (
+       |  SELECT doc_id, charset, text,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 100 // nullif(len(w), 0) AS BIGINT) AS mean_len_c,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1000000 // nullif(len(w), 0) AS BIGINT) AS alpha_ppm,
+       |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, CAST(200 AS BIGINT) AS status, charset, n_words,
+       |  CAST(CASE WHEN n_words BETWEEN 10 AND 100000 AND mean_len_c BETWEEN 200 AND 1000
+       |            AND alpha_ppm >= 600000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  md5(text) AS text_fp
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.Warc
+    val art = graft.util.TrainOnce(s"warc_replay:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_replay")
+      val bodyStr = concat(lit("<html><head>"),
+        when(col("doc_id") % 4 === 2, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
+        lit("</head><body><p>"), lit(planted2),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</p></body></html>"))
+      val bodyBytes = when(col("doc_id") % 2 === 1,
+        encode(CharsetFns.cp1252Unfix(bodyStr), "ISO-8859-1"))
+        .otherwise(encode(bodyStr, "UTF-8"))
+      val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
+        .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
+        .otherwise(lit("text/html"))
+      val httpPayload = concat(
+        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\nContent-Length: "), length(bodyBytes).cast("string"),
+          lit("\r\n\r\n")), "UTF-8"),
+        bodyBytes)
+      Warc.writeRecords(
+        Tables(s, dir, "documents")
+          .select(concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
+            httpPayload.as("payload"))
+          .repartition(1),
+        s"$p/archive")
+      // the CDX indexer pass: one scan records each record's address
+      val part = new org.apache.hadoop.fs.Path(s"$p/archive")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(s"$p/archive"))
+        .map(_.getPath.toString).filter(_.contains("part-")).head
+      Warc.readRecordsBinary(s, s"$p/archive")
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          lit(part).as("path"), col("offset"), lit(-1L).as("length"))
+        .write.mode("overwrite").parquet(s"$p/cdx")
+      p
+    }
+    val wanted = s.read.parquet(s"$art/cdx").filter(col("doc_id") % 3 === 1)
+    val pstr = decode(col("payload"), "ISO-8859-1")
+    val bodyBytes = encode(Warc.httpBody(pstr), "ISO-8859-1")
+    val resolved = coalesce(
+      CharsetFns.normalizeCharset(Warc.httpCharset(pstr)),
+      CharsetFns.normalizeCharset(CharsetFns.metaCharset(bodyBytes)),
+      lit("utf-8"))
+    PipelineOps3.addQualityRuleSignals(
+        Warc.readRecordsAtBinary(wanted.select("path", "offset", "length"))
+          .select(
+            regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            Warc.httpStatus(pstr).cast("long").as("status"),
+            resolved.as("charset"),
+            graft.clean.HtmlFns.htmlToText(
+              CharsetFns.decodeCharset(bodyBytes, resolved)).as("text")))
+      .select(col("doc_id"), col("status"), col("charset"), col("n_words"),
+        col("keep").cast("long").as("keep"), md5(col("text")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(enc2, pipe8, pipe9)
 }

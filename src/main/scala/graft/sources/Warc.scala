@@ -202,7 +202,17 @@ object Warc {
     * col("path")).sortWithinPartitions("path", "offset")` turns the
     * seeks monotonic). Memory is O(one record).
     */
-  def readRecordsAt(entries: DataFrame): DataFrame = {
+  def readRecordsAt(entries: DataFrame): DataFrame =
+    readRecordsAtImpl(entries, binary = false)
+
+  /** [[readRecordsAt]] with BYTE-PRESERVING payloads ([[binarySchema]])
+    * — the replay form for non-UTF-8 content: a cp1252 page fetched by
+    * CDX address must reach the charset tier as its exact bytes.
+    */
+  def readRecordsAtBinary(entries: DataFrame): DataFrame =
+    readRecordsAtImpl(entries, binary = true)
+
+  private def readRecordsAtImpl(entries: DataFrame, binary: Boolean): DataFrame = {
     val spark = entries.sparkSession
     // the SESSION conf ships to tasks (a bare executor-side
     // Configuration would drop spark.hadoop.* settings, credentials,
@@ -267,7 +277,8 @@ object Warc {
           in.readFully(payload)
           Row(offset, headers.get("warc-type").orNull,
             headers.get("warc-target-uri").orNull, cl,
-            new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+            if (binary) payload
+            else new String(payload, java.nio.charset.StandardCharsets.UTF_8))
         }
         new Iterator[Row] {
           def hasNext: Boolean = {
@@ -278,7 +289,7 @@ object Warc {
           def next(): Row = base.next()
         }
       }
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows, if (binary) binarySchema else schema)
   }
 
   /** One WARC response record as a STRING column — the writer half of

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Sitemap
+
+/** Sitemap source: field extraction edges, entity decoding, and the
+  * split contract (many tiny splits ≡ one).
+  */
+class SitemapSpec extends SparkSuite {
+
+  private def write(content: String): String = {
+    val dir = graft.util.TempDirs.scratch("sitemap_spec")
+    Files.write(Paths.get(dir, "sitemap.xml"), content.getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+
+  test("loc entity-decodes, whitespace trims, absent fields are empty") {
+    val dir = write(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>
+        |  https://a.com/x?p=1&amp;q=2
+        |</loc><lastmod>2026-01-02</lastmod><changefreq>daily</changefreq>
+        |<priority>0.8</priority></url>
+        |<url><loc>https://b.com/%7Euser</loc></url>
+        |</urlset>""".stripMargin)
+    val rows = Sitemap.readUrlEntries(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toList
+    assert(rows == List(
+      ("https://a.com/x?p=1&q=2", "2026-01-02", "daily", "0.8"),
+      ("https://b.com/%7Euser", "", "", "")), rows.mkString(" | "))
+  }
+
+  test("many tiny splits == one split, entry for entry") {
+    val entries = (0 until 200).map(i =>
+      s"<url><loc>https://h${i % 5}.com/p/$i</loc><lastmod>2026-02-0${1 + i % 9}</lastmod></url>")
+    val dir = write("<urlset>\n" + entries.mkString("\n") + "\n</urlset>")
+    def rows(split: Option[Long]) = Sitemap.readUrlEntries(spark, dir, split)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val single = rows(None)
+    val many = rows(Some(512L))
+    assert(single.size == 200 && many == single)
+  }
+
+  test("double-escaped entities decode exactly one level (&amp;lt; -> &lt;)") {
+    val dir = write("<urlset><url><loc>https://a.com/?t=&amp;lt;tag&amp;gt;</loc></url></urlset>")
+    val got = Sitemap.readUrlEntries(spark, dir).collect()(0).getString(0)
+    assert(got == "https://a.com/?t=&lt;tag&gt;", got)
+  }
+}
