@@ -415,10 +415,7 @@ object PipelineOps16 {
     s"""WITH d AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
-       |    '<html><head>' ||
-       |      CASE WHEN doc_id % 4 = 2 THEN '<meta charset="utf-8">' ELSE '' END ||
-       |      '</head><body><p>' || ${EncodingFns.sqlLit(planted2)} ||
-       |      regexp_replace(text, '[^ -~]', '', 'g') || '</p></body></html>' AS body
+       |    ${graft.sources.Warc.mixedCharsetBodyDuck} AS body
        |  FROM documents WHERE doc_id % 3 = 1),
        |x AS (
        |  SELECT doc_id, charset,
@@ -443,33 +440,20 @@ object PipelineOps16 {
     import graft.sources.Warc
     val art = graft.util.TrainOnce(s"warc_replay:$dir") {
       val p = graft.util.TempDirs.scratch("graft_warc_replay")
-      val bodyStr = concat(lit("<html><head>"),
-        when(col("doc_id") % 4 === 2, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
-        lit("</head><body><p>"), lit(planted2),
-        regexp_replace(col("text"), "[^ -~]", ""), lit("</p></body></html>"))
-      val bodyBytes = when(col("doc_id") % 2 === 1,
-        encode(CharsetFns.cp1252Unfix(bodyStr), "ISO-8859-1"))
-        .otherwise(encode(bodyStr, "UTF-8"))
-      val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
-        .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
-        .otherwise(lit("text/html"))
-      val httpPayload = concat(
-        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
-          lit("\r\nContent-Length: "), length(bodyBytes).cast("string"),
-          lit("\r\n\r\n")), "UTF-8"),
-        bodyBytes)
+      val (url, payload) = Warc.mixedCharsetFixture
       Warc.writeRecords(
         Tables(s, dir, "documents")
-          .select(concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
-            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
-            httpPayload.as("payload"))
+          .select(url.as("url"), payload.as("payload"))
           .repartition(1),
         s"$p/archive")
       // the CDX indexer pass: one scan records each record's address
+      // committed part files ONLY (never an in-flight .attempt- file)
       val part = new org.apache.hadoop.fs.Path(s"$p/archive")
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .listStatus(new org.apache.hadoop.fs.Path(s"$p/archive"))
-        .map(_.getPath.toString).filter(_.contains("part-")).head
+        .map(_.getPath)
+        .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".warc"))
+        .map(_.toString).head
       Warc.readRecordsBinary(s, s"$p/archive")
         .select(
           regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),

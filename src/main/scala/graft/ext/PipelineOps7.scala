@@ -433,6 +433,11 @@ object PipelineOps7 {
     */
   private def bpeMergeLits: String = {
     def hx(sym: String) = sym.map(c => f"${c.toInt}%02x").mkString
+    // inlined at each use site DELIBERATELY: hoisting the list into a
+    // one-row CTE cross-joined into the recursive term trips DuckDB
+    // 1.0's binder ("cannot extract field from expression" on the
+    // CTE-carried list); measured cost of the inline form is 0.4 s at
+    // the gate's sf0.01 — acceptable for the correctness oracle
     graft.functions.Bpe.defaultMerges.zipWithIndex.map { case ((a, b), i) =>
       s"{'r': $i, 'k': '_${hx(a)}__${hx(b)}_', 'p': '_${hx(a)}${hx(b)}_'}"
     }.mkString(", ")

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *     only unreserved forms normalize; both hex cases, since site
   *     owners author these by hand). An empty Disallow value means
   *     allow-all and is dropped at parse time (the gate's documented
-  *     contract). A UTF-8 BOM is stripped (a BOM-prefixed first
-  *     User-agent line would otherwise void the whole file).
+  *     contract). A FILE-LEADING UTF-8 BOM is stripped (a BOM-prefixed
+  *     first User-agent line would otherwise void the whole file); a
+  *     FEFF elsewhere is content and survives.
   *   - `*` matches any octet sequence; a TRAILING `$` anchors the
   *     pattern end ([[robotsGateWild]]). A `$` elsewhere is literal.
   *
@@ -119,12 +120,16 @@ object RobotsTxt {
     val w = Window.partitionBy("host").orderBy("i")
     val lines = robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
-      // BOM strip FIRST: a robots.txt saved with a UTF-8 BOM would
-      // otherwise fail the '^user-agent' match on its first line and
-      // silently allow everything (Google's reference parser skips it)
+      // strip a FILE-LEADING BOM only (line 0, position 0 \u2014 Google's
+      // reference parser skips exactly that): a BOM-prefixed first
+      // User-agent line would otherwise fail the '^user-agent' match
+      // and silently void the whole file, while a FEFF inside a rule
+      // pattern is the site owner's to keep
       .withColumn("ln",
         trim(regexp_replace(regexp_replace(
-          replace(col("raw"), lit("\ufeff"), lit("")), "\r$", ""), "#.*$", "")))
+          when(col("i") === 0, regexp_replace(col("raw"), "^\ufeff", ""))
+            .otherwise(col("raw")),
+          "\r$", ""), "#.*$", "")))
     val sig = lines
       .withColumn("kind",
         when(lower(col("ln")).rlike("^user-agent\\s*:"), "ua")
@@ -162,7 +167,9 @@ object RobotsTxt {
     s"""l0 AS (
        |  SELECT host, i,
        |    trim(regexp_replace(regexp_replace(
-       |      replace(ls[i], chr(65279), ''), chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln
+       |      CASE WHEN i = 1 THEN regexp_replace(ls[i], '^' || chr(65279), '', 'g')
+       |           ELSE ls[i] END,
+       |      chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln
        |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
        |       UNNEST(generate_series(1, len(ls))) AS t(i)),
        |sg0 AS (

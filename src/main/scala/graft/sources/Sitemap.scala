@@ -19,12 +19,6 @@ import org.apache.spark.sql.types._
   */
 object Sitemap {
 
-  val schema: StructType = StructType(Seq(
-    StructField("loc", StringType, nullable = false),
-    StructField("lastmod", StringType, nullable = false),
-    StructField("changefreq", StringType, nullable = false),
-    StructField("priority", StringType, nullable = false)))
-
   private val entities = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
@@ -32,19 +26,9 @@ object Sitemap {
   private def field(tag: String): Column => Column = elem =>
     regexp_extract(elem, s"(?s)<$tag>\\s*(.*?)\\s*</$tag>", 1)
 
-  /** The identical field extraction in DuckDB's dialect, for oracles. */
-  def fieldDuck(tag: String, e: String): String =
-    s"regexp_extract($e, '(?s)<$tag>\\s*(.*?)\\s*</$tag>', 1)"
-
-  /** The identical entity decode in DuckDB's dialect (&amp; LAST, so
-    * double-escaped text decodes one level — the HtmlFns rule order).
+  /** &amp; LAST, so double-escaped text decodes one level — the
+    * HtmlFns rule order (SitemapSpec pins it).
     */
-  def decodeEntitiesDuck(e: String): String =
-    entities.foldLeft(e) { case (acc, (k, v)) =>
-      val vv = if (v == "'") "''" else v
-      s"replace($acc, '$k', '$vv')"
-    }
-
   private def decodeEntities(c: Column): Column =
     entities.foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
 

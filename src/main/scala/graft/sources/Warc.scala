@@ -163,16 +163,22 @@ object Warc {
             f".part-$pid%05d.warc.attempt-${tc.taskAttemptId()}")
           val pfs = part.getFileSystem(confSer.value.value)
           val out = pfs.create(tmp, true)
-          try it.foreach { r =>
-            val payload = r.getAs[Array[Byte]](1)
-            val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
-              s"WARC-Target-URI: ${r.getString(0)}\r\n" +
-              s"Content-Length: ${payload.length}\r\n\r\n"
-            out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            out.write(payload)
-            out.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          } finally out.close()
-          if (pfs.exists(part) || !pfs.rename(tmp, part)) pfs.delete(tmp, false): Unit
+          // the attempt file NEVER outlives this task: on success it is
+          // renamed away; on any failure (including mid-write) the outer
+          // finally deletes it, so directory listings only ever see
+          // complete part-*.warc files plus in-flight attempts
+          try {
+            try it.foreach { r =>
+              val payload = r.getAs[Array[Byte]](1)
+              val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+                s"Content-Length: ${payload.length}\r\n\r\n"
+              out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              out.write(payload)
+              out.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            } finally out.close()
+            if (!pfs.exists(part)) pfs.rename(tmp, part): Unit
+          } finally if (pfs.exists(tmp)) pfs.delete(tmp, false): Unit
         }
       }
   }
@@ -626,7 +632,8 @@ object Warc {
       val part = new org.apache.hadoop.fs.Path(s"$p/archive")
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .listStatus(new org.apache.hadoop.fs.Path(s"$p/archive"))
-        .map(_.getPath.toString).filter(_.contains("part-")).head
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).head
       val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       rendered
@@ -660,16 +667,50 @@ object Warc {
     * documents table alone — any byte mangled anywhere in
     * write → split-read → HTTP split → charset decode breaks the hash.
     */
+  /** The mixed-charset HTTP fixture shared by x_warc5 and x_pipe9:
+    * (url, payload) columns over a documents frame — body bytes
+    * genuinely cp1252 for odd docs / UTF-8 for even, Content-Type
+    * charset declared by header (mod-4 0/3), by `<meta>` only (mod-4
+    * 2), or not at all. ONE definition so the two probes' claimed
+    * byte-identity can't silently drift.
+    */
+  private[graft] def mixedCharsetFixture: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val bodyStr = concat(lit("<html><head>"),
+      when(col("doc_id") % 4 === 2, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
+      lit("</head><body><p>"), lit(graft.ext.PipelineOps16.planted2),
+      regexp_replace(col("text"), "[^ -~]", ""), lit("</p></body></html>"))
+    val bodyBytes = when(col("doc_id") % 2 === 1,
+      encode(graft.clean.CharsetFns.cp1252Unfix(bodyStr), "ISO-8859-1"))
+      .otherwise(encode(bodyStr, "UTF-8"))
+    val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
+      .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
+      .otherwise(lit("text/html"))
+    val payload = concat(
+      encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+        lit("\r\nContent-Length: "), length(bodyBytes).cast("string"),
+        lit("\r\n\r\n")), "UTF-8"),
+      bodyBytes)
+    val url = concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+      lit(".com/doc/"), col("doc_id").cast("string"))
+    (url, payload)
+  }
+
+  /** The matching oracle-side BODY expression (the decoded text both
+    * charsets round-trip to), over a documents relation.
+    */
+  private[graft] def mixedCharsetBodyDuck: String =
+    s"""'<html><head>' ||
+       |      CASE WHEN doc_id % 4 = 2 THEN '<meta charset="utf-8">' ELSE '' END ||
+       |      '</head><body><p>' ||
+       |      ${graft.clean.EncodingFns.sqlLit(graft.ext.PipelineOps16.planted2)} ||
+       |      regexp_replace(text, '[^ -~]', '', 'g') || '</p></body></html>'""".stripMargin
+
   private val warc5 = Probe(
     "x_warc5_binary_charset_door",
     s"""WITH d AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
-       |    '<html><head>' ||
-       |      CASE WHEN doc_id % 4 = 2 THEN '<meta charset="utf-8">' ELSE '' END ||
-       |      '</head><body><p>' ||
-       |      ${graft.clean.EncodingFns.sqlLit(graft.ext.PipelineOps16.planted2)} ||
-       |      regexp_replace(text, '[^ -~]', '', 'g') || '</p></body></html>' AS body
+       |    $mixedCharsetBodyDuck AS body
        |  FROM documents),
        |x AS (
        |  SELECT doc_id, charset,
@@ -680,26 +721,9 @@ object Warc {
        |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val out = graft.util.TrainOnce(s"warc_bin:$dir") {
       val p = graft.util.TempDirs.scratch("graft_warc_bin")
-      val bodyStr = concat(lit("<html><head>"),
-        when(col("doc_id") % 4 === 2, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
-        lit("</head><body><p>"), lit(graft.ext.PipelineOps16.planted2),
-        regexp_replace(col("text"), "[^ -~]", ""), lit("</p></body></html>"))
-      val bodyBytes = when(col("doc_id") % 2 === 1,
-        encode(graft.clean.CharsetFns.cp1252Unfix(bodyStr), "ISO-8859-1"))
-        .otherwise(encode(bodyStr, "UTF-8"))
-      val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
-        .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
-        .otherwise(lit("text/html"))
-      val httpPayload = concat(
-        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
-          lit("\r\nContent-Length: "), length(bodyBytes).cast("string"),
-          lit("\r\n\r\n")), "UTF-8"),
-        bodyBytes)
+      val (url, payload) = mixedCharsetFixture
       writeRecords(
-        Tables(s, dir, "documents")
-          .select(concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
-            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
-            httpPayload.as("payload")),
+        Tables(s, dir, "documents").select(url.as("url"), payload.as("payload")),
         s"$p/archive")
       s"$p/archive"
     }

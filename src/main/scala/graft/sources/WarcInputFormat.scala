@@ -150,10 +150,15 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
       m.contains("gzip") || m.contains("zlib") || m.contains("deflate") ||
         m.contains("crc") || m.contains("decompress") ||
         // the inflater's own corruption vocabulary, wrapped as plain
-        // IOException by Hadoop's built-in gzip codec ("invalid distance
-        // too far back", "incorrect header check", "unknown compression
-        // method", "too many length or distance symbols", …)
-        m.contains("invalid") || m.contains("incorrect") ||
+        // IOException by Hadoop's built-in gzip codec. SPECIFIC phrases,
+        // not bare "invalid"/"incorrect": a transient auth/filesystem
+        // fault ("Invalid token", "token ... otherwise invalid") must
+        // still fail the task, not read as a salvage.
+        m.contains("invalid distance") || m.contains("invalid code") ||
+        m.contains("invalid block") || m.contains("invalid stored block") ||
+        m.contains("invalid literal") || m.contains("invalid window size") ||
+        m.contains("incorrect header check") || m.contains("incorrect data check") ||
+        m.contains("incorrect length check") ||
         m.contains("unknown compression") || m.contains("too many length")
   }
 
@@ -253,13 +258,42 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
     val hRaw = new String(buffer.getData, 0, buffer.getLength,
       StandardCharsets.ISO_8859_1)
     val h = hRaw.toLowerCase(java.util.Locale.ROOT)
-    // Anchor candidates are tried LAST magic first: a genuine header
-    // value ending in the magic text ('WARC-Conformance: WARC/1.0') must
-    // not steal the anchor from the true record start, so an anchor is
-    // only accepted when a WARC-Type AND Content-Length follow it —
-    // otherwise the next-earlier magic is tried. Index 0 (the magic the
-    // scan matched) is always a candidate, so a genuine record is never
-    // lost to a decorative magic string in its own headers.
+    // Anchor selection: the EARLIEST magic whose following block is a
+    // WELL-FORMED header run (every CRLF-delimited line up to the final
+    // CRLFCRLF is `field-name: value` — WARC field names are tokens —
+    // or an obs-fold continuation) carrying a WARC-Type and a plausible
+    // Content-Length. This rejects BOTH false-sync shapes at once:
+    //   - a junk-prefixed sync (the junk line before the real record
+    //     has no colon → anchor 0 is malformed → the real magic, found
+    //     next, anchors the record with the real Content-Length), and
+    //   - a decorative magic inside genuine headers ('WARC-Conformance:
+    //     WARC/1.0' at ANY position relative to WARC-Type): the true
+    //     magic at index 0 is well-formed and EARLIER, so it wins and
+    //     no header is clipped.
+    // Cost: a record whose headers contain a colon-less line (a
+    // non-conformant writer) now rejects as a false sync — stricter
+    // than before, and exactly what the spec requires of headers.
+    def wellFormed(magicIdx: Int): Boolean = {
+      var lineStart = magicIdx + "WARC/1.0\r\n".length
+      val end = hRaw.length - 4 // the final CRLFCRLF
+      while (lineStart < end) {
+        var eol = hRaw.indexOf("\r\n", lineStart)
+        if (eol < 0 || eol > end) eol = end
+        val c0 = hRaw.charAt(lineStart)
+        if (c0 != ' ' && c0 != '\t') { // not an obs-fold continuation
+          val colon = hRaw.indexOf(':', lineStart)
+          if (colon < 0 || colon >= eol) return false
+          var i = lineStart
+          while (i < colon) { // token field-name: printable, no space
+            val c = hRaw.charAt(i)
+            if (c <= ' ' || c > '~') return false
+            i += 1
+          }
+        }
+        lineStart = eol + 2
+      }
+      true
+    }
     def resolveAt(magicIdx: Int): Long = {
       val from = magicIdx + "WARC/1.0".length // include the magic's own \r\n
       if (h.indexOf("\r\nwarc-type:", from) < 0) return -1L
@@ -275,13 +309,15 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
       }
       v
     }
-    var magicIdx = hRaw.lastIndexOf("WARC/1.0\r\n")
-    while (magicIdx > 0) {
-      val v = resolveAt(magicIdx)
-      if (v >= 0) return (magicIdx, v)
-      magicIdx = hRaw.lastIndexOf("WARC/1.0\r\n", magicIdx - 1)
+    var magicIdx = 0
+    while (magicIdx >= 0) {
+      if (wellFormed(magicIdx)) {
+        val v = resolveAt(magicIdx)
+        if (v >= 0) return (magicIdx, v)
+      }
+      magicIdx = hRaw.indexOf("WARC/1.0\r\n", magicIdx + 1)
     }
-    (0, resolveAt(0))
+    (0, -1L)
   }
 
   override def nextKeyValue(): Boolean = {

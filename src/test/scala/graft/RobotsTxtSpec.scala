@@ -70,6 +70,13 @@ class RobotsTxtSpec extends SparkSuite {
     assert(got == List(("/blocked", 0)), got.mkString(", "))
   }
 
+  test("a FEFF inside a rule pattern is content and survives") {
+    // only the FILE-LEADING BOM strips (Google's reference behavior);
+    // a zero-width no-break space written into a path pattern stays
+    val got = rules("User-agent: *\nDisallow: /x\ufeffy\n")
+    assert(got == List(("/x\ufeffy", 0)), got.mkString(", "))
+  }
+
   test("wildcard-free rules: robotsGateWild == the prefix robotsGate, row for row") {
     val urls = spark.range(60).select(col("id").as("doc_id"),
       concat(lit("https://h"), (col("id") % 3).cast("string"), lit(".com"),

@@ -139,6 +139,22 @@ class WarcSpec extends SparkSuite {
     assert(rows.head._1 == 0L, s"offset must be the true magic: ${rows.head}")
   }
 
+  test("a decorative magic BEFORE WARC-Type does not clip the headers") {
+    // header order is unconstrained by the spec: the decorative value
+    // precedes WARC-Type here, so a latest-anchor scheme would anchor at
+    // it, clip WARC-Target-URI, and misreport the offset — the earliest
+    // WELL-FORMED anchor (the true magic at 0) must win
+    val manual = "WARC/1.0\r\nWARC-Target-URI: http://a/1\r\n" +
+      "WARC-Conformance: WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 7\r\n\r\npayload\r\n\r\n"
+    val dir = writeWarc(manual + record("http://a/2", "two"))
+    val rows = Warc.readRecords(spark, dir).orderBy("offset")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(4))).toList
+    assert(rows == List((0L, "http://a/1", "payload"),
+      (manual.getBytes(StandardCharsets.UTF_8).length.toLong, "http://a/2", "two")),
+      rows.mkString(", "))
+  }
+
   test("a valid record larger than the buffered cap is skipped with exact framing") {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.setLong(graft.sources.WarcInputFormat.MaxBufferedBytesKey, 16L)
