@@ -116,7 +116,11 @@ object RobotsTxt {
     * selected group's rules, percent-normalized, empty patterns
     * dropped, deduplicated.
     */
-  def parseRobots(robots: DataFrame, agent: String = DefaultAgent): DataFrame = {
+  /** The selected groups' directive lines: (host, kind, value) for the
+    * UA-selected groups (kind \u2208 allow | disallow | delay) \u2014 the shared
+    * front half of [[parseRobots]] and [[crawlDelays]].
+    */
+  private def selectedLines(robots: DataFrame, agent: String): DataFrame = {
     val w = Window.partitionBy("host").orderBy("i")
     val lines = robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
@@ -134,10 +138,12 @@ object RobotsTxt {
       .withColumn("kind",
         when(lower(col("ln")).rlike("^user-agent\\s*:"), "ua")
           .when(lower(col("ln")).rlike("^allow\\s*:"), "allow")
-          .when(lower(col("ln")).rlike("^disallow\\s*:"), "disallow"))
+          .when(lower(col("ln")).rlike("^disallow\\s*:"), "disallow")
+          .when(lower(col("ln")).rlike("^crawl-delay\\s*:"), "delay"))
       .filter(col("kind").isNotNull)
       .withColumn("value",
-        trim(regexp_replace(col("ln"), "(?i)^(user-agent|allow|disallow)\\s*:\\s*", "")))
+        trim(regexp_replace(col("ln"),
+          "(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:\\s*", "")))
     val grouped = sig
       .withColumn("prev", lag(col("kind"), 1).over(w))
       .withColumn("strt",
@@ -153,12 +159,32 @@ object RobotsTxt {
       .join(hostSelf, Seq("host"))
       .filter((col("has_self") === 1 && col("self") === 1) ||
         (col("has_self") === 0 && col("star") === 1))
+      .select(col("host"), col("kind"), col("value"))
+  }
+
+  def parseRobots(robots: DataFrame, agent: String = DefaultAgent): DataFrame =
+    selectedLines(robots, agent)
+      .filter(col("kind").isin("allow", "disallow"))
       .withColumn("pattern", pctDecodeUnreserved(col("value")))
       .filter(col("pattern") =!= "")
       .select(col("host"), col("pattern"),
         (col("kind") === "allow").cast("int").as("allow"))
       .distinct()
-  }
+
+  /** Per-host Crawl-delay from the SELECTED groups: (host, delay_ms) \u2014
+    * the de-facto politeness directive (not in RFC 9309 but honored by
+    * most crawlers). Numeric values only, fractional seconds allowed;
+    * multiple selected values take the MOST CONSERVATIVE (max). Hosts
+    * with no parseable Crawl-delay carry no row (the scheduler applies
+    * its own default).
+    */
+  def crawlDelays(robots: DataFrame, agent: String = DefaultAgent): DataFrame =
+    selectedLines(robots, agent)
+      .filter(col("kind") === "delay" &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("host"),
+        floor(col("value").cast("double") * 1000).cast("long").as("ms"))
+      .groupBy("host").agg(max(col("ms")).as("delay_ms"))
 
   /** The parse in DuckDB's dialect over a (host, txt) relation named
     * `rb` — emits a `rules(host, pattern, allow)` CTE body, for oracles.
@@ -176,8 +202,9 @@ object RobotsTxt {
        |  SELECT host, i,
        |    CASE WHEN regexp_matches(lower(ln), '^user-agent\\s*:') THEN 'ua'
        |         WHEN regexp_matches(lower(ln), '^allow\\s*:') THEN 'allow'
-       |         WHEN regexp_matches(lower(ln), '^disallow\\s*:') THEN 'disallow' END AS kind,
-       |    trim(regexp_replace(ln, '(?i)^(user-agent|allow|disallow)\\s*:\\s*', '')) AS value
+       |         WHEN regexp_matches(lower(ln), '^disallow\\s*:') THEN 'disallow'
+       |         WHEN regexp_matches(lower(ln), '^crawl-delay\\s*:') THEN 'delay' END AS kind,
+       |    trim(regexp_replace(ln, '(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:\\s*', '')) AS value
        |  FROM l0),
        |sg AS (SELECT * FROM sg0 WHERE kind IS NOT NULL),
        |sg2 AS (
@@ -199,9 +226,24 @@ object RobotsTxt {
        |  FROM sg3
        |  JOIN grp ON grp.host = sg3.host AND grp.gid = sg3.gid
        |  JOIN hsf ON hsf.host = sg3.host
-       |  WHERE kind <> 'ua' AND sg3.gid >= 1
+       |  WHERE kind IN ('allow', 'disallow') AND sg3.gid >= 1
        |    AND ((hsf.has_self = 1 AND grp.self = 1) OR (hsf.has_self = 0 AND grp.star = 1))
        |    AND ${pctDecodeUnreservedDuck("value")} <> '')""".stripMargin
+
+  /** The [[crawlDelays]] twin in DuckDB's dialect — a `delays(host,
+    * delay_ms)` CTE over [[parseRobotsDuck]]'s sg3/grp/hsf chain.
+    */
+  def crawlDelaysDuck: String =
+    s"""delays AS (
+       |  SELECT sg3.host,
+       |    MAX(CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)) AS delay_ms
+       |  FROM sg3
+       |  JOIN grp ON grp.host = sg3.host AND grp.gid = sg3.gid
+       |  JOIN hsf ON hsf.host = sg3.host
+       |  WHERE kind = 'delay' AND sg3.gid >= 1
+       |    AND ((hsf.has_self = 1 AND grp.self = 1) OR (hsf.has_self = 0 AND grp.star = 1))
+       |    AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$$')
+       |  GROUP BY sg3.host)""".stripMargin
 
   /** Wildcard-aware robots gate — [[PipelineOps13.robotsGate]]'s
     * semantics generalized to full RFC 9309 patterns: `*` matches any
@@ -319,5 +361,82 @@ object RobotsTxt {
     robotsGateWild(urls, parseRobots(robots)).orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(url6)
+  /** Fixture robots with Crawl-delay directives: a graftbot group (2s)
+    * plus a `*` group (1.5s) — even hosts serve it with the specific
+    * group, odd hosts without, so selection decides which delay binds.
+    */
+  private[graft] val robotsDelaySelf =
+    "User-agent: GraftBot\nCrawl-delay: 2\nDisallow: /private\n\n" +
+      "User-agent: *\nCrawl-delay: 0.5\nDisallow: /pub\n"
+  private[graft] val robotsDelayStar =
+    "User-agent: otherbot\nCrawl-delay: 9\n\n" +
+      "User-agent: *\nCrawl-delay: 1.5\nDisallow: /pub\n"
+
+  /** Per-host fetch SCHEDULE: canonical page counts joined with the
+    * parsed Crawl-delay — pages, the binding delay (scheduler default
+    * for hosts without one), and the serial fetch time the politeness
+    * budget implies. The capacity-planning table a fetch scheduler is
+    * reviewed against. One exchange on the canonical key, one on host;
+    * the delays table joins host-keyed.
+    */
+  def politenessSchedule(urls: DataFrame, robots: DataFrame,
+      agent: String = DefaultAgent, defaultDelayMs: Long = 1000L): DataFrame =
+    urls
+      .select(graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
+      .distinct()
+      .groupBy(regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
+      .agg(count(lit(1)).as("n_pages"))
+      .join(crawlDelays(robots, agent), Seq("host"), "left")
+      .select(col("host"), col("n_pages"),
+        coalesce(col("delay_ms"), lit(defaultDelayMs)).as("delay_ms"))
+      .withColumn("fetch_sec", expr("n_pages * delay_ms DIV 1000"))
+
+  /** X-URL8 — Crawl-delay parsing composed with the fetch schedule:
+    * seven hosts alternate robots files where BOTH a graftbot and a `*`
+    * group carry different delays, so group selection decides the
+    * binding value (2000 ms where the specific group exists, 1500 ms on
+    * the fallback hosts); the frontier's canonical page counts then
+    * price the serial fetch. The oracle re-parses the files (the shared
+    * relational grammar chain + the delays CTE) and recomputes the
+    * schedule.
+    */
+  private val url8 = Probe(
+    "x_url8_politeness_schedule",
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+       |rb AS (
+       |  SELECT 'www.example' || CAST(h AS VARCHAR) || '.com' AS host,
+       |    CASE WHEN h % 2 = 0
+       |      THEN ${graft.clean.EncodingFns.sqlLit(robotsDelaySelf)}
+       |      ELSE ${graft.clean.EncodingFns.sqlLit(robotsDelayStar)} END AS txt
+       |  FROM hosts),
+       |${parseRobotsDuck()},
+       |$crawlDelaysDuck,
+       |u AS (
+       |  SELECT doc_id,
+       |    'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+       |      CAST(doc_id % 13 AS VARCHAR) AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT DISTINCT ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon FROM u),
+       |ph AS (
+       |  SELECT regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |         COUNT(*) AS n_pages
+       |  FROM c GROUP BY 1)
+       |SELECT ph.host, CAST(ph.n_pages AS BIGINT) AS n_pages,
+       |  CAST(COALESCE(delays.delay_ms, 1000) AS BIGINT) AS delay_ms,
+       |  CAST(ph.n_pages * COALESCE(delays.delay_ms, 1000) // 1000 AS BIGINT) AS fetch_sec
+       |FROM ph LEFT JOIN delays ON delays.host = ph.host
+       |ORDER BY ph.host""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val robots = docs.select((col("doc_id") % 7).as("h")).distinct()
+      .select(concat(lit("www.example"), col("h").cast("string"), lit(".com")).as("host"),
+        when(col("h") % 2 === 0, lit(robotsDelaySelf))
+          .otherwise(lit(robotsDelayStar)).as("robots_txt"))
+    val urls = docs.select(
+      concat(lit("https://www.example"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), (col("doc_id") % 13).cast("string")).as("url"))
+    politenessSchedule(urls, robots).orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(url6, url8)
 }

@@ -77,6 +77,22 @@ class RobotsTxtSpec extends SparkSuite {
     assert(got == List(("/x\ufeffy", 0)), got.mkString(", "))
   }
 
+  test("crawl-delay: selected group binds; non-numeric drops; max is conservative") {
+    import spark.implicits._
+    def delays(txt: String) = RobotsTxt.crawlDelays(
+      Seq(("h.com", txt)).toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // specific group's delay wins over *'s
+    assert(delays(RobotsTxt.robotsDelaySelf) == List(("h.com", 2000L)))
+    // fallback to * when no specific group; otherbot's 9s ignored
+    assert(delays(RobotsTxt.robotsDelayStar) == List(("h.com", 1500L)))
+    // fractional seconds floor to ms; multiple selected values take MAX
+    assert(delays("User-agent: graftbot\nCrawl-delay: 0.25\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 1.5\n") == List(("h.com", 1500L)))
+    // non-numeric value drops (no row -> scheduler default)
+    assert(delays("User-agent: *\nCrawl-delay: fast\n").isEmpty)
+  }
+
   test("wildcard-free rules: robotsGateWild == the prefix robotsGate, row for row") {
     val urls = spark.range(60).select(col("id").as("doc_id"),
       concat(lit("https://h"), (col("id") % 3).cast("string"), lit(".com"),
