@@ -137,7 +137,14 @@ object Warc {
     * writes its own part file with `overwrite = true` (a retried task
     * rewrites the identical content — the rows of its partition).
     */
-  def writeRecords(records: DataFrame, dir: String): Unit = {
+  def writeRecords(records: DataFrame, dir: String): Unit =
+    writeRecords(records, dir, "response")
+
+  /** [[writeRecords]] with an explicit record type — `"conversion"`
+    * writes the WET form (extracted-text sidecars, the other format
+    * CommonCrawl ships alongside .warc).
+    */
+  def writeRecords(records: DataFrame, dir: String, warcType: String): Unit = {
     val spark = records.sparkSession
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -170,7 +177,7 @@ object Warc {
           try {
             try it.foreach { r =>
               val payload = r.getAs[Array[Byte]](1)
-              val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              val header = s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
                 s"WARC-Target-URI: ${r.getString(0)}\r\n" +
                 s"Content-Length: ${payload.length}\r\n\r\n"
               out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -749,5 +756,61 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5)
+  /** X-WARC6 — WET generation: the extracted-TEXT sidecar a crawl
+    * release ships beside its .warc (CommonCrawl's .wet form). The
+    * full derivation chain runs train-once — the mixed-charset binary
+    * archive through the sink, scan, HTTP split, charset decode, HTML
+    * extraction, then the extracted text WRITTEN BACK as `conversion`
+    * records; steady state reads the WET sidecar, which must carry
+    * type `conversion` and byte-exact extracted text per URI. The
+    * oracle recomputes the extracted text (and its UTF-8 byte length,
+    * the WET record's own Content-Length) straight from the documents
+    * table — a wrong decode, extraction, or any framing slip in the
+    * conversion round trip breaks the hash.
+    */
+  private val warc6 = Probe(
+    "x_warc6_wet_sidecar",
+    s"""WITH d AS (
+       |  SELECT doc_id, $mixedCharsetBodyDuck AS body
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, ${graft.clean.HtmlFns.htmlToTextDuck("body")} AS text
+       |  FROM d)
+       |SELECT doc_id, 'conversion' AS warc_type,
+       |  CAST(strlen(text) AS BIGINT) AS content_length,
+       |  md5(text) AS text_fp
+       |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val out = graft.util.TrainOnce(s"warc_wet:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_wet")
+      val (url, payload) = mixedCharsetFixture
+      writeRecords(
+        Tables(s, dir, "documents").select(url.as("url"), payload.as("payload")),
+        s"$p/warc")
+      // derive the WET sidecar: scan → HTTP split → charset decode →
+      // extract → write the text as conversion records
+      val pstr = decode(col("payload"), "ISO-8859-1")
+      val bodyBytes = encode(httpBody(pstr), "ISO-8859-1")
+      val resolved = coalesce(
+        graft.clean.CharsetFns.normalizeCharset(httpCharset(pstr)),
+        graft.clean.CharsetFns.normalizeCharset(
+          graft.clean.CharsetFns.metaCharset(bodyBytes)),
+        lit("utf-8"))
+      writeRecords(
+        readRecordsBinary(s, s"$p/warc")
+          .select(col("url"),
+            encode(graft.clean.HtmlFns.htmlToText(
+              graft.clean.CharsetFns.decodeCharset(bodyBytes, resolved)), "UTF-8")
+              .as("payload")),
+        s"$p/wet", "conversion")
+      s"$p/wet"
+    }
+    readRecords(s, out)
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("warc_type"), col("content_length"),
+        md5(col("payload")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5, warc6)
 }
