@@ -3,9 +3,22 @@ package graft.sources
 import graft.{Probe, Tables}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.io.{LongWritable, Text}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** One HTTP response body with its declared codings, keyed by URL —
+  * the input row of [[Warc.decodeHttpBodies]]. `te`/`ce` are the parsed
+  * Transfer-Encoding / Content-Encoding header values (null when the
+  * header is absent).
+  */
+case class HttpEncodedBody(url: String, body: Array[Byte], te: String, ce: String)
+
+/** [[HttpEncodedBody]] after transfer-decode + content-decode: the
+  * bytes the page's charset tier may see. `te`/`ce` echo the codings
+  * that were CONSUMED (observability — a funnel report groups on them).
+  */
+case class HttpDecodedBody(url: String, body: Array[Byte], te: String, ce: String)
 
 /** WARC scan over the splittable [[WarcInputFormat]]: the CommonCrawl
   * container parsed to (offset, warc_type, url, content_length,
@@ -140,6 +153,42 @@ object Warc {
   def writeRecords(records: DataFrame, dir: String): Unit =
     writeRecords(records, dir, "response")
 
+  /** All records a sink emits carry this WARC-Date unless the caller
+    * overrides it: a FIXED instant, not the wall clock, so a retried
+    * task rewrites byte-identical content (the sink's commit contract)
+    * and repeated runs produce reproducible archives. Callers stamping
+    * real crawl time pass their fetch timestamp explicitly.
+    */
+  val DefaultWarcDate = "2026-01-01T00:00:00Z"
+
+  /** One complete record as bytes — the single rendering both sinks
+    * share: WARC/1.0 magic, WARC-Type, WARC-Record-ID (a DETERMINISTIC
+    * urn:uuid derived from md5(url, payload) — spec-mandatory, and
+    * derivation beats randomness because a retried task must rewrite
+    * identical bytes), WARC-Date, WARC-Target-URI, exact byte
+    * Content-Length, CRLFCRLF, payload, CRLFCRLF.
+    */
+  private def renderRecordBytes(url: String, payload: Array[Byte],
+      warcType: String, warcDate: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(payload)
+    val h = md.digest().map("%02x".format(_)).mkString
+    val rid = s"urn:uuid:${h.substring(0, 8)}-${h.substring(8, 12)}-" +
+      s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
+    val header = (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <$rid>\r\nWARC-Date: $warcDate\r\n" +
+      s"WARC-Target-URI: $url\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](header.length + payload.length + 4)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
   /** [[writeRecords]] with an explicit record type — `"conversion"`
     * writes the WET form (extracted-text sidecars, the other format
     * CommonCrawl ships alongside .warc).
@@ -176,19 +225,104 @@ object Warc {
           // complete part-*.warc files plus in-flight attempts
           try {
             try it.foreach { r =>
-              val payload = r.getAs[Array[Byte]](1)
-              val header = s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
-                s"WARC-Target-URI: ${r.getString(0)}\r\n" +
-                s"Content-Length: ${payload.length}\r\n\r\n"
-              out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              out.write(payload)
-              out.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+              out.write(renderRecordBytes(r.getString(0),
+                r.getAs[Array[Byte]](1), warcType, DefaultWarcDate))
             } finally out.close()
             if (!pfs.exists(part)) pfs.rename(tmp, part): Unit
+            // the rename's outcome is CHECKED: a false return for a
+            // non-race reason (transient FS fault, permissions, object-
+            // store rename semantics) with no final file must fail the
+            // task — the finally below deletes the attempt, and without
+            // this check the partition's data would vanish silently
+            require(pfs.exists(part),
+              s"WARC sink commit failed: $tmp did not become $part")
           } finally if (pfs.exists(tmp)) pfs.delete(tmp, false): Unit
         }
       }
   }
+
+  /** The SHIPPED CommonCrawl form: one gzip MEMBER per record,
+    * concatenated into `part-NNNNN.warc.gz` per partition, plus the CDX
+    * index the writer emits AS IT STREAMS — `cdx-NNNNN.txt` sidecars of
+    * tab-separated (url, path, offset, length) rows addressing each
+    * member, exactly what [[readRecordsAt]] consumes (length > 0 = the
+    * compressed member). The writer knows every member's address the
+    * moment it flushes it, so the index costs nothing extra — no
+    * post-hoc archive scan, no global window.
+    *
+    * Commit discipline = [[writeRecords]]: both files stream to attempt
+    * names and rename in; member compression is deterministic (JDK gzip,
+    * MTIME=0) and [[DefaultWarcDate]] is fixed, so a retried task's
+    * bytes — and therefore its CDX offsets — are identical.
+    */
+  def writeRecordsGz(records: DataFrame, dir: String,
+      warcType: String = "response"): Unit = {
+    val spark = records.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true): Unit
+    fs.mkdirs(hp): Unit
+    val confSer = spark.sparkContext.broadcast(
+      new graft.util.SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    records.select(col("url").cast("string"), col("payload").cast("binary"))
+      .rdd.foreachPartition { it =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val part = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+          val cdx = new org.apache.hadoop.fs.Path(dir, f"cdx-$pid%05d.txt")
+          val att = tc.taskAttemptId()
+          val tmpPart = new org.apache.hadoop.fs.Path(dir,
+            f".part-$pid%05d.warc.gz.attempt-$att")
+          val tmpCdx = new org.apache.hadoop.fs.Path(dir,
+            f".cdx-$pid%05d.txt.attempt-$att")
+          val pfs = part.getFileSystem(confSer.value.value)
+          val out = pfs.create(tmpPart, true)
+          val idx = pfs.create(tmpCdx, true)
+          try {
+            try {
+              var offset = 0L
+              it.foreach { r =>
+                val url = r.getString(0)
+                val rec = renderRecordBytes(url, r.getAs[Array[Byte]](1),
+                  warcType, DefaultWarcDate)
+                val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+                val gz = new java.util.zip.GZIPOutputStream(bos)
+                gz.write(rec); gz.close()
+                val member = bos.toByteArray
+                // the CDX row addresses the member ABOUT to be written —
+                // tabs cannot appear in a canonical URL, so the line
+                // format is unambiguous
+                idx.write((s"$url\t$part\t$offset\t${member.length}\n")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                out.write(member)
+                offset += member.length
+              }
+            } finally { out.close(); idx.close() }
+            if (!pfs.exists(part)) pfs.rename(tmpPart, part): Unit
+            require(pfs.exists(part),
+              s"WARC gz sink commit failed: $tmpPart did not become $part")
+            if (!pfs.exists(cdx)) pfs.rename(tmpCdx, cdx): Unit
+            require(pfs.exists(cdx),
+              s"CDX sidecar commit failed: $tmpCdx did not become $cdx")
+          } finally {
+            if (pfs.exists(tmpPart)) pfs.delete(tmpPart, false): Unit
+            if (pfs.exists(tmpCdx)) pfs.delete(tmpCdx, false): Unit
+          }
+        }
+      }
+  }
+
+  /** The CDX index a [[writeRecordsGz]] run emitted: (url, path,
+    * offset, length) rows ready for [[readRecordsAt]] /
+    * [[readRecordsAtBinary]] point fetches.
+    */
+  def readCdx(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(s"$dir/cdx-*.txt")
+      .select(split(col("value"), "\t").as("f"))
+      .select(col("f").getItem(0).as("url"), col("f").getItem(1).as("path"),
+        col("f").getItem(2).cast("long").as("offset"),
+        col("f").getItem(3).cast("long").as("length"))
 
   // --------------------------------------- record-addressed access (CDX)
 
@@ -265,24 +399,34 @@ object Warc {
                 new java.io.ByteArrayInputStream(buf)))
             } else new java.io.DataInputStream(
               new java.io.BufferedInputStream(fsIn, 64 * 1024))
-          // magic + headers through CRLFCRLF (the scanning reader's cap)
-          val head = new StringBuilder
+          // magic + headers through CRLFCRLF (the scanning reader's
+          // cap), collected as BYTES and decoded UTF-8 at the end —
+          // the scanning readers decode headers as UTF-8, and a
+          // byte-to-char append would hand a non-ASCII
+          // WARC-Target-URI back as mojibake, breaking the documented
+          // random-access ≡ sequential-scan equivalence
+          val head = new java.io.ByteArrayOutputStream(256)
           val magic = new Array[Byte](WarcInputFormat.Magic.length)
           in.readFully(magic)
           require(java.util.Arrays.equals(magic, WarcInputFormat.Magic),
             s"no WARC record magic at $path:$offset — stale or corrupt index entry")
-          head.append(new String(magic, java.nio.charset.StandardCharsets.ISO_8859_1))
-          def atHeaderEnd: Boolean = head.length >= 4 &&
-            head.charAt(head.length - 4) == '\r' && head.charAt(head.length - 3) == '\n' &&
-            head.charAt(head.length - 2) == '\r' && head.charAt(head.length - 1) == '\n'
-          while (!atHeaderEnd) {
-            require(head.length < WarcInputFormat.MaxHeaderBytes,
+          head.write(magic)
+          // rolling CRLFCRLF matcher over the last 4 bytes — seeded at
+          // 2 because the magic itself ends in CRLF (a zero-header
+          // record's terminator straddles it)
+          var tail = 2
+          while (tail < 4) {
+            require(head.size < WarcInputFormat.MaxHeaderBytes,
               s"unterminated record headers at $path:$offset")
             val b = in.read()
             require(b >= 0, s"EOF inside record headers at $path:$offset")
-            head.append(b.toChar): Unit
+            head.write(b)
+            val expect = if (tail % 2 == 0) '\r' else '\n'
+            tail = if (b == expect) tail + 1 else if (b == '\r') 1 else 0
           }
-          val headers = headerFields(head.substring(0, head.length - 4))
+          val headBytes = head.toByteArray
+          val headers = headerFields(new String(headBytes, 0,
+            headBytes.length - 4, java.nio.charset.StandardCharsets.UTF_8))
           val cl = lenientLength(headers)
           require(cl >= 0 && cl <= Int.MaxValue - 16,
             s"unreadable Content-Length at $path:$offset")
@@ -392,6 +536,195 @@ object Warc {
   def httpBodyDuck(e: String): String = {
     val sep = "chr(13) || chr(10) || chr(13) || chr(10)"
     s"(CASE WHEN strpos($e, $sep) > 0 THEN substr($e, strpos($e, $sep) + 4) ELSE '' END)"
+  }
+
+  // ------------------------- transfer/content codings (round-11 verdict #1)
+
+  private val teRe = "(?i)\r\ntransfer-encoding:[ \t]*([^\r]+)"
+  private val ceRe = "(?i)\r\ncontent-encoding:[ \t]*([^\r]+)"
+
+  /** The Transfer-Encoding header value (lowercased), or NULL when
+    * absent — header-section-bounded like the other accessors. A real
+    * crawl response is routinely `chunked`; its body bytes are then
+    * chunk-size-framed and MUST pass through [[decodeHttpBodies]]
+    * before extraction.
+    */
+  def httpTransferEncoding(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val v = trim(lower(regexp_extract(httpHead(payload), teRe, 1)))
+    when(v =!= "", v)
+  }
+
+  /** The Content-Encoding header value (lowercased), or NULL when
+    * absent — `gzip`/`deflate` bodies are compressed on the wire and
+    * MUST pass through [[decodeHttpBodies]] before extraction.
+    */
+  def httpContentEncoding(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val v = trim(lower(regexp_extract(httpHead(payload), ceRe, 1)))
+    when(v =!= "", v)
+  }
+
+  /** Dechunk a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex chunk-size line (chunk extensions after `;` ignored, per the
+    * spec's MAY-ignore), CRLF, exactly size data bytes, CRLF, repeated
+    * until the zero-size chunk; trailer fields after it are skipped
+    * through their terminating empty line. Malformed framing FAILS
+    * LOUDLY (a silent partial dechunk would feed framing garbage to
+    * extraction — the exact failure this tier exists to prevent).
+    */
+  private[sources] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < body.length && !(body(i) == '\r' && body(i + 1) == '\n')) i += 1
+      require(i + 1 < body.length, "chunked body: unterminated line")
+      i
+    }
+    var i = 0
+    var done = false
+    while (!done) {
+      val e = lineEnd(i)
+      val line = new String(body, i, e - i, java.nio.charset.StandardCharsets.US_ASCII)
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      require(hex.nonEmpty && hex.length <= 8 &&
+        hex.forall(c => Character.digit(c, 16) >= 0),
+        s"chunked body: bad chunk-size line '$line'")
+      val size = java.lang.Integer.parseInt(hex, 16)
+      i = e + 2
+      if (size == 0) {
+        // trailer section: skip fields through the terminating empty line
+        var blank = false
+        while (!blank) {
+          val t = lineEnd(i)
+          blank = t == i
+          i = t + 2
+        }
+        done = true
+      } else {
+        require(i + size + 2 <= body.length,
+          s"chunked body: chunk of $size bytes overruns the body")
+        out.write(body, i, size)
+        i += size
+        require(body(i) == '\r' && body(i + 1) == '\n',
+          "chunked body: missing CRLF after chunk data")
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decompress a `Content-Encoding: gzip` / `deflate` body. `deflate`
+    * is zlib-wrapped per RFC 9110, but real servers ship raw DEFLATE
+    * under the same label often enough that every browser sniffs — the
+    * standard two-byte test: a zlib stream starts with CMF whose low
+    * nibble is 8 (deflate) and (CMF<<8|FLG) divisible by 31.
+    */
+  private[sources] def inflateBody(body: Array[Byte], coding: String): Array[Byte] = {
+    val in: java.io.InputStream = coding match {
+      case "gzip" | "x-gzip" =>
+        new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+      case "deflate" =>
+        val zlib = body.length >= 2 && (body(0) & 0x0f) == 8 &&
+          (((body(0) & 0xff) << 8 | (body(1) & 0xff)) % 31 == 0)
+        new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(body), new java.util.zip.Inflater(!zlib))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Content-Encoding: $other")
+    }
+    try {
+      val out = new java.io.ByteArrayOutputStream(body.length * 4 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** One body through BOTH decode tiers in wire order: transfer coding
+    * first (`chunked` → dechunk; absent/`identity` → passthrough), then
+    * content coding (`gzip`/`x-gzip`/`deflate` → decompress;
+    * absent/`identity` → passthrough). An unrecognized coding fails
+    * loudly — silently passing coded bytes downstream would score the
+    * page as low-quality noise instead of surfacing the gap.
+    */
+  private[sources] def decodeHttpBodyBytes(body: Array[Byte],
+      te: String, ce: String): Array[Byte] = {
+    val codings = Option(te).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    require(codings.forall(c => c == "chunked" || c == "identity"),
+      s"unsupported Transfer-Encoding: $te")
+    val transferred = if (codings.contains("chunked")) dechunk(body) else body
+    Option(ce).map(_.trim).filter(c => c.nonEmpty && c != "identity") match {
+      case Some(c) => inflateBody(transferred, c)
+      case None => transferred
+    }
+  }
+
+  /** Transfer-decode + content-decode HTTP bodies — the imperative tier
+    * between [[httpBody]] and the charset decode: real crawled
+    * responses are routinely `Transfer-Encoding: chunked` and/or
+    * `Content-Encoding: gzip|deflate`, and handing those bytes straight
+    * to extraction scores chunk-size framing or compressed garbage as
+    * low-quality text.
+    *
+    * Shape: genuinely per-row imperative byte work (the documented
+    * `mapPartitions` case, the RIFF-walker discipline of
+    * [[graft.ext.Multimodal.decodeWavStats]]) — narrow, zero exchanges,
+    * O(one body) memory; identity rows pass through untouched.
+    */
+  def decodeHttpBodies(ds: Dataset[HttpEncodedBody]): Dataset[HttpDecodedBody] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r =>
+      HttpDecodedBody(r.url, decodeHttpBodyBytes(r.body, r.te, r.ce), r.te, r.ce)))
+  }
+
+  /** Fixture ENCODER (never a decode path): one body wire-coded for
+    * mode ∈ 0..4 — identity / gzip / deflate(zlib) / chunked /
+    * chunked(gzip). Chunking varies chunk sizes, carries a chunk
+    * extension on the first chunk, and emits a trailer field — the
+    * parts of RFC 9112 framing a decoder is allowed to ignore but must
+    * skip correctly. Returns (encodedBody, teHeader, ceHeader).
+    */
+  private[sources] def encodeBodyForFixture(body: Array[Byte], mode: Int)
+      : (Array[Byte], String, String) = {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    def chunk(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(b.length + 128)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      var i = 0
+      var first = true
+      while (i < b.length) {
+        val n = math.min(if (first) 7 else if (i < 100) 64 else 256, b.length - i)
+        val ext = if (first) ";x=fixture" else ""
+        bos.write(s"${n.toHexString}$ext\r\n".getBytes(ascii))
+        bos.write(b, i, n)
+        bos.write("\r\n".getBytes(ascii))
+        i += n
+        first = false
+      }
+      bos.write("0\r\nX-Trailer: fixture\r\n\r\n".getBytes(ascii))
+      bos.toByteArray
+    }
+    mode match {
+      case 0 => (body, null, null)
+      case 1 => (gz(body), null, "gzip")
+      case 2 => (zlib(body), null, "deflate")
+      case 3 => (chunk(body), "chunked", null)
+      case _ => (chunk(gz(body)), "chunked", "gzip")
+    }
   }
 
   /** A full HTTP response rendered as a WARC record payload — the writer
@@ -598,17 +931,18 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  /** X-WARC4 — record-addressed access (the CDX replay pattern):
-    * documents render into ONE ordered plain archive whose per-record
-    * byte offsets are computed DECLARATIVELY (a window cumsum of
-    * rendered record lengths — the index a WARC writer would emit);
-    * every fifth document is then point-fetched through
-    * [[readRecordsAt]] — seek + one record read, no archive scan — and
-    * the oracle recomputes type/length/payload fingerprint straight
-    * from the documents table. A wrong offset in the index, a wrong
-    * seek, or any framing error in the point reader breaks the hash.
-    * WarcSpec additionally pins random access ≡ sequential scan record
-    * for record, and the gzip-member form.
+  /** X-WARC4 — record-addressed access (the CDX replay pattern) over
+    * the SHIPPED form end to end: documents write through the
+    * gzip-member sink ([[writeRecordsGz]] — one gzip member per record,
+    * the CDX index emitted by the WRITER as it streams, retiring the
+    * fixture-only global-window index of rounds 10–11); every fifth
+    * document is then point-fetched through [[readRecordsAt]] — seek +
+    * one member read, no archive scan — and the oracle recomputes
+    * type/length/payload fingerprint straight from the documents table.
+    * A wrong writer-emitted offset or length, a wrong seek, or any
+    * framing error in the member reader breaks the hash. WarcSpec
+    * additionally pins random access ≡ sequential scan record for
+    * record, and sink-CDX ≡ sequential scan.
     */
   private val warc4 = Probe(
     "x_warc4_random_access",
@@ -621,38 +955,19 @@ object Warc {
       |  FROM documents)
       |WHERE doc_id % 5 = 2
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val rendered = Tables(s, dir, "documents")
-      .select(col("doc_id"), responseRecord(
-        concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
-          lit(".com/doc/"), col("doc_id").cast("string")),
-        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
-        .as("rec"))
-    val idxDir = graft.util.TrainOnce(s"warc_cdx:$dir") {
+    val out = graft.util.TrainOnce(s"warc_cdx_gz:$dir") {
       val p = graft.util.TempDirs.scratch("graft_warc_cdx")
-      // ONE ordered archive file (fixture: the global sort is the
-      // archive writer's own output order) + the offset index: record i
-      // starts at sum of earlier rendered lengths, +1 each for the text
-      // sink's record separator
-      rendered.repartition(1).sortWithinPartitions("doc_id")
-        .select(col("rec").as("value"))
-        .write.mode("overwrite").text(s"$p/archive")
-      val part = new org.apache.hadoop.fs.Path(s"$p/archive")
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-        .listStatus(new org.apache.hadoop.fs.Path(s"$p/archive"))
-        .map(_.getPath).filter(_.getName.startsWith("part-"))
-        .map(_.toString).head
-      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      rendered
-        .select(col("doc_id"),
-          coalesce(sum(octet_length(col("rec")) + 1).over(w), lit(0L)).as("offset"))
-        .select(col("doc_id"), lit(part).as("path"), col("offset"),
-          lit(-1L).as("length"))
-        .write.mode("overwrite").parquet(s"$p/index")
-      p
+      writeRecordsGz(
+        Tables(s, dir, "documents").select(
+          concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
+          encode(concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>")), "UTF-8").as("payload")),
+        s"$p/archive")
+      s"$p/archive"
     }
-    val picked = s.read.parquet(s"$idxDir/index")
-      .filter(col("doc_id") % 5 === 2)
+    val picked = readCdx(s, out)
+      .filter(regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long") % 5 === 2)
       .select("path", "offset", "length")
     readRecordsAt(picked)
       .select(
@@ -812,5 +1127,81 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5, warc6)
+  /** X-WARC7 — wire-coded HTTP bodies through the front door: documents
+    * render as HTTP responses whose BODY is genuinely wire-coded per
+    * doc (identity / gzip / zlib-deflate / chunked with extensions and
+    * a trailer / chunked-over-gzip), written through the binary sink;
+    * the pipeline reads the archive splittably, parses the envelope
+    * (Transfer-Encoding / Content-Encoding header-section-bounded),
+    * DECHUNKS and DECOMPRESSES through [[decodeHttpBodies]], and
+    * extracts text. The oracle recomputes the expected text straight
+    * from the documents table (no HTTP parsing at all) and the planted
+    * coding labels from the doc_id assignment — a body handed to
+    * extraction still chunk-framed or compressed, a trailer leaking, or
+    * a mis-parsed coding header breaks the hash. Identity passthrough
+    * is pinned by the mode-0 rows inside the same hash.
+    */
+  private val warc7 = Probe(
+    "x_warc7_http_codings",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 IN (3, 4) THEN 'chunked' ELSE '' END AS te,
+       |    CASE WHEN doc_id % 5 IN (1, 4) THEN 'gzip'
+       |         WHEN doc_id % 5 = 2 THEN 'deflate' ELSE '' END AS ce,
+       |    '<html><body><p>' || text || '</p></body></html>' AS body
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, te, ce,
+       |    ${graft.clean.HtmlFns.htmlToTextDuck("body")} AS text
+       |  FROM d)
+       |SELECT doc_id, te, ce, CAST(length(text) AS BIGINT) AS n_chars,
+       |  md5(text) AS text_fp
+       |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val out = graft.util.TrainOnce(s"warc_henc:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_henc")
+      val payloads = Tables(s, dir, "documents")
+        .select(
+          concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
+          encode(concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>")), "UTF-8").as("body"),
+          (col("doc_id") % 5).cast("int").as("mode"))
+        .as[(String, Array[Byte], Int)]
+        .mapPartitions(_.map { case (url, body, mode) =>
+          val (enc, te, ce) = encodeBodyForFixture(body, mode)
+          val head = new StringBuilder(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n")
+          if (te != null) head.append(s"Transfer-Encoding: $te\r\n")
+          if (ce != null) head.append(s"Content-Encoding: $ce\r\n")
+          // chunked framing is self-delimiting; Content-Length is only
+          // valid (and only emitted) for non-chunked responses
+          if (te == null) head.append(s"Content-Length: ${enc.length}\r\n")
+          head.append("\r\n")
+          (url, head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ enc)
+        }).toDF("url", "payload")
+      writeRecords(payloads, s"$p/archive")
+      s"$p/archive"
+    }
+    val pstr = decode(col("payload"), "ISO-8859-1") // byte-identity view
+    val encoded = readRecordsBinary(s, out)
+      .filter(col("warc_type") === "response")
+      .select(col("url"),
+        encode(httpBody(pstr), "ISO-8859-1").as("body"),
+        httpTransferEncoding(pstr).as("te"),
+        httpContentEncoding(pstr).as("ce"))
+      .as[HttpEncodedBody]
+    decodeHttpBodies(encoded).toDF()
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        coalesce(col("te"), lit("")).as("te"),
+        coalesce(col("ce"), lit("")).as("ce"),
+        graft.clean.HtmlFns.htmlToText(decode(col("body"), "UTF-8")).as("text"))
+      .select(col("doc_id"), col("te"), col("ce"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5, warc6, warc7)
 }

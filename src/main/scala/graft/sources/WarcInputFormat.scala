@@ -71,8 +71,76 @@ object WarcInputFormat {
   val CounterGroup = "graft.warc"
   val SalvagedStreams = "salvaged_compressed_streams"
   val SkippedOversized = "skipped_oversized_records"
+  val RejectedMalformedHeaders = "rejected_malformed_headers"
   private[sources] val log =
     org.slf4j.LoggerFactory.getLogger(classOf[WarcInputFormat])
+
+  /** Is this the DECOMPRESSOR reporting a corrupt/truncated stream (vs a
+    * transient filesystem fault, which must still fail the task)? Keyed
+    * on exception ORIGIN first: the raw filesystem stream is tagged
+    * ([[TaggingInputStream]]), so an [[UpstreamIOException]] — or one
+    * anywhere in the cause chain — is a filesystem fault REGARDLESS of
+    * its message text ("...Invalid token..." auth faults, messages
+    * containing "crc"). Only exceptions that arose inside the
+    * decompressor fall through to the type/message classification:
+    * truncation as EOFException, framing/CRC damage as ZipException or
+    * an IOException naming the format.
+    */
+  private[sources] def isCorruptStream(e: java.io.IOException): Boolean = e match {
+    case _ if {
+      var t: Throwable = e
+      var upstream = false
+      while (t != null && !upstream) {
+        upstream = t.isInstanceOf[UpstreamIOException]
+        t = t.getCause
+      }
+      upstream
+    } => false
+    case _: java.io.EOFException => true
+    case _: java.util.zip.ZipException => true
+    case _ =>
+      val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase(java.util.Locale.ROOT)
+      m.contains("gzip") || m.contains("zlib") || m.contains("deflate") ||
+        m.contains("crc") || m.contains("decompress") ||
+        // the inflater's own corruption vocabulary, wrapped as plain
+        // IOException by Hadoop's built-in gzip codec. SPECIFIC phrases,
+        // not bare "invalid"/"incorrect": a transient auth/filesystem
+        // fault ("Invalid token", "token ... otherwise invalid") must
+        // still fail the task, not read as a salvage.
+        m.contains("invalid distance") || m.contains("invalid code") ||
+        m.contains("invalid block") || m.contains("invalid stored block") ||
+        m.contains("invalid literal") || m.contains("invalid window size") ||
+        m.contains("incorrect header check") || m.contains("incorrect data check") ||
+        m.contains("incorrect length check") ||
+        m.contains("unknown compression") || m.contains("too many length")
+  }
+
+  /** An IOException that originated in the RAW FILESYSTEM stream under
+    * the decompressor — a transient HDFS/network/auth fault, never
+    * archive corruption. [[WarcRecordReader.isCorruptStream]] keys its
+    * salvage decision on this tag FIRST: a filesystem error whose
+    * message happens to contain a corruption token ("...crc...") must
+    * still fail the task, and an inflater message variant missing from
+    * the heuristic list still salvages, because anything the tagged
+    * stream did NOT throw arose inside the decompressor.
+    */
+  private[sources] final class UpstreamIOException(cause: java.io.IOException)
+    extends java.io.IOException(cause.getMessage, cause)
+
+  /** Wraps the raw filesystem stream and tags every IOException it
+    * throws as [[UpstreamIOException]], so exception ORIGIN (filesystem
+    * vs decompressor) is structural instead of message-text guesswork.
+    */
+  private[sources] final class TaggingInputStream(in: java.io.InputStream)
+    extends java.io.FilterInputStream(in) {
+    private def tag[A](body: => A): A =
+      try body catch { case e: java.io.IOException => throw new UpstreamIOException(e) }
+    override def read(): Int = tag(super.read())
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      tag(super.read(b, off, len))
+    override def skip(n: Long): Long = tag(super.skip(n))
+    override def available(): Int = tag(super.available())
+  }
 }
 
 class WarcRecordReader extends RecordReader[LongWritable, Text] {
@@ -117,8 +185,12 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
         compressed = true
         compressedLen = split.getLength
         end = Long.MaxValue
+        // the raw stream is TAGGED before the codec wraps it: an
+        // IOException surfacing from readByte() is then structurally
+        // attributable — UpstreamIOException = filesystem fault (fail
+        // the task), anything else arose inside the decompressor
         in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-          codec.createInputStream(fsIn), 1 << 20))
+          codec.createInputStream(new TaggingInputStream(fsIn)), 1 << 20))
         pos = 0L
       } else {
         fsIn.seek(start)
@@ -135,32 +207,8 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
   private def count(name: String): Unit =
     if (ctx != null) ctx.getCounter(CounterGroup, name).increment(1L)
 
-  /** Is this the DECOMPRESSOR reporting a corrupt/truncated stream (vs a
-    * transient filesystem fault, which must still fail the task)? The
-    * codec surfaces truncation as EOFException and framing/CRC damage as
-    * ZipException or an IOException naming the format — an HDFS/network
-    * read error is a plain IOException from `fsIn` with none of those
-    * markers.
-    */
-  private def isCorruptStream(e: java.io.IOException): Boolean = e match {
-    case _: java.io.EOFException => true
-    case _: java.util.zip.ZipException => true
-    case _ =>
-      val m = if (e.getMessage == null) "" else e.getMessage.toLowerCase(java.util.Locale.ROOT)
-      m.contains("gzip") || m.contains("zlib") || m.contains("deflate") ||
-        m.contains("crc") || m.contains("decompress") ||
-        // the inflater's own corruption vocabulary, wrapped as plain
-        // IOException by Hadoop's built-in gzip codec. SPECIFIC phrases,
-        // not bare "invalid"/"incorrect": a transient auth/filesystem
-        // fault ("Invalid token", "token ... otherwise invalid") must
-        // still fail the task, not read as a salvage.
-        m.contains("invalid distance") || m.contains("invalid code") ||
-        m.contains("invalid block") || m.contains("invalid stored block") ||
-        m.contains("invalid literal") || m.contains("invalid window size") ||
-        m.contains("incorrect header check") || m.contains("incorrect data check") ||
-        m.contains("incorrect length check") ||
-        m.contains("unknown compression") || m.contains("too many length")
-  }
+  private def isCorruptStream(e: java.io.IOException): Boolean =
+    WarcInputFormat.isCorruptStream(e)
 
   private def readByte(): Int = {
     // a truncated/corrupt gzip stream surfaces from the DECOMPRESSOR
@@ -310,12 +358,27 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
       v
     }
     var magicIdx = 0
+    // observability for the wellFormed cost documented above: a synced
+    // candidate with a WARC-Type AND a plausible Content-Length that is
+    // rejected SOLELY by header well-formedness (a colon-less line, a
+    // space in a field name — non-conformant but previously framable
+    // writers) is counted and logged, so the drop is distinguishable
+    // from a genuinely short file. Pure false syncs (no WARC-Type — the
+    // embedded-HTTP shape) resolve to -1 and are not counted.
+    var rejectedResolvable = false
     while (magicIdx >= 0) {
       if (wellFormed(magicIdx)) {
         val v = resolveAt(magicIdx)
         if (v >= 0) return (magicIdx, v)
+      } else if (!rejectedResolvable && resolveAt(magicIdx) >= 0) {
+        rejectedResolvable = true
       }
       magicIdx = hRaw.indexOf("WARC/1.0\r\n", magicIdx + 1)
+    }
+    if (rejectedResolvable) {
+      count(RejectedMalformedHeaders)
+      log.warn(s"rejected WARC sync candidate at pos=$pos: plausible " +
+        "WARC-Type/Content-Length but malformed header lines")
     }
     (0, -1L)
   }
