@@ -255,8 +255,14 @@ object RobotsTxt {
     *
     * Shape: identical to the prefix gate — rules join UNHINTED on host,
     * per-URL winner via a doc_id-partitioned row_number over the ≤
-    * rules-per-host matches. The per-row regex is compiled from tiny
-    * per-host patterns; never corpus-derived.
+    * rules-per-host matches. Matching is ROUTED per rule shape: a
+    * wildcard-free pattern is a plain `startsWith` (or an equality when
+    * `$`-anchored) — the overwhelming majority in real robots files —
+    * and ONLY patterns containing `*` reach RLIKE, whose non-literal
+    * pattern costs a Pattern.compile per evaluated row. The `__rx`
+    * column is NULL for non-wild rules, so a routing slip cannot
+    * silently regex them: RLIKE on NULL yields no hit and the allow
+    * carve-out pins in RobotsTxtSpec/x_url6 break.
     */
   def robotsGateWild(urls: DataFrame, rules: DataFrame): DataFrame = {
     val u = urls
@@ -266,9 +272,15 @@ object RobotsTxt {
       .withColumn("pathd", pctDecodeUnreserved(col("path")))
     val wBest = Window.partitionBy(col("doc_id")).orderBy(
       col("__hit").desc, length(col("pattern")).desc, col("allow").desc, col("pattern").asc)
+    val p = col("pattern")
+    val isWild = p.contains("*")
+    val anchored = p.substr(length(p), lit(1)) === "$"
     u.join(rules, Seq("host"), "left")
-      .withColumn("__rx", patternRegex(col("pattern")))
-      .withColumn("__hit", col("pattern").isNotNull && expr("pathd RLIKE __rx"))
+      .withColumn("__rx", when(isWild, patternRegex(p)))
+      .withColumn("__hit", p.isNotNull && (
+        when(!isWild && !anchored, col("pathd").startsWith(p))
+          .when(!isWild && anchored, col("pathd") === p.substr(lit(1), length(p) - 1))
+          .otherwise(expr("pathd RLIKE __rx"))))
       .withColumn("__rn", row_number().over(wBest))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("host"), col("path"),

@@ -112,6 +112,25 @@ class RobotsTxtSpec extends SparkSuite {
     assert(a == b && a.nonEmpty, s"${a.take(5)} vs ${b.take(5)}")
   }
 
+  test("routing pin: wildcard-free rules never touch RLIKE (NULL __rx)") {
+    // robotsGateWild computes __rx = NULL for wildcard-free patterns and
+    // routes them to startsWith/equality; if a routing slip sent them to
+    // the RLIKE branch, RLIKE(path, NULL) would yield NO hit and these
+    // disallows would default-allow — so the 0s below prove the
+    // non-regex path evaluated them. The wild rule alongside proves the
+    // regex residue still works in the same rule set.
+    val urls = Seq((1L, "https://h.com/private/x"), (2L, "https://h.com/exact"),
+      (3L, "https://h.com/a/data"), (4L, "https://h.com/open")).toDF("doc_id", "url")
+    val rules = Seq(
+      ("h.com", "/private", 0), // wildcard-free prefix
+      ("h.com", "/exact$", 0),  // wildcard-free anchored
+      ("h.com", "/*/data$", 0)  // the only rule allowed to regex
+    ).toDF("host", "pattern", "allow")
+    val got = RobotsTxt.robotsGateWild(urls, rules).orderBy("doc_id")
+      .collect().map(_.getLong(3)).toList
+    assert(got == List(0L, 0L, 0L, 1L), got.mkString(", "))
+  }
+
   test("$ anchors only at the end; elsewhere it is literal") {
     val urls = Seq((1L, "https://h.com/ab"), (2L, "https://h.com/abc"),
       (3L, "https://h.com/a$b")).toDF("doc_id", "url")
