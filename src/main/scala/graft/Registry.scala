@@ -27,6 +27,7 @@ object Registry {
     ext.PipelineOps15.all ++
     ext.PipelineOps16.all ++
     ext.RobotsTxt.all ++
+    ext.Frontier.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.KnLm.all ++

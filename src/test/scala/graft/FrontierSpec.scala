@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.Frontier
+import org.apache.spark.sql.functions._
+
+/** frontierPlan edges the x_pipe10 hash can't see: hosts with no
+  * robots file at all, a cap that never binds, and the salted
+  * two-level cap's exactness against a flat rank.
+  */
+class FrontierSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("no robots file: everything allowed, default delay prices the plan") {
+    val locs = (1 to 5).map(i => s"https://h.com/p/$i").toDF("loc")
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val got = Frontier.frontierPlan(locs, robots, cap = 8).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_discovered") == 5 && r.getAs[Long]("n_allowed") == 5 &&
+      r.getAs[Long]("n_fetch") == 5 && r.getAs[Long]("delay_ms") == 1000 &&
+      r.getAs[Long]("fetch_sec") == 5, r.toString)
+  }
+
+  test("salted two-level cap == flat rank, and binds only past the cap") {
+    val locs = (1 to 40).map(i => f"https://big.com/p/$i%03d") ++
+      (1 to 3).map(i => s"https://small.com/p/$i")
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val got = Frontier.frontierPlan(locs.toDF("loc"), robots, cap = 10)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_fetch"))).sortBy(_._1)
+    assert(got.toList == List(("big.com", 10L), ("small.com", 3L)), got.toList)
+  }
+
+  test("gated-out URLs never reach the schedule") {
+    val locs = Seq("https://h.com/keep/1", "https://h.com/keep/2",
+      "https://h.com/private/x").toDF("loc")
+    val robots = Seq(("h.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 3\n"))
+      .toDF("host", "robots_txt")
+    val r = Frontier.frontierPlan(locs, robots, cap = 8).collect()(0)
+    assert(r.getAs[Long]("n_discovered") == 3 && r.getAs[Long]("n_allowed") == 2 &&
+      r.getAs[Long]("n_fetch") == 2 && r.getAs[Long]("delay_ms") == 3000 &&
+      r.getAs[Long]("fetch_sec") == 6, r.toString)
+  }
+}
