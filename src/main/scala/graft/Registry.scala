@@ -39,6 +39,7 @@ object Registry {
     ext.Similarity2.all ++
     ext.EmbedDedup.all ++
     ext.TextAnalysis.all ++
+    ext.LangId.all ++
     ext.Multimodal.all ++
     sources.Roundtrips.all ++
     sources.Warc.all ++

@@ -1,0 +1,269 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LEARNED language identification — character n-gram rank profiles
+  * (Cavnar & Trenkle 1994, "N-Gram-Based Text Categorization", public),
+  * trained IN-ENGINE, replacing reliance on x_txt1's 4-language ASCII
+  * stopword heuristic for everything per-language downstream (round-11
+  * verdict #3). The heuristic probe stands as the documented baseline;
+  * this tier is the honest crawl-scale classifier: it needs no stopword
+  * list per language, handles unsegmented scripts (Chinese has no
+  * space-delimited stopwords at all), and its training is three
+  * relational aggregations.
+  *
+  * Algorithm (exact-integer, cross-engine): text lowercased, runs of
+  * whitespace folded to `_`, capped at [[LangId.MaxChars]]; character
+  * 1-, 2- and 3-grams counted; a LANGUAGE PROFILE is the top-[[LangId.K]]
+  * grams by (count desc, gram asc); a document classifies to the
+  * profile minimizing the out-of-place distance
+  * `Σ |doc_rank − profile_rank|` with a missing-gram penalty of K
+  * (ties break lang asc). Every step is a groupBy/window over integer
+  * counts — bit-identical in DuckDB, no floats anywhere.
+  *
+  * Shape at scale: training is one explode + one (lang, gram)
+  * aggregation (partial map-side) + one window over the tiny per-lang
+  * profile; the profile table is L×K rows and BROADCASTS to the
+  * classify join. Per-doc work is bounded by the char cap (≤ ~800
+  * grams/doc), and the per-doc windows partition on doc_id — no skew.
+  */
+object LangId {
+
+  /** Profile size (and the missing-gram penalty) — Cavnar–Trenkle used
+    * 300 over 1–5-grams; 40 over 2–3-grams is plenty at 5 languages and
+    * keeps the broadcast trivial.
+    */
+  val K = 40
+
+  /** Classification reads at most this many chars per doc — language is
+    * decided in the first few hundred chars, and the cap bounds the
+    * explode at 100 TB.
+    */
+  val MaxChars = 400
+
+  private def prep(text: Column): Column =
+    substring(regexp_replace(lower(text), "\\s+", "_"), 1, MaxChars)
+
+  private def gramsN(t: Column, n: Int): Column =
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** All 1-, 2- and 3-grams of a prepped text column. 1-grams are
+    * load-bearing (Cavnar–Trenkle used 1–5): they are the only grams
+    * that accumulate real COUNTS in short text, and without them a
+    * CJK doc's count-1 grams lose every count-tie to ASCII noise
+    * (ties sort gram-ascending, and ASCII < CJK bytewise).
+    */
+  private def allGrams(text: Column): Column = {
+    val t = prep(text)
+    concat(gramsN(t, 1), gramsN(t, 2), gramsN(t, 3))
+  }
+
+  /** Train per-language rank profiles from labeled (lang, text) rows:
+    * (lang, gram, prank) with prank ≤ [[K]].
+    */
+  def trainProfiles(labeled: DataFrame): DataFrame =
+    labeled
+      .select(col("lang"), explode(allGrams(col("text"))).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("prank") <= K)
+      .select("lang", "gram", "prank")
+
+  /** Classify (doc_id, text) rows against trained profiles: (doc_id,
+    * pred_lang, dist) — the out-of-place argmin, ties lang asc. The
+    * profile side broadcasts (L×K rows). A ZERO-gram doc (empty text)
+    * has no rows to rank and is ABSENT from the output — callers
+    * left-join and coalesce to 'und' (pinned in LangIdSpec).
+    */
+  def classify(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val langs = profiles.select("lang").distinct()
+    docs
+      .select(col("doc_id"), explode(allGrams(col("text"))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("drank") <= K)
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(coalesce(abs(col("drank") - col("prank")), lit(K.toLong))).as("dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dist").asc, col("lang").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("dist").cast("long").as("dist"))
+  }
+
+  // ------------------------------------------------- multilingual fixture
+
+  /** Three genuine sentences per language, rotated by doc_id % 3 — the
+    * synthetic documents table shares ONE English-ish vocabulary across
+    * its lang labels, so an honest classifier probe must plant real
+    * multilingual text. zh is deliberately unsegmented (no spaces): the
+    * stopword heuristic is structurally blind to it; char n-grams are
+    * not.
+    */
+  private[graft] val sentences: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund während der regen auf die grünen hügel fällt",
+      "sie sagte dass die kinder jeden morgen mit ihren freunden zur schule am fluss gehen würden",
+      "dies ist ein weiterer einfacher deutscher satz über das wetter und die lange strasse durch die alte stadt"),
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog while the rain falls on the quiet green hills",
+      "she said that the children would walk to the school near the river every morning with their friends",
+      "this is another simple english sentence about the weather and the long road through the old town"),
+    "es" -> Seq(
+      "el zorro marrón salta sobre el perro perezoso mientras la lluvia cae sobre las colinas verdes",
+      "ella dijo que los niños caminarían a la escuela cerca del río cada mañana con sus amigos",
+      "esta es otra frase sencilla en español sobre el tiempo y el largo camino por el pueblo viejo"),
+    "fr" -> Seq(
+      "le renard brun saute par dessus le chien paresseux pendant que la pluie tombe sur les collines vertes",
+      "elle a dit que les enfants iraient à l'école près de la rivière chaque matin avec leurs amis",
+      "ceci est une autre phrase simple en français sur le temps et la longue route à travers la vieille ville"),
+    "zh" -> Seq(
+      "敏捷的棕色狐狸跳过那只懒惰的狗雨水落在安静的绿色山丘上今天的天气很好我们一起去公园散步看看河边的风景然后回家吃饭",
+      "她说孩子们每天早上都会和朋友一起走路去河边的学校老师在教室里等着大家上课下午他们一起回家路上说说笑笑非常开心",
+      "这是另一个关于天气和穿过老城的长路的简单中文句子城里的人们每天都很忙但是晚上大家都喜欢在街上走走聊聊天气和生活"))
+
+  /** Fixture text: the lang's sentence variant + the first 40 chars of
+    * the doc's own text as shared-vocabulary noise (present identically
+    * under every label, so profiles must separate on the planted
+    * material, not on the noise).
+    */
+  private def fixtureText: Column =
+    concat(
+      sentences.foldLeft(null: Column) { case (acc, (l, ss)) =>
+        ss.zipWithIndex.foldLeft(acc) { case (a, (sent, i)) =>
+          val cond = col("lang") === l && col("doc_id") % 3 === i
+          if (a == null) when(cond, lit(sent)) else a.when(cond, lit(sent))
+        }
+      },
+      lit(" "), substring(col("text"), 1, 40))
+
+  private def fixtureTextDuck: String = {
+    val cases = sentences.flatMap { case (l, ss) =>
+      ss.zipWithIndex.map { case (sent, i) =>
+        s"WHEN lang = '$l' AND doc_id % 3 = $i THEN ${graft.clean.EncodingFns.sqlLit(sent)}"
+      }
+    }.mkString("\n         ")
+    s"(CASE $cases END) || ' ' || substr(text, 1, 40)"
+  }
+
+  /** The shared oracle chain: fixture → grams → train split profiles →
+    * test split ranks → distances → per-doc argmin, as CTEs ending at
+    * `pred(doc_id, pred_lang, dist)` and `base(doc_id, lang, t)`.
+    * x_txt24 and x_txt25 append different final SELECTs over the SAME
+    * text, so the two probes cannot drift.
+    */
+  private def chainDuck: String =
+    s"""base AS (
+       |  SELECT doc_id, lang,
+       |    substr(regexp_replace(lower($fixtureTextDuck), '\\s+', '_', 'g'), 1, $MaxChars) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    list_concat(list_concat(
+       |      list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)),
+       |      list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2))),
+       |      list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS gs
+       |  FROM base),
+       |trg AS (
+       |  SELECT lang, u.gram FROM g, UNNEST(gs) AS u(gram) WHERE doc_id % 5 <> 0),
+       |prof0 AS (SELECT lang, gram, COUNT(*) AS cnt FROM trg GROUP BY 1, 2),
+       |profk AS (
+       |  SELECT lang, gram, prank FROM (
+       |    SELECT lang, gram,
+       |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS prank
+       |    FROM prof0) WHERE prank <= $K),
+       |teg AS (
+       |  SELECT doc_id, u.gram FROM g, UNNEST(gs) AS u(gram) WHERE doc_id % 5 = 0),
+       |dt0 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM teg GROUP BY 1, 2),
+       |dtk AS (
+       |  SELECT doc_id, gram, drank FROM (
+       |    SELECT doc_id, gram,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS drank
+       |    FROM dt0) WHERE drank <= $K),
+       |langs AS (SELECT DISTINCT lang FROM profk),
+       |dist AS (
+       |  SELECT dtk.doc_id, l.lang,
+       |    SUM(COALESCE(abs(dtk.drank - pk.prank), $K)) AS dist
+       |  FROM dtk CROSS JOIN langs l
+       |  LEFT JOIN profk pk ON pk.lang = l.lang AND pk.gram = dtk.gram
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, lang AS pred_lang, dist FROM (
+       |    SELECT doc_id, lang, dist,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** The Spark half of the shared chain: per-doc predictions on the
+    * held-out split, profiles trained train-once on the 80% split and
+    * persisted (bench steady state times CLASSIFICATION, the per-shard
+    * job — training amortizes across shards exactly like the ridge/KN
+    * artifacts).
+    */
+  private def predictions(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), fixtureText.as("text"))
+    val prof = graft.util.TrainOnce(s"langid_prof:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_langid")
+      trainProfiles(docs.filter(col("doc_id") % 5 =!= 0)).write
+        .mode("overwrite").parquet(p)
+      p
+    }
+    classify(docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text"),
+      s.read.parquet(prof))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+  }
+
+  /** X-TXT24 — the learned classifier end to end on the held-out split:
+    * per-doc (declared lang, predicted lang, out-of-place distance).
+    * The oracle retrains AND reclassifies from first principles in one
+    * nested query — a drifted count, rank tie-break, missing-gram
+    * penalty, or argmin anywhere breaks the hash.
+    */
+  private val txt24 = Probe(
+    "x_txt24_langid_learned",
+    s"""WITH $chainDuck
+       |SELECT b.doc_id, b.lang, p.pred_lang, CAST(p.dist AS BIGINT) AS dist
+       |FROM pred p JOIN base b ON b.doc_id = p.doc_id
+       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    predictions(s, dir)
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("dist"))
+      .orderBy("doc_id")
+  }
+
+  /** X-TXT25 — the learned classifier's confusion rollup vs the
+    * declared labels (the x_txt21 audit re-run with the learned tier):
+    * (lang, pred_lang, n_docs, share_ppm). On the planted fixture the
+    * diagonal should dominate — and the zh row is the proof the stopword
+    * heuristic structurally cannot give (it predicts 'und'/en-noise for
+    * unsegmented text).
+    */
+  private val txt25 = Probe(
+    "x_txt25_langid_confusion",
+    s"""WITH $chainDuck,
+       |c AS (
+       |  SELECT b.lang, p.pred_lang, COUNT(*) AS n
+       |  FROM pred p JOIN base b ON b.doc_id = p.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
+       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+       |FROM c ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    predictions(s, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY lang) AS BIGINT)"))
+      .select(col("lang"), col("pred_lang"), col("n").cast("long").as("n_docs"),
+        col("share_ppm"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val all: Seq[Probe] = Seq(txt24, txt25)
+}
