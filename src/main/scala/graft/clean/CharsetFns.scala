@@ -117,4 +117,49 @@ object CharsetFns {
   def decodeCharset(bin: Column, charset: Column): Column =
     when(charset === "utf-8", decode(bin, "UTF-8"))
       .otherwise(cp1252Fix(decode(bin, "ISO-8859-1")))
+
+  /** Charset labels this tier RECOGNIZES but has no decode table for
+    * (HTML5 encoding-standard names + common aliases: the multi-byte /
+    * stateful CJK encodings, the Cyrillic/Greek/Hebrew/Arabic/Thai
+    * single-byte code pages, and the non-Latin-1 ISO-8859 parts).
+    * DETECTION beats the silent default: a Shift_JIS page decoded as
+    * UTF-8 is mojibake [[EncodingFns]] cannot repair, and it would
+    * silently score as low-quality noise instead of surfacing the gap.
+    */
+  private val unsupportedLabels = Seq(
+    "shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji", "ms932", "windows-31j",
+    "gbk", "gb2312", "gb18030", "x-gbk", "big5", "big5-hkscs", "cn-big5",
+    "euc-jp", "x-euc-jp", "euc-kr", "ks_c_5601-1987", "korean",
+    "iso-2022-jp", "iso-2022-kr", "iso-2022-cn",
+    "koi8-r", "koi8-u", "tis-620", "windows-874",
+    "windows-1250", "windows-1251", "windows-1253", "windows-1254",
+    "windows-1255", "windows-1256", "windows-1257", "windows-1258",
+    "iso-8859-2", "iso-8859-3", "iso-8859-4", "iso-8859-5", "iso-8859-6",
+    "iso-8859-7", "iso-8859-8", "iso-8859-9", "iso-8859-10", "iso-8859-13",
+    "iso-8859-14", "iso-8859-15", "iso-8859-16")
+
+  /** Charset STATUS for a page — the honest resolution:
+    * `'utf-8' | 'windows-1252'` (decodable), `'unsupported:<label>'`
+    * (a RECOGNIZED label this tier cannot decode — the page must be
+    * DROPPED LOUDLY, never decoded as the default), or `default` (no
+    * declaration, or an unrecognized garbage label). Precedence is the
+    * crawl convention: Content-Type parameter, then `<meta charset>`,
+    * then default — and a declared-but-unsupported label is
+    * AUTHORITATIVE at its tier (it does not fall through: the page
+    * genuinely is Shift_JIS; trying the next source would mojibake it).
+    */
+  def charsetStatus(contentType: Column, bin: Column,
+      default: String = "utf-8"): Column = {
+    val ctLabel = lower(trim(regexp_extract(coalesce(contentType, lit("")),
+      "(?i)charset=[\"']?([A-Za-z0-9_-]+)", 1)))
+    val metaLabel = lower(trim(coalesce(metaCharset(bin), lit(""))))
+    def st(l: Column) =
+      when(normalizeCharset(l).isNotNull, normalizeCharset(l))
+        .when(l.isin(unsupportedLabels: _*), concat(lit("unsupported:"), l))
+    coalesce(st(ctLabel), st(metaLabel), lit(default))
+  }
+
+  /** True when a [[charsetStatus]] value is decodable by this tier. */
+  def charsetSupported(status: Column): Column =
+    !status.startsWith("unsupported:")
 }

@@ -73,6 +73,76 @@ object PipelineOps16 {
       .orderBy("doc_id")
   }
 
+  /** X-ENC3 — multi-charset HONESTY (round-11 verdict stretch #7): six
+    * declaration shapes — utf-8 by header, Shift_JIS by header, GBK by
+    * `<meta>` only, windows-1252 by header (genuine cp1252 bytes),
+    * EUC-KR by header, and no declaration at all. The unsupported-label
+    * pages (with genuinely non-UTF-8 bytes planted after the markup)
+    * must be DETECTED and DROPPED LOUDLY — status `unsupported:<label>`,
+    * kept=0, bytes NEVER decoded — instead of falling through to the
+    * UTF-8 default and mojibaking the corpus. The oracle recomputes the
+    * status policy from the planted assignment and the expected text of
+    * the kept pages from the documents table alone.
+    */
+  private val enc3 = Probe(
+    "x_enc3_charset_honesty",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'utf-8' WHEN 1 THEN 'unsupported:shift_jis'
+       |      WHEN 2 THEN 'unsupported:gbk' WHEN 3 THEN 'windows-1252'
+       |      WHEN 4 THEN 'unsupported:euc-kr' ELSE 'utf-8' END AS status,
+       |    '<html><head>' ||
+       |      CASE WHEN doc_id % 6 = 2 THEN '<meta charset="GBK">' ELSE '' END ||
+       |      '</head><body>' ||
+       |      CASE WHEN doc_id % 6 = 3 THEN ${EncodingFns.sqlLit(planted2)} ELSE '' END ||
+       |      regexp_replace(text, '[^ -~]', '', 'g') || '</body></html>' AS expected
+       |  FROM documents)
+       |SELECT doc_id, status,
+       |  CAST(CASE WHEN status LIKE 'unsupported:%' THEN 0 ELSE 1 END AS BIGINT) AS kept,
+       |  CAST(CASE WHEN status LIKE 'unsupported:%' THEN 0
+       |       ELSE length(expected) END AS BIGINT) AS n_chars,
+       |  CASE WHEN status LIKE 'unsupported:%' THEN '' ELSE md5(expected) END AS text_fp
+       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val staged = graft.util.TrainOnce(s"charset_honesty:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_charset3")
+      val m6 = col("doc_id") % 6
+      val full = concat(lit("<html><head>"),
+        when(m6 === 2, lit("<meta charset=\"GBK\">")).otherwise(lit("")),
+        lit("</head><body>"),
+        when(m6 === 3, lit(planted2)).otherwise(lit("")),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
+      // unsupported-label pages carry genuinely non-UTF-8 bytes after
+      // the markup — if the pipeline ever DECODED them (instead of
+      // dropping on the label), the mojibake would shift n_chars/fp
+      val sjisBytes = lit(Array[Byte](0x83.toByte, 0x58.toByte, 0x8e.toByte,
+        0xa5.toByte, 0xb0.toByte))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(m6 === 0, lit("text/html; charset=utf-8"))
+            .when(m6 === 1, lit("text/html; charset=Shift_JIS"))
+            .when(m6 === 3, lit("text/html; charset=windows-1252"))
+            .when(m6 === 4, lit("text/html; charset=EUC-KR"))
+            .otherwise(lit("text/html")).as("content_type"),
+          when(m6 === 3, encode(CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
+            .when(m6.isin(1, 4), concat(encode(full, "UTF-8"), sjisBytes))
+            .otherwise(encode(full, "UTF-8")).as("bin"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(staged)
+      .withColumn("status", CharsetFns.charsetStatus(col("content_type"), col("bin")))
+      .withColumn("kept", CharsetFns.charsetSupported(col("status")).cast("long"))
+      // for kept pages the status IS the resolved decode key; dropped
+      // pages are NEVER decoded (their planted non-UTF-8 bytes stay bytes)
+      .withColumn("text", when(col("kept") === 1,
+        CharsetFns.decodeCharset(col("bin"), col("status"))))
+      .select(col("doc_id"), col("status"), col("kept"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_chars"),
+        coalesce(md5(col("text")), lit("")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------ composed daily increment
 
   /** 16 deterministic filler tokens — exactly one 16-word segment. */
@@ -481,5 +551,5 @@ object PipelineOps16 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(enc2, pipe8, pipe9)
+  val all: Seq[Probe] = Seq(enc2, enc3, pipe8, pipe9)
 }

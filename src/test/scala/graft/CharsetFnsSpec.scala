@@ -63,6 +63,26 @@ class CharsetFnsSpec extends SparkSuite {
     assert(decodeOne(page, "text/html; charset=klingon")._1 == "windows-1252")
   }
 
+  test("charsetStatus: unsupported labels are authoritative at their tier") {
+    def statusOf(bytes: Array[Byte], ct: String): String =
+      Seq((bytes, ct)).toDF("bin", "content_type")
+        .select(CharsetFns.charsetStatus(col("content_type"), col("bin")).as("s"))
+        .collect()(0).getString(0)
+    // declared Shift_JIS: detected, NOT fallen through to meta/default
+    val metaUtf8 = "<meta charset=\"utf-8\">x".getBytes("ISO-8859-1")
+    assert(statusOf(metaUtf8, "text/html; charset=Shift_JIS") == "unsupported:shift_jis")
+    // meta-only GBK detected when the header carries no charset
+    val metaGbk = "<meta charset=\"GBK\">x".getBytes("ISO-8859-1")
+    assert(statusOf(metaGbk, "text/html") == "unsupported:gbk")
+    // unrecognized garbage labels still fall through (header garbage →
+    // meta; nothing → default), matching resolveCharset
+    val meta1252 = "<meta charset=\"windows-1252\">y".getBytes("ISO-8859-1")
+    assert(statusOf(meta1252, "text/html; charset=klingon") == "windows-1252")
+    assert(statusOf("plain".getBytes("UTF-8"), "text/html") == "utf-8")
+    // supported labels resolve exactly like resolveCharset
+    assert(statusOf(metaUtf8, "text/html; charset=latin-1") == "windows-1252")
+  }
+
   test("fixture round trip: unfix + ISO-8859-1 bytes decode back exactly") {
     val original = graft.ext.PipelineOps16.planted2 + "plain ascii tail"
     val df = Seq(original).toDF("t")
