@@ -170,6 +170,11 @@ object Warc {
     */
   private def renderRecordBytes(url: String, payload: Array[Byte],
       warcType: String, warcDate: String): Array[Byte] = {
+    // a CR/LF in the URL would inject header lines into the record (and
+    // a tab would corrupt the CDX line format); a real URL carries them
+    // percent-encoded, so reject the raw form loudly
+    require(!url.exists(c => c == '\r' || c == '\n' || c == '\t'),
+      s"WARC-Target-URI contains CR/LF/TAB (must be percent-encoded): $url")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(0.toByte)
@@ -298,7 +303,7 @@ object Warc {
                 out.write(member)
                 offset += member.length
               }
-            } finally { out.close(); idx.close() }
+            } finally { try out.close() finally idx.close() }
             if (!pfs.exists(part)) pfs.rename(tmpPart, part): Unit
             require(pfs.exists(part),
               s"WARC gz sink commit failed: $tmpPart did not become $part")
@@ -586,7 +591,10 @@ object Warc {
       val line = new String(body, i, e - i, java.nio.charset.StandardCharsets.US_ASCII)
       val semi = line.indexOf(';')
       val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
-      require(hex.nonEmpty && hex.length <= 8 &&
+      // ≤ 7 hex digits (≤ 256 MiB): an 8-digit size would overflow the
+      // int parse, and a single chunk bigger than the record buffer cap
+      // is framing garbage anyway — reject it as such, loudly
+      require(hex.nonEmpty && hex.length <= 7 &&
         hex.forall(c => Character.digit(c, 16) >= 0),
         s"chunked body: bad chunk-size line '$line'")
       val size = java.lang.Integer.parseInt(hex, 16)

@@ -273,6 +273,25 @@ object DocStreams {
       graft.clean.CharsetFns.decodeCharset(col(binCol), cs))
   }
 
+  /** Stream-capable charset HONESTY gate (x_enc3's
+    * [[graft.clean.CharsetFns.charsetStatus]]): annotate each page with
+    * its resolved status (`utf-8` / `windows-1252` /
+    * `unsupported:<label>`) and a supported flag, so a streaming door
+    * drops undecodable pages LOUDLY instead of mojibaking them through
+    * the default — zero state, one narrow projection.
+    */
+  def charsetGated(docs: DataFrame, binCol: String = "bin",
+      contentTypeCol: String = "content_type",
+      statusCol: String = "charset_status",
+      keptCol: String = "charset_kept"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs
+      .withColumn(statusCol,
+        graft.clean.CharsetFns.charsetStatus(col(contentTypeCol), col(binCol)))
+      .withColumn(keptCol,
+        graft.clean.CharsetFns.charsetSupported(col(statusCol)).cast("int"))
+  }
+
   /** Stream-capable robots gate (x_url6): mark each streamed URL
     * allowed/blocked against a STATIC parsed-rules frame
     * ([[graft.ext.RobotsTxt.parseRobots]] output) — a stream-static
@@ -289,9 +308,17 @@ object DocStreams {
       .withColumn("__host", regexp_extract(col("__canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
       .withColumn("__path", regexp_replace(col("__canon"), "^[a-z0-9+.-]+://[^/?#]*", ""))
       .withColumn("__pathd", graft.ext.RobotsTxt.pctDecodeUnreserved(col("__path")))
+    // rule-shape routing matches the batch gate (round 12): wildcard-free
+    // patterns never touch RLIKE; __rx is NULL for them
+    val p = col("pattern")
+    val isWild = p.contains("*")
+    val anchored = p.substr(length(p), lit(1)) === "$"
     u.join(rules.withColumnRenamed("host", "__host"), Seq("__host"), "left")
-      .withColumn("__rx", graft.ext.RobotsTxt.patternRegex(col("pattern")))
-      .withColumn("__hit", col("pattern").isNotNull && expr("__pathd RLIKE __rx"))
+      .withColumn("__rx", when(isWild, graft.ext.RobotsTxt.patternRegex(p)))
+      .withColumn("__hit", p.isNotNull && (
+        when(!isWild && !anchored, col("__pathd").startsWith(p))
+          .when(!isWild && anchored, col("__pathd") === p.substr(lit(1), length(p) - 1))
+          .otherwise(expr("__pathd RLIKE __rx"))))
       .groupBy("doc_id")
       .agg(expr(
         """max_by(CASE WHEN __hit THEN allow ELSE NULL END,

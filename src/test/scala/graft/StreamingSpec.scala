@@ -257,6 +257,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming charset gate == batch == the x_enc3 statuses") {
+    import graft.streaming.DocStreams
+    // the x_enc3 fixture construction, computed IN the stream projection
+    // (encode/concat are stateless): six declaration shapes, genuinely
+    // non-UTF-8 bytes planted on the unsupported-label pages
+    def pages(df: org.apache.spark.sql.DataFrame) = {
+      val m6 = col("doc_id") % 6
+      val full = concat(lit("<html><head>"),
+        when(m6 === 2, lit("<meta charset=\"GBK\">")).otherwise(lit("")),
+        lit("</head><body>"),
+        when(m6 === 3, lit(graft.ext.PipelineOps16.planted2)).otherwise(lit("")),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
+      val sjisBytes = lit(Array[Byte](0x83.toByte, 0x58.toByte, 0x8e.toByte,
+        0xa5.toByte, 0xb0.toByte))
+      df.select(col("doc_id"),
+        when(m6 === 0, lit("text/html; charset=utf-8"))
+          .when(m6 === 1, lit("text/html; charset=Shift_JIS"))
+          .when(m6 === 3, lit("text/html; charset=windows-1252"))
+          .when(m6 === 4, lit("text/html; charset=EUC-KR"))
+          .otherwise(lit("text/html")).as("content_type"),
+        when(m6 === 3, encode(graft.clean.CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
+          .when(m6.isin(1, 4), concat(encode(full, "UTF-8"), sjisBytes))
+          .otherwise(encode(full, "UTF-8")).as("bin"))
+    }
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.charsetGated(pages(df))
+        .select(col("doc_id"), col("charset_status"), col("charset_kept"))
+    val q = gated(DocStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("cg_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cg_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      val want = gated(Tables(spark, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      val oracle = graft.ext.PipelineOps16.all.find(_.name == "x_enc3_charset_honesty").get
+        .run(spark, dir).select("doc_id", "status", "kept")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt)).sorted.toSeq
+      assert(got.nonEmpty && got == want && got == oracle)
+    } finally q.stop()
+  }
+
   test("streaming robots gate == batch gate == the x_url6 verdicts") {
     import graft.streaming.DocStreams
     import spark.implicits._
