@@ -35,14 +35,26 @@ object Frontier {
   def frontierPlan(locs: DataFrame, robots: DataFrame, cap: Int = 8,
       agent: String = RobotsTxt.DefaultAgent, defaultDelayMs: Long = 1000L,
       salts: Int = 16): DataFrame = {
+    val s = locs.sparkSession
+    // staged writes (the x_pipe8 discipline): the robots PARSE feeds two
+    // consumers (rules for the gate, delays for the schedule) and the
+    // GATE feeds two (the rollup and the cap) — materializing each once
+    // keeps the plan from executing the parse chain and the gate's
+    // window tree twice per run
+    val stage = graft.util.TempDirs.scratch("graft_frontier_plan")
+    RobotsTxt.selectedLines(robots, agent)
+      .write.mode("overwrite").parquet(s"$stage/sel")
+    val sel = s.read.parquet(s"$stage/sel")
     val frontier = locs
       .select(graft.clean.UrlFns.canonicalUrl(col("loc")).as("canon"))
       .distinct()
     // the gate keys rows by its `doc_id` column — the canon string IS
     // the frontier's identity here
-    val gated = RobotsTxt.robotsGateWild(
-      frontier.select(col("canon").as("doc_id"), col("canon").as("url")),
-      RobotsTxt.parseRobots(robots, agent))
+    RobotsTxt.robotsGateWild(
+        frontier.select(col("canon").as("doc_id"), col("canon").as("url")),
+        RobotsTxt.rulesFromLines(sel))
+      .write.mode("overwrite").parquet(s"$stage/gated")
+    val gated = s.read.parquet(s"$stage/gated")
     val allowed = gated.filter(col("allowed") === 1)
       .select(col("host"), col("doc_id").as("canon"))
     val fetch = allowed
@@ -56,7 +68,7 @@ object Frontier {
     gated.groupBy("host")
       .agg(count(lit(1)).as("n_discovered"), sum(col("allowed")).as("n_allowed"))
       .join(fetch.groupBy("host").agg(count(lit(1)).as("n_fetch")), Seq("host"), "left")
-      .join(RobotsTxt.crawlDelays(robots, agent), Seq("host"), "left")
+      .join(RobotsTxt.delaysFromLines(sel), Seq("host"), "left")
       .select(col("host"), col("n_discovered"),
         col("n_allowed").cast("long").as("n_allowed"),
         coalesce(col("n_fetch"), lit(0L)).as("n_fetch"),

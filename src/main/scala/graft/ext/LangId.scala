@@ -44,8 +44,14 @@ object LangId {
     */
   val MaxChars = 400
 
-  private def prep(text: Column): Column =
-    substring(regexp_replace(lower(text), "\\s+", "_"), 1, MaxChars)
+  private def prep(text: Column): Column = {
+    // cap the RAW text first: lower() and the whitespace fold would
+    // otherwise copy + regex-scan an entire multi-MB page before the
+    // substring discards all but the prefix. Folding can only shrink
+    // the capped prefix, so the outer cap keeps the bound exact.
+    val raw = substring(text, 1, MaxChars)
+    substring(regexp_replace(lower(raw), "\\s+", "_"), 1, MaxChars)
+  }
 
   private def gramsN(t: Column, n: Int): Column =
     when(length(t) >= n,
@@ -168,7 +174,7 @@ object LangId {
   private def chainDuck: String =
     s"""base AS (
        |  SELECT doc_id, lang,
-       |    substr(regexp_replace(lower($fixtureTextDuck), '\\s+', '_', 'g'), 1, $MaxChars) AS t
+       |    substr(regexp_replace(lower(substr($fixtureTextDuck, 1, $MaxChars)), '\\s+', '_', 'g'), 1, $MaxChars) AS t
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, lang,

@@ -84,6 +84,35 @@ object PipelineOps16 {
     * status policy from the planted assignment and the expected text of
     * the kept pages from the documents table alone.
     */
+  /** The x_enc3 fixture construction over a documents frame: six
+    * declaration shapes, genuinely non-UTF-8 bytes planted on the
+    * unsupported-label pages. ONE definition shared by the probe's
+    * staging and StreamingSpec's parity test, so the bytes the stream
+    * door is pinned against cannot silently drift from the probe's.
+    */
+  private[graft] def enc3Pages(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m6 = col("doc_id") % 6
+    val full = concat(lit("<html><head>"),
+      when(m6 === 2, lit("<meta charset=\"GBK\">")).otherwise(lit("")),
+      lit("</head><body>"),
+      when(m6 === 3, lit(planted2)).otherwise(lit("")),
+      regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
+    // unsupported-label pages carry genuinely non-UTF-8 bytes after the
+    // markup — if the pipeline ever DECODED them (instead of dropping on
+    // the label), the mojibake would shift n_chars/fp
+    val sjisBytes = lit(Array[Byte](0x83.toByte, 0x58.toByte, 0x8e.toByte,
+      0xa5.toByte, 0xb0.toByte))
+    df.select(col("doc_id"),
+      when(m6 === 0, lit("text/html; charset=utf-8"))
+        .when(m6 === 1, lit("text/html; charset=Shift_JIS"))
+        .when(m6 === 3, lit("text/html; charset=windows-1252"))
+        .when(m6 === 4, lit("text/html; charset=EUC-KR"))
+        .otherwise(lit("text/html")).as("content_type"),
+      when(m6 === 3, encode(CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
+        .when(m6.isin(1, 4), concat(encode(full, "UTF-8"), sjisBytes))
+        .otherwise(encode(full, "UTF-8")).as("bin"))
+  }
+
   private val enc3 = Probe(
     "x_enc3_charset_honesty",
     s"""WITH d AS (
@@ -106,28 +135,7 @@ object PipelineOps16 {
        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val staged = graft.util.TrainOnce(s"charset_honesty:$dir") {
       val p = graft.util.TempDirs.scratch("graft_charset3")
-      val m6 = col("doc_id") % 6
-      val full = concat(lit("<html><head>"),
-        when(m6 === 2, lit("<meta charset=\"GBK\">")).otherwise(lit("")),
-        lit("</head><body>"),
-        when(m6 === 3, lit(planted2)).otherwise(lit("")),
-        regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
-      // unsupported-label pages carry genuinely non-UTF-8 bytes after
-      // the markup — if the pipeline ever DECODED them (instead of
-      // dropping on the label), the mojibake would shift n_chars/fp
-      val sjisBytes = lit(Array[Byte](0x83.toByte, 0x58.toByte, 0x8e.toByte,
-        0xa5.toByte, 0xb0.toByte))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          when(m6 === 0, lit("text/html; charset=utf-8"))
-            .when(m6 === 1, lit("text/html; charset=Shift_JIS"))
-            .when(m6 === 3, lit("text/html; charset=windows-1252"))
-            .when(m6 === 4, lit("text/html; charset=EUC-KR"))
-            .otherwise(lit("text/html")).as("content_type"),
-          when(m6 === 3, encode(CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
-            .when(m6.isin(1, 4), concat(encode(full, "UTF-8"), sjisBytes))
-            .otherwise(encode(full, "UTF-8")).as("bin"))
-        .write.mode("overwrite").parquet(p)
+      enc3Pages(Tables(s, dir, "documents")).write.mode("overwrite").parquet(p)
       p
     }
     s.read.parquet(staged)

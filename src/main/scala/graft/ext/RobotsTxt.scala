@@ -120,7 +120,7 @@ object RobotsTxt {
     * UA-selected groups (kind \u2208 allow | disallow | delay) \u2014 the shared
     * front half of [[parseRobots]] and [[crawlDelays]].
     */
-  private def selectedLines(robots: DataFrame, agent: String): DataFrame = {
+  private[ext] def selectedLines(robots: DataFrame, agent: String): DataFrame = {
     val w = Window.partitionBy("host").orderBy("i")
     val lines = robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
@@ -163,7 +163,16 @@ object RobotsTxt {
   }
 
   def parseRobots(robots: DataFrame, agent: String = DefaultAgent): DataFrame =
-    selectedLines(robots, agent)
+    rulesFromLines(selectedLines(robots, agent))
+
+  /** The rules half over an already-materialized [[selectedLines]]
+    * frame — callers that need BOTH rules and delays (the composed
+    * frontier plan) stage the selected lines once and derive the two
+    * tables from the staged frame instead of running the parse chain
+    * twice.
+    */
+  private[ext] def rulesFromLines(sel: DataFrame): DataFrame =
+    sel
       .filter(col("kind").isin("allow", "disallow"))
       .withColumn("pattern", pctDecodeUnreserved(col("value")))
       .filter(col("pattern") =!= "")
@@ -179,7 +188,13 @@ object RobotsTxt {
     * its own default).
     */
   def crawlDelays(robots: DataFrame, agent: String = DefaultAgent): DataFrame =
-    selectedLines(robots, agent)
+    delaysFromLines(selectedLines(robots, agent))
+
+  /** The delays half over an already-materialized [[selectedLines]]
+    * frame (see [[rulesFromLines]]).
+    */
+  private[ext] def delaysFromLines(sel: DataFrame): DataFrame =
+    sel
       .filter(col("kind") === "delay" &&
         col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .select(col("host"),
@@ -264,6 +279,28 @@ object RobotsTxt {
     * silently regex them: RLIKE on NULL yields no hit and the allow
     * carve-out pins in RobotsTxtSpec/x_url6 break.
     */
+  /** The `__rx` column of the routed match: the translated regex for
+    * patterns containing `*`, NULL otherwise — shared by the batch and
+    * streaming gates so the routing cannot drift between them.
+    */
+  private[graft] def routedRx(p: Column): Column =
+    when(p.contains("*"), patternRegex(p))
+
+  /** Rule-shape-routed hit: wildcard-free patterns take startsWith
+    * (or equality when `$`-anchored); only `*` patterns fall through to
+    * `rlikeHit`, the caller's RLIKE over its [[routedRx]] column (NULL
+    * for non-wild rules, so a routing slip yields no hit and the
+    * carve-out pins break instead of silently regexing).
+    */
+  private[graft] def routedHit(pathd: Column, p: Column, rlikeHit: Column): Column = {
+    val isWild = p.contains("*")
+    val anchored = p.substr(length(p), lit(1)) === "$"
+    p.isNotNull && (
+      when(!isWild && !anchored, pathd.startsWith(p))
+        .when(!isWild && anchored, pathd === p.substr(lit(1), length(p) - 1))
+        .otherwise(rlikeHit))
+  }
+
   def robotsGateWild(urls: DataFrame, rules: DataFrame): DataFrame = {
     val u = urls
       .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
@@ -272,15 +309,10 @@ object RobotsTxt {
       .withColumn("pathd", pctDecodeUnreserved(col("path")))
     val wBest = Window.partitionBy(col("doc_id")).orderBy(
       col("__hit").desc, length(col("pattern")).desc, col("allow").desc, col("pattern").asc)
-    val p = col("pattern")
-    val isWild = p.contains("*")
-    val anchored = p.substr(length(p), lit(1)) === "$"
     u.join(rules, Seq("host"), "left")
-      .withColumn("__rx", when(isWild, patternRegex(p)))
-      .withColumn("__hit", p.isNotNull && (
-        when(!isWild && !anchored, col("pathd").startsWith(p))
-          .when(!isWild && anchored, col("pathd") === p.substr(lit(1), length(p) - 1))
-          .otherwise(expr("pathd RLIKE __rx"))))
+      .withColumn("__rx", routedRx(col("pattern")))
+      .withColumn("__hit",
+        routedHit(col("pathd"), col("pattern"), expr("pathd RLIKE __rx")))
       .withColumn("__rn", row_number().over(wBest))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("host"), col("path"),

@@ -16,9 +16,12 @@ case class HttpEncodedBody(url: String, body: Array[Byte], te: String, ce: Strin
 
 /** [[HttpEncodedBody]] after transfer-decode + content-decode: the
   * bytes the page's charset tier may see. `te`/`ce` echo the codings
-  * that were CONSUMED (observability — a funnel report groups on them).
+  * that were CONSUMED (observability — a funnel report groups on them);
+  * `error` is null for a clean decode, else the failure message of a
+  * salvaged record (body empty) — the detect-and-drop-loudly column.
   */
-case class HttpDecodedBody(url: String, body: Array[Byte], te: String, ce: String)
+case class HttpDecodedBody(url: String, body: Array[Byte], te: String, ce: String,
+  error: String)
 
 /** WARC scan over the splittable [[WarcInputFormat]]: the CommonCrawl
   * container parsed to (offset, warc_type, url, content_length,
@@ -163,13 +166,16 @@ object Warc {
 
   /** One complete record as bytes — the single rendering both sinks
     * share: WARC/1.0 magic, WARC-Type, WARC-Record-ID (a DETERMINISTIC
-    * urn:uuid derived from md5(url, payload) — spec-mandatory, and
-    * derivation beats randomness because a retried task must rewrite
-    * identical bytes), WARC-Date, WARC-Target-URI, exact byte
-    * Content-Length, CRLFCRLF, payload, CRLFCRLF.
+    * urn:uuid derived from md5(url, payload, type, date, position) —
+    * spec-mandatory and spec-UNIQUE: the position salt separates
+    * duplicate (url, payload) rows within one archive and a response
+    * record from its WET conversion twin, while derivation beats
+    * randomness because a retried task must rewrite identical bytes),
+    * WARC-Date, WARC-Target-URI, exact byte Content-Length, CRLFCRLF,
+    * payload, CRLFCRLF.
     */
   private def renderRecordBytes(url: String, payload: Array[Byte],
-      warcType: String, warcDate: String): Array[Byte] = {
+      warcType: String, warcDate: String, position: String): Array[Byte] = {
     // a CR/LF in the URL would inject header lines into the record (and
     // a tab would corrupt the CDX line format); a real URL carries them
     // percent-encoded, so reject the raw form loudly
@@ -179,6 +185,9 @@ object Warc {
     md.update(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(0.toByte)
     md.update(payload)
+    md.update(0.toByte)
+    md.update(s"$warcType|$warcDate|$position"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val h = md.digest().map("%02x".format(_)).mkString
     val rid = s"urn:uuid:${h.substring(0, 8)}-${h.substring(8, 12)}-" +
       s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
@@ -229,9 +238,14 @@ object Warc {
           // finally deletes it, so directory listings only ever see
           // complete part-*.warc files plus in-flight attempts
           try {
-            try it.foreach { r =>
-              out.write(renderRecordBytes(r.getString(0),
-                r.getAs[Array[Byte]](1), warcType, DefaultWarcDate))
+            try {
+              var ordinal = 0L
+              it.foreach { r =>
+                out.write(renderRecordBytes(r.getString(0),
+                  r.getAs[Array[Byte]](1), warcType, DefaultWarcDate,
+                  s"$pid:$ordinal"))
+                ordinal += 1
+              }
             } finally out.close()
             if (!pfs.exists(part)) pfs.rename(tmp, part): Unit
             // the rename's outcome is CHECKED: a false return for a
@@ -247,18 +261,23 @@ object Warc {
   }
 
   /** The SHIPPED CommonCrawl form: one gzip MEMBER per record,
-    * concatenated into `part-NNNNN.warc.gz` per partition, plus the CDX
-    * index the writer emits AS IT STREAMS — `cdx-NNNNN.txt` sidecars of
-    * tab-separated (url, path, offset, length) rows addressing each
-    * member, exactly what [[readRecordsAt]] consumes (length > 0 = the
-    * compressed member). The writer knows every member's address the
-    * moment it flushes it, so the index costs nothing extra — no
-    * post-hoc archive scan, no global window.
+    * concatenated into `seg-NNNNN/part-NNNNN.warc.gz` per partition,
+    * plus the CDX index the writer emits AS IT STREAMS —
+    * `seg-NNNNN/cdx-NNNNN.txt` sidecars of tab-separated (url, path,
+    * offset, length) rows addressing each member, exactly what
+    * [[readRecordsAt]] consumes (length > 0 = the compressed member).
+    * The writer knows every member's address the moment it flushes it,
+    * so the index costs nothing extra — no post-hoc archive scan, no
+    * global window.
     *
-    * Commit discipline = [[writeRecords]]: both files stream to attempt
-    * names and rename in; member compression is deterministic (JDK gzip,
-    * MTIME=0) and [[DefaultWarcDate]] is fixed, so a retried task's
-    * bytes — and therefore its CDX offsets — are identical.
+    * Commit discipline: the archive and its index are ONE commit unit —
+    * both stream into the same attempt DIRECTORY, which renames to the
+    * final `seg-NNNNN` name in a single atomic rename. A per-file
+    * rename pair (the plain sink's idiom) would admit a part file from
+    * one attempt and a CDX from another; if the two attempts consumed
+    * a shuffled partition in different fetch orders, the committed CDX
+    * would index the wrong members. The directory commit makes that
+    * impossible regardless of input ordering or speculation.
     */
   def writeRecordsGz(records: DataFrame, dir: String,
       warcType: String = "response"): Unit = {
@@ -274,60 +293,67 @@ object Warc {
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val part = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
-          val cdx = new org.apache.hadoop.fs.Path(dir, f"cdx-$pid%05d.txt")
-          val att = tc.taskAttemptId()
-          val tmpPart = new org.apache.hadoop.fs.Path(dir,
-            f".part-$pid%05d.warc.gz.attempt-$att")
-          val tmpCdx = new org.apache.hadoop.fs.Path(dir,
-            f".cdx-$pid%05d.txt.attempt-$att")
-          val pfs = part.getFileSystem(confSer.value.value)
+          val seg = new org.apache.hadoop.fs.Path(dir, f"seg-$pid%05d")
+          val attemptDir = new org.apache.hadoop.fs.Path(dir,
+            f".seg-$pid%05d.attempt-${tc.taskAttemptId()}")
+          val part = new org.apache.hadoop.fs.Path(seg, f"part-$pid%05d.warc.gz")
+          val tmpPart = new org.apache.hadoop.fs.Path(attemptDir, f"part-$pid%05d.warc.gz")
+          val tmpCdx = new org.apache.hadoop.fs.Path(attemptDir, f"cdx-$pid%05d.txt")
+          val pfs = seg.getFileSystem(confSer.value.value)
           val out = pfs.create(tmpPart, true)
           val idx = pfs.create(tmpCdx, true)
           try {
             try {
               var offset = 0L
+              var ordinal = 0L
               it.foreach { r =>
                 val url = r.getString(0)
                 val rec = renderRecordBytes(url, r.getAs[Array[Byte]](1),
-                  warcType, DefaultWarcDate)
+                  warcType, DefaultWarcDate, s"$pid:$ordinal")
                 val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
                 val gz = new java.util.zip.GZIPOutputStream(bos)
                 gz.write(rec); gz.close()
                 val member = bos.toByteArray
-                // the CDX row addresses the member ABOUT to be written —
-                // tabs cannot appear in a canonical URL, so the line
-                // format is unambiguous
+                // the CDX row addresses the member ABOUT to be written,
+                // at the FINAL (post-rename) path — tabs cannot appear
+                // in a canonical URL, so the line format is unambiguous
                 idx.write((s"$url\t$part\t$offset\t${member.length}\n")
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8))
                 out.write(member)
                 offset += member.length
+                ordinal += 1
               }
             } finally { try out.close() finally idx.close() }
-            if (!pfs.exists(part)) pfs.rename(tmpPart, part): Unit
-            require(pfs.exists(part),
-              s"WARC gz sink commit failed: $tmpPart did not become $part")
-            if (!pfs.exists(cdx)) pfs.rename(tmpCdx, cdx): Unit
-            require(pfs.exists(cdx),
-              s"CDX sidecar commit failed: $tmpCdx did not become $cdx")
-          } finally {
-            if (pfs.exists(tmpPart)) pfs.delete(tmpPart, false): Unit
-            if (pfs.exists(tmpCdx)) pfs.delete(tmpCdx, false): Unit
-          }
+            if (!pfs.exists(seg)) pfs.rename(attemptDir, seg): Unit
+            require(pfs.exists(seg) &&
+              pfs.exists(new org.apache.hadoop.fs.Path(seg, part.getName)) &&
+              pfs.exists(new org.apache.hadoop.fs.Path(seg, tmpCdx.getName)),
+              s"WARC gz sink commit failed: $attemptDir did not become a complete $seg")
+          } finally if (pfs.exists(attemptDir)) pfs.delete(attemptDir, true): Unit
         }
       }
   }
 
   /** The CDX index a [[writeRecordsGz]] run emitted: (url, path,
     * offset, length) rows ready for [[readRecordsAt]] /
-    * [[readRecordsAtBinary]] point fetches.
+    * [[readRecordsAtBinary]] point fetches. An archive with no
+    * committed segments (an empty increment) reads as ZERO rows, not an
+    * error — a legitimate empty shard must not crash the pipeline.
     */
-  def readCdx(spark: SparkSession, dir: String): DataFrame =
-    spark.read.text(s"$dir/cdx-*.txt")
+  def readCdx(spark: SparkSession, dir: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "seg-*/cdx-*.txt"))
+    if (any == null || any.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("url", StringType), StructField("path", StringType),
+        StructField("offset", LongType), StructField("length", LongType))))
+    else spark.read.text(s"$dir/seg-*/cdx-*.txt")
       .select(split(col("value"), "\t").as("f"))
       .select(col("f").getItem(0).as("url"), col("f").getItem(1).as("path"),
         col("f").getItem(2).cast("long").as("offset"),
         col("f").getItem(3).cast("long").as("length"))
+  }
 
   // --------------------------------------- record-addressed access (CDX)
 
@@ -591,13 +617,15 @@ object Warc {
       val line = new String(body, i, e - i, java.nio.charset.StandardCharsets.US_ASCII)
       val semi = line.indexOf(';')
       val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
-      // ≤ 7 hex digits (≤ 256 MiB): an 8-digit size would overflow the
-      // int parse, and a single chunk bigger than the record buffer cap
-      // is framing garbage anyway — reject it as such, loudly
-      require(hex.nonEmpty && hex.length <= 7 &&
+      // leading zeros are legal (RFC 9112 chunk-size = 1*HEXDIG, fixed-
+      // width writers zero-pad), so normalize BEFORE the width check;
+      // ≤ 7 significant digits (≤ 256 MiB): more would overflow the int
+      // parse, and a single chunk that size is framing garbage anyway
+      val sig = { val d = hex.dropWhile(_ == '0'); if (d.isEmpty && hex.nonEmpty) "0" else d }
+      require(hex.nonEmpty && sig.length <= 7 &&
         hex.forall(c => Character.digit(c, 16) >= 0),
         s"chunked body: bad chunk-size line '$line'")
-      val size = java.lang.Integer.parseInt(hex, 16)
+      val size = java.lang.Integer.parseInt(sig, 16)
       i = e + 2
       if (size == 0) {
         // trailer section: skip fields through the terminating empty line
@@ -607,6 +635,11 @@ object Warc {
           blank = t == i
           i = t + 2
         }
+        // bytes after the terminator are framing damage (a concatenated
+        // second message, corruption) — the fail-loudly contract covers
+        // the tail too, not just the chunks
+        require(i == body.length,
+          s"chunked body: ${body.length - i} bytes after the terminating chunk")
         done = true
       } else {
         require(i + size + 2 <= body.length,
@@ -678,11 +711,28 @@ object Warc {
     * `mapPartitions` case, the RIFF-walker discipline of
     * [[graft.ext.Multimodal.decodeWavStats]]) — narrow, zero exchanges,
     * O(one body) memory; identity rows pass through untouched.
+    *
+    * A real crawl-scale archive routinely carries a few truncated gzip
+    * bodies or broken chunk framing; by default (`lenient = true`) such
+    * a record SALVAGES — empty body, the failure message in `error` —
+    * instead of failing the task deterministically on every retry and
+    * killing a multi-hour job on one bad record (the same
+    * detect-and-drop-loudly posture as the charset gate and the WARC
+    * reader's stream salvage). `lenient = false` keeps the strict
+    * fail-the-job contract for fixture-grade inputs.
     */
-  def decodeHttpBodies(ds: Dataset[HttpEncodedBody]): Dataset[HttpDecodedBody] = {
+  def decodeHttpBodies(ds: Dataset[HttpEncodedBody],
+      lenient: Boolean = true): Dataset[HttpDecodedBody] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(r =>
-      HttpDecodedBody(r.url, decodeHttpBodyBytes(r.body, r.te, r.ce), r.te, r.ce)))
+    ds.mapPartitions(_.map { r =>
+      try HttpDecodedBody(r.url, decodeHttpBodyBytes(r.body, r.te, r.ce),
+        r.te, r.ce, null)
+      catch {
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) if lenient =>
+          HttpDecodedBody(r.url, Array.emptyByteArray, r.te, r.ce,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    })
   }
 
   /** Fixture ENCODER (never a decode path): one body wire-coded for

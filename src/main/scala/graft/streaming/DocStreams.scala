@@ -308,17 +308,13 @@ object DocStreams {
       .withColumn("__host", regexp_extract(col("__canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
       .withColumn("__path", regexp_replace(col("__canon"), "^[a-z0-9+.-]+://[^/?#]*", ""))
       .withColumn("__pathd", graft.ext.RobotsTxt.pctDecodeUnreserved(col("__path")))
-    // rule-shape routing matches the batch gate (round 12): wildcard-free
-    // patterns never touch RLIKE; __rx is NULL for them
-    val p = col("pattern")
-    val isWild = p.contains("*")
-    val anchored = p.substr(length(p), lit(1)) === "$"
+    // rule-shape routing is SHARED with the batch gate (RobotsTxt.routedRx/
+    // routedHit): wildcard-free patterns never touch RLIKE; __rx is NULL
+    // for them, so batch and streaming verdicts cannot drift
     u.join(rules.withColumnRenamed("host", "__host"), Seq("__host"), "left")
-      .withColumn("__rx", when(isWild, graft.ext.RobotsTxt.patternRegex(p)))
-      .withColumn("__hit", p.isNotNull && (
-        when(!isWild && !anchored, col("__pathd").startsWith(p))
-          .when(!isWild && anchored, col("__pathd") === p.substr(lit(1), length(p) - 1))
-          .otherwise(expr("__pathd RLIKE __rx"))))
+      .withColumn("__rx", graft.ext.RobotsTxt.routedRx(col("pattern")))
+      .withColumn("__hit", graft.ext.RobotsTxt.routedHit(
+        col("__pathd"), col("pattern"), expr("__pathd RLIKE __rx")))
       .groupBy("doc_id")
       .agg(expr(
         """max_by(CASE WHEN __hit THEN allow ELSE NULL END,

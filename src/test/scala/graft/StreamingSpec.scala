@@ -259,30 +259,12 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming charset gate == batch == the x_enc3 statuses") {
     import graft.streaming.DocStreams
-    // the x_enc3 fixture construction, computed IN the stream projection
-    // (encode/concat are stateless): six declaration shapes, genuinely
-    // non-UTF-8 bytes planted on the unsupported-label pages
-    def pages(df: org.apache.spark.sql.DataFrame) = {
-      val m6 = col("doc_id") % 6
-      val full = concat(lit("<html><head>"),
-        when(m6 === 2, lit("<meta charset=\"GBK\">")).otherwise(lit("")),
-        lit("</head><body>"),
-        when(m6 === 3, lit(graft.ext.PipelineOps16.planted2)).otherwise(lit("")),
-        regexp_replace(col("text"), "[^ -~]", ""), lit("</body></html>"))
-      val sjisBytes = lit(Array[Byte](0x83.toByte, 0x58.toByte, 0x8e.toByte,
-        0xa5.toByte, 0xb0.toByte))
-      df.select(col("doc_id"),
-        when(m6 === 0, lit("text/html; charset=utf-8"))
-          .when(m6 === 1, lit("text/html; charset=Shift_JIS"))
-          .when(m6 === 3, lit("text/html; charset=windows-1252"))
-          .when(m6 === 4, lit("text/html; charset=EUC-KR"))
-          .otherwise(lit("text/html")).as("content_type"),
-        when(m6 === 3, encode(graft.clean.CharsetFns.cp1252Unfix(full), "ISO-8859-1"))
-          .when(m6.isin(1, 4), concat(encode(full, "UTF-8"), sjisBytes))
-          .otherwise(encode(full, "UTF-8")).as("bin"))
-    }
+    // the x_enc3 fixture construction is the probe's own shared builder
+    // (enc3Pages), computed IN the stream projection — encode/concat are
+    // stateless, and sharing one definition means the bytes the stream
+    // door is pinned against cannot drift from the probe's
     def gated(df: org.apache.spark.sql.DataFrame) =
-      DocStreams.charsetGated(pages(df))
+      DocStreams.charsetGated(graft.ext.PipelineOps16.enc3Pages(df))
         .select(col("doc_id"), col("charset_status"), col("charset_kept"))
     val q = gated(DocStreams.readStream(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("cg_out").start()

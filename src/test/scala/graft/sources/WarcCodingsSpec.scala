@@ -45,6 +45,37 @@ class WarcCodingsSpec extends graft.SparkSuite {
     assert(Warc.dechunk(body).length == 10)
   }
 
+  test("zero-padded chunk sizes are legal (fixed-width writers)") {
+    val body = ascii("00000005\r\nhello\r\n0\r\n\r\n")
+    assert(new String(Warc.dechunk(body), StandardCharsets.US_ASCII) == "hello")
+  }
+
+  test("bytes after the terminating chunk are framing damage, loud") {
+    intercept[IllegalArgumentException](
+      Warc.dechunk(ascii("5\r\nhello\r\n0\r\n\r\nGARBAGE!")))
+  }
+
+  test("lenient decodeHttpBodies salvages a corrupt record, strict fails") {
+    import spark.implicits._
+    val good = Warc.encodeBodyForFixture(ascii("a good body " * 10), 1)
+    val rows = Seq(
+      graft.sources.HttpEncodedBody("http://ok", good._1, null, "gzip"),
+      graft.sources.HttpEncodedBody("http://bad", ascii("not gzip at all"), null, "gzip"))
+    val out = Warc.decodeHttpBodies(rows.toDS()).collect().sortBy(_.url)
+    assert(out.length == 2)
+    val bad = out.find(_.url == "http://bad").get
+    val ok = out.find(_.url == "http://ok").get
+    assert(bad.error != null && bad.body.isEmpty, bad.error)
+    assert(ok.error == null && ok.body.nonEmpty)
+    intercept[org.apache.spark.SparkException](
+      Warc.decodeHttpBodies(rows.toDS(), lenient = false).collect())
+  }
+
+  test("readCdx on an archive with no committed segments reads zero rows") {
+    val dir = graft.util.TempDirs.scratch("warc_cdx_empty")
+    assert(Warc.readCdx(spark, dir).count() == 0L)
+  }
+
   // ------------------------------------------------------------ inflate
 
   test("inflateBody: gzip and x-gzip round-trip") {
@@ -102,7 +133,7 @@ class WarcCodingsSpec extends graft.SparkSuite {
         .getBytes(StandardCharsets.UTF_8)))
     val dir = graft.util.TempDirs.scratch("warc_gz_sink") + "/a"
     Warc.writeRecordsGz(rows.toDF("url", "payload"), dir)
-    val seq = Warc.readRecords(spark, s"$dir/part-*.warc.gz")
+    val seq = Warc.readRecords(spark, s"$dir/seg-*/part-*.warc.gz")
       .select("url", "content_length", "payload")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
     val viaCdx = Warc.readRecordsAt(Warc.readCdx(spark, dir)
