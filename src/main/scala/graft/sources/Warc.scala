@@ -164,6 +164,20 @@ object Warc {
     */
   val DefaultWarcDate = "2026-01-01T00:00:00Z"
 
+  /** A raw CR/LF in a URL would inject header lines into a WARC record
+    * (and a tab would corrupt the CDX line format). Real link extraction
+    * DOES produce such URLs occasionally, and failing on them would kill
+    * the whole archive write deterministically on one bad record — so
+    * the sinks SANITIZE: percent-encode the three offenders (the
+    * encoding a conformant URL carries anyway), keeping the record and
+    * the job. Idempotent on already-encoded URLs. The CDX row and the
+    * record header always carry the SAME sanitized form.
+    */
+  private[sources] def sanitizeUri(u: String): String =
+    if (u.exists(c => c == '\r' || c == '\n' || c == '\t'))
+      u.replace("\r", "%0D").replace("\n", "%0A").replace("\t", "%09")
+    else u
+
   /** One complete record as bytes — the single rendering both sinks
     * share: WARC/1.0 magic, WARC-Type, WARC-Record-ID (a DETERMINISTIC
     * urn:uuid derived from md5(url, payload, type, date, position) —
@@ -174,13 +188,9 @@ object Warc {
     * WARC-Date, WARC-Target-URI, exact byte Content-Length, CRLFCRLF,
     * payload, CRLFCRLF.
     */
-  private def renderRecordBytes(url: String, payload: Array[Byte],
+  private def renderRecordBytes(rawUrl: String, payload: Array[Byte],
       warcType: String, warcDate: String, position: String): Array[Byte] = {
-    // a CR/LF in the URL would inject header lines into the record (and
-    // a tab would corrupt the CDX line format); a real URL carries them
-    // percent-encoded, so reject the raw form loudly
-    require(!url.exists(c => c == '\r' || c == '\n' || c == '\t'),
-      s"WARC-Target-URI contains CR/LF/TAB (must be percent-encoded): $url")
+    val url = sanitizeUri(rawUrl)
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(0.toByte)
@@ -307,7 +317,7 @@ object Warc {
               var offset = 0L
               var ordinal = 0L
               it.foreach { r =>
-                val url = r.getString(0)
+                val url = sanitizeUri(r.getString(0))
                 val rec = renderRecordBytes(url, r.getAs[Array[Byte]](1),
                   warcType, DefaultWarcDate, s"$pid:$ordinal")
                 val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
@@ -325,6 +335,19 @@ object Warc {
               }
             } finally { try out.close() finally idx.close() }
             if (!pfs.exists(seg)) pfs.rename(attemptDir, seg): Unit
+            // exists-then-rename races: if a concurrent attempt committed
+            // seg between our check and our rename, Hadoop rename
+            // semantics moved OUR attempt dir INTO the winner's segment
+            // (dst an existing directory → src nests inside). The
+            // dot-prefixed name keeps such junk invisible to the shallow
+            // seg-*/part-* globs and to FileInputFormat's hidden-file
+            // filter, and any attempt (including a later retry) deletes
+            // whatever attempt dirs it finds nested in the committed
+            // segment — losers clean up after themselves AND after a
+            // crashed twin.
+            val nested = pfs.globStatus(
+              new org.apache.hadoop.fs.Path(seg, ".seg-*.attempt-*"))
+            if (nested != null) nested.foreach(st => pfs.delete(st.getPath, true): Unit)
             require(pfs.exists(seg) &&
               pfs.exists(new org.apache.hadoop.fs.Path(seg, part.getName)) &&
               pfs.exists(new org.apache.hadoop.fs.Path(seg, tmpCdx.getName)),
@@ -659,7 +682,15 @@ object Warc {
     * under the same label often enough that every browser sniffs — the
     * standard two-byte test: a zlib stream starts with CMF whose low
     * nibble is 8 (deflate) and (CMF<<8|FLG) divisible by 31.
+    *
+    * Decompressed size is CAPPED ([[MaxDecodedBodyBytes]]): an untrusted
+    * crawl body can be a decompression bomb (a few MB inflating to many
+    * GB), and an uncapped read dies as OutOfMemoryError — an Error the
+    * lenient salvage cannot catch, killing the job on one record. The
+    * cap throws IOException, which salvages.
     */
+  val MaxDecodedBodyBytes: Int = 256 << 20
+
   private[sources] def inflateBody(body: Array[Byte], coding: String): Array[Byte] = {
     val in: java.io.InputStream = coding match {
       case "gzip" | "x-gzip" =>
@@ -673,10 +704,18 @@ object Warc {
         s"unsupported Content-Encoding: $other")
     }
     try {
-      val out = new java.io.ByteArrayOutputStream(body.length * 4 + 64)
+      // initial hint bounded (body.length * 4 overflows Int past 512 MB)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(body.length.toLong * 4 + 64, 1L << 20).toInt)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) {
+        if (out.size().toLong + n > MaxDecodedBodyBytes)
+          throw new java.io.IOException(
+            s"decompressed body exceeds $MaxDecodedBodyBytes bytes (bomb?)")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
       out.toByteArray
     } finally in.close()
   }
