@@ -23,6 +23,18 @@ case class HttpEncodedBody(url: String, body: Array[Byte], te: String, ce: Strin
 case class HttpDecodedBody(url: String, body: Array[Byte], te: String, ce: String,
   error: String)
 
+/** The full door row: [[HttpEncodedBody]] plus the Content-Type header,
+  * which must SURVIVE the coding decode — the charset tier downstream
+  * resolves on it (`charset=` parameter before the meta sniff), and
+  * composing the two tiers (x_warc8) is what surfaced that the
+  * body-only row dropped it.
+  */
+case class HttpEncodedPage(url: String, body: Array[Byte], te: String, ce: String,
+  ct: String)
+
+/** [[HttpEncodedPage]] after transfer-decode + content-decode. */
+case class HttpDecodedPage(url: String, body: Array[Byte], ct: String, error: String)
+
 /** WARC scan over the splittable [[WarcInputFormat]]: the CommonCrawl
   * container parsed to (offset, warc_type, url, content_length,
   * payload) — the tier in FRONT of HTML extraction (`Corpus.fromHtml`),
@@ -774,6 +786,24 @@ object Warc {
     })
   }
 
+  /** [[decodeHttpBodies]] carrying the Content-Type through — the form
+    * the composed front door uses, because the charset tier resolves on
+    * the HTTP header BEFORE the meta sniff and the header must survive
+    * the coding decode. Same lenient salvage contract.
+    */
+  def decodeHttpPages(ds: Dataset[HttpEncodedPage],
+      lenient: Boolean = true): Dataset[HttpDecodedPage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      try HttpDecodedPage(r.url, decodeHttpBodyBytes(r.body, r.te, r.ce), r.ct, null)
+      catch {
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) if lenient =>
+          HttpDecodedPage(r.url, Array.emptyByteArray, r.ct,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    })
+  }
+
   /** Fixture ENCODER (never a decode path): one body wire-coded for
     * mode ∈ 0..4 — identity / gzip / deflate(zlib) / chunked /
     * chunked(gzip). Chunking varies chunk sizes, carries a chunk
@@ -1300,5 +1330,96 @@ object Warc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5, warc6, warc7)
+  /** X-WARC8 — the FULLY composed front door: wire codings × charset ×
+    * extraction in one pass. Bodies are genuinely cp1252 (odd docs,
+    * declared by Content-Type) or UTF-8 (even docs — by header, by
+    * `<meta>` only, or undeclared), then wire-coded per doc (identity /
+    * gzip / deflate / chunked / chunked-over-gzip), so the pipeline
+    * must transfer-decode and decompress FIRST and only then resolve
+    * the charset — the meta sniff is meaningless over gzip bytes, and
+    * the Content-Type header must SURVIVE the coding tier
+    * ([[decodeHttpPages]] — composing the tiers is what surfaced that
+    * the body-only row dropped it). The oracle recomputes the expected
+    * text from the documents table alone: any interaction slip between
+    * the round-12 coding tier and the round-11 charset tier breaks the
+    * hash.
+    */
+  private val warc8 = Probe(
+    "x_warc8_coded_charset_door",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+       |    '<html><head>' ||
+       |      CASE WHEN doc_id % 4 = 2 THEN '<meta charset="utf-8">' ELSE '' END ||
+       |      '</head><body><p>' ||
+       |      ${graft.clean.EncodingFns.sqlLit(graft.ext.PipelineOps16.planted2)} ||
+       |      regexp_replace(text, '[^ -~]', '', 'g') || '</p></body></html>' AS body
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, charset,
+       |    ${graft.clean.HtmlFns.htmlToTextDuck("body")} AS text
+       |  FROM d)
+       |SELECT doc_id, charset,
+       |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_fp
+       |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val out = graft.util.TrainOnce(s"warc_coded_cs:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_warc_ccs")
+      val bodyStr = concat(lit("<html><head>"),
+        when(col("doc_id") % 4 === 2, lit("<meta charset=\"utf-8\">")).otherwise(lit("")),
+        lit("</head><body><p>"), lit(graft.ext.PipelineOps16.planted2),
+        regexp_replace(col("text"), "[^ -~]", ""), lit("</p></body></html>"))
+      val bodyBytes = when(col("doc_id") % 2 === 1,
+        encode(graft.clean.CharsetFns.cp1252Unfix(bodyStr), "ISO-8859-1"))
+        .otherwise(encode(bodyStr, "UTF-8"))
+      val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
+        .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
+        .otherwise(lit("text/html"))
+      val payloads = Tables(s, dir, "documents")
+        .select(
+          concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
+          bodyBytes.as("body"), ct.as("ct"),
+          (col("doc_id") % 5).cast("int").as("mode"))
+        .as[(String, Array[Byte], String, Int)]
+        .mapPartitions(_.map { case (url, body, ct, mode) =>
+          val (enc, te, ce) = encodeBodyForFixture(body, mode)
+          val head = new StringBuilder(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n")
+          if (te != null) head.append(s"Transfer-Encoding: $te\r\n")
+          if (ce != null) head.append(s"Content-Encoding: $ce\r\n")
+          if (te == null) head.append(s"Content-Length: ${enc.length}\r\n")
+          head.append("\r\n")
+          (url, head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ enc)
+        }).toDF("url", "payload")
+      writeRecords(payloads, s"$p/archive")
+      s"$p/archive"
+    }
+    val pstr = decode(col("payload"), "ISO-8859-1") // byte-identity view
+    // the decoded page keeps its Content-Type; charset resolves AFTER
+    // the coding decode (header param first, meta sniff on the DECODED
+    // bytes — a sniff over gzip bytes is meaningless — default last)
+    val pages = decodeHttpPages(
+      readRecordsBinary(s, out)
+        .filter(col("warc_type") === "response")
+        .select(col("url"),
+          encode(httpBody(pstr), "ISO-8859-1").as("body"),
+          httpTransferEncoding(pstr).as("te"),
+          httpContentEncoding(pstr).as("ce"),
+          regexp_extract(httpHead(pstr), "(?i)\r\ncontent-type:[ \t]*([^\r]+)", 1)
+            .as("ct"))
+        .as[HttpEncodedPage]).toDF()
+    val resolved = graft.clean.CharsetFns.resolveCharset(col("ct"), col("body"))
+    pages
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        resolved.as("charset"),
+        graft.clean.HtmlFns.htmlToText(
+          graft.clean.CharsetFns.decodeCharset(col("body"), resolved)).as("text"))
+      .select(col("doc_id"), col("charset"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(warc1, warc2, warc3, warc4, warc5, warc6, warc7, warc8)
 }
