@@ -43,6 +43,7 @@ object Registry {
     ext.Multimodal.all ++
     sources.Roundtrips.all ++
     sources.Warc.all ++
+    sources.DoorFunnel.all ++
     sources.Sitemap.all ++
     osm.OsmProbes.all
 }

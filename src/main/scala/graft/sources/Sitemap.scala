@@ -129,5 +129,131 @@ object Sitemap {
       .orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(url7)
+  /** RECRAWL QUEUE — the freshness scheduler over discovered sitemap
+    * entries: each canonical page's declared `changefreq` maps to a
+    * recrawl interval, `lastmod` age against `asOf` decides DUE-ness,
+    * and due pages rank per host by an exact-integer overdue score
+    * weighted by the declared `priority` (sitemaps.org fields, public),
+    * capped at `cap` fetches per host per cycle. Ordering is
+    * row-intrinsic (score desc, canon asc), so the per-host rank uses
+    * the same salted two-level top-K as the fetch cap — exact, and a
+    * mega-host never becomes one task.
+    *
+    * Interval model (days): always/hourly 1, daily 1, weekly 7,
+    * monthly 30, yearly 365, never 3650, absent/unknown 30.
+    * Score = (age_days − interval_days) · priority‰ — integers end to
+    * end (priority parses as DECIMAL so 0.9 is exactly 900‰).
+    */
+  def recrawlQueue(entries: DataFrame, asOf: String, cap: Int = 8,
+      salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val interval = when(lower(col("changefreq")).isin("always", "hourly", "daily"), 1L)
+      .when(lower(col("changefreq")) === "weekly", 7L)
+      .when(lower(col("changefreq")) === "monthly", 30L)
+      .when(lower(col("changefreq")) === "yearly", 365L)
+      .when(lower(col("changefreq")) === "never", 3650L)
+      .otherwise(30L)
+    val prioM = (coalesce(nullif(col("priority"), lit("")), lit("0.5"))
+      .cast("decimal(4,2)") * 1000).cast("long")
+    val scored = entries
+      .select(graft.clean.UrlFns.canonicalUrl(col("loc")).as("canon"),
+        col("lastmod"), col("changefreq"), col("priority"))
+      .withColumn("host", regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
+      .withColumn("age_days",
+        datediff(lit(asOf).cast("date"), col("lastmod").cast("date")).cast("long"))
+      .withColumn("interval_days", interval)
+      .withColumn("score", (col("age_days") - col("interval_days")) * prioM)
+      .filter(col("age_days") >= col("interval_days"))
+    val ord = Seq(col("score").desc, col("canon").asc)
+    scored
+      .withColumn("__salt", pmod(hash(col("canon")), lit(salts)))
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("host"), col("__salt")).orderBy(ord: _*)))
+      .filter(col("__lr") <= cap)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("host")).orderBy(ord: _*)).cast("long"))
+      .filter(col("rank") <= cap)
+      .select(col("host"), col("canon"), col("age_days"), col("interval_days"),
+        col("score"), col("rank"))
+  }
+
+  /** X-URL9 — the recrawl scheduler composed with discovery: the
+    * sitemap fixture carries varied lastmod ages, changefreq classes,
+    * and priorities (some absent — the 0.5 default); the queue must
+    * select exactly the DUE pages and rank them by the priority-
+    * weighted overdue score, top-8 per host. The oracle recomputes
+    * interval mapping, date arithmetic, the exact-decimal priority
+    * parse, due-ness, and the rank with ONE flat window — hash-matching
+    * pins the salted two-level rewrite exact (the x_url4 discipline).
+    */
+  private val url9 = Probe(
+    "x_url9_recrawl_queue",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+       |      CAST(doc_id % 37 AS VARCHAR) AS loc,
+       |    '2026-' || lpad(CAST(1 + doc_id % 2 AS VARCHAR), 2, '0') || '-' ||
+       |      lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+       |    CASE doc_id % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+       |      WHEN 2 THEN 'monthly' WHEN 3 THEN 'yearly' ELSE '' END AS changefreq,
+       |    CASE doc_id % 3 WHEN 0 THEN '0.9' WHEN 1 THEN '0.2' ELSE '' END AS priority
+       |  FROM documents),
+       |c AS (
+       |  SELECT canon, lastmod, changefreq, priority FROM (
+       |    SELECT ${graft.clean.UrlFns.canonicalUrlDuck("loc")} AS canon,
+       |      lastmod, changefreq, priority,
+       |      row_number() OVER (PARTITION BY ${graft.clean.UrlFns.canonicalUrlDuck("loc")}
+       |        ORDER BY lastmod DESC, changefreq, priority) AS rn
+       |    FROM d) WHERE rn = 1),
+       |s AS (
+       |  SELECT canon,
+       |    regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |    CAST(date_diff('day', CAST(lastmod AS DATE), DATE '2026-03-01') AS BIGINT) AS age_days,
+       |    CAST(CASE WHEN lower(changefreq) IN ('always','hourly','daily') THEN 1
+       |         WHEN lower(changefreq) = 'weekly' THEN 7
+       |         WHEN lower(changefreq) = 'monthly' THEN 30
+       |         WHEN lower(changefreq) = 'yearly' THEN 365
+       |         WHEN lower(changefreq) = 'never' THEN 3650
+       |         ELSE 30 END AS BIGINT) AS interval_days,
+       |    CAST(CAST(COALESCE(NULLIF(priority, ''), '0.5') AS DECIMAL(4,2)) * 1000 AS BIGINT) AS prio_m
+       |  FROM c),
+       |due AS (
+       |  SELECT host, canon, age_days, interval_days,
+       |    (age_days - interval_days) * prio_m AS score
+       |  FROM s WHERE age_days >= interval_days),
+       |r AS (
+       |  SELECT host, canon, age_days, interval_days, score,
+       |    row_number() OVER (PARTITION BY host ORDER BY score DESC, canon ASC) AS rank
+       |  FROM due)
+       |SELECT host, canon, age_days, interval_days, CAST(score AS BIGINT) AS score,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 8 ORDER BY host, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    // the fixture's (loc → lastmod/changefreq/priority) map must be a
+    // FUNCTION of the canonical page for the queue to be well-defined;
+    // collapse duplicate locs exactly like the oracle (latest lastmod,
+    // deterministic tie-break)
+    import org.apache.spark.sql.expressions.Window
+    val entries = docs.select(
+      concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), (col("doc_id") % 37).cast("string")).as("loc"),
+      concat(lit("2026-"), lpad((col("doc_id") % 2 + 1).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")).as("lastmod"),
+      when(col("doc_id") % 5 === 0, lit("daily"))
+        .when(col("doc_id") % 5 === 1, lit("weekly"))
+        .when(col("doc_id") % 5 === 2, lit("monthly"))
+        .when(col("doc_id") % 5 === 3, lit("yearly"))
+        .otherwise(lit("")).as("changefreq"),
+      when(col("doc_id") % 3 === 0, lit("0.9"))
+        .when(col("doc_id") % 3 === 1, lit("0.2"))
+        .otherwise(lit("")).as("priority"))
+      .withColumn("__c", graft.clean.UrlFns.canonicalUrl(col("loc")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__c"))
+        .orderBy(col("lastmod").desc, col("changefreq").asc, col("priority").asc)))
+      .filter(col("__rn") === 1)
+      .select("loc", "lastmod", "changefreq", "priority")
+    recrawlQueue(entries, "2026-03-01").orderBy("host", "rank")
+  }
+
+  val all: Seq[Probe] = Seq(url7, url9)
 }

@@ -546,7 +546,7 @@ object Warc {
     * everything before the first CRLFCRLF, or the whole payload when no
     * separator exists (a header-only/malformed response has no body).
     */
-  private def httpHead(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[sources] def httpHead(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(locate(httpSep, payload) > 0,
       payload.substr(lit(1), locate(httpSep, payload) - 1))
       .otherwise(payload)
@@ -804,6 +804,36 @@ object Warc {
     })
   }
 
+  /** Column-PRESERVING coding decode over a DataFrame: replaces
+    * `bodyCol`'s bytes with the transfer+content-decoded bytes and
+    * appends a `<bodyCol>_error` string column (the lenient salvage
+    * contract), keeping every other column — the composable form for
+    * door pipelines that must carry status / content-type / host /
+    * anything else through the decode (the typed [[decodeHttpPages]]
+    * is the streaming form; this one uses `df.rdd` and is batch-only).
+    */
+  def decodeHttpBodyColumn(df: DataFrame, bodyCol: String = "body",
+      teCol: String = "te", ceCol: String = "ce",
+      lenient: Boolean = true): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(s"${bodyCol}_error", StringType, nullable = true))
+    val bi = df.schema.fieldIndex(bodyCol)
+    val ti = df.schema.fieldIndex(teCol)
+    val ci = df.schema.fieldIndex(ceCol)
+    val rows = df.rdd.mapPartitions(_.map { r =>
+      val body = r.getAs[Array[Byte]](bi)
+      val te = if (r.isNullAt(ti)) null else r.getString(ti)
+      val ce = if (r.isNullAt(ci)) null else r.getString(ci)
+      try Row.fromSeq(r.toSeq.updated(bi, decodeHttpBodyBytes(body, te, ce)) :+ null)
+      catch {
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) if lenient =>
+          Row.fromSeq(r.toSeq.updated(bi, Array.emptyByteArray) :+
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    })
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
   /** Fixture ENCODER (never a decode path): one body wire-coded for
     * mode ∈ 0..4 — identity / gzip / deflate(zlib) / chunked /
     * chunked(gzip). Chunking varies chunk sizes, carries a chunk
@@ -811,7 +841,7 @@ object Warc {
     * parts of RFC 9112 framing a decoder is allowed to ignore but must
     * skip correctly. Returns (encodedBody, teHeader, ceHeader).
     */
-  private[sources] def encodeBodyForFixture(body: Array[Byte], mode: Int)
+  private[graft] def encodeBodyForFixture(body: Array[Byte], mode: Int)
       : (Array[Byte], String, String) = {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)

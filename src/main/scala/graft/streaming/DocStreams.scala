@@ -292,6 +292,25 @@ object DocStreams {
         graft.clean.CharsetFns.charsetSupported(col(statusCol)).cast("int"))
   }
 
+  /** Stream-capable HTTP wire-coding decode (x_warc7's
+    * [[graft.sources.Warc.decodeHttpPages]]): dechunk + decompress the
+    * streamed pages' bodies per their carried Transfer-Encoding /
+    * Content-Encoding, keeping the Content-Type for the charset tier
+    * downstream. `Dataset.mapPartitions` is fully streamable (zero
+    * state, narrow); the lenient salvage contract carries over — a
+    * corrupt body in a micro-batch yields an `error` row, never a dead
+    * query. Input columns: url, body (binary), te, ce, ct.
+    */
+  def codingDecoded(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    graft.sources.Warc.decodeHttpPages(
+      pages.select(col("url").cast("string").as("url"),
+        col("body").cast("binary").as("body"),
+        col("te").cast("string").as("te"), col("ce").cast("string").as("ce"),
+        col("ct").cast("string").as("ct"))
+        .as[graft.sources.HttpEncodedPage]).toDF()
+  }
+
   /** Stream-capable robots gate (x_url6): mark each streamed URL
     * allowed/blocked against a STATIC parsed-rules frame
     * ([[graft.ext.RobotsTxt.parseRobots]] output) — a stream-static

@@ -257,6 +257,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming coding decode == batch == the x_warc7 fingerprints") {
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    // the x_warc7 body construction, wire-coded IN the stream projection
+    // via the same fixture encoder (typed mapPartitions is streamable)
+    def pages(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        encode(concat(lit("<html><body><p>"), col("text"),
+          lit("</p></body></html>")), "UTF-8").as("body"),
+        (col("doc_id") % 5).cast("int").as("mode"))
+        .as[(Long, Array[Byte], Int)]
+        .mapPartitions(_.map { case (id, body, mode) =>
+          val (enc, te, ce) = graft.sources.Warc.encodeBodyForFixture(body, mode)
+          (s"https://ex.com/doc/$id", enc, te, ce, "text/html; charset=utf-8")
+        }).toDF("url", "body", "te", "ce", "ct")
+    def decoded(df: org.apache.spark.sql.DataFrame) =
+      DocStreams.codingDecoded(pages(df))
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          md5(graft.clean.HtmlFns.htmlToText(decode(col("body"), "UTF-8"))).as("fp"),
+          col("error"))
+    val q = decoded(DocStreams.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("cd_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cd_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(got.nonEmpty && got.forall(_._3 == null), got.take(3).toString)
+      val want = decoded(Tables(spark, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      val oracle = graft.sources.Warc.all.find(_.name == "x_warc7_http_codings").get
+        .run(spark, dir).select("doc_id", "text_fp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == want && got.map(x => (x._1, x._2)) == oracle)
+    } finally q.stop()
+  }
+
   test("streaming charset gate == batch == the x_enc3 statuses") {
     import graft.streaming.DocStreams
     // the x_enc3 fixture construction is the probe's own shared builder
