@@ -450,4 +450,40 @@ class PlanAuditSpec extends SparkSuite {
     // the only exchange allowed is the final ORDER BY's range partition
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("x_warc7 + x_enc3: the coding/charset doors are narrow — zero hash exchanges") {
+    for (name <- Seq("x_warc7_http_codings", "x_enc3_charset_honesty")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      // dechunk/decompress (mapPartitions) and the charset status/decode
+      // are per-row; the only exchange is the final ORDER BY's range
+      // partition — the stream-door property the round-12 tiers inherit
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name:\n$plan")
+    }
+  }
+
+  test("x_pipe11: the door funnel pays exactly ONE hash exchange — the rollup") {
+    val df = SparkEntry.queries("x_pipe11_door_funnel")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // scan → HTTP split → decode → charset → quality are all narrow;
+    // the (host, stage) aggregation is the funnel's single shuffle
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$plan")
+  }
+
+  test("x_txt24: one corpus exchange (repartition by doc_id) serves the whole classify chain") {
+    val df = SparkEntry.queries("x_txt24_langid_learned")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the explicit repartition(doc_id) must be the ONLY exchange of
+    // corpus-sized data: it satisfies the gram aggregation, both doc_id
+    // windows, and the distance aggregation; the profile/lang sides ride
+    // broadcasts (their own tiny lang-keyed exchange is allowed), and
+    // the lang join back must broadcast, never shuffle the corpus side
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docExchanges == 1, s"expected 1 doc_id exchange, got $docExchanges:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"), plan)
+  }
 }

@@ -50,4 +50,29 @@ class SitemapSpec extends SparkSuite {
     val got = Sitemap.readUrlEntries(spark, dir).collect()(0).getString(0)
     assert(got == "https://a.com/?t=&lt;tag&gt;", got)
   }
+
+  test("recrawlQueue: due selection, interval mapping, priority defaults, cap") {
+    import spark.implicits._
+    val entries = Seq(
+      // daily, 10 days old, prio 0.9 → due, score (10-1)*900 = 8100
+      ("https://a.com/p1", "2026-02-19", "daily", "0.9"),
+      // yearly, 10 days old → NOT due
+      ("https://a.com/p2", "2026-02-19", "yearly", "0.9"),
+      // absent changefreq → 30-day default; 40 days old, absent prio →
+      // 0.5 default: due, score (40-30)*500 = 5000
+      ("https://a.com/p3", "2026-01-20", "", ""),
+      // weekly, exactly at the interval boundary (7 days) → due, score 0
+      ("https://a.com/p4", "2026-02-22", "weekly", "0.2")
+    ).toDF("loc", "lastmod", "changefreq", "priority")
+    val got = Sitemap.recrawlQueue(entries, "2026-03-01", cap = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      ("https://a.com/p1", 8100L, 1L),
+      ("https://a.com/p3", 5000L, 2L),
+      ("https://a.com/p4", 0L, 3L)), got.toString)
+    // cap binds: 1-per-host keeps only the top score
+    val capped = Sitemap.recrawlQueue(entries, "2026-03-01", cap = 1).collect()
+    assert(capped.length == 1 && capped(0).getString(1) == "https://a.com/p1")
+  }
 }

@@ -71,6 +71,27 @@ class WarcCodingsSpec extends graft.SparkSuite {
       Warc.decodeHttpBodies(rows.toDS(), lenient = false).collect())
   }
 
+  test("decodeHttpBodyColumn preserves every other column and salvages") {
+    import spark.implicits._
+    val good = Warc.encodeBodyForFixture(ascii("column preserving body " * 8), 4)
+    val df = Seq(
+      ("u1", 200, "text/html", good._1, good._2, good._3),
+      ("u2", 404, "application/pdf", ascii("junk"), null, "gzip"))
+      .toDF("url", "status", "ct", "body", "te", "ce")
+    val out = Warc.decodeHttpBodyColumn(df).collect().sortBy(_.getString(0))
+    assert(out.map(_.schema.fieldNames.toList).head ==
+      List("url", "status", "ct", "body", "te", "ce", "body_error"))
+    val u1 = out(0); val u2 = out(1)
+    // carried columns intact, body decoded in place
+    assert(u1.getInt(1) == 200 && u1.getString(2) == "text/html" &&
+      u1.getAs[String]("body_error") == null &&
+      new String(u1.getAs[Array[Byte]]("body"), StandardCharsets.US_ASCII)
+        .startsWith("column preserving"))
+    // the corrupt row salvages: empty body, error populated, row kept
+    assert(u2.getInt(1) == 404 && u2.getAs[String]("body_error") != null &&
+      u2.getAs[Array[Byte]]("body").isEmpty)
+  }
+
   test("readCdx on an archive with no committed segments reads zero rows") {
     val dir = graft.util.TempDirs.scratch("warc_cdx_empty")
     assert(Warc.readCdx(spark, dir).count() == 0L)
