@@ -69,17 +69,34 @@ object LangId {
     concat(gramsN(t, 1), gramsN(t, 2), gramsN(t, 3))
   }
 
-  /** Train per-language rank profiles from labeled (lang, text) rows:
-    * (lang, gram, prank) with prank ≤ [[K]].
+  /** Raw per-language gram COUNTS from labeled (lang, text) rows —
+    * the MERGEABLE training artifact: counts from disjoint shards sum
+    * exactly ([[mergeCounts]]), so profiles train incrementally (per
+    * crawl shard, per day) without ever rescanning released text — the
+    * Bloom/KN-store incremental discipline applied to language ID.
     */
-  def trainProfiles(labeled: DataFrame): DataFrame =
+  def trainCounts(labeled: DataFrame): DataFrame =
     labeled
       .select(col("lang"), explode(allGrams(col("text"))).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+
+  /** Sum two count artifacts — exact, order-independent. */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("lang", "gram").agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank counts into the top-[[K]] profiles: (lang, gram, prank). */
+  def profilesFromCounts(counts: DataFrame): DataFrame =
+    counts
       .withColumn("prank", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)))
       .filter(col("prank") <= K)
       .select("lang", "gram", "prank")
+
+  /** Train per-language rank profiles from labeled (lang, text) rows:
+    * (lang, gram, prank) with prank ≤ [[K]].
+    */
+  def trainProfiles(labeled: DataFrame): DataFrame =
+    profilesFromCounts(trainCounts(labeled))
 
   /** Classify (doc_id, text) rows against trained profiles: (doc_id,
     * pred_lang, dist) — the out-of-place argmin, ties lang asc. The
@@ -285,5 +302,40 @@ object LangId {
       .orderBy("lang", "pred_lang")
   }
 
-  val all: Seq[Probe] = Seq(txt24, txt25)
+  /** X-TXT26 — INCREMENTAL profile training: the labeled corpus splits
+    * into two disjoint shards whose gram-count artifacts train
+    * separately and MERGE ([[mergeCounts]] — exact integer sums), and
+    * the merged profiles classify the same held-out split. The oracle
+    * is x_txt24's EXACT retrain-on-the-union chain — hash-matching pins
+    * merge ≡ retrain, the property that lets profiles grow per crawl
+    * shard without rescanning released text.
+    */
+  private val txt26 = Probe(
+    "x_txt26_langid_merge",
+    s"""WITH $chainDuck
+       |SELECT b.doc_id, b.lang, p.pred_lang, CAST(p.dist AS BIGINT) AS dist
+       |FROM pred p JOIN base b ON b.doc_id = p.doc_id
+       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), fixtureText.as("text"))
+    val prof = graft.util.TrainOnce(s"langid_prof_merged:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_langid_m")
+      val shardA = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+      val shardB = docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+      // each shard's counts persist (the per-shard artifact), then merge
+      trainCounts(shardA).write.mode("overwrite").parquet(s"$p/a")
+      trainCounts(shardB).write.mode("overwrite").parquet(s"$p/b")
+      profilesFromCounts(mergeCounts(
+          s.read.parquet(s"$p/a"), s.read.parquet(s"$p/b")))
+        .write.mode("overwrite").parquet(s"$p/prof")
+      s"$p/prof"
+    }
+    classify(docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text"),
+      s.read.parquet(prof))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("dist"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(txt24, txt25, txt26)
 }

@@ -255,5 +255,98 @@ object Sitemap {
     recrawlQueue(entries, "2026-03-01").orderBy("host", "rank")
   }
 
-  val all: Seq[Probe] = Seq(url7, url9)
+  /** `<sitemap>` entries of a SITEMAP INDEX (sitemaps.org two-level
+    * protocol: big sites ship an index whose `<loc>`s point at the
+    * actual sitemap files) — same splittable XML machinery, rowTag
+    * `sitemap`: (loc, lastmod).
+    */
+  def readIndexEntries(spark: SparkSession, path: String): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set(graft.osm.XmlElementInputFormat.ROW_TAG_KEY, "sitemap")
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[graft.osm.XmlElementInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (_, t) =>
+        Row(new String(t.copyBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      }
+    spark.createDataFrame(rows,
+        StructType(Seq(StructField("elem", StringType, nullable = false))))
+      .select(
+        decodeEntities(field("loc")(col("elem"))).as("loc"),
+        field("lastmod")(col("elem")).as("lastmod"))
+  }
+
+  /** All `<url>` entries reachable THROUGH a sitemap index: read the
+    * index, collect the member locs, scan them all in one splittable
+    * pass. The collect is a FILE MANIFEST (an index is capped at 50k
+    * member sitemaps by the protocol), the same driver-side role as any
+    * input-path listing — never corpus data.
+    */
+  def readUrlEntriesViaIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val locs = readIndexEntries(spark, indexPath)
+      .select("loc").collect().map(_.getString(0)).sorted
+    require(locs.nonEmpty, s"sitemap index at $indexPath lists no sitemaps")
+    readUrlEntries(spark, locs.mkString(","))
+  }
+
+  /** X-URL10 — two-level discovery: documents shard into THREE sitemap
+    * files (by doc_id mod 3) plus a sitemapindex listing them; the
+    * pipeline reads the index, fans out to every member sitemap through
+    * the splittable reader, entity-decodes, canonicalizes, and rolls up
+    * per host — exactly x_url7's rollup, which is the point: the oracle
+    * recomputes from the documents table with NO knowledge of the
+    * sharding, so a member file skipped, double-read, or mis-listed in
+    * the index breaks the hash.
+    */
+  private val url10 = Probe(
+    "x_url10_sitemap_index",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://Ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+       |      CAST(doc_id % 11 AS VARCHAR) ||
+       |      '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) AS raw_loc
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("raw_loc")} AS canon
+       |  FROM d)
+       |SELECT regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |  CAST(COUNT(*) AS BIGINT) AS n_entries,
+       |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val out = graft.util.TrainOnce(s"sitemap_index:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_smidx")
+      val docs = Tables(s, dir, "documents")
+      val entry = concat(
+        lit("<url><loc>https://Ex"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), (col("doc_id") % 11).cast("string"),
+        lit("?utm_source=feed&amp;id="), (col("doc_id") % 5).cast("string"),
+        lit("</loc></url>"))
+      val shards = (0 until 3).map { i =>
+        docs.filter(col("doc_id") % 3 === i)
+          .select(entry.as("value"))
+          .unionAll(s.range(1).select(lit("<urlset>").as("value")))
+          .unionAll(s.range(1).select(lit("</urlset>").as("value")))
+          .coalesce(1)
+          .write.mode("overwrite").text(s"$p/sm$i")
+        s"$p/sm$i"
+      }
+      // the index lists the member sitemaps (their storage paths — the
+      // fixture's stand-in for the URLs a live site would publish)
+      val index = "<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+        shards.map(sp => s"<sitemap><loc>$sp</loc><lastmod>2026-01-01</lastmod></sitemap>")
+          .mkString("\n") + "\n</sitemapindex>\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "index.xml"),
+        index.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"$p/index.xml"
+    }
+    readUrlEntriesViaIndex(s, out)
+      .select(graft.clean.UrlFns.canonicalUrl(col("loc")).as("canon"))
+      .groupBy(regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("canon")).as("n_canonical"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(url7, url9, url10)
 }

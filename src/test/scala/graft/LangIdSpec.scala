@@ -55,6 +55,17 @@ class LangIdSpec extends SparkSuite {
     assert(tied.length == 1 && tied(0).getString(1) == "en", tied.toSeq.toString)
   }
 
+  test("merged shard counts == retraining on the union, profile for profile") {
+    val a = labeled.filter(col("text").contains("fox") || col("text").contains("狐狸"))
+    val b = labeled.except(a)
+    val merged = LangId.profilesFromCounts(
+      LangId.mergeCounts(LangId.trainCounts(a), LangId.trainCounts(b)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toList
+    val retrained = LangId.trainProfiles(labeled)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toList
+    assert(merged == retrained && merged.nonEmpty)
+  }
+
   test("classification is invariant to input partitioning") {
     val prof = LangId.trainProfiles(labeled)
     val docs = (1 to 30).map(i =>
