@@ -80,9 +80,13 @@ object LangId {
       .select(col("lang"), explode(allGrams(col("text"))).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
 
-  /** Sum two count artifacts — exact, order-independent. */
+  /** Sum two count artifacts — exact, order-independent. BY NAME:
+    * lang and gram are both strings, so a positional union of a
+    * reordered artifact would silently swap keys and train garbage.
+    */
   def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionAll(b).groupBy("lang", "gram").agg(sum(col("cnt")).as("cnt"))
+    a.select("lang", "gram", "cnt").unionByName(b.select("lang", "gram", "cnt"))
+      .groupBy("lang", "gram").agg(sum(col("cnt")).as("cnt"))
 
   /** Rank counts into the top-[[K]] profiles: (lang, gram, prank). */
   def profilesFromCounts(counts: DataFrame): DataFrame =

@@ -19,8 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object DoorFunnel {
 
-  private val ctFullRe = "(?i)\r\ncontent-type:[ \t]*([^\r]+)"
-
   /** X-PIPE11 — the door funnel over a fixture that plants one failure
     * per stage (mod-11 lanes): 404s, application/pdf, a declared-gzip
     * body that is NOT gzip (the lenient salvage's error column feeds
@@ -113,28 +111,28 @@ object DoorFunnel {
       .select(col("url"),
         Warc.httpStatus(pstr).as("status"),
         Warc.httpContentType(pstr).as("mt"),
-        regexp_extract(Warc.httpHead(pstr), ctFullRe, 1).as("ct"),
+        Warc.httpContentTypeFull(pstr).as("ct"),
         Warc.httpTransferEncoding(pstr).as("te"),
         Warc.httpContentEncoding(pstr).as("ce"),
         encode(Warc.httpBody(pstr), "ISO-8859-1").as("body"))
+    // the four pre-quality drop conditions are derived ONCE (__stage14 is
+    // null exactly when a page reaches extraction): text extraction and
+    // stage assignment cannot disagree, preserving the cells-partition-
+    // the-corpus invariant
     val dec = Warc.decodeHttpBodyColumn(base)
       .withColumn("cs", graft.clean.CharsetFns.charsetStatus(col("ct"), col("body")))
-      .withColumn("__pass4",
-        col("status") === 200 && col("mt") === "text/html" &&
-          col("body_error").isNull &&
-          graft.clean.CharsetFns.charsetSupported(col("cs")))
-      .withColumn("text", when(col("__pass4"),
+      .withColumn("__stage14",
+        when(col("status").isNull || col("status") =!= 200, "1_status")
+          .when(col("mt").isNull || col("mt") =!= "text/html", "2_ctype")
+          .when(col("body_error").isNotNull, "3_coding")
+          .when(!graft.clean.CharsetFns.charsetSupported(col("cs")), "4_charset"))
+      .withColumn("text", when(col("__stage14").isNull,
         graft.clean.HtmlFns.htmlToText(
           graft.clean.CharsetFns.decodeCharset(col("body"), col("cs"))))
         .otherwise(lit("")))
     graft.ext.PipelineOps3.addQualityRuleSignals(dec)
-      .withColumn("stage",
-        when(col("status").isNull || col("status") =!= 200, "1_status")
-          .when(col("mt").isNull || col("mt") =!= "text/html", "2_ctype")
-          .when(col("body_error").isNotNull, "3_coding")
-          .when(!graft.clean.CharsetFns.charsetSupported(col("cs")), "4_charset")
-          .when(col("keep") === 0, "5_quality")
-          .otherwise("kept"))
+      .withColumn("stage", coalesce(col("__stage14"),
+        when(col("keep") === 0, "5_quality").otherwise("kept")))
       .groupBy(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
         col("stage"))
       .agg(count(lit(1)).as("n_docs"))

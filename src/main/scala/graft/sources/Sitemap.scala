@@ -158,10 +158,27 @@ object Sitemap {
     val scored = entries
       .select(graft.clean.UrlFns.canonicalUrl(col("loc")).as("canon"),
         col("lastmod"), col("changefreq"), col("priority"))
+      // duplicate locs collapsing to one canonical page are the NORM
+      // (tracking-param variants — exactly what canonicalUrl exists
+      // for); without this dedup one page could occupy several of its
+      // host's cap slots and double-fetch. Freshest knowledge wins
+      // (lastmod desc as a string — ISO dates sort correctly and an
+      // absent '' sorts last), deterministic tie-breaks after it.
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+          .orderBy(col("lastmod").desc, col("changefreq").asc, col("priority").asc)))
+      .filter(col("__rn") === 1)
       .withColumn("host", regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
-      .withColumn("age_days",
-        datediff(lit(asOf).cast("date"), col("lastmod").cast("date")).cast("long"))
+      // an absent/unparseable lastmod must not silently exempt a page
+      // from recrawl forever (lastmod is OPTIONAL in the protocol):
+      // unknown freshness is DUE at minimum urgency — age defaults to
+      // the interval, so the page qualifies with overdue 0
       .withColumn("interval_days", interval)
+      .withColumn("age_days",
+        coalesce(
+          datediff(lit(asOf).cast("date"),
+            expr("try_cast(nullif(lastmod, '') AS DATE)")).cast("long"),
+          col("interval_days")))
       .withColumn("score", (col("age_days") - col("interval_days")) * prioM)
       .filter(col("age_days") >= col("interval_days"))
     val ord = Seq(col("score").desc, col("canon").asc)
@@ -192,8 +209,9 @@ object Sitemap {
        |  SELECT doc_id,
        |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
        |      CAST(doc_id % 37 AS VARCHAR) AS loc,
-       |    '2026-' || lpad(CAST(1 + doc_id % 2 AS VARCHAR), 2, '0') || '-' ||
-       |      lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+       |    CASE WHEN doc_id % 13 = 6 THEN ''
+       |      ELSE '2026-' || lpad(CAST(1 + doc_id % 2 AS VARCHAR), 2, '0') || '-' ||
+       |        lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') END AS lastmod,
        |    CASE doc_id % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
        |      WHEN 2 THEN 'monthly' WHEN 3 THEN 'yearly' ELSE '' END AS changefreq,
        |    CASE doc_id % 3 WHEN 0 THEN '0.9' WHEN 1 THEN '0.2' ELSE '' END AS priority
@@ -205,10 +223,10 @@ object Sitemap {
        |      row_number() OVER (PARTITION BY ${graft.clean.UrlFns.canonicalUrlDuck("loc")}
        |        ORDER BY lastmod DESC, changefreq, priority) AS rn
        |    FROM d) WHERE rn = 1),
-       |s AS (
+       |s0 AS (
        |  SELECT canon,
        |    regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
-       |    CAST(date_diff('day', CAST(lastmod AS DATE), DATE '2026-03-01') AS BIGINT) AS age_days,
+       |    CAST(date_diff('day', TRY_CAST(NULLIF(lastmod, '') AS DATE), DATE '2026-03-01') AS BIGINT) AS raw_age,
        |    CAST(CASE WHEN lower(changefreq) IN ('always','hourly','daily') THEN 1
        |         WHEN lower(changefreq) = 'weekly' THEN 7
        |         WHEN lower(changefreq) = 'monthly' THEN 30
@@ -217,6 +235,10 @@ object Sitemap {
        |         ELSE 30 END AS BIGINT) AS interval_days,
        |    CAST(CAST(COALESCE(NULLIF(priority, ''), '0.5') AS DECIMAL(4,2)) * 1000 AS BIGINT) AS prio_m
        |  FROM c),
+       |s AS (
+       |  SELECT canon, host, interval_days, prio_m,
+       |    COALESCE(raw_age, interval_days) AS age_days
+       |  FROM s0),
        |due AS (
        |  SELECT host, canon, age_days, interval_days,
        |    (age_days - interval_days) * prio_m AS score
@@ -229,16 +251,17 @@ object Sitemap {
        |  CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 8 ORDER BY host, rank""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    // the fixture's (loc → lastmod/changefreq/priority) map must be a
-    // FUNCTION of the canonical page for the queue to be well-defined;
-    // collapse duplicate locs exactly like the oracle (latest lastmod,
-    // deterministic tie-break)
-    import org.apache.spark.sql.expressions.Window
+    // RAW entries — duplicate locs per canonical page included; the
+    // queue's own dedup (freshest lastmod, deterministic tie-breaks)
+    // must collapse them, replicated by the oracle's c CTE
     val entries = docs.select(
       concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
         lit(".com/p/"), (col("doc_id") % 37).cast("string")).as("loc"),
-      concat(lit("2026-"), lpad((col("doc_id") % 2 + 1).cast("string"), 2, "0"),
-        lit("-"), lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")).as("lastmod"),
+      when(col("doc_id") % 13 === 6, lit(""))
+        .otherwise(concat(lit("2026-"),
+          lpad((col("doc_id") % 2 + 1).cast("string"), 2, "0"),
+          lit("-"), lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+        .as("lastmod"),
       when(col("doc_id") % 5 === 0, lit("daily"))
         .when(col("doc_id") % 5 === 1, lit("weekly"))
         .when(col("doc_id") % 5 === 2, lit("monthly"))
@@ -247,11 +270,6 @@ object Sitemap {
       when(col("doc_id") % 3 === 0, lit("0.9"))
         .when(col("doc_id") % 3 === 1, lit("0.2"))
         .otherwise(lit("")).as("priority"))
-      .withColumn("__c", graft.clean.UrlFns.canonicalUrl(col("loc")))
-      .withColumn("__rn", row_number().over(Window.partitionBy(col("__c"))
-        .orderBy(col("lastmod").desc, col("changefreq").asc, col("priority").asc)))
-      .filter(col("__rn") === 1)
-      .select("loc", "lastmod", "changefreq", "priority")
     recrawlQueue(entries, "2026-03-01").orderBy("host", "rank")
   }
 
@@ -286,7 +304,10 @@ object Sitemap {
     val locs = readIndexEntries(spark, indexPath)
       .select("loc").collect().map(_.getString(0)).sorted
     require(locs.nonEmpty, s"sitemap index at $indexPath lists no sitemaps")
-    readUrlEntries(spark, locs.mkString(","))
+    // commas are legal in URIs and setInputPaths splits on unescaped
+    // ones — escape each loc before joining
+    readUrlEntries(spark,
+      locs.map(org.apache.hadoop.util.StringUtils.escapeString).mkString(","))
   }
 
   /** X-URL10 — two-level discovery: documents shard into THREE sitemap
@@ -323,10 +344,12 @@ object Sitemap {
         lit("</loc></url>"))
       val shards = (0 until 3).map { i =>
         docs.filter(col("doc_id") % 3 === i)
-          .select(entry.as("value"))
-          .unionAll(s.range(1).select(lit("<urlset>").as("value")))
-          .unionAll(s.range(1).select(lit("</urlset>").as("value")))
-          .coalesce(1)
+          .select(col("doc_id").as("ord"), entry.as("value"))
+          .unionAll(s.range(1).select(lit(-1L).as("ord"), lit("<urlset>").as("value")))
+          .unionAll(s.range(1).select(lit(Long.MaxValue).as("ord"),
+            lit("</urlset>").as("value")))
+          .repartition(1).sortWithinPartitions("ord")
+          .select("value")
           .write.mode("overwrite").text(s"$p/sm$i")
         s"$p/sm$i"
       }

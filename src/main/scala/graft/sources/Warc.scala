@@ -579,6 +579,15 @@ object Warc {
     when(cs =!= "", cs)
   }
 
+  /** The FULL Content-Type header value (parameters included, case
+    * preserved), or '' when absent — the charset tier resolves on the
+    * `charset=` parameter, which [[httpContentType]] strips. Header-
+    * section-bounded like the other accessors; shared by the composed
+    * doors (x_warc8, x_pipe11) so the regex cannot drift.
+    */
+  def httpContentTypeFull(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(httpHead(payload), "(?i)\r\ncontent-type:[ \t]*([^\r]+)", 1)
+
   /** The response body — everything after the first CRLFCRLF; empty when
     * the payload has no separator. The ONLY slice of a response record
     * that may reach HTML extraction.

@@ -292,8 +292,10 @@ object DocStreams {
         graft.clean.CharsetFns.charsetSupported(col(statusCol)).cast("int"))
   }
 
-  /** Stream-capable HTTP wire-coding decode (x_warc7's
-    * [[graft.sources.Warc.decodeHttpPages]]): dechunk + decompress the
+  /** Stream-capable HTTP wire-coding decode
+    * ([[graft.sources.Warc.decodeHttpPages]], x_warc8's operator;
+    * parity is pinned against x_warc7's fingerprints): dechunk +
+    * decompress the
     * streamed pages' bodies per their carried Transfer-Encoding /
     * Content-Encoding, keeping the Content-Type for the charset tier
     * downstream. `Dataset.mapPartitions` is fully streamable (zero

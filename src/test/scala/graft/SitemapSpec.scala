@@ -56,13 +56,21 @@ class SitemapSpec extends SparkSuite {
     val entries = Seq(
       // daily, 10 days old, prio 0.9 → due, score (10-1)*900 = 8100
       ("https://a.com/p1", "2026-02-19", "daily", "0.9"),
+      // a tracking-param VARIANT of p1: canonicalizes to the same page
+      // and must NOT occupy a second queue slot (internal dedup; the
+      // fresher lastmod row's attributes win)
+      ("https://a.com/p1?utm_source=feed", "2026-01-01", "yearly", "0.1"),
       // yearly, 10 days old → NOT due
       ("https://a.com/p2", "2026-02-19", "yearly", "0.9"),
       // absent changefreq → 30-day default; 40 days old, absent prio →
       // 0.5 default: due, score (40-30)*500 = 5000
       ("https://a.com/p3", "2026-01-20", "", ""),
       // weekly, exactly at the interval boundary (7 days) → due, score 0
-      ("https://a.com/p4", "2026-02-22", "weekly", "0.2")
+      ("https://a.com/p4", "2026-02-22", "weekly", "0.2"),
+      // ABSENT lastmod (optional in the protocol): unknown freshness is
+      // due at minimum urgency (age defaults to the interval, score 0),
+      // never silently exempt from recrawl forever
+      ("https://a.com/p5", "", "weekly", "0.9")
     ).toDF("loc", "lastmod", "changefreq", "priority")
     val got = Sitemap.recrawlQueue(entries, "2026-03-01", cap = 8)
       .orderBy("rank")
@@ -70,7 +78,8 @@ class SitemapSpec extends SparkSuite {
     assert(got == List(
       ("https://a.com/p1", 8100L, 1L),
       ("https://a.com/p3", 5000L, 2L),
-      ("https://a.com/p4", 0L, 3L)), got.toString)
+      ("https://a.com/p4", 0L, 3L),
+      ("https://a.com/p5", 0L, 4L)), got.toString)
     // cap binds: 1-per-host keeps only the top score
     val capped = Sitemap.recrawlQueue(entries, "2026-03-01", cap = 1).collect()
     assert(capped.length == 1 && capped(0).getString(1) == "https://a.com/p1")
