@@ -307,19 +307,21 @@ object LangId {
   }
 
   /** X-TXT26 — INCREMENTAL profile training: the labeled corpus splits
-    * into two disjoint shards whose gram-count artifacts train
-    * separately and MERGE ([[mergeCounts]] — exact integer sums), and
-    * the merged profiles classify the same held-out split. The oracle
-    * is x_txt24's EXACT retrain-on-the-union chain — hash-matching pins
-    * merge ≡ retrain, the property that lets profiles grow per crawl
-    * shard without rescanning released text.
+    * into two disjoint shards whose gram-count artifacts persist
+    * separately and MERGE ([[mergeCounts]] — exact, by-name integer
+    * sums). The probe emits the merged PROFILES; the oracle retrains on
+    * the union from first principles (x_txt24's own profk chain, same
+    * SQL text) — hash-matching pins merge ≡ retrain profile for
+    * profile, the property that lets profiles grow per crawl shard
+    * without rescanning released text (classification equivalence
+    * follows: identical profiles classify identically, and x_txt24
+    * already pins classification).
     */
   private val txt26 = Probe(
     "x_txt26_langid_merge",
     s"""WITH $chainDuck
-       |SELECT b.doc_id, b.lang, p.pred_lang, CAST(p.dist AS BIGINT) AS dist
-       |FROM pred p JOIN base b ON b.doc_id = p.doc_id
-       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+       |SELECT lang, gram, CAST(prank AS BIGINT) AS prank
+       |FROM profk ORDER BY lang, prank""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), fixtureText.as("text"))
     val prof = graft.util.TrainOnce(s"langid_prof_merged:$dir") {
@@ -334,11 +336,9 @@ object LangId {
         .write.mode("overwrite").parquet(s"$p/prof")
       s"$p/prof"
     }
-    classify(docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text"),
-      s.read.parquet(prof))
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("pred_lang"), col("dist"))
-      .orderBy("doc_id")
+    s.read.parquet(prof)
+      .select(col("lang"), col("gram"), col("prank").cast("long").as("prank"))
+      .orderBy("lang", "prank")
   }
 
   val all: Seq[Probe] = Seq(txt24, txt25, txt26)
