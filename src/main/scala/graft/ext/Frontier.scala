@@ -34,14 +34,21 @@ object Frontier {
     */
   def frontierPlan(locs: DataFrame, robots: DataFrame, cap: Int = 8,
       agent: String = RobotsTxt.DefaultAgent, defaultDelayMs: Long = 1000L,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16, stageDir: String = null): DataFrame = {
     val s = locs.sparkSession
     // staged writes (the x_pipe8 discipline): the robots PARSE feeds two
     // consumers (rules for the gate, delays for the schedule) and the
     // GATE feeds two (the rollup and the cap) — materializing each once
     // keeps the plan from executing the parse chain and the gate's
-    // window tree twice per run
-    val stage = graft.util.TempDirs.scratch("graft_frontier_plan")
+    // window tree twice per run.
+    // A long-lived driver calling this planning API repeatedly should
+    // pass a fixed `stageDir`: the stage writes are mode("overwrite"),
+    // so successive plans reuse the same two paths instead of
+    // accumulating frontier-sized copies under /tmp until JVM exit
+    // (the default TempDirs.scratch is the probe-path fallback, whose
+    // sweeps are bounded and cleaned by the exit hook).
+    val stage = if (stageDir != null) stageDir
+      else graft.util.TempDirs.scratch("graft_frontier_plan")
     RobotsTxt.selectedLines(robots, agent)
       .write.mode("overwrite").parquet(s"$stage/sel")
     val sel = s.read.parquet(s"$stage/sel")

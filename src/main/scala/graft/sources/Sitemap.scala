@@ -157,7 +157,14 @@ object Sitemap {
       .cast("decimal(4,2)") * 1000).cast("long")
     val scored = entries
       .select(graft.clean.UrlFns.canonicalUrl(col("loc")).as("canon"),
-        col("lastmod"), col("changefreq"), col("priority"))
+        // real sitemaps carry lastmod as either a bare date or a W3C
+        // datetime (2026-01-01T12:00:00Z); normalize BOTH the freshness
+        // ordering and the age cast to the 10-char date prefix so the
+        // two forms compare consistently and the date cast never sees a
+        // datetime suffix (which Spark's cast accepts but an oracle's
+        // TRY_CAST may not — a latent cross-engine divergence)
+        substring(col("lastmod"), 1, 10).as("lastmod"),
+        col("changefreq"), col("priority"))
       // duplicate locs collapsing to one canonical page are the NORM
       // (tracking-param variants — exactly what canonicalUrl exists
       // for); without this dedup one page could occupy several of its
@@ -219,9 +226,9 @@ object Sitemap {
        |c AS (
        |  SELECT canon, lastmod, changefreq, priority FROM (
        |    SELECT ${graft.clean.UrlFns.canonicalUrlDuck("loc")} AS canon,
-       |      lastmod, changefreq, priority,
+       |      substr(lastmod, 1, 10) AS lastmod, changefreq, priority,
        |      row_number() OVER (PARTITION BY ${graft.clean.UrlFns.canonicalUrlDuck("loc")}
-       |        ORDER BY lastmod DESC, changefreq, priority) AS rn
+       |        ORDER BY substr(lastmod, 1, 10) DESC, changefreq, priority) AS rn
        |    FROM d) WHERE rn = 1),
        |s0 AS (
        |  SELECT canon,

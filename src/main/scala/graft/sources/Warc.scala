@@ -748,8 +748,13 @@ object Warc {
     * loudly — silently passing coded bytes downstream would score the
     * page as low-quality noise instead of surfacing the gap.
     */
-  private[sources] def decodeHttpBodyBytes(body: Array[Byte],
+  private[sources] def decodeHttpBodyBytes(body0: Array[Byte],
       te: String, ce: String): Array[Byte] = {
+    // a null body cell is legal in the documented DataFrame input (an
+    // upstream outer join, a headerless record) — decode it as the
+    // empty body rather than NPE-ing the task inside dechunk/inflate,
+    // which would defeat the lenient one-bad-record salvage contract
+    val body = if (body0 == null) Array.emptyByteArray else body0
     val codings = Option(te).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     require(codings.forall(c => c == "chunked" || c == "identity"),
       s"unsupported Transfer-Encoding: $te")

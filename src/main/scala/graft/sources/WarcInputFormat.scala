@@ -371,14 +371,16 @@ class WarcRecordReader extends RecordReader[LongWritable, Text] {
         val v = resolveAt(magicIdx)
         if (v >= 0) return (magicIdx, v)
       } else if (!rejectedResolvable && resolveAt(magicIdx) >= 0) {
+        // count/log AT detection — a later well-formed sync in the same
+        // window returns early from this loop, and deferring the count
+        // to the no-record exit would leave that dropped record
+        // invisible to the very counter that exists to surface it
         rejectedResolvable = true
+        count(RejectedMalformedHeaders)
+        log.warn(s"rejected WARC sync candidate at pos=$pos: plausible " +
+          "WARC-Type/Content-Length but malformed header lines")
       }
       magicIdx = hRaw.indexOf("WARC/1.0\r\n", magicIdx + 1)
-    }
-    if (rejectedResolvable) {
-      count(RejectedMalformedHeaders)
-      log.warn(s"rejected WARC sync candidate at pos=$pos: plausible " +
-        "WARC-Type/Content-Length but malformed header lines")
     }
     (0, -1L)
   }

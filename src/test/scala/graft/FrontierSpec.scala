@@ -40,4 +40,33 @@ class FrontierSpec extends SparkSuite {
       r.getAs[Long]("n_fetch") == 2 && r.getAs[Long]("delay_ms") == 3000 &&
       r.getAs[Long]("fetch_sec") == 6, r.toString)
   }
+
+  test("a caller-owned stageDir is reused across invocations, not accumulated") {
+    // a long-lived driver replanning on a cadence must get CONSTANT
+    // disk: the stage writes are mode(overwrite) into the same two
+    // paths, so invocation N leaves exactly what invocation 1 left
+    // (pre-fix each call minted a fresh TempDirs.scratch, deferred to
+    // JVM-exit cleanup — frontier-sized copies piling up)  [ADVICE r12]
+    val locs = (1 to 6).map(i => s"https://h.com/p/$i").toDF("loc")
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val stage = java.nio.file.Files.createTempDirectory("graft_frontier_own")
+    try {
+      def entries() = {
+        val s = java.nio.file.Files.list(stage)
+        try {
+          val b = Seq.newBuilder[String]
+          s.forEach(p => b += p.getFileName.toString)
+          b.result().sorted
+        } finally s.close()
+      }
+      val r1 = Frontier.frontierPlan(locs, robots, cap = 8,
+        stageDir = stage.toString).collect()
+      val after1 = entries()
+      val r2 = Frontier.frontierPlan(locs, robots, cap = 8,
+        stageDir = stage.toString).collect()
+      assert(entries() == after1, "stage paths must be overwritten, not added")
+      assert(after1.toSet == Set("sel", "gated"), after1.toString)
+      assert(r1.toSeq == r2.toSeq)
+    } finally graft.util.TempDirs.deleteRecursively(stage)
+  }
 }

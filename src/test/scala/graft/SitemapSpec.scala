@@ -84,4 +84,32 @@ class SitemapSpec extends SparkSuite {
     val capped = Sitemap.recrawlQueue(entries, "2026-03-01", cap = 1).collect()
     assert(capped.length == 1 && capped(0).getString(1) == "https://a.com/p1")
   }
+
+  test("recrawlQueue: W3C datetime lastmod normalizes to its date prefix") {
+    import spark.implicits._
+    // real sitemaps routinely carry full W3C datetimes; the queue must
+    // (a) age them off the date part — not fail the cast or diverge
+    // from a date-only oracle — and (b) compare date and datetime forms
+    // of the SAME page consistently in the freshness dedup (pre-fix the
+    // string-desc sort ranked '2026-02-19T...' above '2026-02-19',
+    // i.e. by representation, not freshness)  [ADVICE r12]
+    val entries = Seq(
+      // datetime form of p1 declares YEARLY (not due at 10 days);
+      // pre-fix its longer string won the desc sort by representation
+      // and silently exempted p1 from the queue
+      ("https://a.com/p1", "2026-02-19T08:30:00Z", "yearly", "0.1"),
+      // DATE form of p1, SAME date, daily/0.9: freshness must tie and
+      // fall to the deterministic tie-breaks (changefreq asc → 'daily'
+      // wins) → due, score (10-1)*900 = 8100
+      ("https://a.com/p1?utm_source=x", "2026-02-19", "daily", "0.9"),
+      // datetime form, 40 days old, default interval/prio → score 5000
+      ("https://a.com/p3", "2026-01-20T23:59:59+00:00", "", ""))
+      .toDF("loc", "lastmod", "changefreq", "priority")
+    val got = Sitemap.recrawlQueue(entries, "2026-03-01", cap = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      ("https://a.com/p1", 8100L, 1L),
+      ("https://a.com/p3", 5000L, 2L)), got.toString)
+  }
 }

@@ -71,6 +71,34 @@ class WarcCodingsSpec extends graft.SparkSuite {
       Warc.decodeHttpBodies(rows.toDS(), lenient = false).collect())
   }
 
+  test("a NULL body cell decodes as empty — never an NPE task death") {
+    import spark.implicits._
+    // legal in the documented DataFrame input (an upstream outer join
+    // leaves body null); pre-fix this NPE'd inside dechunk /
+    // ByteArrayInputStream and killed the task on every retry — the
+    // exact one-bad-record job death the lenient contract promises to
+    // prevent (ADVICE r12)
+    val rows = Seq(
+      graft.sources.HttpEncodedBody("http://null-identity", null, null, null),
+      graft.sources.HttpEncodedBody("http://null-chunked", null, "chunked", null),
+      graft.sources.HttpEncodedBody("http://ok", ascii("fine"), null, null))
+    val out = Warc.decodeHttpBodies(rows.toDS()).collect().sortBy(_.url)
+    assert(out.length == 3)
+    // identity null: empty body, NO error — an empty body is a valid decode
+    val ni = out.find(_.url == "http://null-identity").get
+    assert(ni.body.isEmpty && ni.error == null, s"error=${ni.error}")
+    // chunked null: empty bytes are malformed chunk framing → salvage
+    val nc = out.find(_.url == "http://null-chunked").get
+    assert(nc.body.isEmpty && nc.error != null, "chunked-null must salvage loudly")
+    assert(out.find(_.url == "http://ok").get.body.nonEmpty)
+    // the column-preserving form takes the same path
+    val df = Seq(("u1", null.asInstanceOf[Array[Byte]], null.asInstanceOf[String],
+      null.asInstanceOf[String])).toDF("url", "body", "te", "ce")
+    val got = Warc.decodeHttpBodyColumn(df).collect()(0)
+    assert(got.getAs[Array[Byte]]("body").isEmpty &&
+      got.getAs[String]("body_error") == null)
+  }
+
   test("decodeHttpBodyColumn preserves every other column and salvages") {
     import spark.implicits._
     val good = Warc.encodeBodyForFixture(ascii("column preserving body " * 8), 4)
@@ -90,6 +118,61 @@ class WarcCodingsSpec extends graft.SparkSuite {
     // the corrupt row salvages: empty body, error populated, row kept
     assert(u2.getInt(1) == 404 && u2.getAs[String]("body_error") != null &&
       u2.getAs[Array[Byte]]("body").isEmpty)
+  }
+
+  test("malformed-header rejection is counted even when a later sync resolves") {
+    // one scan window, two magics: the first candidate has WARC-Type +
+    // a plausible Content-Length but a colon-less header line (rejected
+    // SOLELY by well-formedness); the second is a genuine record. The
+    // reader must emit the second AND count the first — pre-fix the
+    // early return on the resolved sync skipped the counter entirely,
+    // so the drop was invisible (ADVICE r12).
+    val body = "hello"
+    val bytes = ascii(
+      "WARC/1.0\r\n" +
+        "bad line with no colon\r\n" +
+        "WARC-Type: response\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n" + body)
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_ctr")
+    val f = dir.resolve("a.warc")
+    java.nio.file.Files.write(f, bytes)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // TaskAttemptContextImpl's default DummyReporter mints a FRESH
+    // Counters per getCounter call, so reads never see increments —
+    // back the context with one shared Counters instance
+    val counters = new org.apache.hadoop.mapreduce.Counters()
+    val reporter = new org.apache.hadoop.mapreduce.StatusReporter {
+      override def getCounter(e: Enum[_]): org.apache.hadoop.mapreduce.Counter =
+        counters.findCounter(e)
+      override def getCounter(g: String, n: String): org.apache.hadoop.mapreduce.Counter =
+        counters.findCounter(g, n)
+      override def progress(): Unit = ()
+      override def setStatus(s: String): Unit = ()
+      override def getProgress: Float = 0f
+    }
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID(), reporter)
+    val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+      new org.apache.hadoop.fs.Path(f.toUri), 0, bytes.length, Array.empty)
+    val reader = new WarcRecordReader()
+    try {
+      reader.initialize(split, ctx)
+      assert(reader.nextKeyValue(), "the well-formed record must still emit")
+      val rec = reader.getCurrentValue.toString
+      assert(rec.startsWith("WARC/1.0\r\nWARC-Type: response"), rec.take(40))
+      assert(rec.endsWith(body))
+      assert(!reader.nextKeyValue())
+      val n = ctx.getCounter(WarcInputFormat.CounterGroup,
+        WarcInputFormat.RejectedMalformedHeaders).getValue
+      assert(n == 1L, s"rejection counter = $n, expected 1")
+    } finally {
+      reader.close()
+      graft.util.TempDirs.deleteRecursively(dir)
+    }
   }
 
   test("readCdx on an archive with no committed segments reads zero rows") {
