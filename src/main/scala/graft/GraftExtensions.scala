@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
       (exprs: Seq[Expression]) => graft.functions.BpeCount(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("min_seg_count"),
+      new ExpressionInfo(classOf[graft.functions.MinSeg].getName, "min_seg_count"),
+      (exprs: Seq[Expression]) => graft.functions.MinSeg(exprs.head, exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("lev_bytes"),
       new ExpressionInfo(classOf[graft.functions.LevBytes].getName, "lev_bytes"),
       (exprs: Seq[Expression]) => graft.functions.LevBytes(exprs.head, exprs(1))))
@@ -102,6 +106,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_count",
       exprs => graft.functions.BpeCount(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_seg_count",
+      exprs => graft.functions.MinSeg(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lev_bytes",
       exprs => graft.functions.LevBytes(exprs.head, exprs(1)), "built-in")

@@ -28,6 +28,8 @@ object Registry {
     ext.PipelineOps16.all ++
     ext.RobotsTxt.all ++
     ext.Frontier.all ++
+    ext.LinkGraph.all ++
+    ext.UnigramTok.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++
     ext.KnLm.all ++

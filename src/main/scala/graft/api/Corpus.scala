@@ -761,6 +761,25 @@ final case class Corpus(df: DataFrame) {
     d.withColumn("n_tok_bpe", expr("CAST(bpe_count(text) AS BIGINT)"))
   }
 
+  /** Unigram-tokenizer token accounting (x_tok3): `n_tok_unigram` — the
+    * minimal-piece subword count under an induced (or caller-provided)
+    * piece vocabulary, via the native `min_seg_count` DP inside one HOF
+    * lambda per row (the stream-capable form; no distinct-word join, no
+    * extra exchange, and no collision with an existing `n_words`
+    * column). Induce once and pass the vocab when annotating many
+    * shards — the default re-induces from THIS corpus.
+    */
+  def withUnigramTokenCount(vocab: Option[DataFrame] = None): Corpus = chain { d =>
+    GraftExtensions.register(d.sparkSession)
+    val v = vocab.getOrElse(graft.ext.UnigramTok.induceVocab(d))
+    val vrow = v.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
+    d.crossJoin(broadcast(vrow))
+      .withColumn("n_tok_unigram", expr(
+        "aggregate(" + graft.clean.CleanFns.tokensSpark("text") +
+          ", CAST(0 AS BIGINT), (acc, w) -> acc + min_seg_count(w, __pieces))"))
+      .drop("__pieces")
+  }
+
   /** Greedy per-group token budget (x_mix3b's sharded algebra). The
     * budget is DENOMINATED in `n_tok_bpe` subword counts when the corpus
     * carries them ([[withBpeTokenCount]]) — "2B tokens of code" in word

@@ -218,5 +218,124 @@ object Frontier {
       robots).orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(pipe10)
+  /** Robots fixtures for the ranked plan (x_pipe11), keyed to the link
+    * fixture's path shapes: even hosts serve a GraftBot group (mirror
+    * section `/s/` blocked with an `/s/1` carve-out, a `*b$` wildcard
+    * that catches exactly `/hub`, 2 s delay) whose `*` group blocks
+    * EVERYTHING — if selection slipped, even hosts would vanish from
+    * the plan; odd hosts fall back to `*` (partner section `/p/`
+    * blocked, 0.5 s delay), with an otherbot block-all that must not
+    * apply.
+    */
+  private[graft] val robotsLinkSelf =
+    "User-agent: GraftBot\nDisallow: /s/\nAllow: /s/1\nDisallow: /*b$\n" +
+      "Crawl-delay: 2\n\nUser-agent: *\nDisallow: /\n"
+  private[graft] val robotsLinkStar =
+    "User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n\n" +
+      "User-agent: *\nDisallow: /p/\nCrawl-delay: 0.5\n"
+
+  /** X-PIPE11 — the RANK-PRIORITIZED crawl plan: today's pages yield
+    * tomorrow's frontier. One linked-page corpus drives BOTH sides —
+    * (a) anchor extraction → host graph → 5-iteration exact-integer
+    * PageRank, and (b) the extracted target URLs as the discovered
+    * frontier → robots wildcard gate → per-host cap → politeness
+    * schedule — and the plan orders hosts by the rank the graph side
+    * computed (fetch priority = centrality, the public crawl-scheduling
+    * design CommonCrawl's host-rank tables exist for). The oracle
+    * recomputes EVERY stage in one nested query: the href regex,
+    * resolution, canonical dedup, the host rollup, all five PR
+    * iterations, the robots parse + group selection + wildcard match,
+    * the flat rank the salted cap must equal, the delay pricing, and
+    * the final priority window. The extracted links are staged once
+    * (the x_pipe8 staged-write discipline) because two consumers — the
+    * graph and the frontier — would otherwise re-run extraction.
+    */
+  private val pipe11 = Probe(
+    "x_pipe12_ranked_crawl_plan",
+    s"""WITH ${LinkGraph.linkCtesDuck},
+       |${LinkGraph.pageRankCtesDuck(5)},
+       |rbh AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+       |rb AS (
+       |  SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       |    CASE WHEN h % 2 = 0
+       |      THEN ${graft.clean.EncodingFns.sqlLit(robotsLinkSelf)}
+       |      ELSE ${graft.clean.EncodingFns.sqlLit(robotsLinkStar)} END AS txt
+       |  FROM rbh),
+       |${RobotsTxt.parseRobotsDuck()},
+       |${RobotsTxt.crawlDelaysDuck},
+       |c AS (
+       |  SELECT DISTINCT ${graft.clean.UrlFns.canonicalUrlDuck("dst")} AS canon FROM pp),
+       |p AS (
+       |  SELECT canon,
+       |    regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |    regexp_replace(canon, '^[a-z0-9+.-]+://[^/?#]*', '', 'g') AS path
+       |  FROM c),
+       |m AS (
+       |  SELECT p.canon, p.host, r.pattern, r.allow,
+       |    (r.pattern IS NOT NULL AND regexp_matches(
+       |      ${RobotsTxt.pctDecodeUnreservedDuck("p.path")},
+       |      ${RobotsTxt.patternRegexDuck("r.pattern")})) AS hit
+       |  FROM p LEFT JOIN rules r ON r.host = p.host),
+       |w AS (
+       |  SELECT canon, host, hit, allow,
+       |    row_number() OVER (PARTITION BY canon
+       |      ORDER BY hit DESC, length(pattern) DESC, allow DESC, pattern ASC) AS rn
+       |  FROM m),
+       |g AS (
+       |  SELECT canon, host,
+       |    CAST(CASE WHEN hit THEN allow ELSE 1 END AS BIGINT) AS allowed
+       |  FROM w WHERE rn = 1),
+       |f AS (
+       |  SELECT host, canon,
+       |    row_number() OVER (PARTITION BY host ORDER BY canon ASC) AS rk
+       |  FROM g WHERE allowed = 1),
+       |agg AS (
+       |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_discovered,
+       |    CAST(SUM(allowed) AS BIGINT) AS n_allowed
+       |  FROM g GROUP BY host),
+       |nf AS (
+       |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetch FROM f
+       |  WHERE rk <= 8 GROUP BY host),
+       |plan AS (
+       |  SELECT agg.host, agg.n_discovered, agg.n_allowed,
+       |    COALESCE(nf.n_fetch, 0) AS n_fetch,
+       |    CAST(COALESCE(delays.delay_ms, 1000) AS BIGINT) AS delay_ms,
+       |    CAST(COALESCE(nf.n_fetch, 0) * COALESCE(delays.delay_ms, 1000) // 1000 AS BIGINT)
+       |      AS fetch_sec
+       |  FROM agg
+       |  LEFT JOIN nf ON nf.host = agg.host
+       |  LEFT JOIN delays ON delays.host = agg.host),
+       |pr AS (SELECT host, CAST(rank_ppb AS BIGINT) AS rank_ppb FROM pr5)
+       |SELECT
+       |  CAST(row_number() OVER (
+       |    ORDER BY COALESCE(pr.rank_ppb, 0) DESC, plan.host ASC) AS BIGINT) AS priority,
+       |  plan.host, COALESCE(pr.rank_ppb, 0) AS rank_ppb,
+       |  plan.n_discovered, plan.n_allowed, plan.n_fetch, plan.delay_ms, plan.fetch_sec
+       |FROM plan LEFT JOIN pr ON pr.host = plan.host
+       |ORDER BY priority""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val stage = graft.util.TempDirs.scratch("graft_pipe11")
+    LinkGraph.extractLinks(LinkGraph.linkedPages(docs))
+      .write.mode("overwrite").parquet(s"$stage/links")
+    val links = s.read.parquet(s"$stage/links")
+    val rank = LinkGraph.pageRankHosts(LinkGraph.hostGraph(links), iters = 5)
+    val robots = docs.select((col("doc_id") % 7).as("h")).distinct()
+      .select(concat(lit("h"), col("h").cast("string"), lit(".example.com")).as("host"),
+        when(col("h") % 2 === 0, lit(robotsLinkSelf))
+          .otherwise(lit(robotsLinkStar)).as("robots_txt"))
+    val plan = frontierPlan(links.select(col("dst").as("loc")), robots,
+      cap = 8, stageDir = s"$stage/fp")
+    // the priority window is GLOBAL but host-table sized (metadata, not
+    // corpus) — the same bounded-window reasoning as the schedule rollup
+    plan.join(rank.select(col("host"), col("rank_ppb").cast("long").as("rank_ppb")),
+        Seq("host"), "left")
+      .withColumn("rank_ppb", coalesce(col("rank_ppb"), lit(0L)))
+      .withColumn("priority", row_number().over(
+        Window.orderBy(col("rank_ppb").desc, col("host").asc)).cast("long"))
+      .select("priority", "host", "rank_ppb", "n_discovered", "n_allowed",
+        "n_fetch", "delay_ms", "fetch_sec")
+      .orderBy("priority")
+  }
+
+  val all: Seq[Probe] = Seq(pipe10, pipe11)
 }

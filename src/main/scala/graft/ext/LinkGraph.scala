@@ -1,0 +1,439 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The LINK-GRAPH tier of crawl planning: anchor extraction from raw
+  * HTML → href resolution → canonical page-pair edges → host-level
+  * graph → fixed-iteration PageRank (Brin–Page 1998, the public
+  * algorithm) in exact integer arithmetic. Crawl schedulers rank hosts
+  * by link centrality to decide fetch priority and recrawl budget
+  * (CommonCrawl publishes exactly such host-level rank tables); until
+  * this tier the frontier ordered hosts only by politeness and caps.
+  *
+  * Scale shape: extraction is one narrow regex projection + explode
+  * (zero pre-shuffle state); the page-pair dedup and the host rollup
+  * are each ONE exchange on their key; each PageRank iteration is one
+  * host-keyed join + aggregation over the HOST graph — orders of
+  * magnitude smaller than the page corpus — with per-iteration
+  * materialization cutting the lineage tower (the
+  * [[Dedup.connectedComponents]] discipline).
+  *
+  * Cross-engine exactness: ranks are parts-per-billion integers;
+  * per-edge contributions use truncating division (`DIV` / `//` — both
+  * engines truncate toward zero on non-negatives), so every sum is an
+  * exact integer sum, order-independent under any shuffle. A float
+  * PageRank could never hash-match across engines.
+  */
+object LinkGraph {
+
+  /** Anchor-href extraction regex — group 1 is the attribute value.
+    * Double-quoted hrefs only (the overwhelmingly dominant form; the
+    * fixture uses it exclusively); evaluates identically under Java
+    * regex and RE2 (lazy quantifier, `\b`, ASCII classes).
+    */
+  private[ext] val hrefRe = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""
+  private[ext] val hrefReDuck = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""
+
+  /** Resolve one href against its page URL — the deterministic subset
+    * of RFC 3986 reference resolution a host-graph needs:
+    *
+    *   - absolute (`scheme://…`) → kept as-is (http/https only, checked
+    *     after resolution);
+    *   - scheme-relative (`//host/…`) → page scheme prepended;
+    *   - path-absolute (`/…`) → page `scheme://host` prepended;
+    *   - anything else (relative paths, `mailto:`, `javascript:`,
+    *     fragments, empty) → NULL (dropped). Relative-path resolution
+    *     needs dot-segment merging (RFC 3986 §5.2.4) — stateful and
+    *     rarely load-bearing for HOST-level edges, so it is explicitly
+    *     out of the rule chain.
+    *
+    * `&amp;` entity-decodes first: href attribute values in conformant
+    * HTML escape ampersands, and tracking-param canonicalization needs
+    * the real `&`.
+    */
+  def resolveHref(pageUrl: Column, href0: Column): Column = {
+    val href = regexp_replace(href0, "&amp;", "&")
+    val scheme = regexp_extract(lower(pageUrl), "^([a-z][a-z0-9+.-]*)://", 1)
+    val prefix = regexp_extract(pageUrl, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val resolved = when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(prefix, href))
+      .otherwise(lit(null).cast("string"))
+    when(resolved.rlike("^(?i)https?://"), resolved)
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** The identical resolution chain in DuckDB's dialect. */
+  def resolveHrefDuck(pageUrl: String, href0: String): String = {
+    val href = s"replace($href0, '&amp;', '&')"
+    val scheme = s"regexp_extract(lower($pageUrl), '^([a-z][a-z0-9+.-]*)://', 1)"
+    val prefix = s"regexp_extract($pageUrl, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    s"""(CASE WHEN regexp_matches(CASE
+       |    WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $href
+       |    WHEN starts_with($href, '//') THEN $scheme || ':' || $href
+       |    WHEN starts_with($href, '/') THEN $prefix || $href
+       |    ELSE NULL END, '^(?i)https?://')
+       |  THEN CASE
+       |    WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $href
+       |    WHEN starts_with($href, '//') THEN $scheme || ':' || $href
+       |    WHEN starts_with($href, '/') THEN $prefix || $href
+       |    ELSE NULL END
+       |  ELSE NULL END)""".stripMargin
+  }
+
+  /** Hostname of a canonical URL. */
+  private def hostOf(c: Column): Column =
+    regexp_extract(c, "^[a-z0-9+.-]+://([^/:?#]+)", 1)
+
+  /** Extract and resolve every anchor from `(urlCol, htmlCol)` pages:
+    * one row per KEPT link — (src, dst, src_host, dst_host), both
+    * endpoints canonicalized ([[graft.clean.UrlFns.canonicalUrl]], so
+    * tracking-param variants of the same target collapse). Narrow
+    * regex + explode; no exchange.
+    */
+  def extractLinks(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val raw = pages
+      .select(col(urlCol).as("__u"),
+        explode(regexp_extract_all(col(htmlCol), lit(hrefRe), lit(1))).as("__href"))
+      .select(col("__u"), resolveHref(col("__u"), col("__href")).as("__r"))
+      .filter(col("__r").isNotNull)
+    val canon = raw.select(
+      graft.clean.UrlFns.canonicalUrl(col("__u")).as("src"),
+      graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"))
+    canon.select(col("src"), col("dst"),
+      hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"))
+  }
+
+  /** Host-level edge list from extracted links: page-pair duplicates
+    * collapse FIRST (the same template link on every page of a host
+    * must weigh by distinct target pages, not by page count), then the
+    * host rollup counts distinct page pairs per (src_host, dst_host).
+    * Self-edges drop — intra-host navigation is chrome, not
+    * endorsement. Two key-locality exchanges total.
+    */
+  def hostGraph(links: DataFrame): DataFrame =
+    links.select("src", "dst", "src_host", "dst_host").distinct()
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Fixed-iteration PageRank over a directed host edge list
+    * (unweighted; `edges` needs columns src/dst, extra columns are
+    * ignored, duplicate and self edges are dropped defensively).
+    *
+    * Exact-integer formulation (damping 0.85, rank mass 1e9 ppb):
+    *   r0(v)   = 1e9 DIV n
+    *   contrib = r(u) DIV out_deg(u)          per out-edge of u
+    *   r'(v)   = (15% of 1e9) DIV n + (85 · Σ contrib) DIV 100
+    * Dangling hosts contribute nothing (the classic simplified PR;
+    * deterministic in both engines), no-inbound hosts hold teleport.
+    * Truncating integer division end to end — order-independent sums,
+    * immune to shuffle nondeterminism, and identical in DuckDB.
+    *
+    * Each iteration materializes (persist + count + plan reset) so the
+    * analyzer never re-walks a k-deep join tower and a failed executor
+    * recomputes one iteration, not the whole chain.
+    */
+  def pageRankHosts(edges0: DataFrame, iters: Int = 5): DataFrame = {
+    val s = edges0.sparkSession
+    def reset(df: DataFrame): DataFrame = s.createDataFrame(df.rdd, df.schema)
+    val edgesC = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesC.count()
+    val edges = reset(edgesC)
+    val vertsC = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertsC.count()
+    require(n > 0, "pageRankHosts: empty graph")
+    val verts = reset(vertsC)
+    val degC = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    degC.count()
+    val deg = reset(degC)
+    val r0 = 1000000000L / n
+    val tele = (1000000000L * 15L / 100L) / n
+    var cached = verts.select(col("host"), lit(r0).as("rank_ppb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    var ranks = reset(cached)
+    var k = 0
+    while (k < iters) {
+      k += 1
+      val sums = edges
+        .join(ranks, edges("src") === ranks("host"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rank_ppb DIV out_deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      val next = verts.join(sums, verts("host") === sums("dst"), "left")
+        .select(col("host"),
+          (lit(tele) + expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) DIV 100")).as("rank_ppb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cached.unpersist()
+      cached = next
+      ranks = reset(next)
+    }
+    edgesC.unpersist(); vertsC.unpersist(); degC.unpersist()
+    // the final frame stays persisted to pay for the caller's execution
+    // (the connectedComponents contract); it is host-table sized
+    ranks
+  }
+
+  // ------------------------------------------------------------ fixture
+
+  /** The synthetic linked crawl page (the x_html1 discipline: one
+    * shared template, Spark renders with concat, the oracle with `||`,
+    * so both engines extract from byte-identical HTML). Per doc on host
+    * h{doc_id%7}: an absolute cross-host link with an entity-escaped
+    * tracking param (canonicalization must collapse variants), a hub
+    * link every third doc (host h0 must emerge top-ranked), a
+    * scheme-relative link, a path-absolute SELF link (extracted, then
+    * dropped by the host graph), and a non-resolvable tail (mailto /
+    * fragment / relative path) that must never extract.
+    */
+  private val parts = Seq(
+    "<html><head><title>D ",
+    "</title></head><body><p>See <a href=\"https://h",
+    ".example.com/p/",
+    "?utm_source=feed&amp;b=2\">partner</a> and <a href=\"//h",
+    ".example.com/s/",
+    "\">mirror</a>.</p>",
+    "<a href=\"/self/",
+    "\">me</a> <a href=\"mailto:x@y.z\">mail</a> <a href=\"#top\">top</a>" +
+      " <a href=\"rel/p.html\">rel</a><p>",
+    "</p></body></html>")
+
+  private[graft] def linkedPages(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
+    concat(
+      lit(parts(0)), col("doc_id").cast("string"),
+      lit(parts(1)), ((col("doc_id") + 1) % 7).cast("string"),
+      lit(parts(2)), (col("doc_id") % 11).cast("string"),
+      lit(parts(3)), ((col("doc_id") + 2) % 7).cast("string"),
+      lit(parts(4)), (col("doc_id") % 5).cast("string"),
+      lit(parts(5)),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://h0.example.com/hub\">hub</a>")).otherwise(lit("")),
+      lit(parts(6)), (col("doc_id") % 4).cast("string"),
+      lit(parts(7)), col("text"),
+      lit(parts(8))).as("html"))
+
+  private def q(s: String) = "'" + s.replace("'", "''") + "'"
+
+  private[ext] val pageUrlDuck =
+    "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/d/' || CAST(doc_id AS VARCHAR)"
+
+  private[ext] val pageHtmlDuck =
+    s"""${q(parts(0))} || CAST(doc_id AS VARCHAR) ||
+       |${q(parts(1))} || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+       |${q(parts(2))} || CAST(doc_id % 11 AS VARCHAR) ||
+       |${q(parts(3))} || CAST((doc_id + 2) % 7 AS VARCHAR) ||
+       |${q(parts(4))} || CAST(doc_id % 5 AS VARCHAR) ||
+       |${q(parts(5))} ||
+       |CASE WHEN doc_id % 3 = 0
+       |  THEN '<a href="https://h0.example.com/hub">hub</a>' ELSE '' END ||
+       |${q(parts(6))} || CAST(doc_id % 4 AS VARCHAR) ||
+       |${q(parts(7))} || text ||
+       |${q(parts(8))}""".stripMargin
+
+  /** Oracle CTEs shared by the link probes: pages → extracted hrefs →
+    * resolution → canonical page pairs (`lk` raw, `pp` distinct).
+    */
+  private[ext] def linkBaseCtesDuck: String = {
+    val cu = graft.clean.UrlFns.canonicalUrlDuck _
+    s"""pg AS (
+       |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents),
+       |hr AS (
+       |  SELECT url, unnest(regexp_extract_all(html, '$hrefReDuck', 1)) AS href
+       |  FROM pg),
+       |rs AS (
+       |  SELECT url, r FROM (
+       |    SELECT url, ${resolveHrefDuck("url", "href")} AS r FROM hr)
+       |  WHERE r IS NOT NULL),
+       |lk AS (
+       |  SELECT ${cu("url")} AS src, ${cu("r")} AS dst,
+       |    regexp_extract(${cu("url")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS src_host,
+       |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host
+       |  FROM rs),
+       |pp AS (SELECT DISTINCT src, dst, src_host, dst_host FROM lk)""".stripMargin
+  }
+
+  /** `linkBaseCtesDuck` extended with the host edge rollup. */
+  private[ext] def linkCtesDuck: String =
+    s"""$linkBaseCtesDuck,
+       |hedges AS (
+       |  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS n_pairs
+       |  FROM pp WHERE src_host <> dst_host GROUP BY 1, 2)""".stripMargin
+
+  /** Fixed-iteration PR oracle CTEs over `hedges` (src, dst). */
+  private[ext] def pageRankCtesDuck(iters: Int): String = {
+    val init =
+      s"""he AS (SELECT DISTINCT src, dst FROM hedges WHERE src <> dst),
+         |verts AS (SELECT src AS host FROM he UNION SELECT dst FROM he),
+         |nv AS (SELECT COUNT(*) AS n FROM verts),
+         |deg AS (SELECT src, COUNT(*) AS out_deg FROM he GROUP BY src),
+         |pr0 AS (
+         |  SELECT host, CAST(1000000000 AS BIGINT) // (SELECT n FROM nv) AS rank_ppb
+         |  FROM verts)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.host,
+         |    ((CAST(1000000000 AS BIGINT) * 15) // 100) // (SELECT n FROM nv)
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS rank_ppb
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS host, SUM(r.rank_ppb // d.out_deg) AS s
+         |    FROM he e
+         |    JOIN pr${k - 1} r ON r.host = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.host = v.host)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  // ------------------------------------------------------------- probes
+
+  /** X-LNK1 — anchor extraction + href resolution + canonicalization,
+    * rolled up per host pair: n_raw counts every kept anchor, n_pairs
+    * the distinct canonical page pairs (tracking-param variants and
+    * template repeats collapse). Self-host rows PRESENT here — the
+    * extraction tier reports what pages say; dropping chrome is the
+    * graph stage's decision (x_lnk2). The oracle re-runs the regex,
+    * the resolution CASE chain, and canonicalization relationally.
+    */
+  private val lnk1 = Probe(
+    "x_lnk1_extract_links",
+    s"""WITH $linkBaseCtesDuck,
+       |agg AS (
+       |  SELECT src_host, dst_host,
+       |    CAST(COUNT(*) AS BIGINT) AS n_raw FROM lk GROUP BY 1, 2),
+       |pagg AS (
+       |  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM pp GROUP BY 1, 2)
+       |SELECT a.src_host, a.dst_host, a.n_raw, p.n_pairs
+       |FROM agg a JOIN pagg p USING (src_host, dst_host)
+       |ORDER BY src_host, dst_host""".stripMargin) { (s, dir) =>
+    val links = extractLinks(linkedPages(Tables(s, dir, "documents")))
+    val raw = links.groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_raw"))
+    val pairs = links.select("src", "dst", "src_host", "dst_host").distinct()
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_pairs"))
+    raw.join(pairs, Seq("src_host", "dst_host"))
+      .orderBy("src_host", "dst_host")
+  }
+
+  /** X-LNK2 — the composed centrality pipeline: pages → extraction →
+    * host graph → 5-iteration exact-integer PageRank. The oracle
+    * recomputes every stage (regex, resolution, canonical dedup, host
+    * rollup, all five iterations' truncating-division arithmetic) in
+    * one nested query — the hub host h0 must emerge top-ranked from
+    * extraction alone, nothing is pre-labeled.
+    */
+  private val lnk2 = Probe(
+    "x_lnk2_host_rank",
+    s"""WITH $linkCtesDuck,
+       |${pageRankCtesDuck(5)}
+       |SELECT host, CAST(rank_ppb AS BIGINT) AS rank_ppb
+       |FROM pr5 ORDER BY rank_ppb DESC, host""".stripMargin) { (s, dir) =>
+    val links = extractLinks(linkedPages(Tables(s, dir, "documents")))
+    pageRankHosts(hostGraph(links), iters = 5)
+      .select(col("host"), col("rank_ppb").cast("long").as("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("host"))
+  }
+
+  /** Anchor element regex — group 1 href, group 2 the inner markup
+    * (anchors don't nest, so lazy-to-`</a>` is exact; the [[
+    * graft.clean.HtmlFns]] anchorRe reasoning).
+    */
+  private[ext] val anchorRe =
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Extract (resolved target, anchor text) pairs: the href and inner
+    * markup come from ONE pattern evaluated twice (group 1 / group 2 —
+    * both engines lack multi-group extract-all), so the two arrays are
+    * positionally aligned by construction; inner tags strip to spaces
+    * before tokenization. Narrow regex work; no exchange.
+    */
+  def anchorTexts(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val withArrays = pages.select(col(urlCol).as("__u"),
+      regexp_extract_all(col(htmlCol), lit(anchorRe), lit(1)).as("__hs"),
+      regexp_extract_all(col(htmlCol), lit(anchorRe), lit(2)).as("__ts"))
+    val pos = withArrays
+      .select(col("__u"), posexplode(col("__hs")).as(Seq("__i", "__href")),
+        col("__ts"))
+      .select(col("__u"), col("__href"),
+        element_at(col("__ts"), col("__i") + 1).as("__inner"))
+    pos.select(col("__u"), resolveHref(col("__u"), col("__href")).as("__r"),
+        col("__inner"))
+      .filter(col("__r").isNotNull)
+      .select(
+        graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"),
+        hostOf(graft.clean.UrlFns.canonicalUrl(col("__r"))).as("dst_host"),
+        regexp_replace(col("__inner"), "<[^>]*>", " ").as("atext"))
+  }
+
+  /** X-LNK3 — the ANCHOR-TEXT index: what the web calls a page is a
+    * first-class relevance/quality signal (anchor terms describe the
+    * TARGET, which is why search engines index them against the linked
+    * page, not the linking one). Per target host: term counts from all
+    * inbound anchors' visible text, top-3 by (n desc, term asc). The
+    * per-host window runs over the POST-aggregation (host, term) table
+    * — rollup-sized, not corpus-sized. The oracle re-extracts both
+    * regex groups positionally, re-resolves, strips tags, tokenizes,
+    * and replays the window.
+    */
+  private val lnk3 = Probe(
+    "x_lnk3_anchor_terms",
+    s"""WITH pg AS (
+       |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents),
+       |ar AS (
+       |  SELECT url, regexp_extract_all(html, '$anchorRe', 1) AS hs,
+       |    regexp_extract_all(html, '$anchorRe', 2) AS ts
+       |  FROM pg),
+       |px AS (
+       |  SELECT url, hs[i] AS href, ts[i] AS itext
+       |  FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i)),
+       |rx AS (
+       |  SELECT r, itext FROM (
+       |    SELECT ${resolveHrefDuck("url", "href")} AS r, itext FROM px)
+       |  WHERE r IS NOT NULL),
+       |tm AS (
+       |  SELECT
+       |    regexp_extract(${graft.clean.UrlFns.canonicalUrlDuck("r")},
+       |      '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host,
+       |    unnest(${graft.clean.CleanFns.tokensDuck(
+                 "lower(regexp_replace(itext, '<[^>]*>', ' ', 'g'))")}) AS term
+       |  FROM rx),
+       |tc AS (
+       |  SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tm GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT dst_host, term, n,
+       |    CAST(row_number() OVER (PARTITION BY dst_host
+       |      ORDER BY n DESC, term ASC) AS BIGINT) AS rk
+       |  FROM tc)
+       |SELECT dst_host, term, n, rk FROM rk WHERE rk <= 3
+       |ORDER BY dst_host, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val at = anchorTexts(linkedPages(Tables(s, dir, "documents")))
+    at.select(col("dst_host"),
+        explode(graft.clean.CleanFns.tokens(lower(col("atext")))).as("term"))
+      .groupBy("dst_host", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("dst_host"))
+          .orderBy(col("n").desc, col("term").asc)).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("dst_host", "rk")
+  }
+
+  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3)
+}

@@ -1,0 +1,149 @@
+package graft.ext
+
+import graft.{Probe, Tables}
+import graft.clean.CleanFns
+import graft.functions.MinSeg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The UNIGRAM-vocabulary tokenizer tier — the subword family's second
+  * member next to BPE (x_tok1): induce a piece vocabulary by corpus
+  * substring frequency, then segment with a shortest-path DP (the
+  * exact-integer counterpart of SentencePiece/unigram-LM Viterbi —
+  * Kudo 2018 — under a unit cost model, because float log-prob costs
+  * can never hash-match across engines; piece-count minimization is
+  * itself the classic "optimal segmentation" objective).
+  *
+  * Scale shape: induction explodes substrings of the DISTINCT-word
+  * table (orders of magnitude smaller than the token stream), rolls up
+  * on piece (one exchange), and takes the top-V via sort+limit —
+  * Spark plans that as TakeOrderedAndProject (per-partition top-V, a
+  * V-row merge on the driver; no global sort). Segmentation computes
+  * the DP once per distinct word against the broadcast vocab (the
+  * x_txt13 1-row-commons shape, zero doc shuffles before the per-doc
+  * rollup), then joins costs back to the token stream.
+  */
+object UnigramTok {
+
+  /** Default vocabulary size — bounded, broadcastable. */
+  val V = 200
+
+  /** (word, cnt): corpus word frequencies (tokens are whitespace-split,
+    * case-preserved — [[CleanFns.tokens]]).
+    */
+  def corpusWords(docs: DataFrame): DataFrame =
+    docs.select(explode(CleanFns.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Induce the top-`v` pieces: every substring of length 2..MaxLen of
+    * every word, weighted by the word's corpus frequency, ranked by
+    * (count desc, piece asc) — a total order, so the V boundary is
+    * deterministic in both engines.
+    */
+  def induceVocab(docs: DataFrame, v: Int = V): DataFrame =
+    corpusWords(docs)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      // guard BEFORE the length explode: Spark's sequence(2, 1) counts
+      // DOWN (DuckDB's generate_series is empty) — an unguarded explode
+      // would mint phantom 1-char pieces in one engine only
+      .filter(length(col("word")) - col("i") + 1 >= 2)
+      .select(explode(sequence(lit(2),
+        least(lit(MinSeg.MaxLen), length(col("word")) - col("i") + 1))).as("L"),
+        col("word"), col("i"), col("cnt"))
+      .select(expr("substring(word, i, L)").as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("piece").asc).limit(v)
+
+  /** Per-doc token accounting under the induced vocabulary: n_words
+    * (whitespace tokens) and n_pieces (the minimal subword count, DP'd
+    * once per DISTINCT word against the broadcast piece array).
+    */
+  def minTokenCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.GraftExtensions.register(s)
+    val vrow = vocab.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
+    val words = docs.select(col("doc_id"),
+      explode(CleanFns.tokens(col("text"))).as("word"))
+    val costs = words.select("word").distinct()
+      .crossJoin(broadcast(vrow)) // 1-row build side → broadcast nested loop
+      .select(col("word"), expr("min_seg_count(word, __pieces)").as("__c"))
+    words.join(costs, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("n_pieces"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  /** Induction CTEs: `vc` (piece, n) and `topv` (top-V pieces). */
+  private def vocabCtesDuck(v: Int): String =
+    s"""w0 AS (
+       |  SELECT doc_id, unnest(${CleanFns.tokensDuck("text")}) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w0 GROUP BY word),
+       |sub AS (
+       |  SELECT substr(word, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS piece, cnt
+       |  FROM wc,
+       |    UNNEST(generate_series(1, length(word))) AS t(i),
+       |    UNNEST(generate_series(2, least(${MinSeg.MaxLen}, length(word) - i + 1))) AS u(L)
+       |  WHERE length(word) - i + 1 >= 2),
+       |vc AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM sub GROUP BY piece),
+       |topv AS (SELECT piece, n FROM vc ORDER BY n DESC, piece ASC LIMIT $v)""".stripMargin
+
+  // ------------------------------------------------------------- probes
+
+  /** X-TOK2 — the vocabulary induction itself: top-V substrings by
+    * frequency-weighted count, the deterministic (n desc, piece asc)
+    * boundary pinned by hash.
+    */
+  private val tok2 = Probe(
+    "x_tok2_unigram_vocab",
+    s"""WITH ${vocabCtesDuck(V)}
+       |SELECT piece, n FROM topv ORDER BY n DESC, piece ASC""".stripMargin) { (s, dir) =>
+    induceVocab(Tables(s, dir, "documents"))
+      .orderBy(col("n").desc, col("piece").asc)
+  }
+
+  /** X-TOK3 — minimal-piece segmentation over the induced vocab: the
+    * oracle replays the DP as a recursive CTE over (word, pos, cost)
+    * STATES (not paths — recursive UNION dedups states, so the search
+    * is quadratic per word, never exponential), with the single-char
+    * UNK step as a pseudo-piece. Spark runs the native [[MinSeg]]
+    * expression once per distinct word. Both engines induce the vocab
+    * from scratch — a one-piece disagreement at the V boundary would
+    * shift costs and break the hash.
+    */
+  private val tok3 = Probe(
+    "x_tok3_unigram_tokens",
+    s"""WITH RECURSIVE ${vocabCtesDuck(V)},
+       |dw AS (SELECT DISTINCT word FROM w0),
+       |mv AS (
+       |  SELECT piece, CAST(length(piece) AS INTEGER) AS len FROM topv
+       |  UNION ALL SELECT '', 1),
+       |st AS (
+       |  SELECT word, 0 AS pos, 0 AS cost FROM dw
+       |  UNION
+       |  SELECT s.word, s.pos + m.len, s.cost + 1
+       |  FROM st s JOIN mv m ON s.pos + m.len <= length(s.word)
+       |    AND (m.piece = '' OR substr(s.word, s.pos + 1, m.len) = m.piece)),
+       |best AS (
+       |  SELECT word, MIN(cost) AS c FROM st
+       |  WHERE pos = length(word) GROUP BY word)
+       |SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.c) AS BIGINT) AS n_pieces
+       |FROM w0 JOIN best b ON b.word = w0.word
+       |GROUP BY w0.doc_id ORDER BY w0.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val vocabPath = graft.util.TrainOnce(s"unigram_vocab:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_unigram_vocab")
+      induceVocab(docs).write.mode("overwrite").parquet(p)
+      p
+    }
+    minTokenCounts(docs, s.read.parquet(vocabPath))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_pieces").cast("long").as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(tok2, tok3)
+}

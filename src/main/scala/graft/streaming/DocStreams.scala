@@ -225,6 +225,43 @@ object DocStreams {
   def knScored(docs: DataFrame, idx: graft.functions.KnIndex): DataFrame =
     graft.ext.KnLm.knScoreNative(docs, idx)
 
+  /** Stream-capable minimal-piece token accounting — x_tok3's semantics
+    * at the stream door: the piece vocabulary is induced batch-side ONCE
+    * ([[graft.ext.UnigramTok.induceVocab]]), its sorted array broadcast
+    * (1-row build side), and each arriving document pays the
+    * `min_seg_count` DP per OWN word inside one HOF lambda. No
+    * distinct-word join — a stream cannot shuffle for annotation — so
+    * repeated words re-pay their DP; the COUNTS are identical to the
+    * batch join-back form by construction (same DP, same vocab), which
+    * StreamingSpec pins.
+    */
+  def minSegTokens(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val vrow = vocab.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
+    docs.crossJoin(broadcast(vrow))
+      .withColumn("n_words",
+        size(graft.clean.CleanFns.tokens(col("text"))).cast("long"))
+      .withColumn("n_pieces", expr(
+        "aggregate(" + graft.clean.CleanFns.tokensSpark("text") +
+          ", CAST(0 AS BIGINT), (acc, w) -> acc + min_seg_count(w, __pieces))"))
+      .drop("__pieces")
+  }
+
+  /** Stream-capable link extraction — the x_lnk1 chain (anchor regex →
+    * href resolution → canonicalization) at the stream door: a pure
+    * narrow regex projection + explode, zero state, zero shuffle. Host
+    * aggregation/PageRank stay batch-side jobs over the landed edges.
+    */
+  def linkExtracted(pages: DataFrame): DataFrame =
+    graft.ext.LinkGraph.extractLinks(pages)
+
+  /** Stream-capable anchor-text extraction — x_lnk3's (dst, dst_host,
+    * atext) rows at the stream door; same narrow-regex reasoning as
+    * [[linkExtracted]].
+    */
+  def anchorTexts(pages: DataFrame): DataFrame =
+    graft.ext.LinkGraph.anchorTexts(pages)
+
   /** Stream-capable HTML → text extraction — crawl pages extracted AT THE
     * STREAM DOOR with the exact batch rule chain
     * ([[graft.clean.HtmlFns.htmlToText]], shared with

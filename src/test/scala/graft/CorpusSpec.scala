@@ -24,6 +24,22 @@ class CorpusSpec extends SparkSuite {
     assert(out.select(md5(col("text"))).distinct().count() == n)
   }
 
+  test("withUnigramTokenCount matches the x_tok3 distinct-word join form") {
+    val docs = Tables(spark, dir, "documents")
+    val vocab = graft.ext.UnigramTok.induceVocab(docs)
+    val got = Corpus(docs).withUnigramTokenCount(Some(vocab)).df
+      .select(col("doc_id"), col("n_tok_unigram"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = graft.ext.UnigramTok.minTokenCounts(docs, vocab)
+      .select(col("doc_id"), col("n_pieces").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // an existing n_words column must survive untouched
+    val withW = Corpus(docs.withColumn("n_words", lit(-7L)))
+      .withUnigramTokenCount(Some(vocab)).df
+    assert(withW.select("n_words").distinct().collect().map(_.getLong(0)).toSeq == Seq(-7L))
+  }
+
   test("dedupExact keeps the smallest id among planted duplicates") {
     val docs = Tables(spark, dir, "documents")
     val planted = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 10000L))

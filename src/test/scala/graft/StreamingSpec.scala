@@ -600,6 +600,78 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming min-seg token accounting == batch x_tok3 against the same vocab") {
+    import graft.streaming.DocStreams
+    import graft.ext.UnigramTok
+    val batchDocs = Tables(spark, dir, "documents")
+    val vocab = UnigramTok.induceVocab(batchDocs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_minseg_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 3 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.minSegTokens(stream, vocab)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("minseg_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("minseg_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        // batch twin: the distinct-word JOIN form the probe uses — the
+        // per-row HOF and the join-back must agree exactly
+        val want = UnigramTok.minTokenCounts(spark.read.parquet(s"$tmp/in"), vocab)
+          .select(col("doc_id"), col("n_words").cast("long"),
+            col("n_pieces").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        assert(got.forall(t => t._3 >= t._2), "a word costs at least one piece")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
+  test("streaming link extraction == batch x_lnk1 rows") {
+    import graft.streaming.DocStreams
+    val pages = graft.ext.LinkGraph.linkedPages(Tables(spark, dir, "documents"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lnk_stream").toString
+    try {
+      pages.filter(col("doc_id") % 4 === 0).select("url", "html")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("html",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.linkExtracted(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("lnk_out").start()
+      try {
+        q.processAllAvailable()
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+        val got = spark.table("lnk_out").collect().map(key).sorted.toSeq
+        val want = graft.ext.LinkGraph.extractLinks(spark.read.parquet(s"$tmp/in"))
+          .collect().map(key).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming split assignment == batch x_smp6 (stateless hash algebra)") {
     import graft.streaming.DocStreams
     val batchDocs = Tables(spark, dir, "documents")
