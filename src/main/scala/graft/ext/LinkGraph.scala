@@ -139,13 +139,40 @@ object LinkGraph {
     * analyzer never re-walks a k-deep join tower and a failed executor
     * recomputes one iteration, not the whole chain.
     */
-  def pageRankHosts(edges0: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRankHosts(edges0: DataFrame, iters: Int = 5,
+      localMaxEdges: Long = 1000000L): DataFrame = {
     val s = edges0.sparkSession
     def reset(df: DataFrame): DataFrame = s.createDataFrame(df.rdd, df.schema)
     val edgesC = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edgesC.count()
+    val nE = edgesC.count()
+    if (nE <= localMaxEdges && nE > 0) {
+      // LOCAL endgame (the connectedComponents localClosure gate): a
+      // host graph under the bound is megabytes — iterating it as 5
+      // distributed rounds pays persist+count+plan cycles to shuffle
+      // kilobytes (measured: ~2 s of job churn for a 7-host fixture).
+      // Same integer recurrence on the driver; LinkGraphSpec pins
+      // local ≡ distributed.
+      val es = edgesC.collect().map(r => (r.getString(0), r.getString(1)))
+      edgesC.unpersist()
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toArray.sorted
+      val n = verts.length.toLong
+      val idx = verts.zipWithIndex.toMap
+      val outDeg = new Array[Long](verts.length)
+      es.foreach { case (u, _) => outDeg(idx(u)) += 1 }
+      var r = Array.fill(verts.length)(1000000000L / n)
+      val tele = (1000000000L * 15L / 100L) / n
+      var k = 0
+      while (k < iters) {
+        k += 1
+        val in = new Array[Long](verts.length)
+        es.foreach { case (u, v) => in(idx(v)) += r(idx(u)) / outDeg(idx(u)) }
+        r = Array.tabulate(verts.length)(i => tele + 85L * in(i) / 100L)
+      }
+      import s.implicits._
+      return verts.zip(r).toSeq.toDF("host", "rank_ppb")
+    }
     val edges = reset(edgesC)
     val vertsC = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host"))).distinct()

@@ -76,6 +76,11 @@ class LinkGraphSpec extends SparkSuite {
     assert(got == r, s"got=$got want=$r")
     // sanity on the shape: a has two inbound sources, d teleport-only
     assert(got("a") > got("b") && got("d") == tele)
+    // the distributed loop (local endgame gated OFF) computes the same
+    // recurrence — the gate is a route choice, never a semantics choice
+    val dist = LinkGraph.pageRankHosts(edges, iters = 5, localMaxEdges = -1L)
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+    assert(dist == got, s"distributed=$dist local=$got")
   }
 
   test("anchorTexts: positional href/text alignment, tag strip, drops") {
@@ -98,7 +103,9 @@ class LinkGraphSpec extends SparkSuite {
   test("pageRankHosts leaves no persisted intermediates behind (except the result)") {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val out = LinkGraph.pageRankHosts(edges, iters = 3)
+    // gate the local endgame OFF — the leak property is about the
+    // distributed loop's intermediates
+    val out = LinkGraph.pageRankHosts(edges, iters = 3, localMaxEdges = -1L)
     out.collect()
     // the final frame's cache is the documented survivor; everything
     // else (edges, verts, deg, prior iterations) must be unpersisted
