@@ -274,53 +274,67 @@ object LinkGraph {
 
   /** Oracle CTEs shared by the link probes: pages → extracted hrefs →
     * resolution → canonical page pairs (`lk` raw, `pp` distinct).
+    * `where` restricts the document slice (the increment probes split
+    * released vs shard); `px` prefixes every CTE name so two chains can
+    * coexist in one query.
     */
-  private[ext] def linkBaseCtesDuck: String = {
+  private[ext] def linkBaseCtesDuck: String = linkBaseCtesDuck("", "")
+
+  private[ext] def linkBaseCtesDuck(where: String, px: String): String = {
     val cu = graft.clean.UrlFns.canonicalUrlDuck _
-    s"""pg AS (
-       |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents),
-       |hr AS (
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""${px}pg AS (
+       |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents$w),
+       |${px}hr AS (
        |  SELECT url, unnest(regexp_extract_all(html, '$hrefReDuck', 1)) AS href
-       |  FROM pg),
-       |rs AS (
+       |  FROM ${px}pg),
+       |${px}rs AS (
        |  SELECT url, r FROM (
-       |    SELECT url, ${resolveHrefDuck("url", "href")} AS r FROM hr)
+       |    SELECT url, ${resolveHrefDuck("url", "href")} AS r FROM ${px}hr)
        |  WHERE r IS NOT NULL),
-       |lk AS (
+       |${px}lk AS (
        |  SELECT ${cu("url")} AS src, ${cu("r")} AS dst,
        |    regexp_extract(${cu("url")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS src_host,
        |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host
-       |  FROM rs),
-       |pp AS (SELECT DISTINCT src, dst, src_host, dst_host FROM lk)""".stripMargin
+       |  FROM ${px}rs),
+       |${px}pp AS (SELECT DISTINCT src, dst, src_host, dst_host FROM ${px}lk)""".stripMargin
   }
 
   /** `linkBaseCtesDuck` extended with the host edge rollup. */
-  private[ext] def linkCtesDuck: String =
-    s"""$linkBaseCtesDuck,
-       |hedges AS (
-       |  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS n_pairs
-       |  FROM pp WHERE src_host <> dst_host GROUP BY 1, 2)""".stripMargin
+  private[ext] def linkCtesDuck: String = linkCtesDuck("", "")
 
-  /** Fixed-iteration PR oracle CTEs over `hedges` (src, dst). */
-  private[ext] def pageRankCtesDuck(iters: Int): String = {
+  private[ext] def linkCtesDuck(where: String, px: String): String =
+    s"""${linkBaseCtesDuck(where, px)},
+       |${px}hedges AS (
+       |  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS n_pairs
+       |  FROM ${px}pp WHERE src_host <> dst_host GROUP BY 1, 2)""".stripMargin
+
+  /** Fixed-iteration PR oracle CTEs over `<edges>` (src, dst); `px`
+    * prefixes every CTE so two rank chains can coexist in one query.
+    * The final ranks land in `<px>pr<iters>`.
+    */
+  private[ext] def pageRankCtesDuck(iters: Int): String =
+    pageRankCtesDuck(iters, "hedges", "")
+
+  private[ext] def pageRankCtesDuck(iters: Int, edges: String, px: String): String = {
     val init =
-      s"""he AS (SELECT DISTINCT src, dst FROM hedges WHERE src <> dst),
-         |verts AS (SELECT src AS host FROM he UNION SELECT dst FROM he),
-         |nv AS (SELECT COUNT(*) AS n FROM verts),
-         |deg AS (SELECT src, COUNT(*) AS out_deg FROM he GROUP BY src),
-         |pr0 AS (
-         |  SELECT host, CAST(1000000000 AS BIGINT) // (SELECT n FROM nv) AS rank_ppb
-         |  FROM verts)""".stripMargin
+      s"""${px}he AS (SELECT DISTINCT src, dst FROM $edges WHERE src <> dst),
+         |${px}verts AS (SELECT src AS host FROM ${px}he UNION SELECT dst FROM ${px}he),
+         |${px}nv AS (SELECT COUNT(*) AS n FROM ${px}verts),
+         |${px}deg AS (SELECT src, COUNT(*) AS out_deg FROM ${px}he GROUP BY src),
+         |${px}pr0 AS (
+         |  SELECT host, CAST(1000000000 AS BIGINT) // (SELECT n FROM ${px}nv) AS rank_ppb
+         |  FROM ${px}verts)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""pr$k AS (
+      s"""${px}pr$k AS (
          |  SELECT v.host,
-         |    ((CAST(1000000000 AS BIGINT) * 15) // 100) // (SELECT n FROM nv)
+         |    ((CAST(1000000000 AS BIGINT) * 15) // 100) // (SELECT n FROM ${px}nv)
          |      + (85 * COALESCE(c.s, 0)) // 100 AS rank_ppb
-         |  FROM verts v LEFT JOIN (
+         |  FROM ${px}verts v LEFT JOIN (
          |    SELECT e.dst AS host, SUM(r.rank_ppb // d.out_deg) AS s
-         |    FROM he e
-         |    JOIN pr${k - 1} r ON r.host = e.src
-         |    JOIN deg d ON d.src = e.src
+         |    FROM ${px}he e
+         |    JOIN ${px}pr${k - 1} r ON r.host = e.src
+         |    JOIN ${px}deg d ON d.src = e.src
          |    GROUP BY e.dst) c ON c.host = v.host)""".stripMargin
     }
     (init +: steps).mkString(",\n")
@@ -462,5 +476,55 @@ object LinkGraph {
       .orderBy("dst_host", "rk")
   }
 
-  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3)
+  /** X-LNK4 — the INCREMENTAL rank update (the x_pipe8 daily-increment
+    * discipline on the planning side): the released crawl's host edges
+    * and ranks persist as a parquet STORE (train-once); the steady
+    * path extracts only the NEW shard's links, merges its host edges
+    * into the store additively (page-pair sets across crawls are
+    * disjoint by construction — a page belongs to one crawl — so edge
+    * weights add), re-ranks the MERGED graph, and reports per-host
+    * rank drift vs the stored table — the artifact a crawl scheduler
+    * actually consumes (which hosts rose enough to re-budget). The
+    * oracle recomputes BOTH rank chains from scratch (released slice
+    * and full corpus) in one query — hash-match proves incremental
+    * merge ≡ full recompute, the same guarantee x_ded9/x_pipe8 pin for
+    * dedup tiers.
+    */
+  private val lnk4 = Probe(
+    "x_lnk4_rank_increment",
+    s"""WITH ${linkCtesDuck("doc_id % 5 <> 0", "o")},
+       |${pageRankCtesDuck(5, "ohedges", "o")},
+       |${linkCtesDuck("", "m")},
+       |${pageRankCtesDuck(5, "mhedges", "m")}
+       |SELECT m.host,
+       |  CAST(COALESCE(o.rank_ppb, 0) AS BIGINT) AS old_ppb,
+       |  CAST(m.rank_ppb AS BIGINT) AS new_ppb,
+       |  CAST(m.rank_ppb - COALESCE(o.rank_ppb, 0) AS BIGINT) AS delta_ppb
+       |FROM mpr5 m LEFT JOIN opr5 o ON o.host = m.host
+       |ORDER BY m.host""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val store = graft.util.TrainOnce(s"linkstore:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_linkstore")
+      hostGraph(extractLinks(linkedPages(docs.filter(col("doc_id") % 5 =!= 0))))
+        .write.mode("overwrite").parquet(s"$p/edges")
+      pageRankHosts(s.read.parquet(s"$p/edges"), iters = 5)
+        .write.mode("overwrite").parquet(s"$p/ranks")
+      p
+    }
+    val shardEdges =
+      hostGraph(extractLinks(linkedPages(docs.filter(col("doc_id") % 5 === 0))))
+    val merged = s.read.parquet(s"$store/edges").unionByName(shardEdges)
+      .groupBy("src", "dst").agg(sum(col("n_pairs")).as("n_pairs"))
+    val oldRanks = s.read.parquet(s"$store/ranks")
+      .select(col("host"), col("rank_ppb").cast("long").as("old_ppb"))
+    pageRankHosts(merged, iters = 5)
+      .select(col("host"), col("rank_ppb").cast("long").as("new_ppb"))
+      .join(oldRanks, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("old_ppb"), lit(0L)).as("old_ppb"), col("new_ppb"),
+        (col("new_ppb") - coalesce(col("old_ppb"), lit(0L))).as("delta_ppb"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4)
 }
