@@ -45,6 +45,7 @@ object Registry {
     ext.Multimodal.all ++
     sources.Roundtrips.all ++
     sources.Warc.all ++
+    sources.Revisit.all ++
     sources.DoorFunnel.all ++
     sources.Sitemap.all ++
     osm.OsmProbes.all

@@ -337,5 +337,157 @@ object Frontier {
       .orderBy("priority")
   }
 
-  val all: Seq[Probe] = Seq(pipe10, pipe11)
+  /** Redirect EDGES from fetched HTTP responses: 3xx statuses with a
+    * Location header, resolved against the request URL (the
+    * [[LinkGraph.resolveHref]] rule chain — Location is routinely
+    * relative in the wild) and canonicalized. One narrow projection;
+    * header-section-bounded extraction, so a body echoing "Location:"
+    * can't mint an edge.
+    */
+  def redirectEdges(responses: DataFrame, urlCol: String = "url",
+      payloadCol: String = "payload"): DataFrame = {
+    val w = graft.sources.Warc
+    responses
+      .select(col(urlCol).as("src"),
+        w.httpStatus(col(payloadCol)).as("__st"),
+        w.httpLocation(col(payloadCol)).as("__loc"))
+      .filter(col("__st").isin(301, 302, 303, 307, 308) && col("__loc").isNotNull)
+      .select(col("src"),
+        LinkGraph.resolveHref(col("src"), col("__loc")).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("src"), graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"))
+      .withColumn("dst_host",
+        regexp_extract(col("dst"), "^[a-z0-9+.-]+://([^/:?#]+)", 1))
+  }
+
+  /** New frontier entries from redirect EDGES: distinct targets that
+    * are NOT already fetched (left anti against the fetched canon set —
+    * the crawl loop's feedback edge: today's 301s are tomorrow's
+    * fetches).
+    */
+  def frontierFromRedirects(edges: DataFrame, fetched: DataFrame): DataFrame =
+    edges.select("dst", "dst_host").distinct()
+      .join(fetched.select(col("canon").as("dst")), Seq("dst"), "left_anti")
+
+  /** [[frontierFromRedirects]] from raw responses in one call. Callers
+    * consuming the edges MORE than once should extract them once
+    * ([[redirectEdges]]), stage, and use [[frontierFromRedirects]] —
+    * the accessor → resolve → canonicalize chain is a deep expression
+    * tree, and letting several consumers inline it repeatedly through
+    * filter pushdown turns OPTIMIZER time into the dominant cost (the
+    * planReset lesson: measured ~10 s of driver-side planning, tasks
+    * idle, on a 500-row fixture before x_url11 staged its edges).
+    */
+  def redirectFrontier(responses: DataFrame, fetched: DataFrame): DataFrame =
+    frontierFromRedirects(redirectEdges(responses), fetched)
+
+  /** X-URL11 — the redirect feedback loop: per doc (host r{h}), mode
+    * doc%5 plants a 301 (absolute cross-host Location with a tracking
+    * param — canonicalization visible), a 302 (path-relative Location),
+    * a 307 (scheme-relative), a 200 whose BODY contains a decoy
+    * "Location: /fake" line (header bounding pinned in the hash — a
+    * body-scanning extractor would mint /fake edges), and a 404. The
+    * fetched set = every fixture URL plus the 302 targets of docs with
+    * doc%10=2 (already crawled — the anti-join must drop exactly
+    * those). Output: per target host, distinct redirect edges and the
+    * NEW frontier targets. The oracle recomputes status/Location
+    * extraction, resolution, canonicalization, the fetched-set algebra,
+    * and both rollups.
+    */
+  private val url11 = Probe(
+    "x_url11_redirect_frontier",
+    {
+      val w = graft.sources.Warc
+      val lit_ = graft.clean.EncodingFns.sqlLit _
+      val url = "'https://r' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+      val p301 = s"${lit_("HTTP/1.1 301 Moved Permanently\r\nLocation: https://r")} || CAST((doc_id % 7 + 3) % 7 AS VARCHAR) || ${lit_(".example.com/t/")} || CAST(doc_id % 13 AS VARCHAR) || ${lit_("?utm_source=x&b=")} || CAST(doc_id % 3 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
+      val p302 = s"${lit_("HTTP/1.1 302 Found\r\nLocation: /moved/")} || CAST(doc_id % 6 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
+      val p307 = s"${lit_("HTTP/1.1 307 Temporary Redirect\r\nLocation: //r")} || CAST((doc_id % 7 + 1) % 7 AS VARCHAR) || ${lit_(".example.com/s/")} || CAST(doc_id % 4 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
+      val p200 = lit_("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><p>Location: /fake</p></html>")
+      val p404 = lit_("HTTP/1.1 404 Not Found\r\n\r\ngone")
+      val cu = graft.clean.UrlFns.canonicalUrlDuck _
+      s"""WITH d AS (
+         |  SELECT doc_id, $url AS url,
+         |    CASE doc_id % 5
+         |      WHEN 1 THEN $p301
+         |      WHEN 2 THEN $p302
+         |      WHEN 3 THEN $p307
+         |      WHEN 4 THEN $p200
+         |      ELSE $p404 END AS payload
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT url AS src, ${w.httpStatusDuck("payload")} AS st,
+         |    ${w.httpLocationDuck("payload")} AS loc
+         |  FROM d),
+         |e1 AS (
+         |  SELECT src, ${LinkGraph.resolveHrefDuck("src", "loc")} AS r
+         |  FROM e0 WHERE st IN (301, 302, 303, 307, 308) AND loc IS NOT NULL),
+         |ed AS (
+         |  SELECT src, ${cu("r")} AS dst,
+         |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host
+         |  FROM e1 WHERE r IS NOT NULL),
+         |fetched AS (
+         |  SELECT ${cu("url")} AS canon FROM d
+         |  UNION
+         |  SELECT ${cu(s"('https://r' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/moved/' || CAST(doc_id % 6 AS VARCHAR))")}
+         |  FROM d WHERE doc_id % 10 = 2),
+         |nf AS (
+         |  SELECT dst, dst_host FROM (SELECT DISTINCT dst, dst_host FROM ed) x
+         |  WHERE dst NOT IN (SELECT canon FROM fetched)),
+         |agg AS (
+         |  SELECT dst_host,
+         |    CAST(COUNT(DISTINCT (src, dst)) AS BIGINT) AS n_edges
+         |  FROM ed GROUP BY dst_host),
+         |na AS (
+         |  SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_new FROM nf GROUP BY dst_host)
+         |SELECT agg.dst_host, agg.n_edges, COALESCE(na.n_new, 0) AS n_new
+         |FROM agg LEFT JOIN na ON na.dst_host = agg.dst_host
+         |ORDER BY agg.dst_host""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val url = concat(lit("https://r"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"))
+    val payload =
+      when(col("doc_id") % 5 === 1, concat(
+        lit("HTTP/1.1 301 Moved Permanently\r\nLocation: https://r"),
+        ((col("doc_id") % 7 + 3) % 7).cast("string"),
+        lit(".example.com/t/"), (col("doc_id") % 13).cast("string"),
+        lit("?utm_source=x&b="), (col("doc_id") % 3).cast("string"),
+        lit("\r\n\r\nredirect")))
+      .when(col("doc_id") % 5 === 2, concat(
+        lit("HTTP/1.1 302 Found\r\nLocation: /moved/"),
+        (col("doc_id") % 6).cast("string"), lit("\r\n\r\nredirect")))
+      .when(col("doc_id") % 5 === 3, concat(
+        lit("HTTP/1.1 307 Temporary Redirect\r\nLocation: //r"),
+        ((col("doc_id") % 7 + 1) % 7).cast("string"),
+        lit(".example.com/s/"), (col("doc_id") % 4).cast("string"),
+        lit("\r\n\r\nredirect")))
+      .when(col("doc_id") % 5 === 4,
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><p>Location: /fake</p></html>"))
+      .otherwise(lit("HTTP/1.1 404 Not Found\r\n\r\ngone"))
+    val responses = docs.select(col("doc_id"), url.as("url"), payload.as("payload"))
+    val fetched = responses.select(
+        graft.clean.UrlFns.canonicalUrl(col("url")).as("canon"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 2)
+        .select(graft.clean.UrlFns.canonicalUrl(concat(
+          lit("https://r"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/moved/"), (col("doc_id") % 6).cast("string"))).as("canon")))
+      .distinct()
+    // stage the edges ONCE (two consumers): beyond the recompute, the
+    // inlined accessor→resolve→canonicalize tree made the OPTIMIZER the
+    // bottleneck — ~10 s of driver-side planning with executors idle
+    val stage = graft.util.TempDirs.scratch("graft_url11")
+    redirectEdges(responses).write.mode("overwrite").parquet(s"$stage/edges")
+    val edges = s.read.parquet(s"$stage/edges")
+    val agg = edges.groupBy("dst_host")
+      .agg(count_distinct(col("src"), col("dst")).as("n_edges"))
+    val nf = frontierFromRedirects(edges, fetched)
+      .groupBy("dst_host").agg(count(lit(1)).as("n_new"))
+    agg.join(nf, Seq("dst_host"), "left")
+      .select(col("dst_host"), col("n_edges"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("dst_host")
+  }
+
+  val all: Seq[Probe] = Seq(pipe10, pipe11, url11)
 }

@@ -363,11 +363,13 @@ object LinkGraph {
        |FROM agg a JOIN pagg p USING (src_host, dst_host)
        |ORDER BY src_host, dst_host""".stripMargin) { (s, dir) =>
     val links = extractLinks(linkedPages(Tables(s, dir, "documents")))
-    val raw = links.groupBy("src_host", "dst_host")
-      .agg(count(lit(1)).as("n_raw"))
-    val pairs = links.select("src", "dst", "src_host", "dst_host").distinct()
-      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_pairs"))
-    raw.join(pairs, Seq("src_host", "dst_host"))
+    // ONE extraction pass: the first cut computed raw and distinct-pair
+    // counts as two branches, re-running the regex chain twice; a
+    // COUNT(DISTINCT src, dst) alongside the plain count folds both
+    // into one Expand-based aggregate over a single scan
+    links.groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_raw"),
+        count_distinct(col("src"), col("dst")).as("n_pairs"))
       .orderBy("src_host", "dst_host")
   }
 

@@ -55,7 +55,7 @@ object Warc {
     * CRLFCRLF) parsed to a lowercase-keyed map — shared by the scanning
     * reader and the record-addressed reader.
     */
-  private def headerFields(headerBlock: String): Map[String, String] =
+  private[sources] def headerFields(headerBlock: String): Map[String, String] =
     headerBlock.split("\r\n").drop(1).flatMap { line =>
       val c = line.indexOf(':')
       if (c < 0) None
@@ -66,7 +66,7 @@ object Warc {
   /** Content-Length with the record reader's own lenience: leading
     * digits of a possibly-decorated value ("42;chunked"), or -1.
     */
-  private def lenientLength(headers: Map[String, String]): Long =
+  private[sources] def lenientLength(headers: Map[String, String]): Long =
     headers.get("content-length")
       .map(_.takeWhile(_.isDigit)).filter(d => d.nonEmpty && d.length <= 15)
       .map(_.toLong).getOrElse(-1L)
@@ -200,8 +200,9 @@ object Warc {
     * WARC-Date, WARC-Target-URI, exact byte Content-Length, CRLFCRLF,
     * payload, CRLFCRLF.
     */
-  private def renderRecordBytes(rawUrl: String, payload: Array[Byte],
-      warcType: String, warcDate: String, position: String): Array[Byte] = {
+  private[sources] def renderRecordBytes(rawUrl: String, payload: Array[Byte],
+      warcType: String, warcDate: String, position: String,
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val url = sanitizeUri(rawUrl)
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -213,9 +214,11 @@ object Warc {
     val h = md.digest().map("%02x".format(_)).mkString
     val rid = s"urn:uuid:${h.substring(0, 8)}-${h.substring(8, 12)}-" +
       s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
+    val extras = extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
     val header = (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
       s"WARC-Record-ID: <$rid>\r\nWARC-Date: $warcDate\r\n" +
-      s"WARC-Target-URI: $url\r\nContent-Length: ${payload.length}\r\n\r\n")
+      s"WARC-Target-URI: $url\r\n$extras" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[Byte](header.length + payload.length + 4)
     System.arraycopy(header, 0, out, 0, header.length)
@@ -612,6 +615,24 @@ object Warc {
     val sep = "chr(13) || chr(10) || chr(13) || chr(10)"
     s"(CASE WHEN strpos($e, $sep) > 0 THEN substr($e, strpos($e, $sep) + 4) ELSE '' END)"
   }
+
+  private val locRe = "(?i)\r\nlocation:[ \t]*([^\r]+)"
+
+  /** The Location header value (case PRESERVED — URL paths are
+    * case-sensitive; only the header NAME matches case-insensitively),
+    * or NULL when absent. Header-section-bounded like the other
+    * accessors: a body echoing "Location:" text must not win. The
+    * redirect-following tier ([[graft.ext.Frontier.redirectEdges]])
+    * resolves this against the request URL.
+    */
+  def httpLocation(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val v = trim(regexp_extract(httpHead(payload), locRe, 1))
+    when(v =!= "", v)
+  }
+
+  /** DuckDB twin of [[httpLocation]]. */
+  def httpLocationDuck(e: String): String =
+    s"nullif(trim(regexp_extract(${httpHeadDuck(e)}, '(?i)' || chr(13) || chr(10) || 'location:[ \\t]*([^' || chr(13) || ']+)', 1)), '')"
 
   // ------------------------- transfer/content codings (round-11 verdict #1)
 

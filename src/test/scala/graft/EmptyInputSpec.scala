@@ -165,4 +165,26 @@ class EmptyInputSpec extends SparkSuite {
       Seq((1L, "two words")).toDF("doc_id", "text"), idx).collect()
     assert(out.length == 1 && out(0).getDouble(2).isNegInfinity)
   }
+
+  test("link graph and unigram tokenizer on empty/degenerate inputs") {
+    import spark.implicits._
+    // a page with no anchors (or no pages at all) extracts zero links
+    val noAnchors = Seq(("https://a.com/p", "<html><body>text</body></html>"))
+      .toDF("url", "html")
+    assert(graft.ext.LinkGraph.extractLinks(noAnchors).count() == 0)
+    val emptyPages = Seq.empty[(String, String)].toDF("url", "html")
+    assert(graft.ext.LinkGraph.extractLinks(emptyPages).count() == 0)
+    // an empty graph is a recipe error for PageRank (rank of nothing) —
+    // the operator fails LOUDLY, the precedent of the lmIndex gate
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      graft.ext.LinkGraph.pageRankHosts(emptyEdges))
+    // vocab induction on an empty corpus is an empty vocab, and token
+    // accounting under it degrades to pure UNK (cost = word length)
+    val vocab = graft.ext.UnigramTok.induceVocab(emptyDocs)
+    assert(vocab.count() == 0)
+    val docs = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    val got = graft.ext.UnigramTok.minTokenCounts(docs, vocab).collect()(0)
+    assert(got.getAs[Long]("n_words") == 2L && got.getAs[Long]("n_pieces") == 5L)
+  }
 }

@@ -41,6 +41,24 @@ class FrontierSpec extends SparkSuite {
       r.getAs[Long]("fetch_sec") == 6, r.toString)
   }
 
+  test("redirectEdges: status gating, header bounding, missing Location") {
+    val rows = Seq(
+      // 301 with Location → edge
+      ("https://a.com/p", "HTTP/1.1 301 Moved\r\nLocation: https://b.com/x\r\n\r\nbody"),
+      // 200 carrying a Location header (unusual but legal) → NOT a redirect
+      ("https://a.com/q", "HTTP/1.1 200 OK\r\nLocation: https://c.com/y\r\n\r\nbody"),
+      // 302 with the Location ONLY in the body → no edge (header-bounded)
+      ("https://a.com/r", "HTTP/1.1 302 Found\r\n\r\nLocation: https://d.com/z"),
+      // 308 relative → resolved against the request URL
+      ("https://a.com/s", "HTTP/1.1 308 Permanent Redirect\r\nLocation: /n\r\n\r\n"))
+      .toDF("url", "payload")
+    val got = Frontier.redirectEdges(rows)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toList
+    assert(got == List(
+      ("https://a.com/p", "https://b.com/x"),
+      ("https://a.com/s", "https://a.com/n")), got.toString)
+  }
+
   test("a caller-owned stageDir is reused across invocations, not accumulated") {
     // a long-lived driver replanning on a cadence must get CONSTANT
     // disk: the stage writes are mode(overwrite) into the same two
