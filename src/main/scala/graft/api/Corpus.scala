@@ -770,14 +770,8 @@ final case class Corpus(df: DataFrame) {
     * shards — the default re-induces from THIS corpus.
     */
   def withUnigramTokenCount(vocab: Option[DataFrame] = None): Corpus = chain { d =>
-    GraftExtensions.register(d.sparkSession)
     val v = vocab.getOrElse(graft.ext.UnigramTok.induceVocab(d))
-    val vrow = v.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
-    d.crossJoin(broadcast(vrow))
-      .withColumn("n_tok_unigram", expr(
-        "aggregate(" + graft.clean.CleanFns.tokensSpark("text") +
-          ", CAST(0 AS BIGINT), (acc, w) -> acc + min_seg_count(w, __pieces))"))
-      .drop("__pieces")
+    graft.ext.UnigramTok.withMinSegCount(d, v, "n_tok_unigram")
   }
 
   /** Greedy per-group token budget (x_mix3b's sharded algebra). The

@@ -47,6 +47,12 @@ object Frontier {
     // accumulating frontier-sized copies under /tmp until JVM exit
     // (the default TempDirs.scratch is the probe-path fallback, whose
     // sweeps are bounded and cleaned by the exit hook).
+    // CONTRACT: with a reused stageDir, calling frontierPlan again
+    // INVALIDATES every DataFrame a previous call returned — the
+    // returned plan reads the staged parquet lazily, and the next
+    // call's overwrite deletes those files under it (stale handles
+    // read the NEW frontier or fail mid-overwrite). Materialize
+    // (collect/write) each plan before replanning.
     val stage = if (stageDir != null) stageDir
       else graft.util.TempDirs.scratch("graft_frontier_plan")
     RobotsTxt.selectedLines(robots, agent)
@@ -218,7 +224,7 @@ object Frontier {
       robots).orderBy("host")
   }
 
-  /** Robots fixtures for the ranked plan (x_pipe11), keyed to the link
+  /** Robots fixtures for the ranked plan (x_pipe12), keyed to the link
     * fixture's path shapes: even hosts serve a GraftBot group (mirror
     * section `/s/` blocked with an `/s/1` carve-out, a `*b$` wildcard
     * that catches exactly `/hub`, 2 s delay) whose `*` group blocks
@@ -234,7 +240,7 @@ object Frontier {
     "User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n\n" +
       "User-agent: *\nDisallow: /p/\nCrawl-delay: 0.5\n"
 
-  /** X-PIPE11 — the RANK-PRIORITIZED crawl plan: today's pages yield
+  /** X-PIPE12 — the RANK-PRIORITIZED crawl plan: today's pages yield
     * tomorrow's frontier. One linked-page corpus drives BOTH sides —
     * (a) anchor extraction → host graph → 5-iteration exact-integer
     * PageRank, and (b) the extracted target URLs as the discovered

@@ -51,12 +51,13 @@ object LinkGraph {
     *     rarely load-bearing for HOST-level edges, so it is explicitly
     *     out of the rule chain.
     *
-    * `&amp;` entity-decodes first: href attribute values in conformant
-    * HTML escape ampersands, and tracking-param canonicalization needs
-    * the real `&`.
+    * The href must already be entity-decoded where it came from HTML
+    * ([[extractLinks]]/[[anchorTexts]] do this): resolution itself is
+    * markup-agnostic — an HTTP Location header fed through this chain
+    * ([[Frontier.redirectEdges]]) may legitimately contain a literal
+    * `&amp;`, and decoding here would corrupt it.
     */
-  def resolveHref(pageUrl: Column, href0: Column): Column = {
-    val href = regexp_replace(href0, "&amp;", "&")
+  def resolveHref(pageUrl: Column, href: Column): Column = {
     val scheme = regexp_extract(lower(pageUrl), "^([a-z][a-z0-9+.-]*)://", 1)
     val prefix = regexp_extract(pageUrl, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val resolved = when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
@@ -67,9 +68,10 @@ object LinkGraph {
       .otherwise(lit(null).cast("string"))
   }
 
-  /** The identical resolution chain in DuckDB's dialect. */
-  def resolveHrefDuck(pageUrl: String, href0: String): String = {
-    val href = s"replace($href0, '&amp;', '&')"
+  /** The identical resolution chain in DuckDB's dialect (like the
+    * Spark form, expects an already-entity-decoded href).
+    */
+  def resolveHrefDuck(pageUrl: String, href: String): String = {
     val scheme = s"regexp_extract(lower($pageUrl), '^([a-z][a-z0-9+.-]*)://', 1)"
     val prefix = s"regexp_extract($pageUrl, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
     s"""(CASE WHEN regexp_matches(CASE
@@ -100,7 +102,12 @@ object LinkGraph {
     val raw = pages
       .select(col(urlCol).as("__u"),
         explode(regexp_extract_all(col(htmlCol), lit(hrefRe), lit(1))).as("__href"))
-      .select(col("__u"), resolveHref(col("__u"), col("__href")).as("__r"))
+      // entity-decode AT the HTML layer (conformant markup escapes & as
+      // &amp; inside attribute values); resolveHref itself stays
+      // markup-agnostic so the redirect tier can reuse it on raw headers
+      .select(col("__u"),
+        resolveHref(col("__u"),
+          regexp_replace(col("__href"), "&amp;", "&")).as("__r"))
       .filter(col("__r").isNotNull)
     val canon = raw.select(
       graft.clean.UrlFns.canonicalUrl(col("__u")).as("src"),
@@ -147,7 +154,14 @@ object LinkGraph {
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = edgesC.count()
-    if (nE <= localMaxEdges && nE > 0) {
+    if (nE == 0) {
+      // fail BEFORE registering more cache entries, and drop the one
+      // already made — a driver catching this and retrying must not
+      // accumulate persisted frames (the no-leak property the spec pins)
+      edgesC.unpersist()
+      throw new IllegalArgumentException("pageRankHosts: empty graph")
+    }
+    if (nE <= localMaxEdges) {
       // LOCAL endgame (the connectedComponents localClosure gate): a
       // host graph under the bound is megabytes — iterating it as 5
       // distributed rounds pays persist+count+plan cycles to shuffle
@@ -290,7 +304,8 @@ object LinkGraph {
        |  FROM ${px}pg),
        |${px}rs AS (
        |  SELECT url, r FROM (
-       |    SELECT url, ${resolveHrefDuck("url", "href")} AS r FROM ${px}hr)
+       |    SELECT url, ${resolveHrefDuck("url", "replace(href, '&amp;', '&')")} AS r
+       |    FROM ${px}hr)
        |  WHERE r IS NOT NULL),
        |${px}lk AS (
        |  SELECT ${cu("url")} AS src, ${cu("r")} AS dst,
@@ -415,7 +430,9 @@ object LinkGraph {
         col("__ts"))
       .select(col("__u"), col("__href"),
         element_at(col("__ts"), col("__i") + 1).as("__inner"))
-    pos.select(col("__u"), resolveHref(col("__u"), col("__href")).as("__r"),
+    pos.select(col("__u"),
+        resolveHref(col("__u"),
+          regexp_replace(col("__href"), "&amp;", "&")).as("__r"),
         col("__inner"))
       .filter(col("__r").isNotNull)
       .select(
@@ -447,7 +464,8 @@ object LinkGraph {
        |  FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i)),
        |rx AS (
        |  SELECT r, itext FROM (
-       |    SELECT ${resolveHrefDuck("url", "href")} AS r, itext FROM px)
+       |    SELECT ${resolveHrefDuck("url", "replace(href, '&amp;', '&')")} AS r, itext
+       |    FROM px)
        |  WHERE r IS NOT NULL),
        |tm AS (
        |  SELECT

@@ -55,9 +55,30 @@ object UnigramTok {
       .groupBy("piece").agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("piece").asc).limit(v)
 
+  /** Annotate `df` with the minimal-piece count of `textCol`'s words
+    * under `vocab`, as `outCol` — the per-ROW HOF form (every word pays
+    * its own DP; no distinct-word join, no exchange): the shared core
+    * of [[graft.streaming.DocStreams.minSegTokens]] and
+    * [[graft.api.Corpus.withUnigramTokenCount]], kept in ONE place so
+    * the hand-assembled lambda cannot drift between them.
+    */
+  def withMinSegCount(df: DataFrame, vocab: DataFrame, outCol: String,
+      textCol: String = "text"): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    val vrow = vocab.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
+    df.crossJoin(broadcast(vrow)) // 1-row build side → broadcast nested loop
+      .withColumn(outCol, expr(
+        "aggregate(" + CleanFns.tokensSpark(textCol) +
+          ", CAST(0 AS BIGINT), (acc, w) -> acc + min_seg_count(w, __pieces))"))
+      .drop("__pieces")
+  }
+
   /** Per-doc token accounting under the induced vocabulary: n_words
     * (whitespace tokens) and n_pieces (the minimal subword count, DP'd
     * once per DISTINCT word against the broadcast piece array).
+    * Documents with ZERO tokens (empty/whitespace/null text) produce no
+    * row — the explode/join form's natural contract, which the
+    * streaming HOF form matches explicitly.
     */
   def minTokenCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val s = docs.sparkSession

@@ -56,7 +56,13 @@ object Revisit {
       .select(col("url").cast("string").as("url"),
         col("payload").cast("string").as("payload"))
       .withColumn("__d", payloadDigest(col("payload")))
-      .join(knownDigests.select(col("digest").as("__d"), lit(1).as("__seen")),
+      // dedup the digest side INSIDE the operator: day-1 archives
+      // routinely hold several URLs with identical payloads (the exact
+      // scenario revisits exist for), and a duplicate digest row in a
+      // left join would multiply input records into duplicate archive
+      // records — corruption, not dedup
+      .join(knownDigests.select(col("digest").as("__d")).distinct()
+          .withColumn("__seen", lit(1)),
         Seq("__d"), "left")
       .select(col("url"), col("payload"), col("__d"),
         when(col("__seen").isNotNull, lit("revisit"))
@@ -147,8 +153,13 @@ object Revisit {
       .select(col("url"), col("warc_type"), col("stored_len"),
         col("payload").as("text"))
     val revisits = base.filter(col("warc_type") === "revisit")
+      // one payload per digest: a store built straight from an archive
+      // carries a digest once PER HOLDING URL; identical digests hold
+      // identical payloads, so any survivor is correct — but without
+      // the dedup every duplicate store row would multiply the revisit
       .join(store.select(col("digest").as("payload_digest"),
-        col("payload").as("__stored")), Seq("payload_digest"), "left")
+          col("payload").as("__stored")).dropDuplicates("payload_digest"),
+        Seq("payload_digest"), "left")
       .select(col("url"), col("warc_type"), col("stored_len"),
         col("__stored").as("text"))
     responses.unionByName(revisits)

@@ -235,17 +235,14 @@ object DocStreams {
     * batch join-back form by construction (same DP, same vocab), which
     * StreamingSpec pins.
     */
-  def minSegTokens(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    graft.GraftExtensions.register(docs.sparkSession)
-    val vrow = vocab.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
-    docs.crossJoin(broadcast(vrow))
+  def minSegTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+    graft.ext.UnigramTok.withMinSegCount(docs, vocab, "n_pieces")
       .withColumn("n_words",
         size(graft.clean.CleanFns.tokens(col("text"))).cast("long"))
-      .withColumn("n_pieces", expr(
-        "aggregate(" + graft.clean.CleanFns.tokensSpark("text") +
-          ", CAST(0 AS BIGINT), (acc, w) -> acc + min_seg_count(w, __pieces))"))
-      .drop("__pieces")
-  }
+      // zero-token (empty/whitespace/null text) docs produce NO row in
+      // the batch explode+join form — match it exactly, or the first
+      // empty document breaks the stream ≡ batch reconciliation
+      .filter(col("n_words") > 0)
 
   /** Stream-capable link extraction — the x_lnk1 chain (anchor regex →
     * href resolution → canonicalization) at the stream door: a pure

@@ -18,7 +18,10 @@ class LinkGraphSpec extends SparkSuite {
       ("HTTP://UPPER.com/b", "HTTP://UPPER.com/b"), // scheme case-insensitive keep
       ("//cdn.com/lib.js", "https://cdn.com/lib.js"), // scheme-relative
       ("/root/x", "https://Site.example.com/root/x"), // path-absolute
-      ("/q?a=1&amp;b=2", "https://Site.example.com/q?a=1&b=2"), // entity decode
+      // resolution is markup-agnostic: an HTTP Location may LEGALLY
+      // carry a literal '&amp;' — the entity decode lives at the HTML
+      // layer (extractLinks/anchorTexts), pinned below
+      ("/q?a=1&amp;b=2", "https://Site.example.com/q?a=1&amp;b=2"),
       ("ftp://files.com/x", null), // non-http(s) scheme
       ("mailto:a@b.c", null),
       ("javascript:void(0)", null),
@@ -32,6 +35,14 @@ class LinkGraphSpec extends SparkSuite {
     cases.foreach { case (href, want) =>
       assert(got(href) == want, s"href=$href got=${got(href)} want=$want")
     }
+  }
+
+  test("extractLinks entity-decodes hrefs at the HTML layer") {
+    val html = """<a href="https://a.com/q?x=1&amp;y=2">t</a>"""
+    val got = graft.ext.LinkGraph.extractLinks(
+        Seq(("https://s.com/p", html)).toDF("url", "html"))
+      .collect().map(_.getString(1)).toList
+    assert(got == List("https://a.com/q?x=1&y=2"), got.toString)
   }
 
   test("hostGraph: page-pair dedup, self-host drop") {
