@@ -165,6 +165,50 @@ object RobotsTxt {
   def parseRobots(robots: DataFrame, agent: String = DefaultAgent): DataFrame =
     rulesFromLines(selectedLines(robots, agent))
 
+  /** `Sitemap:` directives (sitemaps.org autodiscovery, acknowledged by
+    * RFC 9309 §2.2.4 as an "other record"): GLOBAL — valid anywhere in
+    * the file, inside or outside UA groups, and independent of group
+    * selection — one absolute URL per line, field name
+    * case-insensitive. Line normalization mirrors [[selectedLines]]
+    * exactly (file-leading BOM, trailing CR, `#` comments, trim).
+    * Non-absolute values are dropped LOUDLY-by-absence (the protocol
+    * requires a full URL; a relative one is a broken file, and
+    * guessing a base here would fabricate discovery input). One narrow
+    * explode — no exchange.
+    */
+  def sitemapDirectives(robots: DataFrame): DataFrame =
+    robots
+      .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
+      .withColumn("ln",
+        trim(regexp_replace(regexp_replace(
+          when(col("i") === 0, regexp_replace(col("raw"), "^\ufeff", ""))
+            .otherwise(col("raw")),
+          "\r$", ""), "#.*$", "")))
+      .filter(lower(col("ln")).rlike("^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_replace(col("ln"), "(?i)^sitemap\\s*:\\s*", "")).as("sitemap_url"))
+      .filter(col("sitemap_url").rlike("^(?i)https?://"))
+
+  /** DuckDB twin of [[sitemapDirectives]] over a CTE `rb(host, txt)` —
+    * produces CTE `smd(host, sitemap_url)`.
+    */
+  def sitemapDirectivesDuck: String =
+    s"""smd AS (
+       |  SELECT host, sitemap_url FROM (
+       |    SELECT host,
+       |      trim(regexp_replace(ln0, '(?i)^sitemap\\s*:\\s*', '', 'g')) AS sitemap_url,
+       |      lower(ln0) AS lnl
+       |    FROM (
+       |      SELECT host, i,
+       |        trim(regexp_replace(regexp_replace(
+       |          CASE WHEN i = 1 THEN regexp_replace(ls[i], '^' || chr(65279), '', 'g')
+       |               ELSE ls[i] END,
+       |          chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln0
+       |      FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
+       |           UNNEST(generate_series(1, len(ls))) AS t(i)))
+       |  WHERE regexp_matches(lnl, '^sitemap\\s*:')
+       |    AND regexp_matches(sitemap_url, '^(?i)https?://'))""".stripMargin
+
   /** The rules half over an already-materialized [[selectedLines]]
     * frame — callers that need BOTH rules and delays (the composed
     * frontier plan) stage the selected lines once and derive the two
@@ -482,5 +526,50 @@ object RobotsTxt {
     politenessSchedule(urls, robots).orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(url6, url8)
+  /** Robots fixture for x_url12 — per host: a plain directive, a
+    * case/spacing/comment-variant one, one INSIDE a UA group (global
+    * regardless — sitemaps.org autodiscovery is group-independent), a
+    * RELATIVE value (broken per spec, must drop), and a BOM-prefixed
+    * first line on even hosts (must not void the file's first
+    * directive).
+    */
+  private def robotsSmSelf(bom: String) =
+    bom + "Sitemap: https://sHOST.example.com/sitemap.xml\n" +
+      "SITEMAP:https://sHOST.example.com/sm-index.xml.gz # autodiscovery\n" +
+      "User-agent: *\nDisallow: /private\n" +
+      "Sitemap: https://cdn.example.org/shared/HOST.xml\n" +
+      "Sitemap: /local.xml\n"
+
+  /** X-URL12 — `Sitemap:` autodiscovery directives: the robots.txt →
+    * sitemap-discovery bootstrap link (a crawler that only follows
+    * configured sitemap URLs misses every site that advertises them in
+    * robots.txt — the dominant advertisement channel). The oracle
+    * re-parses the planted files relationally with the same line
+    * normalization; the BOM, the spacing/case variant, the in-group
+    * directive, and the dropped relative value are all in the hash.
+    */
+  private val url12 = Probe(
+    "x_url12_robots_sitemaps",
+    s"""WITH h AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+       |rb AS (
+       |  SELECT 's' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       |    replace(CASE WHEN h % 2 = 0
+       |      THEN ${graft.clean.EncodingFns.sqlLit("\ufeff" + robotsSmSelf(""))}
+       |      ELSE ${graft.clean.EncodingFns.sqlLit(robotsSmSelf(""))} END,
+       |      'HOST', CAST(h AS VARCHAR)) AS txt
+       |  FROM h),
+       |$sitemapDirectivesDuck
+       |SELECT host, sitemap_url FROM smd
+       |ORDER BY host, sitemap_url""".stripMargin) { (s, dir) =>
+    val robots = Tables(s, dir, "documents")
+      .select((col("doc_id") % 7).as("h")).distinct()
+      .select(concat(lit("s"), col("h").cast("string"), lit(".example.com")).as("host"),
+        regexp_replace(
+          when(col("h") % 2 === 0, lit("\ufeff" + robotsSmSelf("")))
+            .otherwise(lit(robotsSmSelf(""))),
+          lit("HOST"), col("h").cast("string")).as("robots_txt"))
+    sitemapDirectives(robots).orderBy("host", "sitemap_url")
+  }
+
+  val all: Seq[Probe] = Seq(url6, url8, url12)
 }

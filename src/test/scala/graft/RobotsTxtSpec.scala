@@ -143,4 +143,18 @@ class RobotsTxtSpec extends SparkSuite {
       .collect().map(_.getLong(3)).toList
     assert(gotL == List(1L, 1L, 0L), gotL.mkString(", ")) // only literal /a$b blocked
   }
+
+  test("sitemapDirectives: CRLF, comments, case, group-independence, drops") {
+    val robots = Seq(("h.com",
+      "﻿Sitemap: https://h.com/a.xml\r\n" + // BOM + CRLF first line
+        "User-agent: *\r\nDisallow: /x\r\n" +
+        "sitemap:https://h.com/b.xml # in-group, no space, lowercase\r\n" +
+        "Sitemap: /relative.xml\r\n" + // broken per spec → dropped
+        "Sitemap:\r\n" + // empty value → dropped
+        "﻿Sitemap: https://h.com/c.xml\r\n")) // mid-file BOM = content → dropped
+      .toDF("host", "robots_txt")
+    val got = RobotsTxt.sitemapDirectives(robots)
+      .collect().map(_.getString(1)).sorted.toList
+    assert(got == List("https://h.com/a.xml", "https://h.com/b.xml"), got.toString)
+  }
 }
