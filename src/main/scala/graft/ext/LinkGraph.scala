@@ -546,5 +546,126 @@ object LinkGraph {
       .orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4)
+  /** Pages whose anchors target OTHER DOCUMENTS' pages (the
+    * x_lnk5 fixture): two cross-document anchors per page with term-y
+    * visible text, targets spread mod 101 so at small SFs some targets
+    * don't exist (their anchor text attaches to nothing — the join must
+    * tolerate it).
+    */
+  private[graft] def anchorPages(docs: DataFrame): DataFrame = {
+    def turl(t: Column) = concat(lit("https://h"), (t % 7).cast("string"),
+      lit(".example.com/d/"), t.cast("string"))
+    val t1 = (col("doc_id") * 3 + 1) % 101
+    val t2 = (col("doc_id") * 5 + 2) % 101
+    docs.select(col("doc_id"),
+      concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><body><a href=\""), turl(t1), lit("\">topic"),
+        (t1 % 13).cast("string"), lit(" about"), (t1 % 5).cast("string"),
+        lit("</a> <a href=\""), turl(t2), lit("\">ref"),
+        (t2 % 11).cast("string"), lit("</a><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
+  }
+
+  private val anchorPagesDuck: String = {
+    def turl(t: String) =
+      s"'https://h' || CAST(($t) % 7 AS VARCHAR) || '.example.com/d/' || CAST($t AS VARCHAR)"
+    val t1 = "(doc_id * 3 + 1) % 101"
+    val t2 = "(doc_id * 5 + 2) % 101"
+    s"""SELECT doc_id, $pageUrlDuck AS url,
+       |  '<html><body><a href="' || ${turl(t1)} || '">topic' ||
+       |  CAST(($t1) % 13 AS VARCHAR) || ' about' || CAST(($t1) % 5 AS VARCHAR) ||
+       |  '</a> <a href="' || ${turl(t2)} || '">ref' ||
+       |  CAST(($t2) % 11 AS VARCHAR) ||
+       |  '</a><p>' || text || '</p></body></html>' AS html
+       |FROM documents""".stripMargin
+  }
+
+  /** X-LNK5 — anchor-text DOCUMENT EXPANSION for retrieval: the anchor
+    * text of inbound links describes the TARGET page, so web search
+    * indexes it WITH the target's own text (the classic public IR
+    * design — it is how navigational queries find pages that never
+    * contain their own name). Pipeline: pages → anchor extraction →
+    * inbound anchor texts grouped per target page (sorted join for a
+    * deterministic expansion string) → each document's text expanded →
+    * BM25 top-5 (x_ret1's scorer) over the EXPANDED corpus. The oracle
+    * recomputes extraction, resolution, the expansion string, and the
+    * full tf/df/idf/length-normalized BM25 from first principles —
+    * expansion must shift df/dl and the rankings identically in both
+    * engines.
+    */
+  private val lnk5 = Probe(
+    "x_lnk5_anchor_bm25",
+    s"""WITH ap AS ($anchorPagesDuck),
+       |ar AS (
+       |  SELECT url, regexp_extract_all(html, '$anchorRe', 1) AS hs,
+       |    regexp_extract_all(html, '$anchorRe', 2) AS ts
+       |  FROM ap),
+       |px AS (
+       |  SELECT url, hs[i] AS href, ts[i] AS itext
+       |  FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i)),
+       |rx AS (
+       |  SELECT r, itext FROM (
+       |    SELECT ${resolveHrefDuck("url", "replace(href, '&amp;', '&')")} AS r, itext
+       |    FROM px)
+       |  WHERE r IS NOT NULL),
+       |ax AS (
+       |  SELECT ${graft.clean.UrlFns.canonicalUrlDuck("r")} AS dst,
+       |    trim(regexp_replace(itext, '<[^>]*>', ' ', 'g')) AS atext
+       |  FROM rx),
+       |ea AS (
+       |  SELECT dst, array_to_string(list_sort(list(atext)), ' ') AS a
+       |  FROM ax GROUP BY dst),
+       |exp AS (
+       |  SELECT d.doc_id,
+       |    d.text || COALESCE(' ' || ea.a, '') AS text
+       |  FROM documents d LEFT JOIN ea ON ea.dst = $pageUrlDuck),
+       |t AS (
+       |  SELECT doc_id, ${graft.clean.CleanFns.tokensDuck("text")} AS ws FROM exp),
+       |tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t) GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, w
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t WHERE doc_id < 5)),
+       |sc AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+       |        (tf.tf * 2.2) /
+       |        (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs))))) AS s,
+       |    COUNT(*) AS n_terms
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w AND tf.doc_id <> qt.q_id
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id, st
+       |  GROUP BY qt.q_id, tf.doc_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score, CAST(n_terms AS BIGINT) AS n_terms
+       |FROM (
+       |  SELECT q_id, doc_id, round(s, 6) AS score, n_terms,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(s, 6) DESC, doc_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val at = anchorTexts(anchorPages(docs))
+      .select(col("dst"), trim(col("atext")).as("atext"))
+    val ea = at.groupBy("dst")
+      .agg(array_join(sort_array(collect_list(col("atext"))), " ").as("__a"))
+    val pageUrl = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/d/"), col("doc_id").cast("string"))
+    val expanded = docs.withColumn("__url", pageUrl)
+      .join(ea, col("__url") === ea("dst"), "left")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("__a").isNull, lit(""))
+            .otherwise(concat(lit(" "), col("__a")))).as("text"))
+    PipelineOps10.bm25TopK(expanded, expanded.filter(col("doc_id") < 5), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4, lnk5)
 }
