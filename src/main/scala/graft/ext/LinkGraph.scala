@@ -657,12 +657,19 @@ object LinkGraph {
       .agg(array_join(sort_array(collect_list(col("atext"))), " ").as("__a"))
     val pageUrl = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
       lit(".example.com/d/"), col("doc_id").cast("string"))
-    val expanded = docs.withColumn("__url", pageUrl)
+    val expandedPlan = docs.withColumn("__url", pageUrl)
       .join(ea, col("__url") === ea("dst"), "left")
       .select(col("doc_id"),
         concat(col("text"),
           when(col("__a").isNull, lit(""))
             .otherwise(concat(lit(" "), col("__a")))).as("text"))
+    // stage the expanded corpus ONCE (the x_pipe8 discipline): BM25
+    // consumes it from five branches (tf, dl, stats, df, queries) and
+    // an unpersisted plan would re-run the HTML synthesis + anchor
+    // extraction + expansion join once per branch
+    val stage = graft.util.TempDirs.scratch("graft_lnk5")
+    expandedPlan.write.mode("overwrite").parquet(s"$stage/exp")
+    val expanded = s.read.parquet(s"$stage/exp")
     PipelineOps10.bm25TopK(expanded, expanded.filter(col("doc_id") < 5), k = 5)
       .orderBy("q_id", "rank")
   }

@@ -120,20 +120,25 @@ object RobotsTxt {
     * UA-selected groups (kind \u2208 allow | disallow | delay) \u2014 the shared
     * front half of [[parseRobots]] and [[crawlDelays]].
     */
+  /** Normalized robots.txt line: file-leading BOM stripped (line 0
+    * only — Google's reference parser skips exactly that), ALL CR
+    * characters removed (a plain character replace — regex `$`/`.`
+    * treat \r differently under Java vs RE2, so a regex-based strip
+    * diverged cross-engine on `\r\r` endings), `#` comments dropped,
+    * whitespace trimmed. Shared by the rule parser AND sitemap
+    * autodiscovery so the two normalizations cannot drift.
+    */
+  private def normalizedLine(raw: Column, i: Column): Column =
+    trim(regexp_replace(
+      replace(when(i === 0, regexp_replace(raw, "^\ufeff", "")).otherwise(raw),
+        lit("\r"), lit("")),
+      "#.*$", ""))
+
   private[ext] def selectedLines(robots: DataFrame, agent: String): DataFrame = {
     val w = Window.partitionBy("host").orderBy("i")
     val lines = robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
-      // strip a FILE-LEADING BOM only (line 0, position 0 \u2014 Google's
-      // reference parser skips exactly that): a BOM-prefixed first
-      // User-agent line would otherwise fail the '^user-agent' match
-      // and silently void the whole file, while a FEFF inside a rule
-      // pattern is the site owner's to keep
-      .withColumn("ln",
-        trim(regexp_replace(regexp_replace(
-          when(col("i") === 0, regexp_replace(col("raw"), "^\ufeff", ""))
-            .otherwise(col("raw")),
-          "\r$", ""), "#.*$", "")))
+      .withColumn("ln", normalizedLine(col("raw"), col("i")))
     val sig = lines
       .withColumn("kind",
         when(lower(col("ln")).rlike("^user-agent\\s*:"), "ua")
@@ -179,11 +184,7 @@ object RobotsTxt {
   def sitemapDirectives(robots: DataFrame): DataFrame =
     robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("i", "raw")))
-      .withColumn("ln",
-        trim(regexp_replace(regexp_replace(
-          when(col("i") === 0, regexp_replace(col("raw"), "^\ufeff", ""))
-            .otherwise(col("raw")),
-          "\r$", ""), "#.*$", "")))
+      .withColumn("ln", normalizedLine(col("raw"), col("i")))
       .filter(lower(col("ln")).rlike("^sitemap\\s*:"))
       .select(col("host"),
         trim(regexp_replace(col("ln"), "(?i)^sitemap\\s*:\\s*", "")).as("sitemap_url"))
@@ -196,16 +197,9 @@ object RobotsTxt {
     s"""smd AS (
        |  SELECT host, sitemap_url FROM (
        |    SELECT host,
-       |      trim(regexp_replace(ln0, '(?i)^sitemap\\s*:\\s*', '', 'g')) AS sitemap_url,
-       |      lower(ln0) AS lnl
-       |    FROM (
-       |      SELECT host, i,
-       |        trim(regexp_replace(regexp_replace(
-       |          CASE WHEN i = 1 THEN regexp_replace(ls[i], '^' || chr(65279), '', 'g')
-       |               ELSE ls[i] END,
-       |          chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln0
-       |      FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
-       |           UNNEST(generate_series(1, len(ls))) AS t(i)))
+       |      trim(regexp_replace(ln, '(?i)^sitemap\\s*:\\s*', '', 'g')) AS sitemap_url,
+       |      lower(ln) AS lnl
+       |    FROM ($normalizedLinesDuck))
        |  WHERE regexp_matches(lnl, '^sitemap\\s*:')
        |    AND regexp_matches(sitemap_url, '^(?i)https?://'))""".stripMargin
 
@@ -248,15 +242,22 @@ object RobotsTxt {
   /** The parse in DuckDB's dialect over a (host, txt) relation named
     * `rb` — emits a `rules(host, pattern, allow)` CTE body, for oracles.
     */
-  def parseRobotsDuck(agent: String = DefaultAgent): String =
-    s"""l0 AS (
-       |  SELECT host, i,
-       |    trim(regexp_replace(regexp_replace(
+  /** DuckDB twin of [[normalizedLine]] as an `l0`-shaped CTE body over
+    * CTE `rb(host, txt)` — shared by [[parseRobotsDuck]] and
+    * [[sitemapDirectivesDuck]] so the two normalizations cannot drift.
+    */
+  private def normalizedLinesDuck: String =
+    s"""SELECT host, i,
+       |    trim(regexp_replace(replace(
        |      CASE WHEN i = 1 THEN regexp_replace(ls[i], '^' || chr(65279), '', 'g')
        |           ELSE ls[i] END,
-       |      chr(13) || '$$', '', 'g'), '#.*$$', '', 'g')) AS ln
+       |      chr(13), ''), '#.*$$', '', 'g')) AS ln
        |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
-       |       UNNEST(generate_series(1, len(ls))) AS t(i)),
+       |       UNNEST(generate_series(1, len(ls))) AS t(i)""".stripMargin
+
+  def parseRobotsDuck(agent: String = DefaultAgent): String =
+    s"""l0 AS (
+       |  $normalizedLinesDuck),
        |sg0 AS (
        |  SELECT host, i,
        |    CASE WHEN regexp_matches(lower(ln), '^user-agent\\s*:') THEN 'ua'
@@ -533,8 +534,8 @@ object RobotsTxt {
     * first line on even hosts (must not void the file's first
     * directive).
     */
-  private def robotsSmSelf(bom: String) =
-    bom + "Sitemap: https://sHOST.example.com/sitemap.xml\n" +
+  private val robotsSmSelf =
+    "Sitemap: https://sHOST.example.com/sitemap.xml\n" +
       "SITEMAP:https://sHOST.example.com/sm-index.xml.gz # autodiscovery\n" +
       "User-agent: *\nDisallow: /private\n" +
       "Sitemap: https://cdn.example.org/shared/HOST.xml\n" +
@@ -554,8 +555,8 @@ object RobotsTxt {
        |rb AS (
        |  SELECT 's' || CAST(h AS VARCHAR) || '.example.com' AS host,
        |    replace(CASE WHEN h % 2 = 0
-       |      THEN ${graft.clean.EncodingFns.sqlLit("\ufeff" + robotsSmSelf(""))}
-       |      ELSE ${graft.clean.EncodingFns.sqlLit(robotsSmSelf(""))} END,
+       |      THEN ${graft.clean.EncodingFns.sqlLit("\ufeff" + robotsSmSelf)}
+       |      ELSE ${graft.clean.EncodingFns.sqlLit(robotsSmSelf)} END,
        |      'HOST', CAST(h AS VARCHAR)) AS txt
        |  FROM h),
        |$sitemapDirectivesDuck
@@ -565,8 +566,8 @@ object RobotsTxt {
       .select((col("doc_id") % 7).as("h")).distinct()
       .select(concat(lit("s"), col("h").cast("string"), lit(".example.com")).as("host"),
         regexp_replace(
-          when(col("h") % 2 === 0, lit("\ufeff" + robotsSmSelf("")))
-            .otherwise(lit(robotsSmSelf(""))),
+          when(col("h") % 2 === 0, lit("\ufeff" + robotsSmSelf))
+            .otherwise(lit(robotsSmSelf)),
           lit("HOST"), col("h").cast("string")).as("robots_txt"))
     sitemapDirectives(robots).orderBy("host", "sitemap_url")
   }

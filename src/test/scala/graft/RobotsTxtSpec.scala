@@ -157,4 +157,20 @@ class RobotsTxtSpec extends SparkSuite {
       .collect().map(_.getString(1)).sorted.toList
     assert(got == List("https://h.com/a.xml", "https://h.com/b.xml"), got.toString)
   }
+
+  test("line normalization strips ALL CRs — the \\r\\r ending that diverged") {
+    // pre-fix the Spark regex '\r$' and the oracle's RE2 twin disagreed
+    // on '\r\r' line endings (Java '$' matches before a final line
+    // terminator, RE2 only at end-of-text) — normalization is now a
+    // plain character replace, identical by construction. Pin the
+    // parser AND the sitemap directives on doubled-CR lines.
+    val robots = Seq(("h.com",
+      "User-agent: *\r\r\nDisallow: /x\r\r\nSitemap: https://h.com/s.xml\r\r\n"))
+      .toDF("host", "robots_txt")
+    val rules = RobotsTxt.parseRobots(robots).collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(rules.toList == List(("/x", 0)), rules.toList.toString)
+    val sm = RobotsTxt.sitemapDirectives(robots).collect().map(_.getString(1))
+    assert(sm.toList == List("https://h.com/s.xml"), sm.toList.toString)
+  }
 }
