@@ -259,6 +259,17 @@ object DocStreams {
   def anchorTexts(pages: DataFrame): DataFrame =
     graft.ext.LinkGraph.anchorTexts(pages)
 
+  /** Stream-capable redirect-edge extraction — x_url11's 3xx/Location
+    * chain on fetched responses AT the stream door (status gate +
+    * header-bounded Location + resolution + canonicalization are one
+    * narrow projection). The anti-join against the fetched set stays a
+    * batch job over the landed edges ([[graft.ext.Frontier
+    * .frontierFromRedirects]]) — a stream cannot hold the crawl
+    * history.
+    */
+  def redirectEdges(responses: DataFrame): DataFrame =
+    graft.ext.Frontier.redirectEdges(responses)
+
   /** Stream-capable HTML → text extraction — crawl pages extracted AT THE
     * STREAM DOOR with the exact batch rule chain
     * ([[graft.clean.HtmlFns.htmlToText]], shared with

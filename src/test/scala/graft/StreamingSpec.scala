@@ -672,6 +672,45 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming redirect-edge extraction == batch x_url11 rows") {
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_redir_stream").toString
+    try {
+      Seq(
+        ("https://a.com/p", "HTTP/1.1 301 Moved\r\nLocation: https://b.com/x\r\n\r\nbody"),
+        ("https://a.com/q", "HTTP/1.1 200 OK\r\n\r\nLocation: https://decoy.com/"),
+        ("https://a.com/r", "HTTP/1.1 302 Found\r\nLocation: /moved\r\n\r\n"))
+        .toDF("url", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.redirectEdges(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("redir_out").start()
+      try {
+        q.processAllAvailable()
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getString(2))
+        val got = spark.table("redir_out").collect().map(key).sorted.toSeq
+        val want = graft.ext.Frontier.redirectEdges(spark.read.parquet(s"$tmp/in"))
+          .collect().map(key).sorted.toSeq
+        assert(got.nonEmpty && got == want && got.size == 2)
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming split assignment == batch x_smp6 (stateless hash algebra)") {
     import graft.streaming.DocStreams
     val batchDocs = Tables(spark, dir, "documents")
