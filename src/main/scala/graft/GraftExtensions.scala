@@ -75,6 +75,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("repetition_signals"),
       new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName, "repetition_signals"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("min_seg_cost"),
+      new ExpressionInfo(classOf[graft.functions.MinSegCost].getName, "min_seg_cost"),
+      (exprs: Seq[Expression]) => graft.functions.MinSegCost(
+        exprs.head, exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((
+      new FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[graft.functions.CanonicalUrl].getName, "canonical_url"),
+      (exprs: Seq[Expression]) => graft.functions.CanonicalUrl(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("resolve_href"),
+      new ExpressionInfo(classOf[graft.functions.ResolveHref].getName, "resolve_href"),
+      (exprs: Seq[Expression]) => graft.functions.ResolveHref(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -122,6 +135,16 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_signals",
       exprs => graft.functions.RepetitionSignals(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_seg_cost",
+      exprs => graft.functions.MinSegCost(
+        exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canonical_url",
+      exprs => graft.functions.CanonicalUrl(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "resolve_href",
+      exprs => graft.functions.ResolveHref(exprs.head, exprs(1)), "built-in")
     // planner strategy for the custom AsOfJoin logical plan (idempotent)
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))

@@ -25,8 +25,23 @@ object UrlFns {
 
   private val trackingRe = "^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$"
 
-  /** Canonical form of a URL column — the Spark rendering. */
-  def canonicalUrl(c: Column): Column = {
+  /** Canonical form of a URL column — routed through the native
+    * [[graft.functions.CanonicalUrl]] expression (same semantics as the
+    * declarative chain below, pinned by UrlFnsSpec): one opaque call
+    * instead of a ~10-regex expression tower, so composed extraction /
+    * resolution / canonicalization stages stay under janino's 64 KB
+    * whole-stage-codegen method limit (round-13 verdict #1).
+    */
+  def canonicalUrl(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CanonicalUrl(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** The declarative chain the native expression replicates — kept as
+    * the in-engine second implementation (UrlFnsSpec pins native ≡
+    * declarative on the edge-case fixture).
+    */
+  private[graft] def canonicalUrlDeclarative(c: Column): Column = {
     val noFrag = regexp_replace(c, "(?s)#.*$", "")
     val auth = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
     val authNoPort = regexp_replace(
@@ -41,6 +56,45 @@ object UrlFns {
         p => !(p.rlike(trackingRe)) && p =!= "")), "&")
     concat(authNoPort, path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal as a BOUNDED, fixed sequence
+    * of regex rewrites — the form BOTH engines can replay literally, so
+    * cross-engine hashes stay exact by construction:
+    *
+    *   1. 4× `/.(/|$)` → `/` — "." segments collapse (4 passes clear
+    *      ≥16 consecutive `/./` runs; global replace skips alternating
+    *      overlaps, halving per pass);
+    *   2. 8× the pair { `/seg/..(/|$)` → `/` for seg ∉ {".", ".."},
+    *      `^/..(/|$)` → `/` } — each pass retires at least one `..`
+    *      level, so depth ≤ 8 resolves fully (deeper traversals — not a
+    *      thing real sites emit — leave the SAME residue in both
+    *      engines).
+    *
+    * RE2-safe (no lookaround, no backreferences), so the DuckDB twin
+    * runs the identical patterns.
+    */
+  private[graft] val dotSteps: Seq[String] = {
+    val dot = "/\\.(/|$)"
+    val up = "/([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)/\\.\\.(/|$)"
+    val root = "^/\\.\\.(/|$)"
+    Seq.fill(4)(dot) ++ (1 to 8).flatMap(_ => Seq(up, root))
+  }
+
+  /** [[dotSteps]] folded over a path column (declarative twin of
+    * [[graft.functions.ResolveHref.removeDotSegments]]'s loop — query
+    * splitting is the caller's job here).
+    */
+  private[graft] def removeDotSegmentsCol(p: Column): Column =
+    dotSteps.foldLeft(p)((s, re) => regexp_replace(s, re, "/"))
+
+  /** [[dotSteps]] in DuckDB's dialect, query part split off untouched. */
+  def removeDotSegmentsDuck(e: String): String = {
+    val pp = s"regexp_replace($e, '(?s)\\?.*$$', '', 'g')"
+    val q = s"(CASE WHEN strpos($e, '?') > 0 THEN substr($e, strpos($e, '?')) ELSE '' END)"
+    val folded = dotSteps.foldLeft(pp)((s, re) =>
+      s"regexp_replace($s, '$re', '/', 'g')")
+    s"($folded || $q)"
   }
 
   /** The identical chain in DuckDB's dialect, for oracles. */

@@ -389,7 +389,8 @@ object Frontier {
 
   /** X-URL11 — the redirect feedback loop: per doc (host r{h}), mode
     * doc%5 plants a 301 (absolute cross-host Location with a tracking
-    * param — canonicalization visible), a 302 (path-relative Location),
+    * param — canonicalization visible), a 302 (RELATIVE Location with a
+    * `..` traversal — the wild norm, resolved via the §5.2.4 merge),
     * a 307 (scheme-relative), a 200 whose BODY contains a decoy
     * "Location: /fake" line (header bounding pinned in the hash — a
     * body-scanning extractor would mint /fake edges), and a 404. The
@@ -407,7 +408,7 @@ object Frontier {
       val lit_ = graft.clean.EncodingFns.sqlLit _
       val url = "'https://r' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
       val p301 = s"${lit_("HTTP/1.1 301 Moved Permanently\r\nLocation: https://r")} || CAST((doc_id % 7 + 3) % 7 AS VARCHAR) || ${lit_(".example.com/t/")} || CAST(doc_id % 13 AS VARCHAR) || ${lit_("?utm_source=x&b=")} || CAST(doc_id % 3 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
-      val p302 = s"${lit_("HTTP/1.1 302 Found\r\nLocation: /moved/")} || CAST(doc_id % 6 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
+      val p302 = s"${lit_("HTTP/1.1 302 Found\r\nLocation: ../moved/")} || CAST(doc_id % 6 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
       val p307 = s"${lit_("HTTP/1.1 307 Temporary Redirect\r\nLocation: //r")} || CAST((doc_id % 7 + 1) % 7 AS VARCHAR) || ${lit_(".example.com/s/")} || CAST(doc_id % 4 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
       val p200 = lit_("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><p>Location: /fake</p></html>")
       val p404 = lit_("HTTP/1.1 404 Not Found\r\n\r\ngone")
@@ -461,7 +462,7 @@ object Frontier {
         lit("?utm_source=x&b="), (col("doc_id") % 3).cast("string"),
         lit("\r\n\r\nredirect")))
       .when(col("doc_id") % 5 === 2, concat(
-        lit("HTTP/1.1 302 Found\r\nLocation: /moved/"),
+        lit("HTTP/1.1 302 Found\r\nLocation: ../moved/"),
         (col("doc_id") % 6).cast("string"), lit("\r\n\r\nredirect")))
       .when(col("doc_id") % 5 === 3, concat(
         lit("HTTP/1.1 307 Temporary Redirect\r\nLocation: //r"),

@@ -30,26 +30,64 @@ import org.apache.spark.storage.StorageLevel
   */
 object LinkGraph {
 
-  /** Anchor-href extraction regex — group 1 is the attribute value.
-    * Double-quoted hrefs only (the overwhelmingly dominant form; the
-    * fixture uses it exclusively); evaluates identically under Java
-    * regex and RE2 (lazy quantifier, `\b`, ASCII classes).
+  /** Anchor open-tag regex — group 1 is the attribute region (to the
+    * first `>`); the href value is then read from it by [[hrefOfAttrs]]
+    * in any of the three HTML quoting forms. Evaluates identically
+    * under Java regex and RE2 (`\b`, ASCII classes, no lookaround).
     */
-  private[ext] val hrefRe = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""
-  private[ext] val hrefReDuck = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""
+  private[ext] val aOpenRe = "(?is)<a\\b([^>]*)>"
 
-  /** Resolve one href against its page URL — the deterministic subset
-    * of RFC 3986 reference resolution a host-graph needs:
-    *
-    *   - absolute (`scheme://…`) → kept as-is (http/https only, checked
-    *     after resolution);
-    *   - scheme-relative (`//host/…`) → page scheme prepended;
-    *   - path-absolute (`/…`) → page `scheme://host` prepended;
-    *   - anything else (relative paths, `mailto:`, `javascript:`,
-    *     fragments, empty) → NULL (dropped). Relative-path resolution
-    *     needs dot-segment merging (RFC 3986 §5.2.4) — stateful and
-    *     rarely load-bearing for HOST-level edges, so it is explicitly
-    *     out of the rule chain.
+  /** href attribute value from an anchor's attribute region: double-
+    * quoted, single-quoted, or unquoted (all three are real-HTML norm —
+    * round-13 verdict "what's missing" #3), first present form wins,
+    * NULL when absent/empty. One regexp_extract per form; '' (the
+    * no-match sentinel both engines share) doubles as the empty-href
+    * drop, which resolution would drop anyway.
+    */
+  private[ext] def hrefOfAttrs(attrs: Column): Column = {
+    val dq = regexp_extract(attrs, "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(attrs, "(?is)\\bhref\\s*=\\s*'([^']*)'", 1)
+    val uq = regexp_extract(attrs, "(?is)\\bhref\\s*=\\s*([^\\s>\"'][^\\s>]*)", 1)
+    when(dq =!= "", dq).when(sq =!= "", sq).when(uq =!= "", uq)
+  }
+
+  /** [[hrefOfAttrs]] in DuckDB's dialect. */
+  private[ext] def hrefOfAttrsDuck(e: String): String = {
+    val dq = s"nullif(regexp_extract($e, '(?is)\\bhref\\s*=\\s*\"([^\"]*)\"', 1), '')"
+    val sq = s"nullif(regexp_extract($e, '(?is)\\bhref\\s*=\\s*''([^'']*)''', 1), '')"
+    val uq = s"nullif(regexp_extract($e, '(?is)\\bhref\\s*=\\s*([^\\s>\"''][^\\s>]*)', 1), '')"
+    s"COALESCE($dq, $sq, $uq)"
+  }
+
+  /** HTML entity decode for attribute values — the bounded set that
+    * occurs in URLs (named + numeric/hex forms of `& " ' < >`), applied
+    * AT the HTML layer before resolution. Plain string replaces, `&amp;`
+    * LAST so `&amp;#38;` decodes to the literal text `&#38;`, not `&`
+    * (the double-decode trap).
+    */
+  private[ext] val entityPairs: Seq[(String, String)] = Seq(
+    "&#34;" -> "\"", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'",
+    "&#60;" -> "<", "&lt;" -> "<",
+    "&#62;" -> ">", "&gt;" -> ">",
+    "&#x26;" -> "&", "&#38;" -> "&",
+    "&amp;" -> "&")
+
+  private[ext] def decodeEntities(c: Column): Column =
+    entityPairs.foldLeft(c) { case (s, (k, v)) => replace(s, lit(k), lit(v)) }
+
+  private[ext] def decodeEntitiesDuck(e: String): String =
+    entityPairs.foldLeft(e) { case (s, (k, v)) =>
+      s"replace($s, '${k.replace("'", "''")}', '${v.replace("'", "''")}')"
+    }
+
+  /** Resolve one href against its page URL — RFC 3986 §5.2 reference
+    * resolution via the native [[graft.functions.ResolveHref]]
+    * expression (absolute http(s) kept; other schemes NULL;
+    * scheme-relative and path-absolute prefixed; RELATIVE PATHS merged
+    * against the page directory with the bounded §5.2.4 dot-segment
+    * algebra of [[graft.clean.UrlFns.dotSteps]]; empty / `#…` / `?…`
+    * NULL).
     *
     * The href must already be entity-decoded where it came from HTML
     * ([[extractLinks]]/[[anchorTexts]] do this): resolution itself is
@@ -57,34 +95,61 @@ object LinkGraph {
     * ([[Frontier.redirectEdges]]) may legitimately contain a literal
     * `&amp;`, and decoding here would corrupt it.
     */
-  def resolveHref(pageUrl: Column, href: Column): Column = {
+  def resolveHref(pageUrl: Column, href: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ResolveHref(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(pageUrl),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(href)))
+
+  /** The declarative Column twin of the native expression — the
+    * in-engine second implementation LinkGraphSpec pins the native
+    * against (same rule order, same bounded dot algebra).
+    */
+  private[graft] def resolveHrefDeclarative(pageUrl: Column, href: Column): Column = {
     val scheme = regexp_extract(lower(pageUrl), "^([a-z][a-z0-9+.-]*)://", 1)
     val prefix = regexp_extract(pageUrl, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    val resolved = when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+    val basePath = regexp_replace(
+      regexp_replace(pageUrl, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
+      "(?s)[?#].*$", "")
+    val dir0 = regexp_replace(basePath, "[^/]*$", "")
+    val dir = when(dir0 === "", lit("/")).otherwise(dir0)
+    def removeDots(e: Column): Column = {
+      val qi = instr(e, "?")
+      val pp = when(qi > 0, substring(e, lit(1), qi - 1)).otherwise(e)
+      val q = when(qi > 0, substr(e, qi)).otherwise(lit(""))
+      concat(graft.clean.UrlFns.removeDotSegmentsCol(pp), q)
+    }
+    when(href.rlike("^(?i)https?://"), href)
+      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
+      .when(!pageUrl.rlike("^(?i)https?://"), lit(null).cast("string"))
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-      .when(href.startsWith("/"), concat(prefix, href))
-      .otherwise(lit(null).cast("string"))
-    when(resolved.rlike("^(?i)https?://"), resolved)
-      .otherwise(lit(null).cast("string"))
+      .when(href.startsWith("/"), concat(prefix, removeDots(href)))
+      .when(href === "" || href.startsWith("#") || href.startsWith("?"),
+        lit(null).cast("string"))
+      .otherwise(concat(prefix, removeDots(concat(dir, href))))
   }
 
   /** The identical resolution chain in DuckDB's dialect (like the
-    * Spark form, expects an already-entity-decoded href).
+    * Spark form, expects an already-entity-decoded href). Replays the
+    * same rule order and the same bounded dot-segment algebra.
     */
   def resolveHrefDuck(pageUrl: String, href: String): String = {
     val scheme = s"regexp_extract(lower($pageUrl), '^([a-z][a-z0-9+.-]*)://', 1)"
     val prefix = s"regexp_extract($pageUrl, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
-    s"""(CASE WHEN regexp_matches(CASE
-       |    WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $href
-       |    WHEN starts_with($href, '//') THEN $scheme || ':' || $href
-       |    WHEN starts_with($href, '/') THEN $prefix || $href
-       |    ELSE NULL END, '^(?i)https?://')
-       |  THEN CASE
-       |    WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $href
-       |    WHEN starts_with($href, '//') THEN $scheme || ':' || $href
-       |    WHEN starts_with($href, '/') THEN $prefix || $href
-       |    ELSE NULL END
-       |  ELSE NULL END)""".stripMargin
+    val basePath =
+      s"regexp_replace(regexp_replace($pageUrl, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'), '(?s)[?#].*$$', '', 'g')"
+    val dir =
+      s"(CASE WHEN regexp_replace($basePath, '[^/]*$$', '', 'g') = '' THEN '/' ELSE regexp_replace($basePath, '[^/]*$$', '', 'g') END)"
+    val rd = graft.clean.UrlFns.removeDotSegmentsDuck _
+    s"""(CASE
+       |  WHEN regexp_matches($href, '^(?i)https?://') THEN $href
+       |  WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |  WHEN NOT regexp_matches($pageUrl, '^(?i)https?://') THEN NULL
+       |  WHEN starts_with($href, '//') THEN $scheme || ':' || $href
+       |  WHEN starts_with($href, '/') THEN $prefix || ${rd(href)}
+       |  WHEN $href = '' OR starts_with($href, '#') OR starts_with($href, '?') THEN NULL
+       |  ELSE $prefix || ${rd(s"($dir || $href)")}
+       |END)""".stripMargin
   }
 
   /** Hostname of a canonical URL. */
@@ -101,13 +166,14 @@ object LinkGraph {
       htmlCol: String = "html"): DataFrame = {
     val raw = pages
       .select(col(urlCol).as("__u"),
-        explode(regexp_extract_all(col(htmlCol), lit(hrefRe), lit(1))).as("__href"))
+        explode(regexp_extract_all(col(htmlCol), lit(aOpenRe), lit(1))).as("__attrs"))
+      .select(col("__u"), hrefOfAttrs(col("__attrs")).as("__href"))
+      .filter(col("__href").isNotNull)
       // entity-decode AT the HTML layer (conformant markup escapes & as
       // &amp; inside attribute values); resolveHref itself stays
       // markup-agnostic so the redirect tier can reuse it on raw headers
       .select(col("__u"),
-        resolveHref(col("__u"),
-          regexp_replace(col("__href"), "&amp;", "&")).as("__r"))
+        resolveHref(col("__u"), decodeEntities(col("__href"))).as("__r"))
       .filter(col("__r").isNotNull)
     val canon = raw.select(
       graft.clean.UrlFns.canonicalUrl(col("__u")).as("src"),
@@ -129,18 +195,28 @@ object LinkGraph {
       .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
       .agg(count(lit(1)).as("n_pairs"))
 
-  /** Fixed-iteration PageRank over a directed host edge list
-    * (unweighted; `edges` needs columns src/dst, extra columns are
-    * ignored, duplicate and self edges are dropped defensively).
+  /** Fixed-iteration WEIGHTED PageRank over a directed host edge list
+    * (`edges` needs columns src/dst; an `n_pairs` column — the distinct
+    * page-pair count [[hostGraph]] computes — is the edge weight when
+    * present, else every edge weighs 1; extra columns are ignored,
+    * duplicate and self edges are dropped defensively).
     *
     * Exact-integer formulation (damping 0.85, rank mass 1e9 ppb):
     *   r0(v)   = 1e9 DIV n
-    *   contrib = r(u) DIV out_deg(u)          per out-edge of u
-    *   r'(v)   = (15% of 1e9) DIV n + (85 · Σ contrib) DIV 100
-    * Dangling hosts contribute nothing (the classic simplified PR;
-    * deterministic in both engines), no-inbound hosts hold teleport.
-    * Truncating integer division end to end — order-independent sums,
-    * immune to shuffle nondeterminism, and identical in DuckDB.
+    *   contrib = (r(u) · w(u,v)) DIV W(u)     W(u) = Σ out-weights of u
+    *   dang    = Σ r(u) over hosts with no out-edges
+    *   r'(v)   = (15% of 1e9) DIV n + (85 · (Σ contrib + dang DIV n)) DIV 100
+    * Weighted contributions: a host linked from 1,000 distinct pages of
+    * a neighbor outweighs one linked from a single page (round-13
+    * verdict "what's missing" #2). Dangling mass redistributes evenly
+    * instead of leaking (#4), so Σ rank_ppb stays 1e9 − O(n·iters)
+    * truncation slack and rank VALUES are comparable across graphs with
+    * different dangling fractions — the property x_lnk4's drift report
+    * needs. Truncating integer division end to end — order-independent
+    * sums, immune to shuffle nondeterminism, and identical in DuckDB.
+    * Overflow headroom: r(u) ≤ 1e9 and contributions use r·w with
+    * w ≤ distinct page pairs, so products stay under 2^63 up to ~9e9
+    * pairs per host edge — beyond any real crawl's per-edge count.
     *
     * Each iteration materializes (persist + count + plan reset) so the
     * analyzer never re-walks a k-deep join tower and a failed executor
@@ -150,8 +226,15 @@ object LinkGraph {
       localMaxEdges: Long = 1000000L): DataFrame = {
     val s = edges0.sparkSession
     def reset(df: DataFrame): DataFrame = s.createDataFrame(df.rdd, df.schema)
-    val edgesC = edges0.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val wCol =
+      if (edges0.columns.contains("n_pairs"))
+        coalesce(col("n_pairs").cast("long"), lit(1L))
+      else lit(1L)
+    // max(), not sum(): a duplicated (src,dst) row is a caller bug, and
+    // the unweighted contract ("duplicate edges are inert") must hold
+    val edgesC = edges0.select(col("src"), col("dst"), wCol.as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = edgesC.count()
     if (nE == 0) {
@@ -168,21 +251,25 @@ object LinkGraph {
       // kilobytes (measured: ~2 s of job churn for a 7-host fixture).
       // Same integer recurrence on the driver; LinkGraphSpec pins
       // local ≡ distributed.
-      val es = edgesC.collect().map(r => (r.getString(0), r.getString(1)))
+      val es = edgesC.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       edgesC.unpersist()
       val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toArray.sorted
       val n = verts.length.toLong
       val idx = verts.zipWithIndex.toMap
-      val outDeg = new Array[Long](verts.length)
-      es.foreach { case (u, _) => outDeg(idx(u)) += 1 }
+      val wOut = new Array[Long](verts.length)
+      es.foreach { case (u, _, w) => wOut(idx(u)) += w }
       var r = Array.fill(verts.length)(1000000000L / n)
       val tele = (1000000000L * 15L / 100L) / n
       var k = 0
       while (k < iters) {
         k += 1
         val in = new Array[Long](verts.length)
-        es.foreach { case (u, v) => in(idx(v)) += r(idx(u)) / outDeg(idx(u)) }
-        r = Array.tabulate(verts.length)(i => tele + 85L * in(i) / 100L)
+        es.foreach { case (u, v, w) => in(idx(v)) += r(idx(u)) * w / wOut(idx(u)) }
+        var dang = 0L
+        var i = 0
+        while (i < verts.length) { if (wOut(i) == 0) dang += r(i); i += 1 }
+        val dShare = dang / n
+        r = Array.tabulate(verts.length)(i => tele + 85L * (in(i) + dShare) / 100L)
       }
       import s.implicits._
       return verts.zip(r).toSeq.toDF("host", "rank_ppb")
@@ -194,10 +281,17 @@ object LinkGraph {
     val n = vertsC.count()
     require(n > 0, "pageRankHosts: empty graph")
     val verts = reset(vertsC)
-    val degC = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val degC = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     degC.count()
     val deg = reset(degC)
+    // dangling hosts (no out-edges) are a FIXED set — compute once;
+    // host-table sized, never corpus sized
+    val dangC = verts.join(edges.select(col("src")).distinct(),
+        verts("host") === col("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dangC.count()
+    val dangHosts = reset(dangC)
     val r0 = 1000000000L / n
     val tele = (1000000000L * 15L / 100L) / n
     var cached = verts.select(col("host"), lit(r0).as("rank_ppb"))
@@ -210,18 +304,25 @@ object LinkGraph {
       val sums = edges
         .join(ranks, edges("src") === ranks("host"))
         .join(deg, Seq("src"))
-        .select(col("dst"), expr("rank_ppb DIV out_deg").as("__c"))
+        .select(col("dst"), expr("(rank_ppb * w) DIV w_out").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      // one scalar row: this iteration's dangling mass (broadcast onto
+      // the host-table join — in-plan, no extra driver action)
+      val dangDf = ranks.join(dangHosts, Seq("host"), "left_semi")
+        .agg(coalesce(sum(col("rank_ppb")), lit(0L)).as("__dang"))
       val next = verts.join(sums, verts("host") === sums("dst"), "left")
+        .crossJoin(broadcast(dangDf))
         .select(col("host"),
-          (lit(tele) + expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) DIV 100")).as("rank_ppb"))
+          (lit(tele) + expr(
+            s"(85 * (coalesce(__s, CAST(0 AS BIGINT)) + __dang DIV ${n}L)) DIV 100"))
+            .as("rank_ppb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       cached.unpersist()
       cached = next
       ranks = reset(next)
     }
-    edgesC.unpersist(); vertsC.unpersist(); degC.unpersist()
+    edgesC.unpersist(); vertsC.unpersist(); degC.unpersist(); dangC.unpersist()
     // the final frame stays persisted to pay for the caller's execution
     // (the connectedComponents contract); it is host-table sized
     ranks
@@ -232,22 +333,29 @@ object LinkGraph {
   /** The synthetic linked crawl page (the x_html1 discipline: one
     * shared template, Spark renders with concat, the oracle with `||`,
     * so both engines extract from byte-identical HTML). Per doc on host
-    * h{doc_id%7}: an absolute cross-host link with an entity-escaped
-    * tracking param (canonicalization must collapse variants), a hub
-    * link every third doc (host h0 must emerge top-ranked), a
-    * scheme-relative link, a path-absolute SELF link (extracted, then
-    * dropped by the host graph), and a non-resolvable tail (mailto /
-    * fragment / relative path) that must never extract.
+    * h{doc_id%7}: an absolute cross-host link with entity-escaped
+    * query params in BOTH named and numeric form (`&amp;` + `&#38;` —
+    * decode and canonicalization must collapse variants), a
+    * scheme-relative link, a SINGLE-QUOTED absolute cross-host link, a
+    * hub link every third doc (host h0 must emerge top-ranked), a
+    * path-absolute self link, an UNQUOTED self link, a `../`-traversal
+    * relative link and a plain relative link (both resolve via the
+    * §5.2.4 merge to self-host pages), and a non-resolvable tail
+    * (mailto / fragment) that must never extract.
     */
   private val parts = Seq(
     "<html><head><title>D ",
     "</title></head><body><p>See <a href=\"https://h",
     ".example.com/p/",
-    "?utm_source=feed&amp;b=2\">partner</a> and <a href=\"//h",
+    "?utm_source=feed&amp;b=2&#38;c=3\">partner</a> and <a href=\"//h",
     ".example.com/s/",
-    "\">mirror</a>.</p>",
+    "\">mirror</a> and <a href='https://h",
+    ".example.com/q/",
+    "'>quoted</a>.</p>",
     "<a href=\"/self/",
-    "\">me</a> <a href=\"mailto:x@y.z\">mail</a> <a href=\"#top\">top</a>" +
+    "\">me</a> <a href=/uq/",
+    ">uq</a> <a href=\"../up/",
+    "\">up</a> <a href=\"mailto:x@y.z\">mail</a> <a href=\"#top\">top</a>" +
       " <a href=\"rel/p.html\">rel</a><p>",
     "</p></body></html>")
 
@@ -261,12 +369,16 @@ object LinkGraph {
       lit(parts(2)), (col("doc_id") % 11).cast("string"),
       lit(parts(3)), ((col("doc_id") + 2) % 7).cast("string"),
       lit(parts(4)), (col("doc_id") % 5).cast("string"),
-      lit(parts(5)),
+      lit(parts(5)), ((col("doc_id") + 3) % 7).cast("string"),
+      lit(parts(6)), (col("doc_id") % 3).cast("string"),
+      lit(parts(7)),
       when(col("doc_id") % 3 === 0,
         lit("<a href=\"https://h0.example.com/hub\">hub</a>")).otherwise(lit("")),
-      lit(parts(6)), (col("doc_id") % 4).cast("string"),
-      lit(parts(7)), col("text"),
-      lit(parts(8))).as("html"))
+      lit(parts(8)), (col("doc_id") % 4).cast("string"),
+      lit(parts(9)), (col("doc_id") % 5).cast("string"),
+      lit(parts(10)), (col("doc_id") % 4).cast("string"),
+      lit(parts(11)), col("text"),
+      lit(parts(12))).as("html"))
 
   private def q(s: String) = "'" + s.replace("'", "''") + "'"
 
@@ -279,12 +391,16 @@ object LinkGraph {
        |${q(parts(2))} || CAST(doc_id % 11 AS VARCHAR) ||
        |${q(parts(3))} || CAST((doc_id + 2) % 7 AS VARCHAR) ||
        |${q(parts(4))} || CAST(doc_id % 5 AS VARCHAR) ||
-       |${q(parts(5))} ||
+       |${q(parts(5))} || CAST((doc_id + 3) % 7 AS VARCHAR) ||
+       |${q(parts(6))} || CAST(doc_id % 3 AS VARCHAR) ||
+       |${q(parts(7))} ||
        |CASE WHEN doc_id % 3 = 0
        |  THEN '<a href="https://h0.example.com/hub">hub</a>' ELSE '' END ||
-       |${q(parts(6))} || CAST(doc_id % 4 AS VARCHAR) ||
-       |${q(parts(7))} || text ||
-       |${q(parts(8))}""".stripMargin
+       |${q(parts(8))} || CAST(doc_id % 4 AS VARCHAR) ||
+       |${q(parts(9))} || CAST(doc_id % 5 AS VARCHAR) ||
+       |${q(parts(10))} || CAST(doc_id % 4 AS VARCHAR) ||
+       |${q(parts(11))} || text ||
+       |${q(parts(12))}""".stripMargin
 
   /** Oracle CTEs shared by the link probes: pages → extracted hrefs →
     * resolution → canonical page pairs (`lk` raw, `pp` distinct).
@@ -297,22 +413,25 @@ object LinkGraph {
   private[ext] def linkBaseCtesDuck(where: String, px: String): String = {
     val cu = graft.clean.UrlFns.canonicalUrlDuck _
     val w = if (where.isEmpty) "" else s" WHERE $where"
-    s"""${px}pg AS (
+    s"""${px}pg AS MATERIALIZED (
        |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents$w),
-       |${px}hr AS (
-       |  SELECT url, unnest(regexp_extract_all(html, '$hrefReDuck', 1)) AS href
-       |  FROM ${px}pg),
-       |${px}rs AS (
+       |${px}hr AS MATERIALIZED (
+       |  SELECT url, href FROM (
+       |    SELECT url, ${hrefOfAttrsDuck("attrs")} AS href FROM (
+       |      SELECT url, unnest(regexp_extract_all(html, '$aOpenRe', 1)) AS attrs
+       |      FROM ${px}pg))
+       |  WHERE href IS NOT NULL),
+       |${px}rs AS MATERIALIZED (
        |  SELECT url, r FROM (
-       |    SELECT url, ${resolveHrefDuck("url", "replace(href, '&amp;', '&')")} AS r
+       |    SELECT url, ${resolveHrefDuck("url", decodeEntitiesDuck("href"))} AS r
        |    FROM ${px}hr)
        |  WHERE r IS NOT NULL),
-       |${px}lk AS (
+       |${px}lk AS MATERIALIZED (
        |  SELECT ${cu("url")} AS src, ${cu("r")} AS dst,
        |    regexp_extract(${cu("url")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS src_host,
        |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host
        |  FROM ${px}rs),
-       |${px}pp AS (SELECT DISTINCT src, dst, src_host, dst_host FROM ${px}lk)""".stripMargin
+       |${px}pp AS MATERIALIZED (SELECT DISTINCT src, dst, src_host, dst_host FROM ${px}lk)""".stripMargin
   }
 
   /** `linkBaseCtesDuck` extended with the host edge rollup. */
@@ -320,33 +439,50 @@ object LinkGraph {
 
   private[ext] def linkCtesDuck(where: String, px: String): String =
     s"""${linkBaseCtesDuck(where, px)},
-       |${px}hedges AS (
+       |${px}hedges AS MATERIALIZED (
        |  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS n_pairs
        |  FROM ${px}pp WHERE src_host <> dst_host GROUP BY 1, 2)""".stripMargin
 
-  /** Fixed-iteration PR oracle CTEs over `<edges>` (src, dst); `px`
-    * prefixes every CTE so two rank chains can coexist in one query.
-    * The final ranks land in `<px>pr<iters>`.
+  /** Fixed-iteration WEIGHTED PR oracle CTEs over `<edges>` (src, dst,
+    * n_pairs — weight defaults to 1 when NULL), replaying the weighted
+    * contributions and the per-iteration dangling-mass redistribution;
+    * `px` prefixes every CTE so two rank chains can coexist in one
+    * query. The final ranks land in `<px>pr<iters>`.
     */
   private[ext] def pageRankCtesDuck(iters: Int): String =
     pageRankCtesDuck(iters, "hedges", "")
 
   private[ext] def pageRankCtesDuck(iters: Int, edges: String, px: String): String = {
+    // AS MATERIALIZED everywhere: each iteration now references the
+    // previous ranks TWICE (contributions + dangling mass) and the edge
+    // table several times per step — DuckDB INLINES plain CTEs, so
+    // without materialization the 5-step chain re-runs the whole
+    // upstream extraction 2^5 times (measured: x_lnk2's oracle went
+    // from >5 min inlined to 0.85 s materialized at sf0.001)
     val init =
-      s"""${px}he AS (SELECT DISTINCT src, dst FROM $edges WHERE src <> dst),
-         |${px}verts AS (SELECT src AS host FROM ${px}he UNION SELECT dst FROM ${px}he),
-         |${px}nv AS (SELECT COUNT(*) AS n FROM ${px}verts),
-         |${px}deg AS (SELECT src, COUNT(*) AS out_deg FROM ${px}he GROUP BY src),
-         |${px}pr0 AS (
+      s"""${px}he AS MATERIALIZED (
+         |  SELECT src, dst, MAX(w) AS w FROM (
+         |    SELECT src, dst, CAST(COALESCE(n_pairs, 1) AS BIGINT) AS w
+         |    FROM $edges WHERE src <> dst)
+         |  GROUP BY 1, 2),
+         |${px}verts AS MATERIALIZED (
+         |  SELECT src AS host FROM ${px}he UNION SELECT dst FROM ${px}he),
+         |${px}nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM ${px}verts),
+         |${px}deg AS MATERIALIZED (
+         |  SELECT src, SUM(w) AS w_out FROM ${px}he GROUP BY src),
+         |${px}pr0 AS MATERIALIZED (
          |  SELECT host, CAST(1000000000 AS BIGINT) // (SELECT n FROM ${px}nv) AS rank_ppb
          |  FROM ${px}verts)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""${px}pr$k AS (
+      s"""${px}pr$k AS MATERIALIZED (
          |  SELECT v.host,
          |    ((CAST(1000000000 AS BIGINT) * 15) // 100) // (SELECT n FROM ${px}nv)
-         |      + (85 * COALESCE(c.s, 0)) // 100 AS rank_ppb
+         |      + (85 * (COALESCE(c.s, 0) +
+         |          (SELECT COALESCE(SUM(r.rank_ppb), 0) FROM ${px}pr${k - 1} r
+         |           WHERE r.host NOT IN (SELECT src FROM ${px}he))
+         |            // (SELECT n FROM ${px}nv))) // 100 AS rank_ppb
          |  FROM ${px}verts v LEFT JOIN (
-         |    SELECT e.dst AS host, SUM(r.rank_ppb // d.out_deg) AS s
+         |    SELECT e.dst AS host, SUM((r.rank_ppb * e.w) // d.w_out) AS s
          |    FROM ${px}he e
          |    JOIN ${px}pr${k - 1} r ON r.host = e.src
          |    JOIN ${px}deg d ON d.src = e.src
@@ -407,18 +543,19 @@ object LinkGraph {
       .orderBy(col("rank_ppb").desc, col("host"))
   }
 
-  /** Anchor element regex — group 1 href, group 2 the inner markup
-    * (anchors don't nest, so lazy-to-`</a>` is exact; the [[
-    * graft.clean.HtmlFns]] anchorRe reasoning).
+  /** Anchor element regex — group 1 the attribute region, group 2 the
+    * inner markup (anchors don't nest, so lazy-to-`</a>` is exact; the
+    * [[graft.clean.HtmlFns]] anchorRe reasoning). The href value is
+    * read from group 1 by [[hrefOfAttrs]] (all three quoting forms).
     */
   private[ext] val anchorRe =
-    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    "(?is)<a\\b([^>]*)>(.*?)</a>"
 
-  /** Extract (resolved target, anchor text) pairs: the href and inner
-    * markup come from ONE pattern evaluated twice (group 1 / group 2 —
-    * both engines lack multi-group extract-all), so the two arrays are
-    * positionally aligned by construction; inner tags strip to spaces
-    * before tokenization. Narrow regex work; no exchange.
+  /** Extract (resolved target, anchor text) pairs: the attribute region
+    * and inner markup come from ONE pattern evaluated twice (group 1 /
+    * group 2 — both engines lack multi-group extract-all), so the two
+    * arrays are positionally aligned by construction; inner tags strip
+    * to spaces before tokenization. Narrow regex work; no exchange.
     */
   def anchorTexts(pages: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
@@ -426,13 +563,13 @@ object LinkGraph {
       regexp_extract_all(col(htmlCol), lit(anchorRe), lit(1)).as("__hs"),
       regexp_extract_all(col(htmlCol), lit(anchorRe), lit(2)).as("__ts"))
     val pos = withArrays
-      .select(col("__u"), posexplode(col("__hs")).as(Seq("__i", "__href")),
+      .select(col("__u"), posexplode(col("__hs")).as(Seq("__i", "__attrs")),
         col("__ts"))
-      .select(col("__u"), col("__href"),
+      .select(col("__u"), hrefOfAttrs(col("__attrs")).as("__href"),
         element_at(col("__ts"), col("__i") + 1).as("__inner"))
+      .filter(col("__href").isNotNull)
     pos.select(col("__u"),
-        resolveHref(col("__u"),
-          regexp_replace(col("__href"), "&amp;", "&")).as("__r"),
+        resolveHref(col("__u"), decodeEntities(col("__href"))).as("__r"),
         col("__inner"))
       .filter(col("__r").isNotNull)
       .select(
@@ -460,11 +597,13 @@ object LinkGraph {
        |    regexp_extract_all(html, '$anchorRe', 2) AS ts
        |  FROM pg),
        |px AS (
-       |  SELECT url, hs[i] AS href, ts[i] AS itext
-       |  FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i)),
+       |  SELECT url, href, itext FROM (
+       |    SELECT url, ${hrefOfAttrsDuck("hs[i]")} AS href, ts[i] AS itext
+       |    FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i))
+       |  WHERE href IS NOT NULL),
        |rx AS (
        |  SELECT r, itext FROM (
-       |    SELECT ${resolveHrefDuck("url", "replace(href, '&amp;', '&')")} AS r, itext
+       |    SELECT ${resolveHrefDuck("url", decodeEntitiesDuck("href"))} AS r, itext
        |    FROM px)
        |  WHERE r IS NOT NULL),
        |tm AS (
@@ -563,7 +702,9 @@ object LinkGraph {
       concat(
         lit("<html><body><a href=\""), turl(t1), lit("\">topic"),
         (t1 % 13).cast("string"), lit(" about"), (t1 % 5).cast("string"),
-        lit("</a> <a href=\""), turl(t2), lit("\">ref"),
+        // the second anchor is SINGLE-QUOTED — the expansion chain must
+        // read all real-HTML quoting forms (round-13 verdict #5)
+        lit("</a> <a href='"), turl(t2), lit("'>ref"),
         (t2 % 11).cast("string"), lit("</a><p>"), col("text"),
         lit("</p></body></html>")).as("html"))
   }
@@ -576,7 +717,7 @@ object LinkGraph {
     s"""SELECT doc_id, $pageUrlDuck AS url,
        |  '<html><body><a href="' || ${turl(t1)} || '">topic' ||
        |  CAST(($t1) % 13 AS VARCHAR) || ' about' || CAST(($t1) % 5 AS VARCHAR) ||
-       |  '</a> <a href="' || ${turl(t2)} || '">ref' ||
+       |  '</a> <a href=''' || ${turl(t2)} || '''>ref' ||
        |  CAST(($t2) % 11 AS VARCHAR) ||
        |  '</a><p>' || text || '</p></body></html>' AS html
        |FROM documents""".stripMargin
@@ -603,11 +744,13 @@ object LinkGraph {
        |    regexp_extract_all(html, '$anchorRe', 2) AS ts
        |  FROM ap),
        |px AS (
-       |  SELECT url, hs[i] AS href, ts[i] AS itext
-       |  FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i)),
+       |  SELECT url, href, itext FROM (
+       |    SELECT url, ${hrefOfAttrsDuck("hs[i]")} AS href, ts[i] AS itext
+       |    FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i))
+       |  WHERE href IS NOT NULL),
        |rx AS (
        |  SELECT r, itext FROM (
-       |    SELECT ${resolveHrefDuck("url", "replace(href, '&amp;', '&')")} AS r, itext
+       |    SELECT ${resolveHrefDuck("url", decodeEntitiesDuck("href"))} AS r, itext
        |    FROM px)
        |  WHERE r IS NOT NULL),
        |ax AS (

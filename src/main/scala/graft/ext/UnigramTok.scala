@@ -94,6 +94,52 @@ object UnigramTok {
       .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("n_pieces"))
   }
 
+  /** Per-doc FREQUENCY-WEIGHTED segmentation cost under the induced
+    * vocabulary — the unigram-LM cost model x_tok3's unit-cost DP
+    * stood in for (round-13 verdict #8): piece cost = scaled −log₂
+    * p(piece) in exact integer BITS,
+    *
+    *   cost(piece) = 1 + bits(Σn) − bits(n(piece)),   bits(x) = ⌊log₂x⌋+1
+    *   unk         = 4 + bits(Σn)
+    *
+    * computed via binary-string length (`conv(x,10,2)` / printf('%b'))
+    * so both engines take exact integer logs — float log2 at a power of
+    * two could round differently and shift a segmentation. Frequent
+    * pieces are cheap, so the DP prefers probable splits over few
+    * splits (the greedy trap MinSegSpec pins). Output per doc:
+    * (n_words, bit_cost = Σ min-cost over word occurrences).
+    *
+    * Same scale shape as [[minTokenCounts]]: DP once per DISTINCT word
+    * against the broadcast (pieces, costs) arrays, one join back.
+    */
+  def minCostCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.GraftExtensions.register(s)
+    def bits(c: org.apache.spark.sql.Column) =
+      length(conv(c.cast("string"), 10, 2)).cast("long")
+    val tot = vocab.agg(coalesce(sum(col("n")), lit(1L)).as("__tot"))
+    val priced = vocab.crossJoin(broadcast(tot)) // 1-row build side
+      .select(col("piece"),
+        (lit(1L) + bits(col("__tot")) - bits(col("n"))).as("cost"),
+        (lit(4L) + bits(col("__tot"))).as("__unk"))
+    // ONE sorted struct list → two positionally-aligned arrays (the
+    // MinSegCost contract: costs(i) prices sortedPieces(i))
+    val vrow = priced.agg(
+        sort_array(collect_list(struct(col("piece"), col("cost")))).as("__pc"),
+        coalesce(max(col("__unk")), lit(5L)).as("__unk"))
+      .select(expr("transform(__pc, x -> x.piece)").as("__pieces"),
+        expr("transform(__pc, x -> x.cost)").as("__costs"), col("__unk"))
+    val words = docs.select(col("doc_id"),
+      explode(CleanFns.tokens(col("text"))).as("word"))
+    val costs = words.select("word").distinct()
+      .crossJoin(broadcast(vrow)) // 1-row build side → broadcast nested loop
+      .select(col("word"),
+        expr("min_seg_cost(word, __pieces, __costs, __unk)").as("__c"))
+    words.join(costs, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("bit_cost"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** Induction CTEs: `vc` (piece, n) and `topv` (top-V pieces). */
@@ -166,5 +212,51 @@ object UnigramTok {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(tok2, tok3)
+  /** X-TOK4 — frequency-weighted (unigram-LM bit-cost) segmentation:
+    * the oracle derives the SAME integer bit costs from the recomputed
+    * vocabulary (binary-string-length logs) and replays the weighted DP
+    * as the recursive (word, pos, cost) state search, UNK as a priced
+    * pseudo-piece. A one-bit cost disagreement anywhere — induction
+    * boundary, log rounding, DP tie — shifts a word's minimum and
+    * breaks the hash.
+    */
+  private val tok4 = Probe(
+    "x_tok4_unigram_bitcost",
+    s"""WITH RECURSIVE ${vocabCtesDuck(V)},
+       |tot AS MATERIALIZED (
+       |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 1) AS t FROM topv),
+       |pcost AS MATERIALIZED (
+       |  SELECT piece, CAST(length(piece) AS INTEGER) AS len,
+       |    CAST(1 + length(printf('%b', (SELECT t FROM tot)))
+       |      - length(printf('%b', n)) AS BIGINT) AS cost
+       |  FROM topv
+       |  UNION ALL
+       |  SELECT '', 1, CAST(4 + length(printf('%b', (SELECT t FROM tot))) AS BIGINT)),
+       |dw AS (SELECT DISTINCT word FROM w0),
+       |st AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM dw
+       |  UNION
+       |  SELECT s.word, s.pos + m.len, s.cost + m.cost
+       |  FROM st s JOIN pcost m ON s.pos + m.len <= length(s.word)
+       |    AND (m.piece = '' OR substr(s.word, s.pos + 1, m.len) = m.piece)),
+       |best AS (
+       |  SELECT word, MIN(cost) AS c FROM st
+       |  WHERE pos = length(word) GROUP BY word)
+       |SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.c) AS BIGINT) AS bit_cost
+       |FROM w0 JOIN best b ON b.word = w0.word
+       |GROUP BY w0.doc_id ORDER BY w0.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val vocabPath = graft.util.TrainOnce(s"unigram_vocab:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_unigram_vocab")
+      induceVocab(docs).write.mode("overwrite").parquet(p)
+      p
+    }
+    minCostCounts(docs, s.read.parquet(vocabPath))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("bit_cost").cast("long").as("bit_cost"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(tok2, tok3, tok4)
 }

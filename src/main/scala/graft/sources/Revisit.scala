@@ -53,8 +53,10 @@ object Revisit {
     val confSer = spark.sparkContext.broadcast(
       new graft.util.SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     val tagged = records
-      .select(col("url").cast("string").as("url"),
-        col("payload").cast("string").as("payload"))
+      // null-tolerant like decodeHttpBodyBytes (ADVICE r13): a NULL url
+      // or payload row must write as an empty field, not NPE the task
+      .select(coalesce(col("url").cast("string"), lit("")).as("url"),
+        coalesce(col("payload").cast("string"), lit("")).as("payload"))
       .withColumn("__d", payloadDigest(col("payload")))
       // dedup the digest side INSIDE the operator: day-1 archives
       // routinely hold several URLs with identical payloads (the exact
@@ -85,10 +87,14 @@ object Revisit {
               val payload =
                 if (wtype == "revisit") Array.emptyByteArray
                 else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              // the 1.0 profile URI, matching renderRecordBytes' WARC/1.0
+              // version line (ADVICE r13: consumers key on version+profile;
+              // the reader's sync magic is hard-coded to 'WARC/1.0\r\n', so
+              // the profile moves to the version, not vice versa)
               val extras = Seq("WARC-Payload-Digest" -> s"md5:$digest") ++
                 (if (wtype == "revisit")
                   Seq("WARC-Profile" ->
-                    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest")
+                    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
                 else Nil)
               out.write(Warc.renderRecordBytes(r.getString(0), payload, wtype,
                 Warc.DefaultWarcDate, s"$pid:$ordinal", extras))
@@ -149,7 +155,11 @@ object Revisit {
     val base = records.select(col("url"), col("warc_type"),
       col("content_length").as("stored_len"), col("payload"),
       col("payload_digest"))
-    val responses = base.filter(col("warc_type") =!= "revisit")
+    // null-SAFE split: a NULL warc_type fails both null-unsafe =!= and
+    // === predicates and would vanish from the output — it must pass
+    // through as a response (the tier's loud-never-silent contract;
+    // ADVICE r13)
+    val responses = base.filter(!(col("warc_type") <=> "revisit"))
       .select(col("url"), col("warc_type"), col("stored_len"),
         col("payload").as("text"))
     val revisits = base.filter(col("warc_type") === "revisit")

@@ -162,7 +162,12 @@ object Sitemap {
         // ordering and the age cast to the 10-char date prefix so the
         // two forms compare consistently and the date cast never sees a
         // datetime suffix (which Spark's cast accepts but an oracle's
-        // TRY_CAST may not — a latent cross-engine divergence)
+        // TRY_CAST may not — a latent cross-engine divergence).
+        // Documented approximation (ADVICE r13): the prefix ignores the
+        // W3C timezone offset, so '…T23:30:00-05:00' ages as its local
+        // date, not its UTC date — off by at most one day, consistent
+        // across BOTH engines; parse offsets to UTC in both forms if
+        // day-exact freshness ever matters
         substring(col("lastmod"), 1, 10).as("lastmod"),
         col("changefreq"), col("priority"))
       // duplicate locs collapsing to one canonical page are the NORM

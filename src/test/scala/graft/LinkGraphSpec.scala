@@ -11,29 +11,69 @@ import org.apache.spark.sql.functions._
 class LinkGraphSpec extends SparkSuite {
   import spark.implicits._
 
-  test("resolveHref: rule-by-rule resolution and drops") {
-    val page = "https://Site.example.com/dir/page?x=1"
-    val cases = Seq(
-      ("https://other.com/a", "https://other.com/a"), // absolute kept
-      ("HTTP://UPPER.com/b", "HTTP://UPPER.com/b"), // scheme case-insensitive keep
-      ("//cdn.com/lib.js", "https://cdn.com/lib.js"), // scheme-relative
-      ("/root/x", "https://Site.example.com/root/x"), // path-absolute
-      // resolution is markup-agnostic: an HTTP Location may LEGALLY
-      // carry a literal '&amp;' — the entity decode lives at the HTML
-      // layer (extractLinks/anchorTexts), pinned below
-      ("/q?a=1&amp;b=2", "https://Site.example.com/q?a=1&amp;b=2"),
-      ("ftp://files.com/x", null), // non-http(s) scheme
-      ("mailto:a@b.c", null),
-      ("javascript:void(0)", null),
-      ("#frag", null),
-      ("rel/path.html", null), // relative paths are out of the rule chain
-      ("", null))
-    val got = cases.map(_._1).toDF("href")
+  // the fixture both the native-vs-declarative parity pin and the
+  // rule-by-rule expectations run over (RFC 3986 §5.2 incl. relative
+  // merge + dot-segment traversal — round-13 verdict #3)
+  private val resolvePage = "https://Site.example.com/dir/page?x=1"
+  private val resolveCases = Seq(
+    ("https://other.com/a", "https://other.com/a"), // absolute kept
+    ("HTTP://UPPER.com/b", "HTTP://UPPER.com/b"), // scheme case-insensitive keep
+    ("//cdn.com/lib.js", "https://cdn.com/lib.js"), // scheme-relative
+    ("/root/x", "https://Site.example.com/root/x"), // path-absolute
+    // resolution is markup-agnostic: an HTTP Location may LEGALLY
+    // carry a literal '&amp;' — the entity decode lives at the HTML
+    // layer (extractLinks/anchorTexts), pinned below
+    ("/q?a=1&amp;b=2", "https://Site.example.com/q?a=1&amp;b=2"),
+    ("ftp://files.com/x", null), // non-http(s) scheme
+    ("mailto:a@b.c", null),
+    ("javascript:void(0)", null),
+    ("tel:+1-555-0100", null), // scheme-no-authority URI, not a relative path
+    ("#frag", null),
+    ("?y=2", null), // query-only self-reference mints no edge
+    ("", null),
+    // RFC 3986 §5.2.3 merge + §5.2.4 dot segments — "the wild norm"
+    // for Location headers and half of real-page hrefs
+    ("rel/path.html", "https://Site.example.com/dir/rel/path.html"),
+    ("moved/x", "https://Site.example.com/dir/moved/x"),
+    ("../up.html", "https://Site.example.com/up.html"),
+    ("../../a/b", "https://Site.example.com/a/b"), // root-excess .. clamps
+    ("./here.html", "https://Site.example.com/dir/here.html"),
+    ("a/b/../c", "https://Site.example.com/dir/a/c"),
+    ("rel/p?q=1&r=2", "https://Site.example.com/dir/rel/p?q=1&r=2"), // query rides along
+    ("/a/b/../../c", "https://Site.example.com/c"), // dots in path-absolute too
+    ("/a/./b/.", "https://Site.example.com/a/b/"))
+
+  test("resolveHref: rule-by-rule resolution and drops (incl. relative merge)") {
+    val got = resolveCases.map(_._1).toDF("href")
       .select(col("href"),
-        LinkGraph.resolveHref(lit(page), col("href")).as("r"))
+        LinkGraph.resolveHref(lit(resolvePage), col("href")).as("r"))
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
-    cases.foreach { case (href, want) =>
+    resolveCases.foreach { case (href, want) =>
       assert(got(href) == want, s"href=$href got=${got(href)} want=$want")
+    }
+  }
+
+  test("resolveHref native == declarative twin, interpreted == codegen") {
+    // pages chosen to stress every branch guard: http(s) bases with/
+    // without a path, an authority-less base, a non-http base
+    val pages = Seq(resolvePage, "https://h.com", "http://h.com/a/b/c?z#f",
+      "ftp://x.com/d/", "not-a-url")
+    val rows = for (p <- pages; (h, _) <- resolveCases) yield (p, h)
+    val df = rows.toDF("page", "href")
+    val native = df.select(col("page"), col("href"),
+      LinkGraph.resolveHref(col("page"), col("href")).as("r")).collect()
+    val decl = df.select(col("page"), col("href"),
+      LinkGraph.resolveHrefDeclarative(col("page"), col("href")).as("r")).collect()
+    assert(native.map(_.toSeq).toSeq == decl.map(_.toSeq).toSeq)
+    // interpreted path (eval) == codegen path on the same fixture
+    import org.apache.spark.unsafe.types.UTF8String
+    rows.foreach { case (p, h) =>
+      val viaEval = graft.functions.ResolveHref.compute(
+        UTF8String.fromString(p), UTF8String.fromString(h))
+      val got = Option(viaEval).map(_.toString).orNull
+      val want = native.find(r => r.getString(0) == p && r.getString(1) == h)
+        .map(_.getString(2)).orNull
+      assert(got == want, s"page=$p href=$h eval=$got codegen=$want")
     }
   }
 
@@ -60,10 +100,31 @@ class LinkGraphSpec extends SparkSuite {
     assert(got == List(("a.com", "b.com", 2L)), got.toString)
   }
 
-  test("pageRankHosts == in-memory reference model (dangling + no-inbound)") {
-    // a -> b, a -> c, b -> a; c dangling (mass leaks, classic simplified
-    // PR); d -> a gives a an extra inbound; nothing points at d
-    // (teleport only). Duplicate and self edges planted — must be inert.
+  /** Independent reference: the weighted, dangling-conserving integer
+    * recurrence in plain Scala (the spec's second implementation).
+    */
+  private def refRank(es: Set[(String, String, Long)], iters: Int)
+      : Map[String, Long] = {
+    val verts = es.flatMap(e => Seq(e._1, e._2)).toList.sorted
+    val n = verts.size.toLong
+    val wOut = es.groupBy(_._1).map { case (s, xs) => s -> xs.toSeq.map(_._3).sum }
+    var r = verts.map(_ -> 1000000000L / n).toMap
+    val tele = (1000000000L * 15L / 100L) / n
+    for (_ <- 1 to iters) {
+      val in = es.toSeq.map { case (u, v, w) => v -> r(u) * w / wOut(u) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      val dang = verts.filter(v => !wOut.contains(v)).map(r).sum
+      r = verts.map(v =>
+        v -> (tele + 85L * (in.getOrElse(v, 0L) + dang / n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankHosts == in-memory reference model (dangling conserved, no-inbound)") {
+    // a -> b, a -> c, b -> a; c dangling (its mass must REDISTRIBUTE,
+    // not leak — round-13 verdict #6); d -> a gives a an extra inbound;
+    // nothing points at d (teleport + dangling share only). Duplicate
+    // and self edges planted — must be inert.
     val edges = Seq(
       ("a", "b"), ("a", "c"), ("b", "a"), ("d", "a"),
       ("a", "b"), // duplicate
@@ -71,27 +132,46 @@ class LinkGraphSpec extends SparkSuite {
     ).toDF("src", "dst")
     val got = LinkGraph.pageRankHosts(edges, iters = 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-
-    // independent reference: same integer formulation, plain Scala
-    val es = Set(("a", "b"), ("a", "c"), ("b", "a"), ("d", "a"))
-    val verts = es.flatMap(e => Seq(e._1, e._2)).toList.sorted
-    val n = verts.size.toLong
-    val deg = es.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
-    var r = verts.map(_ -> 1000000000L / n).toMap
-    val tele = (1000000000L * 15L / 100L) / n
-    for (_ <- 1 to 5) {
-      val in = es.toSeq.map { case (u, v) => v -> r(u) / deg(u) }
-        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
-      r = verts.map(v => v -> (tele + 85L * in.getOrElse(v, 0L) / 100L)).toMap
-    }
-    assert(got == r, s"got=$got want=$r")
-    // sanity on the shape: a has two inbound sources, d teleport-only
-    assert(got("a") > got("b") && got("d") == tele)
+    val want = refRank(Set(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L),
+      ("d", "a", 1L)), 5)
+    assert(got == want, s"got=$got want=$want")
+    // shape: a has two inbound sources; d is teleport + dangling share
+    // (STRICTLY more than bare teleport — conservation is visible)
+    val tele = (1000000000L * 15L / 100L) / 4L
+    assert(got("a") > got("b") && got("d") > tele)
+    // mass conservation: Σ rank stays 1e9 minus only truncation slack
+    // (≤ ~n lost ppb per division site per iteration)
+    val total = got.values.sum
+    assert(total <= 1000000000L && total >= 1000000000L - 4 * 5 * 10,
+      s"mass=$total")
     // the distributed loop (local endgame gated OFF) computes the same
     // recurrence — the gate is a route choice, never a semantics choice
     val dist = LinkGraph.pageRankHosts(edges, iters = 5, localMaxEdges = -1L)
       .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
     assert(dist == got, s"distributed=$dist local=$got")
+  }
+
+  test("pageRankHosts uses n_pairs edge weights (local == distributed == model)") {
+    // b and c both link to exactly {a, d}, but b's edge to a carries
+    // 9 distinct page pairs vs 1 to d (and c the mirror image) — under
+    // unweighted PR a and d would tie; weighted contributions must
+    // separate them per the n_pairs ratios (round-13 verdict #4)
+    val edges = Seq(
+      ("b", "a", 9L), ("b", "d", 1L),
+      ("c", "a", 1L), ("c", "d", 9L),
+      ("a", "b", 2L), ("d", "b", 2L)
+    ).toDF("src", "dst", "n_pairs")
+    val got = LinkGraph.pageRankHosts(edges, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = refRank(edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet, 5)
+    assert(got == want, s"got=$got want=$want")
+    val dist = LinkGraph.pageRankHosts(edges, iters = 5, localMaxEdges = -1L)
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+    assert(dist == got, s"distributed=$dist local=$got")
+    // a ends above d: symmetric graph except a's inbound weight skew
+    // feeds the a->b->a cycle
+    assert(got("a") != got("d"), s"weights ignored: $got")
   }
 
   test("anchorTexts: positional href/text alignment, tag strip, drops") {

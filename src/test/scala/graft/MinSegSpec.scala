@@ -92,6 +92,77 @@ class MinSegSpec extends SparkSuite {
     }
   }
 
+  /** Weighted reference for min_seg_cost: recursive min-cost with memo. */
+  private def refCost(word: String, costed: Map[String, Long], unk: Long): Long = {
+    val memo = scala.collection.mutable.Map[Int, Long]()
+    def go(i: Int): Long = {
+      if (i == word.length) 0L
+      else memo.getOrElseUpdate(i, {
+        var best = go(i + 1) + unk
+        var L = 2
+        while (L <= math.min(MinSeg.MaxLen, word.length - i)) {
+          costed.get(word.substring(i, i + L))
+            .foreach(c => best = math.min(best, go(i + L) + c))
+          L += 1
+        }
+        best
+      })
+    }
+    go(0)
+  }
+
+  private def runCost(word: String, costed: Seq[(String, Long)], unk: Long): Long = {
+    val sorted = costed.sortBy(_._1)
+    val ps = sorted.map(p => s"'${p._1}'").mkString(",")
+    val cs = sorted.map(p => s"CAST(${p._2} AS BIGINT)").mkString(",")
+    Seq(word).toDF("w")
+      .select(expr(s"min_seg_cost(w, array($ps), array($cs), CAST($unk AS BIGINT))"))
+      .collect()(0).getLong(0)
+  }
+
+  test("min_seg_cost: frequency weights overturn the fewest-pieces optimum") {
+    // the x_tok4 greedy trap: "abcd" covered by ONE rare piece (cost 9)
+    // or TWO frequent pieces (cost 3+3=6) — unit-cost DP says 1 piece,
+    // the weighted DP must pay the bits and SPLIT
+    val costed = Seq("abcd" -> 9L, "ab" -> 3L, "cd" -> 3L)
+    assert(runCost("abcd", costed, unk = 12L) == 6L)
+    assert(run("abcd", costed.map(_._1)) == 1L) // unit-cost counterpart keeps 1
+    // UNK pricing: no piece applies → n·unk
+    assert(runCost("zzz", costed, unk = 12L) == 36L)
+    // mixed: "xabcd" → unk + (ab,cd) = 12+6 = 18, beats unk + abcd = 21
+    assert(runCost("xabcd", costed, unk = 12L) == 18L)
+    // empty word costs nothing
+    assert(runCost("", costed, unk = 12L) == 0L)
+  }
+
+  test("min_seg_cost == independent weighted reference on exhaustive small alphabet") {
+    val costed = Map("ab" -> 2L, "ba" -> 3L, "aab" -> 4L, "bba" -> 2L, "abab" -> 3L)
+    val unk = 5L
+    val words = for {
+      n <- 1 to 7
+      k <- 0 until (1 << n)
+    } yield (0 until n).map(b => if (((k >> b) & 1) == 0) 'a' else 'b').mkString
+    words.foreach { w =>
+      val got = runCost(w, costed.toSeq, unk)
+      val want = refCost(w, costed, unk)
+      assert(got == want, s"word=$w got=$got want=$want")
+    }
+  }
+
+  test("min_seg_cost codegen ≡ interpreted") {
+    val costed = Seq("ab" -> 2L, "abc" -> 3L, "bc" -> 2L, "ca" -> 4L)
+    val words = Seq("abcd", "aaab", "zzz", "", "abcabcabc")
+    def vals() = words.map(runCost(_, costed, 7L))
+    val cg = vals()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(vals() == cg)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("pieces longer than MaxLen are inert; unicode positions are code points") {
     // a 9-char piece can never be used (the induction caps at 8, the DP
     // must stay consistent if a caller hands a longer one anyway)

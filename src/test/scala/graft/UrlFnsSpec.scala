@@ -45,6 +45,34 @@ class UrlFnsSpec extends SparkSuite {
     assert(variants.map(canon).distinct == Seq("http://site.com/p?id=1"))
   }
 
+  test("canonical_url native == declarative chain, interpreted == codegen") {
+    // the edge-case fixture: every rule plus the shapes that stress the
+    // native reimplementation's string carpentry (no authority, empty
+    // path, '?'-only query, '&&' runs, '#' before '?', non-URL text)
+    val cases = Seq(
+      "HTTP://WWW.Site.COM/CaseSensitive/Path",
+      "http://a.com:80/x", "https://a.com:443/x", "https://a.com:80/x",
+      "http://a.com:8080/x", "http://a.com/x#frag#more",
+      "http://a.com/x?utm_source=f&b=2&utm_campaign=c&a=1",
+      "http://a.com/x?z=1&Z=2&ref=t", "http://a.com/x?referrer=x",
+      "http://a.com/x?utm_medium=m&fbclid=f&gclid=g&ref=r",
+      "https://a.com", "https://a.com?b=1", "https://a.com/?",
+      "http://a.com/x?&&a=1&&", "http://a.com/x#?notaquery",
+      "HTTPS://A.com:443?x=2#f", "not a url", "", "rel/path?x=1#f",
+      "ftp://Other.COM:21/z?b=1&a=2")
+    val df = cases.toDF("u")
+    val native = df.select(UrlFns.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    val decl = df.select(UrlFns.canonicalUrlDeclarative(col("u"))).collect().map(_.getString(0))
+    assert(native.toSeq == decl.toSeq,
+      cases.zip(native.zip(decl)).filter(t => t._2._1 != t._2._2).toString)
+    // interpreted compute == the codegen'd column path
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.zip(native).foreach { case (u, want) =>
+      val got = graft.functions.CanonicalUrl.compute(UTF8String.fromString(u)).toString
+      assert(got == want, s"u=$u eval=$got codegen=$want")
+    }
+  }
+
   test("streaming canonicalization == batch on the same synthetic frontier") {
     val dir = "/root/testdata/sf0.001"
     def urls(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),

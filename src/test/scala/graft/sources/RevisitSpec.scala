@@ -45,6 +45,52 @@ class RevisitSpec extends graft.SparkSuite {
     } finally graft.util.TempDirs.deleteRecursively(new java.io.File(base))
   }
 
+  test("NULL url/payload rows write as empty fields; NULL warc_type passes through resolve") {
+    // ADVICE r13: the writer must be null-tolerant like decodeHttpBodyBytes
+    // (no task NPE), and resolveRevisits' split must be null-SAFE (a NULL
+    // warc_type row passes through as a response instead of vanishing)
+    val docs = Seq(
+      (Some("https://h.com/ok"), Some("body")),
+      (None: Option[String], Some("orphan payload")),
+      (Some("https://h.com/null-payload"), None: Option[String])
+    ).toDF("url", "payload")
+    val base = java.nio.file.Files.createTempDirectory("graft_revisit_null").toString
+    try {
+      Revisit.writeRecordsWithRevisits(docs,
+        Seq.empty[String].toDF("digest"), s"$base/arch")
+      val back = Revisit.readRecordsDigest(spark, s"$base/arch/part-*.warc")
+      assert(back.count() == 3, "all three rows must write, none may NPE")
+      // NULL warc_type must survive the resolve split (null-safe <=>)
+      val typed = back.withColumn("warc_type",
+        when(col("url") === "https://h.com/ok", lit(null).cast("string"))
+          .otherwise(col("warc_type")))
+      val store = Seq.empty[(String, String)].toDF("digest", "payload")
+      assert(Revisit.resolveRevisits(typed, store).count() == 3,
+        "a NULL-typed record must pass through as a response, not vanish")
+    } finally graft.util.TempDirs.deleteRecursively(new java.io.File(base))
+  }
+
+  test("revisit records carry the WARC/1.0 profile URI matching the version line") {
+    // ADVICE r13: external consumers key on version+profile — the writer
+    // emits WARC/1.0 records, so the profile must be the 1.0 URI
+    val docs = Seq(("https://h.com/x", "same")).toDF("url", "payload")
+    val base = java.nio.file.Files.createTempDirectory("graft_revisit_prof").toString
+    try {
+      val known = Seq(("same")).toDF("payload")
+        .select(Revisit.payloadDigest(col("payload")).as("digest"))
+      Revisit.writeRecordsWithRevisits(docs, known, s"$base/arch")
+      val warcFile = new java.io.File(s"$base/arch").listFiles()
+        .filter(_.getName.endsWith(".warc")).head
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(warcFile.toPath), StandardCharsets.UTF_8)
+      assert(raw.startsWith("WARC/1.0\r\n"))
+      assert(raw.contains(
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+        raw.take(400))
+      assert(!raw.contains("warc/1.1/revisit"))
+    } finally graft.util.TempDirs.deleteRecursively(new java.io.File(base))
+  }
+
   test("an unresolvable revisit resolves to NULL text — loud, never empty") {
     val recs = Seq(
       (0L, "revisit", "https://h.com/a", 0L, "", "deadbeef" * 4),
