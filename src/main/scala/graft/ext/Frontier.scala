@@ -496,5 +496,122 @@ object Frontier {
       .orderBy("dst_host")
   }
 
-  val all: Seq[Probe] = Seq(pipe10, pipe11, url11)
+  /** X-PIPE13 — the crawl loop CLOSES: redirect edges re-rank the host
+    * graph (round-13 verdict #9's composition — relative-Location
+    * resolution AND weighted centrality in ONE nested oracle). The
+    * linked corpus yields the base host graph; the same pages' fetch
+    * responses plant per doc%4 a 404, a 301 (absolute cross-host with a
+    * tracking param — its n_pairs weight must ADD to the link edge's),
+    * a 302 (RELATIVE `../m2/…` Location — resolves via the §5.2.4 merge
+    * to a same-host target, so it surfaces in the per-host self-redirect
+    * count and its min resolved dst, not the graph), and a 200 whose
+    * body carries a decoy "Location: /fake". Output per host: self-
+    * redirect stats + weighted PageRank BEFORE vs AFTER merging the
+    * redirect edges. The oracle replays extraction, both edge sets,
+    * and BOTH full weighted+dangling rank chains.
+    */
+  private val pipe13 = Probe(
+    "x_pipe13_redirect_rerank",
+    {
+      val w = graft.sources.Warc
+      val lit_ = graft.clean.EncodingFns.sqlLit _
+      val cu = graft.clean.UrlFns.canonicalUrlDuck _
+      val p301 = s"${lit_("HTTP/1.1 301 Moved Permanently\r\nLocation: https://h")} || CAST((doc_id % 7 + 3) % 7 AS VARCHAR) || ${lit_(".example.com/t/")} || CAST(doc_id % 13 AS VARCHAR) || ${lit_("?utm_source=x&b=")} || CAST(doc_id % 3 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
+      val p302 = s"${lit_("HTTP/1.1 302 Found\r\nLocation: ../m2/")} || CAST(doc_id % 5 AS VARCHAR) || ${lit_("\r\n\r\nredirect")}"
+      val p200 = lit_("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><p>Location: /fake</p></html>")
+      val p404 = lit_("HTTP/1.1 404 Not Found\r\n\r\ngone")
+      s"""WITH ${LinkGraph.linkCtesDuck},
+         |rd AS MATERIALIZED (
+         |  SELECT doc_id, ${LinkGraph.pageUrlDuck} AS url,
+         |    CASE doc_id % 4
+         |      WHEN 1 THEN $p301
+         |      WHEN 2 THEN $p302
+         |      WHEN 3 THEN $p200
+         |      ELSE $p404 END AS payload
+         |  FROM documents),
+         |re0 AS (
+         |  SELECT url AS src, ${w.httpStatusDuck("payload")} AS st,
+         |    ${w.httpLocationDuck("payload")} AS loc
+         |  FROM rd),
+         |re1 AS (
+         |  SELECT src, ${LinkGraph.resolveHrefDuck("src", "loc")} AS r
+         |  FROM re0 WHERE st IN (301, 302, 303, 307, 308) AND loc IS NOT NULL),
+         |red AS MATERIALIZED (
+         |  SELECT DISTINCT src, ${cu("r")} AS dst,
+         |    regexp_extract(src, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS src_host,
+         |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host
+         |  FROM re1 WHERE r IS NOT NULL),
+         |selfr AS MATERIALIZED (
+         |  SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS n_self,
+         |    MIN(dst) AS min_self_dst
+         |  FROM red WHERE src_host = dst_host GROUP BY 1),
+         |rh AS (
+         |  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS n_pairs
+         |  FROM red WHERE src_host <> dst_host GROUP BY 1, 2),
+         |merged AS MATERIALIZED (
+         |  SELECT src, dst, SUM(n_pairs) AS n_pairs FROM (
+         |    SELECT * FROM hedges UNION ALL SELECT * FROM rh)
+         |  GROUP BY 1, 2),
+         |${LinkGraph.pageRankCtesDuck(5, "hedges", "b")},
+         |${LinkGraph.pageRankCtesDuck(5, "merged", "m")}
+         |SELECT m.host,
+         |  COALESCE(s.n_self, 0) AS n_self, s.min_self_dst,
+         |  CAST(COALESCE(b.rank_ppb, 0) AS BIGINT) AS base_ppb,
+         |  CAST(m.rank_ppb AS BIGINT) AS redir_ppb,
+         |  CAST(m.rank_ppb - COALESCE(b.rank_ppb, 0) AS BIGINT) AS delta_ppb
+         |FROM mpr5 m
+         |LEFT JOIN bpr5 b ON b.host = m.host
+         |LEFT JOIN selfr s ON s.host = m.host
+         |ORDER BY m.host""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val hostRe = "^[a-z0-9+.-]+://([^/:?#]+)"
+    // stage the extracted links once (two consumers: base graph + rank)
+    val stage = graft.util.TempDirs.scratch("graft_pipe13")
+    LinkGraph.extractLinks(LinkGraph.linkedPages(docs))
+      .write.mode("overwrite").parquet(s"$stage/links")
+    val base = LinkGraph.hostGraph(s.read.parquet(s"$stage/links"))
+    val url = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/d/"), col("doc_id").cast("string"))
+    val payload =
+      when(col("doc_id") % 4 === 1, concat(
+        lit("HTTP/1.1 301 Moved Permanently\r\nLocation: https://h"),
+        ((col("doc_id") % 7 + 3) % 7).cast("string"),
+        lit(".example.com/t/"), (col("doc_id") % 13).cast("string"),
+        lit("?utm_source=x&b="), (col("doc_id") % 3).cast("string"),
+        lit("\r\n\r\nredirect")))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("HTTP/1.1 302 Found\r\nLocation: ../m2/"),
+        (col("doc_id") % 5).cast("string"), lit("\r\n\r\nredirect")))
+      .when(col("doc_id") % 4 === 3,
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><p>Location: /fake</p></html>"))
+      .otherwise(lit("HTTP/1.1 404 Not Found\r\n\r\ngone"))
+    val responses = docs.select(url.as("url"), payload.as("payload"))
+    redirectEdges(responses)
+      .select(col("src"), col("dst"),
+        regexp_extract(col("src"), hostRe, 1).as("src_host"), col("dst_host"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stage/redges")
+    val red = s.read.parquet(s"$stage/redges")
+    val selfr = red.filter(col("src_host") === col("dst_host"))
+      .groupBy(col("src_host").as("host"))
+      .agg(count(lit(1)).as("n_self"), min(col("dst")).as("min_self_dst"))
+    val rh = red.filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val merged = base.unionByName(rh)
+      .groupBy("src", "dst").agg(sum(col("n_pairs")).as("n_pairs"))
+    val bRank = LinkGraph.pageRankHosts(base, iters = 5)
+      .select(col("host"), col("rank_ppb").cast("long").as("base_ppb"))
+    val mRank = LinkGraph.pageRankHosts(merged, iters = 5)
+      .select(col("host"), col("rank_ppb").cast("long").as("redir_ppb"))
+    mRank.join(bRank, Seq("host"), "left").join(selfr, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("n_self"), lit(0L)).as("n_self"), col("min_self_dst"),
+        coalesce(col("base_ppb"), lit(0L)).as("base_ppb"), col("redir_ppb"),
+        (col("redir_ppb") - coalesce(col("base_ppb"), lit(0L))).as("delta_ppb"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(pipe10, pipe11, url11, pipe13)
 }

@@ -112,9 +112,11 @@ object UnigramTok {
     * Same scale shape as [[minTokenCounts]]: DP once per DISTINCT word
     * against the broadcast (pieces, costs) arrays, one join back.
     */
-  def minCostCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    graft.GraftExtensions.register(s)
+  /** The 1-row broadcastable (pieces, costs, unk) frame the weighted DP
+    * consumes: bit costs derived from the vocab counts via binary-
+    * string-length integer logs ([[minCostCounts]] documents the model).
+    */
+  private def pricedVocabRow(vocab: DataFrame): DataFrame = {
     def bits(c: org.apache.spark.sql.Column) =
       length(conv(c.cast("string"), 10, 2)).cast("long")
     val tot = vocab.agg(coalesce(sum(col("n")), lit(1L)).as("__tot"))
@@ -124,11 +126,33 @@ object UnigramTok {
         (lit(4L) + bits(col("__tot"))).as("__unk"))
     // ONE sorted struct list → two positionally-aligned arrays (the
     // MinSegCost contract: costs(i) prices sortedPieces(i))
-    val vrow = priced.agg(
+    priced.agg(
         sort_array(collect_list(struct(col("piece"), col("cost")))).as("__pc"),
         coalesce(max(col("__unk")), lit(5L)).as("__unk"))
       .select(expr("transform(__pc, x -> x.piece)").as("__pieces"),
         expr("transform(__pc, x -> x.cost)").as("__costs"), col("__unk"))
+  }
+
+  /** Annotate `df` with the weighted (bit-cost) segmentation total of
+    * `textCol`'s words, as `outCol` — the per-ROW HOF form (every word
+    * pays its own DP; no distinct-word join, no exchange): the shared
+    * core of [[graft.streaming.DocStreams.bitCostTokens]], mirroring
+    * [[withMinSegCount]] so the stream and batch forms cannot drift.
+    */
+  def withMinSegBitCost(df: DataFrame, vocab: DataFrame, outCol: String,
+      textCol: String = "text"): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    df.crossJoin(broadcast(pricedVocabRow(vocab))) // 1-row build side
+      .withColumn(outCol, expr(
+        "aggregate(" + CleanFns.tokensSpark(textCol) +
+          ", CAST(0 AS BIGINT), (acc, w) -> acc + min_seg_cost(w, __pieces, __costs, __unk))"))
+      .drop("__pieces", "__costs", "__unk")
+  }
+
+  def minCostCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.GraftExtensions.register(s)
+    val vrow = pricedVocabRow(vocab)
     val words = docs.select(col("doc_id"),
       explode(CleanFns.tokens(col("text"))).as("word"))
     val costs = words.select("word").distinct()

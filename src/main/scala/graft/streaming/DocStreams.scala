@@ -244,6 +244,17 @@ object DocStreams {
       // empty document breaks the stream ≡ batch reconciliation
       .filter(col("n_words") > 0)
 
+  /** Stream-capable WEIGHTED (unigram-LM bit-cost) token accounting —
+    * x_tok4's cost model at the stream door: the same per-row HOF DP as
+    * [[minSegTokens]] against the broadcast (pieces, costs, unk) row,
+    * same zero-token-document row contract.
+    */
+  def bitCostTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+    graft.ext.UnigramTok.withMinSegBitCost(docs, vocab, "bit_cost")
+      .withColumn("n_words",
+        size(graft.clean.CleanFns.tokens(col("text"))).cast("long"))
+      .filter(col("n_words") > 0)
+
   /** Stream-capable link extraction — the x_lnk1 chain (anchor regex →
     * href resolution → canonicalization) at the stream door: a pure
     * narrow regex projection + explode, zero state, zero shuffle. Host

@@ -637,6 +637,48 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming bit-cost token accounting == batch x_tok4 against the same vocab") {
+    import graft.streaming.DocStreams
+    import graft.ext.UnigramTok
+    val batchDocs = Tables(spark, dir, "documents")
+    val vocab = UnigramTok.induceVocab(batchDocs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bitcost_stream").toString
+    try {
+      batchDocs.filter(col("doc_id") % 3 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(DocStreams.schema)
+        .format("parquet").load(s"$tmp/in")
+      val q = DocStreams.bitCostTokens(stream, vocab)
+        .select(col("doc_id"), col("n_words"), col("bit_cost"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bitcost_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("bitcost_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        // batch twin: the distinct-word JOIN form x_tok4 uses — the
+        // per-row HOF and the join-back must agree exactly
+        val want = UnigramTok.minCostCounts(spark.read.parquet(s"$tmp/in"), vocab)
+          .select(col("doc_id"), col("n_words").cast("long"),
+            col("bit_cost").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(got.nonEmpty && got == want)
+        // weighted cost dominates the unit count: every piece costs ≥ 1 bit
+        val unit = UnigramTok.minTokenCounts(spark.read.parquet(s"$tmp/in"), vocab)
+          .select(col("doc_id"), col("n_pieces").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got.forall(t => t._3 >= unit(t._1)),
+          "bit cost can never undercut the unit-piece count")
+      } finally q.stop()
+    } finally {
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+        f.delete()
+      }
+      rmr(new java.io.File(tmp))
+    }
+  }
+
   test("streaming link extraction == batch x_lnk1 rows") {
     import graft.streaming.DocStreams
     val pages = graft.ext.LinkGraph.linkedPages(Tables(spark, dir, "documents"))
