@@ -49,6 +49,15 @@ object Bench {
       // The cleaner acts on reference-queue drain ASYNCHRONOUSLY — without
       // a settle window the unpersist work lands inside the next query's
       // timed section (observed: x_ded4 3.3 s in-suite vs 1.9 s isolated).
+      // Harness control (round-13 verdict #2): clearCache() below drops
+      // CacheManager-tracked DataFrame caches, but an RDD-level persist
+      // (or a frame cached through a path CacheManager lost track of)
+      // would accumulate across 265 queries — sweep the block manager's
+      // persistent-RDD registry explicitly so no probe's leftovers can
+      // bill a later query. (The instrumented r14 sweep measured rdds=0
+      // and flat storage/metaspace at every query — this is the guard
+      // that KEEPS it true, not a fix for a live leak.)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
       Thread.sleep(200)
       val times = (1 to repeat).flatMap { rep =>

@@ -21,6 +21,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("the crawl-door chains stay WITHIN whole-stage codegen's 64 KB method limit") {
+    // round-13 regression class: x_url11's staged redirect-edge projection
+    // fused status/Location extraction + resolution + canonicalization into
+    // one generated processNext() past janino's limit — five failed
+    // compiles per run, then the stage ran INTERPRETED. The chains are now
+    // native expressions; this pins that every codegen subtree of the door
+    // chains COMPILES (ByteCodeStats.UNAVAILABLE = -1 marks a failed
+    // compile) with its largest method under the JVM's 64 KB ceiling.
+    // Both the batch form and the streaming twin share redirectEdges, so
+    // one audit covers both (DocStreams.redirectEdges delegates).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.debug.codegenStringSeq
+    // range-backed inputs: a LocalTableScan of an in-memory Seq plans with
+    // NO WholeStageCodegen subtree at all — the audit needs a real scan
+    val responses = spark.range(4).select(
+      concat(lit("https://a.com/p/"), col("id").cast("string")).as("url"),
+      concat(lit("HTTP/1.1 301 Moved Permanently\r\nLocation: ../m/x?utm_source=t&b="),
+        col("id").cast("string"), lit("\r\n\r\nb")).as("payload"))
+    val pages = spark.range(4).select(
+      concat(lit("https://a.com/p/"), col("id").cast("string")).as("url"),
+      concat(lit("<a href='/x"), col("id").cast("string"), lit("'>t</a>")).as("html"))
+    for ((name, df) <- Seq(
+        "redirectEdges" -> graft.ext.Frontier.redirectEdges(responses),
+        "extractLinks" -> graft.ext.LinkGraph.extractLinks(pages),
+        "anchorTexts" -> graft.ext.LinkGraph.anchorTexts(pages))) {
+      val subtrees = codegenStringSeq(df.queryExecution.executedPlan)
+      assert(subtrees.nonEmpty, s"$name: no codegen subtrees — door fell out of WSCG")
+      subtrees.foreach { case (subtree, _, stats) =>
+        assert(stats.maxMethodCodeSize > 0,
+          s"$name: codegen COMPILE FAILED for subtree:\n$subtree")
+        assert(stats.maxMethodCodeSize < 65535,
+          s"$name: generated method ${stats.maxMethodCodeSize} bytes breaches the 64 KB limit")
+      }
+    }
+  }
+
   test("x_dec1: eval side broadcasts; the corpus side is never hash-shuffled") {
     val df = SparkEntry.queries("x_dec1_contamination")(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save() // resolve AQE
