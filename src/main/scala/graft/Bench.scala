@@ -126,7 +126,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
       s"""{"steady_sec":${mapJson(_._2)},"first_sec":${mapJson(_._3)},"repeats_sec":$repeatsJson,"failed":$failedJson}"""
-    val detailPath = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
+    // overridable so parallel isolated-bench workers (one JVM per query,
+    // two workers) don't race on one detail file
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "/root/repo/BENCH_DETAIL.json"))
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // round-stamped archive (VERDICT r6 item 8): cross-round per-query

@@ -30,6 +30,7 @@ for p in ("java.lang java.lang.invoke java.lang.reflect java.io java.net "
 
 
 def run_one(name: str, env: dict) -> dict | None:
+    detail = env.get("SPARK_GRAFT_DETAIL_PATH", DETAIL)
     cp = os.path.join(REPO, "target/scala-2.13/classes") + ":" + ":".join(
         sorted(os.path.join("/opt/spark/jars", f)
                for f in os.listdir("/opt/spark/jars") if f.endswith(".jar")))
@@ -40,7 +41,7 @@ def run_one(name: str, env: dict) -> dict | None:
         sys.stderr.write(f"[isolated] {name} FAILED rc={r.returncode}\n")
         sys.stderr.write(r.stderr[-2000:] + "\n")
         return None
-    with open(DETAIL) as f:
+    with open(detail) as f:
         d = json.load(f)
     if name not in d["steady_sec"]:
         sys.stderr.write(f"[isolated] {name}: no detail entry (filter matched "
@@ -59,17 +60,26 @@ def main() -> None:
 
     with open(DETAIL) as f:
         suite = json.load(f)
-    top = [k for k, _ in sorted(suite["steady_sec"].items(),
-                                key=lambda kv: -kv[1])[:n_top]]
+    # n_top == 0: run EXACTLY the extra names (parallel-worker partition
+    # mode — each worker gets its own SPARK_GRAFT_DETAIL_PATH so the
+    # per-query detail files never race)
+    top = [] if n_top == 0 else [k for k, _ in sorted(
+        suite["steady_sec"].items(), key=lambda kv: -kv[1])[:n_top]]
     names = top + [e for e in extra if e not in top]
 
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_CPUS", "32")
     env.setdefault("SPARK_GRAFT_BENCH_REPEAT", "3")
-
-    backup = DETAIL + ".bak_isolated"
-    shutil.copy(DETAIL, backup)
+    scoped = "SPARK_GRAFT_DETAIL_PATH" in env
+    if scoped:
+        # the worker's Bench writes its own detail file — the shared
+        # BENCH_DETAIL.json is never touched, no backup dance needed
+        out_suffix = os.environ.get("SPARK_GRAFT_ISOLATED_SUFFIX", "")
+    else:
+        out_suffix = ""
+        backup = DETAIL + ".bak_isolated"
+        shutil.copy(DETAIL, backup)
     out = {"sf": env["SPARK_GRAFT_SF_DIR"],
            "repeat": int(env["SPARK_GRAFT_BENCH_REPEAT"]),
            "queries": {}, "suite_steady_sec": {}}
@@ -84,9 +94,10 @@ def main() -> None:
                   f"{res['steady']:.2f}s (suite {suite['steady_sec'].get(name, -1):.2f}s) "
                   f"repeats {['%.2f' % t for t in res['repeats']]}", flush=True)
     finally:
-        shutil.move(backup, DETAIL)
+        if not scoped:
+            shutil.move(backup, DETAIL)
 
-    path = os.path.join(REPO, f"BENCH_ISOLATED_r{rnd}.json")
+    path = os.path.join(REPO, f"BENCH_ISOLATED_r{rnd}{out_suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {path} ({len(out['queries'])} queries)")
