@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *   2. lowercase the scheme://authority part (scheme and host are
   *      case-insensitive per RFC 3986; the PATH stays case-sensitive)
   *   3. strip the default port (:80 for http, :443 for https)
-  *   4. drop tracking query parameters (utm_*, ref, fbclid, gclid),
+  *   4. remove dot segments from the path (RFC 3986 §6.2.2.3 lists
+  *      this among the path normalizations defining URI equivalence —
+  *      `/a/../b` and `/b` must be ONE frontier key) via the bounded
+  *      [[dotSteps]] algebra both engines replay
+  *   5. drop tracking query parameters (utm_*, ref, fbclid, gclid),
   *      sort the survivors in binary order, rejoin; an emptied query
   *      loses its '?'
   *
@@ -48,7 +52,7 @@ object UrlFns {
       regexp_replace(auth, "^(http://[^/:]*):80$", "$1"),
       "^(https://[^/:]*):443$", "$1")
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val path = regexp_replace(rest, "(?s)\\?.*$", "")
+    val path = removeDotSegmentsCol(regexp_replace(rest, "(?s)\\?.*$", ""))
     val query = when(rest.contains("?"),
       regexp_replace(rest, "(?s)^[^?]*\\?", "")).otherwise(lit(""))
     val kept = array_join(
@@ -105,7 +109,8 @@ object UrlFns {
       s"""regexp_replace(regexp_replace($auth,
          |  '^(http://[^/:]*):80$$', '\\1'), '^(https://[^/:]*):443$$', '\\1')""".stripMargin
     val rest = s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
-    val path = s"regexp_replace($rest, '(?s)\\?.*$$', '', 'g')"
+    val path = dotSteps.foldLeft(s"regexp_replace($rest, '(?s)\\?.*$$', '', 'g')")(
+      (s0, re) => s"regexp_replace($s0, '$re', '/', 'g')")
     val query = s"CASE WHEN contains($rest, '?') THEN regexp_replace($rest, '(?s)^[^?]*\\?', '', 'g') ELSE '' END"
     // COALESCE: DuckDB's array_to_string returns NULL on an EMPTY list
     // (Spark's array_join returns '') — a query-less URL must not

@@ -73,7 +73,11 @@ object CanonicalUrl {
     val m443 = https443.matcher(a1)
     val authNoPort = if (m443.find()) m443.group(1) else a1
     val qi = rest.indexOf('?')
-    val path = if (qi >= 0) rest.substring(0, qi) else rest
+    // dot-segment removal (RFC 3986 §6.2.2.3 path equivalence) — the
+    // same bounded algebra ResolveHref runs; the path has no '?' so the
+    // query-split inside is a no-op
+    val path = ResolveHref.removeDotSegments(
+      if (qi >= 0) rest.substring(0, qi) else rest)
     val query = if (qi >= 0) rest.substring(qi + 1) else ""
     // split keeps trailing empties like Spark's split(col, "&"); filter
     // and binary (UTF-8 byte order) sort match array_sort's ordering

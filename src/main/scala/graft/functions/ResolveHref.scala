@@ -74,6 +74,11 @@ object ResolveHref {
     val qi = s.indexOf('?')
     val pp = if (qi >= 0) s.substring(0, qi) else s
     val q = if (qi >= 0) s.substring(qi) else ""
+    // exact fast path: every dotSteps pattern requires a literal "/."
+    // substring (`/.` , `/../`, `^/..`), so a path without one — 99.9%
+    // of real URLs — cannot match any of the 20 rewrites. One indexOf
+    // instead of 20 matcher passes on the canonicalization hot path.
+    if (!pp.contains("/.")) return pp + q
     var r = pp
     var i = 0
     while (i < dotP.length) { r = dotP(i).matcher(r).replaceAll("/"); i += 1 }

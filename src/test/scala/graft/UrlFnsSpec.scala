@@ -41,8 +41,19 @@ class UrlFnsSpec extends SparkSuite {
     val variants = Seq(
       "HTTP://Site.com/p?id=1&utm_source=a",
       "http://site.com:80/p?id=1",
-      "http://SITE.COM/p?id=1#top")
+      "http://SITE.COM/p?id=1#top",
+      // RFC 3986 §6.2.2.3: dot-segment variants are the SAME resource
+      "http://site.com/a/../p?id=1",
+      "http://site.com/./p?id=1")
     assert(variants.map(canon).distinct == Seq("http://site.com/p?id=1"))
+  }
+
+  test("dot segments normalize in the path, never in the query") {
+    assert(canon("http://a.com/x/y/../z") == "http://a.com/x/z")
+    assert(canon("http://a.com/x/./y/.") == "http://a.com/x/y/")
+    assert(canon("http://a.com/../x") == "http://a.com/x") // root excess clamps
+    // a query carrying /../ is DATA, not a path — untouched
+    assert(canon("http://a.com/p?next=/a/../b") == "http://a.com/p?next=/a/../b")
   }
 
   test("canonical_url native == declarative chain, interpreted == codegen") {
@@ -59,7 +70,9 @@ class UrlFnsSpec extends SparkSuite {
       "https://a.com", "https://a.com?b=1", "https://a.com/?",
       "http://a.com/x?&&a=1&&", "http://a.com/x#?notaquery",
       "HTTPS://A.com:443?x=2#f", "not a url", "", "rel/path?x=1#f",
-      "ftp://Other.COM:21/z?b=1&a=2")
+      "ftp://Other.COM:21/z?b=1&a=2",
+      "http://a.com/x/y/../z", "http://a.com/./p", "http://a.com/../x",
+      "http://a.com/a/b/../../c?d=/e/../f")
     val df = cases.toDF("u")
     val native = df.select(UrlFns.canonicalUrl(col("u"))).collect().map(_.getString(0))
     val decl = df.select(UrlFns.canonicalUrlDeclarative(col("u"))).collect().map(_.getString(0))
