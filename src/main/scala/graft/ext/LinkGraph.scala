@@ -817,5 +817,91 @@ object LinkGraph {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4, lnk5)
+  /** Rank-weighted sampling BUDGET: per host, keep
+    * `min(n_docs, 1 + (rank_ppb · slotsPerUnit) DIV 1e9)` documents,
+    * lowest `doc_id` first (deterministic) — link centrality as a
+    * CURATION signal, the composition web-scale corpora actually run
+    * (crawl/sample budget ∝ host authority; CommonCrawl's host-rank
+    * tables exist to drive exactly this). Exact-integer slot math, so
+    * both engines agree on every boundary.
+    *
+    * Scale shape: one host-keyed join of the doc table against the
+    * HOST-sized rank table (broadcastable), one per-host window over
+    * doc_id for the take — the same salted-cap escape hatch as
+    * [[Frontier.frontierPlan]] applies if a single host dominates.
+    *
+    * Input `docsWithHost` needs (doc_id, host); returns per-host
+    * (host, rank_ppb, n_docs, n_take, taken_sum) where taken_sum pins
+    * WHICH documents were selected, not just how many.
+    */
+  def rankWeightedBudget(docsWithHost: DataFrame, ranks: DataFrame,
+      slotsPerUnit: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = docsWithHost
+      .join(ranks.select(col("host"), col("rank_ppb").cast("long").as("rank_ppb")),
+        Seq("host"), "left")
+      .withColumn("rank_ppb", coalesce(col("rank_ppb"), lit(0L)))
+    val counts = wr.groupBy("host", "rank_ppb")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_take", expr(
+        s"least(n_docs, 1 + (rank_ppb * $slotsPerUnit) DIV 1000000000)"))
+    val taken = wr
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("doc_id").asc)))
+      .join(counts.select("host", "n_take"), Seq("host"))
+      .filter(col("__rn") <= col("n_take"))
+      .groupBy("host").agg(sum(col("doc_id")).as("taken_sum"))
+    counts.join(taken, Seq("host"), "left")
+      .select(col("host"), col("rank_ppb"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_take").cast("long").as("n_take"),
+        coalesce(col("taken_sum"), lit(0L)).as("taken_sum"))
+  }
+
+  /** X-LNK6 — rank-weighted CURATION: extraction → weighted PageRank →
+    * per-host sampling budget ∝ centrality → deterministic take. The
+    * oracle replays the whole chain (regex, resolution, canonical
+    * dedup, host rollup, five weighted+dangling iterations, the slot
+    * formula, the per-host lowest-doc_id window, and the taken-docs
+    * checksum) in one nested query — a one-ppb rank disagreement moves
+    * a slot boundary and breaks the hash.
+    */
+  private val lnk6 = Probe(
+    "x_lnk6_rank_weighted_sample",
+    s"""WITH $linkCtesDuck,
+       |${pageRankCtesDuck(5)},
+       |dh AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+       |  FROM documents),
+       |wr AS (
+       |  SELECT dh.doc_id, dh.host,
+       |    CAST(COALESCE(pr.rank_ppb, 0) AS BIGINT) AS rank_ppb
+       |  FROM dh LEFT JOIN pr5 pr ON pr.host = dh.host),
+       |counts AS (
+       |  SELECT host, rank_ppb, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(LEAST(COUNT(*), 1 + (rank_ppb * 20) // 1000000000) AS BIGINT) AS n_take
+       |  FROM wr GROUP BY 1, 2),
+       |rn AS (
+       |  SELECT doc_id, host,
+       |    row_number() OVER (PARTITION BY host ORDER BY doc_id ASC) AS rn
+       |  FROM wr),
+       |taken AS (
+       |  SELECT rn.host, CAST(SUM(rn.doc_id) AS BIGINT) AS taken_sum
+       |  FROM rn JOIN counts c ON c.host = rn.host
+       |  WHERE rn.rn <= c.n_take GROUP BY rn.host)
+       |SELECT c.host, c.rank_ppb, c.n_docs, c.n_take,
+       |  COALESCE(t.taken_sum, 0) AS taken_sum
+       |FROM counts c LEFT JOIN taken t ON t.host = c.host
+       |ORDER BY c.host""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val ranks = pageRankHosts(
+      hostGraph(extractLinks(linkedPages(docs))), iters = 5)
+    val docsWithHost = docs.select(col("doc_id"),
+      concat(lit("h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com")).as("host"))
+    rankWeightedBudget(docsWithHost, ranks).orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4, lnk5, lnk6)
 }
