@@ -94,6 +94,13 @@ object LinkGraph {
     * markup-agnostic — an HTTP Location header fed through this chain
     * ([[Frontier.redirectEdges]]) may legitimately contain a literal
     * `&amp;`, and decoding here would corrupt it.
+    *
+    * Dot segments in ABSOLUTE and SCHEME-RELATIVE references pass
+    * through here (strict §5.2.2 would merge those too) — by design:
+    * every consumer canonicalizes next, and `canonical_url` now runs
+    * the same dot algebra on the path (§6.2.2.3), so the composed
+    * chain normalizes all four reference forms; LinkGraphSpec pins the
+    * composition.
     */
   def resolveHref(pageUrl: Column, href: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

@@ -85,6 +85,26 @@ class LinkGraphSpec extends SparkSuite {
     assert(got == List("https://a.com/q?x=1&y=2"), got.toString)
   }
 
+  test("resolve → canonicalize composition dot-normalizes ALL reference forms") {
+    // resolveHref only dot-merges path-absolute and relative refs; the
+    // absolute and scheme-relative forms carry their dots into
+    // canonical_url, whose §6.2.2.3 path step must collapse them — the
+    // composed chain (what extractLinks/redirectEdges actually run)
+    // yields ONE frontier key per resource regardless of form
+    val page = "https://s.com/d/p"
+    val forms = Seq(
+      "https://t.com/a/../b", // absolute
+      "//t.com/a/../b", // scheme-relative
+      "/a/../b", // path-absolute (dst host differs: s.com)
+      "../a/../b") // relative → /d/../a/../b → /b
+    val got = forms.toDF("href")
+      .select(graft.clean.UrlFns.canonicalUrl(
+        LinkGraph.resolveHref(lit(page), col("href"))).as("c"))
+      .collect().map(_.getString(0)).toList
+    assert(got == List("https://t.com/b", "https://t.com/b",
+      "https://s.com/b", "https://s.com/b"), got.toString)
+  }
+
   test("hostGraph: page-pair dedup, self-host drop") {
     // two pages on a.com both carry the SAME target page twice (template
     // repeat) plus a self link; pair dedup must weigh the target once
