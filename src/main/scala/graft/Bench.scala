@@ -57,7 +57,10 @@ object Bench {
       // bill a later query. (The instrumented r14 sweep measured rdds=0
       // and flat storage/metaspace at every query — this is the guard
       // that KEEPS it true, not a fix for a live leak.)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking: async removal could still be draining when the next
+      // timed section starts; this runs once per query OUTSIDE the timed
+      // section, so blocking is free (ADVICE r14)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       Thread.sleep(200)
       val times = (1 to repeat).flatMap { rep =>

@@ -833,17 +833,25 @@ object LinkGraph {
     * both engines agree on every boundary.
     *
     * Scale shape: one host-keyed join of the doc table against the
-    * HOST-sized rank table (broadcastable), one per-host window over
-    * doc_id for the take — the same salted-cap escape hatch as
-    * [[Frontier.frontierPlan]] applies if a single host dominates.
+    * HOST-sized rank table (broadcastable), then the take runs as the
+    * SALTED two-phase rank ([[PipelineOps5.cappedPerGroupDyn]], the
+    * x_cur2 discipline): phase 1 ranks within (host, doc_id%salts)
+    * shards and keeps ≤ n_take per shard, phase 2 re-ranks the
+    * ≤ salts·n_take survivors. n_take ≤ 1 + slotsPerUnit (rank mass is
+    * conserved at ≤1e9 ppb), so phase 2's per-host input is a few
+    * hundred rows no matter how many billion documents the top-ranked
+    * — by construction the most-crawled — host holds; the naive
+    * single-window form would funnel that host through ONE task
+    * (round-14 verdict "what's wrong" #1). LinkGraphSpec pins
+    * two-phase ≡ naive on a planted mega-host and pins the plan's
+    * row-level windows to (host, salt) partitioning.
     *
     * Input `docsWithHost` needs (doc_id, host); returns per-host
     * (host, rank_ppb, n_docs, n_take, taken_sum) where taken_sum pins
     * WHICH documents were selected, not just how many.
     */
   def rankWeightedBudget(docsWithHost: DataFrame, ranks: DataFrame,
-      slotsPerUnit: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      slotsPerUnit: Int = 20, salts: Int = 16): DataFrame = {
     val wr = docsWithHost
       .join(ranks.select(col("host"), col("rank_ppb").cast("long").as("rank_ppb")),
         Seq("host"), "left")
@@ -852,11 +860,12 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_take", expr(
         s"least(n_docs, 1 + (rank_ppb * $slotsPerUnit) DIV 1000000000)"))
-    val taken = wr
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("host")).orderBy(col("doc_id").asc)))
-      .join(counts.select("host", "n_take"), Seq("host"))
-      .filter(col("__rn") <= col("n_take"))
+    // the per-host budget is host-table sized — broadcast it onto the
+    // doc rows so the pre-window join is shuffle-free
+    val taken = PipelineOps5.cappedPerGroupDyn(
+        wr.join(broadcast(counts.select("host", "n_take")), Seq("host")),
+        group = col("host"), order = Seq(col("doc_id").asc),
+        key = col("doc_id"), nCol = col("n_take"), salts = salts)
       .groupBy("host").agg(sum(col("doc_id")).as("taken_sum"))
     counts.join(taken, Seq("host"), "left")
       .select(col("host"), col("rank_ppb"),
@@ -869,9 +878,12 @@ object LinkGraph {
     * per-host sampling budget ∝ centrality → deterministic take. The
     * oracle replays the whole chain (regex, resolution, canonical
     * dedup, host rollup, five weighted+dangling iterations, the slot
-    * formula, the per-host lowest-doc_id window, and the taken-docs
+    * formula, the per-host lowest-doc_id take, and the taken-docs
     * checksum) in one nested query — a one-ppb rank disagreement moves
-    * a slot boundary and breaks the hash.
+    * a slot boundary and breaks the hash. The oracle's take is the
+    * NAIVE single window while Spark runs the salted two-phase form
+    * (the x_mix3b precedent: skew-safe shape in production, naive kept
+    * as the oracle) — the green hash IS the result-identity proof.
     */
   private val lnk6 = Probe(
     "x_lnk6_rank_weighted_sample",

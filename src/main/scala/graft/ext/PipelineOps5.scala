@@ -31,6 +31,26 @@ object PipelineOps5 {
       .drop("rn1")
   }
 
+  /** [[cappedPerGroup]] with a PER-ROW take count: `nCol` must already
+    * be a column of `df`, constant within each group (join the per-group
+    * budget on before calling — it is group-table sized, so the join
+    * broadcasts). Same two-phase containment argument: a group's true
+    * top-n lie within the union of its per-(group, salt) top-n, so the
+    * result is row-identical to a single `row_number() OVER (PARTITION
+    * BY group)` window — but no window partition ever holds more than
+    * one salt shard of a group, where the naive form funnels a
+    * mega-group's every row through one task. Phase 2 re-ranks the
+    * ≤ salts·n survivors. Result keeps `df`'s columns plus `rnk`.
+    */
+  def cappedPerGroupDyn(df: DataFrame, group: Column, order: Seq[Column],
+      key: Column, nCol: Column, salts: Int = 16): DataFrame = {
+    val w1 = Window.partitionBy(group, pmod(key, lit(salts))).orderBy(order: _*)
+    val w2 = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= nCol)
+      .withColumn("rnk", row_number().over(w2).cast("long")).filter(col("rnk") <= nCol)
+      .drop("rn1")
+  }
+
   /** X-CUR2 — per-domain document cap: keep at most 15 documents per
     * source, preferring longer documents (n_chars DESC, doc_id tiebreak) —
     * the "at most N pages per domain" rule every crawl-derived training

@@ -223,4 +223,70 @@ class LinkGraphSpec extends SparkSuite {
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.size <= 1, s"leaked ${added.size} persisted RDDs")
   }
+
+  /** The naive single-window take rankWeightedBudget replaced (and the
+    * x_lnk6 oracle still runs) — the reference the two-phase form must
+    * match row for row.
+    */
+  private def naiveBudget(docsWithHost: org.apache.spark.sql.DataFrame,
+      ranks: org.apache.spark.sql.DataFrame, slotsPerUnit: Int = 20) = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = docsWithHost
+      .join(ranks.select(col("host"), col("rank_ppb").cast("long").as("rank_ppb")),
+        Seq("host"), "left")
+      .withColumn("rank_ppb", coalesce(col("rank_ppb"), lit(0L)))
+    val counts = wr.groupBy("host", "rank_ppb")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_take", expr(
+        s"least(n_docs, 1 + (rank_ppb * $slotsPerUnit) DIV 1000000000)"))
+    val taken = wr
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("doc_id").asc)))
+      .join(counts.select("host", "n_take"), Seq("host"))
+      .filter(col("__rn") <= col("n_take"))
+      .groupBy("host").agg(sum(col("doc_id")).as("taken_sum"))
+    counts.join(taken, Seq("host"), "left")
+      .select(col("host"), col("rank_ppb"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_take").cast("long").as("n_take"),
+        coalesce(col("taken_sum"), lit(0L)).as("taken_sum"))
+  }
+
+  test("rankWeightedBudget two-phase == naive window on a planted mega-host") {
+    // one host holds 20,000 docs with a full-mass rank (n_take binds at
+    // 1 + 20 = 21 — every salt shard and the phase-2 boundary exercised),
+    // siblings small: a rank-0 host (n_take = 1) and an unranked host
+    val docs = ((1L to 20000L).map(i => (i * 3 + 1, "mega.com")) ++
+        (1L to 40L).map(i => (1000000L + i, "small.com")) ++
+        Seq((2000001L, "norank.com"), (2000002L, "norank.com")))
+      .toDF("doc_id", "host")
+    val ranks = Seq(("mega.com", 999999999L), ("small.com", 0L))
+      .toDF("host", "rank_ppb")
+    val cols = Seq("host", "rank_ppb", "n_docs", "n_take", "taken_sum")
+    for (salts <- Seq(4, 16)) {
+      val got = LinkGraph.rankWeightedBudget(docs, ranks, salts = salts)
+        .select(cols.map(col): _*)
+      val want = naiveBudget(docs, ranks).select(cols.map(col): _*)
+      assert(got.exceptAll(want).count() == 0L && want.exceptAll(got).count() == 0L,
+        s"two-phase diverged from the naive window at salts=$salts")
+    }
+  }
+
+  test("rankWeightedBudget plan pin: the take's row-level windows partition by (host, salt)") {
+    val docs = (1L to 1000L).map(i => (i, "m.com")).toDF("doc_id", "host")
+    val ranks = Seq(("m.com", 500000000L)).toDF("host", "rank_ppb")
+    val plan = LinkGraph.rankWeightedBudget(docs, ranks)
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, plan)
+    // phase 1 (rn1) must carry the salt in its partition spec — no
+    // window over the doc table may partition by host alone; phase 2
+    // (rnk) re-ranks the ≤ salts·n_take survivors, which is bounded
+    val phase1 = windows.filter(_.contains("rn1"))
+    assert(phase1.nonEmpty, plan)
+    // the salt lands as a projected pmod alias (_w0) inside the rn1
+    // window's partition spec
+    assert(phase1.forall(w => w.contains("_w0")), plan)
+    assert(plan.contains("pmod(doc_id"), plan)
+  }
 }

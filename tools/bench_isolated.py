@@ -17,7 +17,8 @@ Usage: tools/bench_isolated.py <round> [n_top] [extra-query-names...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_BENCH_REPEAT (default 3).
 """
-import json, os, shutil, subprocess, sys
+import json
+import re, os, shutil, subprocess, sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
@@ -75,7 +76,12 @@ def main() -> None:
     if scoped:
         # the worker's Bench writes its own detail file — the shared
         # BENCH_DETAIL.json is never touched, no backup dance needed
-        out_suffix = os.environ.get("SPARK_GRAFT_ISOLATED_SUFFIX", "")
+        # default the suffix from the worker's detail path when unset —
+        # two scoped workers without explicit suffixes must not race on
+        # the final archive (ADVICE r14)
+        default_sfx = "_" + re.sub(
+            r"\W+", "_", os.path.basename(env["SPARK_GRAFT_DETAIL_PATH"]))
+        out_suffix = os.environ.get("SPARK_GRAFT_ISOLATED_SUFFIX", default_sfx)
     else:
         out_suffix = ""
         backup = DETAIL + ".bak_isolated"
