@@ -14,11 +14,18 @@ import org.apache.spark.sql.functions._
   *   2. lowercase the scheme://authority part (scheme and host are
   *      case-insensitive per RFC 3986; the PATH stays case-sensitive)
   *   3. strip the default port (:80 for http, :443 for https)
-  *   4. remove dot segments from the path (RFC 3986 §6.2.2.3 lists
+  *   4. percent-encoding normalization on the path+query (RFC 3986
+  *      §6.2.2.1–2: hex digits uppercased, unreserved characters
+  *      decoded — `/a%7eb`, `/a%7Eb`, `/a~b` must be ONE frontier key)
+  *      via the bounded [[pctUpperSteps]]/[[pctDecodePairs]] algebra
+  *      both engines replay; the authority part is NOT normalized
+  *      (percent-encoded hosts are IDN territory — out of scope)
+  *   5. remove dot segments from the path (RFC 3986 §6.2.2.3 lists
   *      this among the path normalizations defining URI equivalence —
   *      `/a/../b` and `/b` must be ONE frontier key) via the bounded
-  *      [[dotSteps]] algebra both engines replay
-  *   5. drop tracking query parameters (utm_*, ref, fbclid, gclid),
+  *      [[dotSteps]] algebra both engines replay (AFTER pct decode, so
+  *      `/%2E%2E/` normalizes like the `/../` it denotes)
+  *   6. drop tracking query parameters (utm_*, ref, fbclid, gclid),
   *      sort the survivors in binary order, rejoin; an emptied query
   *      loses its '?'
   *
@@ -51,7 +58,8 @@ object UrlFns {
     val authNoPort = regexp_replace(
       regexp_replace(auth, "^(http://[^/:]*):80$", "$1"),
       "^(https://[^/:]*):443$", "$1")
-    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val rest = pctNormalizeCol(
+      regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
     val path = removeDotSegmentsCol(regexp_replace(rest, "(?s)\\?.*$", ""))
     val query = when(rest.contains("?"),
       regexp_replace(rest, "(?s)^[^?]*\\?", "")).otherwise(lit(""))
@@ -60,6 +68,58 @@ object UrlFns {
         p => !(p.rlike(trackingRe)) && p =!= "")), "&")
     concat(authNoPort, path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** RFC 3986 §6.2.2.1 percent-encoding case normalization as a FIXED
+    * rewrite sequence (the [[dotSteps]] cross-engine discipline): for
+    * each lowercase hex letter, one rewrite uppercases it in the SECOND
+    * digit position (`%Xa` → `%XA`, first digit any hex), then one in
+    * the FIRST position (`%aY` → `%AY`, second digit already
+    * normalized). 12 steps total; each entry is (pattern, Java
+    * replacement, RE2 replacement) — the pattern is engine-identical,
+    * only the group-reference syntax differs (`$1` vs `\1`). Sequences
+    * that are not valid percent-encodings (`%zq`, a trailing `%a`)
+    * match nothing and pass through in both engines.
+    */
+  private[graft] val pctUpperSteps: Seq[(String, String, String)] =
+    "abcdef".map(x =>
+      (s"%([0-9A-Fa-f])$x", s"%$$1${x.toUpper}", s"%\\1${x.toUpper}")) ++
+    "abcdef".map(x =>
+      (s"%$x([0-9A-F])", s"%${x.toUpper}$$1", s"%${x.toUpper}\\1"))
+
+  /** RFC 3986 §6.2.2.2 unreserved-character decode as a FIXED sequence
+    * of literal replaces, run AFTER [[pctUpperSteps]] so only the
+    * canonical uppercase forms need entries: `%41`→`A` … `%5A`→`Z`,
+    * `%61`→`a` … `%7A`→`z`, `%30`→`0` … `%39`→`9`, `%2D`→`-`,
+    * `%2E`→`.`, `%5F`→`_`, `%7E`→`~`. Reserved characters (`%2F`,
+    * `%3F`, `%26`, `%25`, …) are NOT in the list and stay encoded —
+    * decoding them would change the URL's structure. The sequence is
+    * order-sensitive on adversarial inputs: a decode can mint a new
+    * `%XY` window for a LATER entry (`%4%311` → the digit entry `%31`
+    * yields `%411`, and the letter entry `%41`, which runs after the
+    * digits, then decodes that to `A1`) but never for an EARLIER one
+    * (nothing re-runs). A single-pass decoder would leave `%411`; both
+    * engines and the native expression therefore replay the SAME
+    * sequential order literally, so hashes stay exact by construction.
+    */
+  private[graft] val pctDecodePairs: Seq[(String, String)] =
+    (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z') ++ Seq('-', '.', '_', '~'))
+      .map(c => (f"%%${c.toInt}%02X", c.toString))
+
+  /** The full pct normalization folded over a column (declarative twin
+    * of [[graft.functions.CanonicalUrl.pctNormalize]]).
+    */
+  private[graft] def pctNormalizeCol(c: Column): Column = {
+    val up = pctUpperSteps.foldLeft(c) { case (s, (re, rep, _)) =>
+      regexp_replace(s, re, rep) }
+    pctDecodePairs.foldLeft(up) { case (s, (k, v)) => replace(s, lit(k), lit(v)) }
+  }
+
+  /** The identical normalization in DuckDB's dialect. */
+  def pctNormalizeDuck(e: String): String = {
+    val up = pctUpperSteps.foldLeft(e) { case (s, (re, _, rep)) =>
+      s"regexp_replace($s, '$re', '$rep', 'g')" }
+    pctDecodePairs.foldLeft(up) { case (s, (k, v)) => s"replace($s, '$k', '$v')" }
   }
 
   /** RFC 3986 §5.2.4 dot-segment removal as a BOUNDED, fixed sequence
@@ -108,7 +168,8 @@ object UrlFns {
     val authNoPort =
       s"""regexp_replace(regexp_replace($auth,
          |  '^(http://[^/:]*):80$$', '\\1'), '^(https://[^/:]*):443$$', '\\1')""".stripMargin
-    val rest = s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')"
+    val rest = pctNormalizeDuck(
+      s"regexp_replace($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')")
     val path = dotSteps.foldLeft(s"regexp_replace($rest, '(?s)\\?.*$$', '', 'g')")(
       (s0, re) => s"regexp_replace($s0, '$re', '/', 'g')")
     val query = s"CASE WHEN contains($rest, '?') THEN regexp_replace($rest, '(?s)^[^?]*\\?', '', 'g') ELSE '' END"

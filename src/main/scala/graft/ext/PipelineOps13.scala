@@ -339,8 +339,10 @@ object PipelineOps13 {
        |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
        |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
        |    '/Path/To/Item' ||
+       |    (CASE doc_id % 3 WHEN 0 THEN '/a%7eb' WHEN 1 THEN '/a%7Eb' ELSE '/a~b' END) ||
+       |    '/v%41r%330' ||
        |    '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&Z=1' ||
-       |    (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw&a=2' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw&a=2&q=x%2Fy' ELSE '&q=x%2fy' END) ||
        |    '#sec' || CAST(doc_id AS VARCHAR) AS url
        |  FROM documents)
        |SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon
@@ -352,8 +354,12 @@ object PipelineOps13 {
         when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
         .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
       lit("/Path/To/Item"),
+      when(col("doc_id") % 3 === 0, lit("/a%7eb"))
+        .when(col("doc_id") % 3 === 1, lit("/a%7Eb")).otherwise(lit("/a~b")),
+      lit("/v%41r%330"),
       lit("?id="), (col("doc_id") % 5).cast("string"), lit("&utm_source=feed&Z=1"),
-      when(col("doc_id") % 2 === 0, lit("&ref=tw&a=2")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("&ref=tw&a=2&q=x%2Fy"))
+        .otherwise(lit("&q=x%2fy")),
       lit("#sec"), col("doc_id").cast("string"))
     Tables(s, dir, "documents")
       .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(url).as("canon"))

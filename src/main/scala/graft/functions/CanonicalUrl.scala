@@ -10,7 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `canonical_url(url)` — native form of the URL canonicalization rule
   * chain ([[graft.clean.UrlFns]]): fragment drop, authority lowercase,
-  * default-port strip, tracking-param drop + binary query sort.
+  * default-port strip, percent-encoding normalization (hex uppercase +
+  * unreserved decode), dot-segment removal, tracking-param drop +
+  * binary query sort.
   *
   * Why native: the declarative chain is ~10 stacked regexp/array
   * expressions, and call sites compose it with extraction and
@@ -56,6 +58,34 @@ object CanonicalUrl {
   private val https443 = Pattern.compile("^(https://[^/:]*):443$")
   private val trackP = Pattern.compile("^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$")
 
+  // the percent-encoding normalization algebra (RFC 3986 §6.2.2.1–2),
+  // compiled once per JVM; replayed SEQUENTIALLY in the exact order of
+  // the shared step lists — a single-pass decoder would diverge from
+  // the declarative/DuckDB twins on adversarial inputs where a decode
+  // mints a new %XY window for a later entry (UrlFns.pctDecodePairs
+  // documents the case), so exactness demands the literal replay
+  private val pctUpperP: Array[(Pattern, String)] =
+    graft.clean.UrlFns.pctUpperSteps
+      .map { case (re, rep, _) => (Pattern.compile(re), rep) }.toArray
+  private val pctPairs: Array[(String, String)] =
+    graft.clean.UrlFns.pctDecodePairs.toArray
+
+  /** Uppercase pct hex + decode unreserved — the bounded algebra both
+    * engine twins replay. Fast path: no '%' (the overwhelming norm)
+    * touches nothing.
+    */
+  def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    var r = s
+    var i = 0
+    while (i < pctUpperP.length) {
+      r = pctUpperP(i)._1.matcher(r).replaceAll(pctUpperP(i)._2); i += 1
+    }
+    var j = 0
+    while (j < pctPairs.length) { r = r.replace(pctPairs(j)._1, pctPairs(j)._2); j += 1 }
+    r
+  }
+
   /** Shared by the interpreted and codegen paths — they cannot diverge. */
   def compute(u: UTF8String): UTF8String = {
     val s0 = u.toString
@@ -67,7 +97,7 @@ object CanonicalUrl {
     val auth =
       if (hasAuth) UTF8String.fromString(noFrag.substring(0, m.end)).toLowerCase.toString
       else ""
-    val rest = if (hasAuth) noFrag.substring(m.end) else noFrag
+    val rest = pctNormalize(if (hasAuth) noFrag.substring(m.end) else noFrag)
     val m80 = http80.matcher(auth)
     val a1 = if (m80.find()) m80.group(1) else auth
     val m443 = https443.matcher(a1)

@@ -48,6 +48,23 @@ class UrlFnsSpec extends SparkSuite {
     assert(variants.map(canon).distinct == Seq("http://site.com/p?id=1"))
   }
 
+  test("pct normalization: hex uppercase, unreserved decode, reserved kept") {
+    // the three %7E spellings are ONE frontier key (RFC 3986 §6.2.2.1-2)
+    assert(Seq("http://a.com/a%7eb", "http://a.com/a%7Eb", "http://a.com/a~b")
+      .map(canon).distinct == Seq("http://a.com/a~b"))
+    // letters + digits decode; reserved %2F stays encoded but uppercases
+    assert(canon("http://a.com/v%41r%330?q=x%2fy") == "http://a.com/vAr30?q=x%2Fy")
+    // a decoded %2E can mint a dot segment — removed AFTER the decode
+    assert(canon("http://a.com/%2E%2E/x") == "http://a.com/x")
+    // malformed sequences pass through untouched
+    assert(canon("http://a.com/p%zq?x=%a") == "http://a.com/p%zq?x=%a")
+    // the documented order-sensitive adversarial window (UrlFns)
+    assert(canon("http://a.com/%4%311") == "http://a.com/A1")
+    // normalization happens BEFORE the query sort, so %6a and %6A
+    // collapse and then sort as equals
+    assert(canon("http://a.com/x?b=%6a&a=%6A") == "http://a.com/x?a=j&b=j")
+  }
+
   test("dot segments normalize in the path, never in the query") {
     assert(canon("http://a.com/x/y/../z") == "http://a.com/x/z")
     assert(canon("http://a.com/x/./y/.") == "http://a.com/x/y/")
@@ -72,7 +89,15 @@ class UrlFnsSpec extends SparkSuite {
       "HTTPS://A.com:443?x=2#f", "not a url", "", "rel/path?x=1#f",
       "ftp://Other.COM:21/z?b=1&a=2",
       "http://a.com/x/y/../z", "http://a.com/./p", "http://a.com/../x",
-      "http://a.com/a/b/../../c?d=/e/../f")
+      "http://a.com/a/b/../../c?d=/e/../f",
+      // pct normalization (§6.2.2.1–2): case variants, mixed hex,
+      // reserved stays encoded, decode minting a dot segment, malformed
+      // ('%zq', trailing '%a') passing through, adversarial decode
+      // windows ('%4%311' — order-sensitivity documented in UrlFns)
+      "http://a.com/a%7eb", "http://a.com/a%7Eb", "http://a.com/a~b",
+      "http://a.com/v%41r%330?q=x%2fy", "http://a.com/%2E%2E/x",
+      "http://a.com/p%zq?x=%a", "http://a.com/%4%311",
+      "http://a.com/x?b=%6a&a=%6A")
     val df = cases.toDF("u")
     val native = df.select(UrlFns.canonicalUrl(col("u"))).collect().map(_.getString(0))
     val decl = df.select(UrlFns.canonicalUrlDeclarative(col("u"))).collect().map(_.getString(0))
