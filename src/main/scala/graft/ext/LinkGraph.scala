@@ -163,6 +163,30 @@ object LinkGraph {
   private def hostOf(c: Column): Column =
     regexp_extract(c, "^[a-z0-9+.-]+://([^/:?#]+)", 1)
 
+  /** Base element open tag — group 1 the attribute region; the FIRST
+    * base tag in the document wins (the HTML spec's rule; regexp_extract
+    * returns the first match in both engines), later ones are ignored.
+    */
+  private[ext] val baseRe = "(?is)<base\\b([^>]*)>"
+
+  /** Effective RESOLUTION BASE of a page: wild HTML re-bases relative
+    * links with `<base href>` (round-14 verdict "what's missing" #3) —
+    * the href read in any quoting form, entity-decoded, and itself
+    * resolved against the page URL (a base may legally be relative);
+    * the page URL when absent or non-resolvable. Anchor hrefs then
+    * resolve against THIS, while edge sources stay the page URL.
+    */
+  private[ext] def effectiveBase(url: Column, html: Column): Column =
+    coalesce(
+      resolveHref(url,
+        decodeEntities(hrefOfAttrs(regexp_extract(html, baseRe, 1)))),
+      url)
+
+  /** [[effectiveBase]] in DuckDB's dialect. */
+  private[ext] def effectiveBaseDuck(url: String, html: String): String =
+    s"""COALESCE(${resolveHrefDuck(url,
+      decodeEntitiesDuck(hrefOfAttrsDuck(s"regexp_extract($html, '$baseRe', 1)")))}, $url)"""
+
   /** Extract and resolve every anchor from `(urlCol, htmlCol)` pages:
     * one row per KEPT link — (src, dst, src_host, dst_host), both
     * endpoints canonicalized ([[graft.clean.UrlFns.canonicalUrl]], so
@@ -173,14 +197,17 @@ object LinkGraph {
       htmlCol: String = "html"): DataFrame = {
     val raw = pages
       .select(col(urlCol).as("__u"),
+        effectiveBase(col(urlCol), col(htmlCol)).as("__b"),
         explode(regexp_extract_all(col(htmlCol), lit(aOpenRe), lit(1))).as("__attrs"))
-      .select(col("__u"), hrefOfAttrs(col("__attrs")).as("__href"))
+      .select(col("__u"), col("__b"), hrefOfAttrs(col("__attrs")).as("__href"))
       .filter(col("__href").isNotNull)
       // entity-decode AT the HTML layer (conformant markup escapes & as
       // &amp; inside attribute values); resolveHref itself stays
-      // markup-agnostic so the redirect tier can reuse it on raw headers
+      // markup-agnostic so the redirect tier can reuse it on raw headers.
+      // Resolution runs against the page's effective <base href>; the
+      // edge SOURCE stays the page URL.
       .select(col("__u"),
-        resolveHref(col("__u"), decodeEntities(col("__href"))).as("__r"))
+        resolveHref(col("__b"), decodeEntities(col("__href"))).as("__r"))
       .filter(col("__r").isNotNull)
     val canon = raw.select(
       graft.clean.UrlFns.canonicalUrl(col("__u")).as("src"),
@@ -347,12 +374,18 @@ object LinkGraph {
     * hub link every third doc (host h0 must emerge top-ranked), a
     * path-absolute self link, an UNQUOTED self link, a `../`-traversal
     * relative link and a plain relative link (both resolve via the
-    * §5.2.4 merge to self-host pages), and a non-resolvable tail
-    * (mailto / fragment) that must never extract.
+    * §5.2.4 merge), and a non-resolvable tail (mailto / fragment) that
+    * must never extract. Every ninth-ish doc carries a `<base href>`
+    * that RE-BASES its relative/path-absolute links (doc%9=4: an
+    * absolute cross-host base onto the b-host tier, plus a SECOND
+    * decoy base that must lose to the first; doc%9=7: a single-quoted
+    * RELATIVE base, itself resolved against the page URL) — wild HTML's
+    * re-basing rule, round-14 verdict "what's missing" #3.
     */
   private val parts = Seq(
     "<html><head><title>D ",
-    "</title></head><body><p>See <a href=\"https://h",
+    "</title>",
+    "</head><body><p>See <a href=\"https://h",
     ".example.com/p/",
     "?utm_source=feed&amp;b=2&#38;c=3\">partner</a> and <a href=\"//h",
     ".example.com/s/",
@@ -366,26 +399,38 @@ object LinkGraph {
       " <a href=\"rel/p.html\">rel</a><p>",
     "</p></body></html>")
 
+  /** The conditional `<base>` slot between `</title>` and `</head>`. */
+  private val baseSlotA = "<base href=\"https://b"
+  private val baseSlotB =
+    ".example.com/bd/\"><base href=\"https://decoy.example.com/\">"
+  private val baseSlotRel = "<base href='/bdir/sub/'>"
+
   private[graft] def linkedPages(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),
     concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
       lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
     concat(
       lit(parts(0)), col("doc_id").cast("string"),
-      lit(parts(1)), ((col("doc_id") + 1) % 7).cast("string"),
-      lit(parts(2)), (col("doc_id") % 11).cast("string"),
-      lit(parts(3)), ((col("doc_id") + 2) % 7).cast("string"),
-      lit(parts(4)), (col("doc_id") % 5).cast("string"),
-      lit(parts(5)), ((col("doc_id") + 3) % 7).cast("string"),
-      lit(parts(6)), (col("doc_id") % 3).cast("string"),
-      lit(parts(7)),
+      lit(parts(1)),
+      when(col("doc_id") % 9 === 4, concat(
+        lit(baseSlotA), ((col("doc_id") + 2) % 5).cast("string"),
+        lit(baseSlotB)))
+        .when(col("doc_id") % 9 === 7, lit(baseSlotRel))
+        .otherwise(lit("")),
+      lit(parts(2)), ((col("doc_id") + 1) % 7).cast("string"),
+      lit(parts(3)), (col("doc_id") % 11).cast("string"),
+      lit(parts(4)), ((col("doc_id") + 2) % 7).cast("string"),
+      lit(parts(5)), (col("doc_id") % 5).cast("string"),
+      lit(parts(6)), ((col("doc_id") + 3) % 7).cast("string"),
+      lit(parts(7)), (col("doc_id") % 3).cast("string"),
+      lit(parts(8)),
       when(col("doc_id") % 3 === 0,
         lit("<a href=\"https://h0.example.com/hub\">hub</a>")).otherwise(lit("")),
-      lit(parts(8)), (col("doc_id") % 4).cast("string"),
-      lit(parts(9)), (col("doc_id") % 5).cast("string"),
-      lit(parts(10)), (col("doc_id") % 4).cast("string"),
-      lit(parts(11)), col("text"),
-      lit(parts(12))).as("html"))
+      lit(parts(9)), (col("doc_id") % 4).cast("string"),
+      lit(parts(10)), (col("doc_id") % 5).cast("string"),
+      lit(parts(11)), (col("doc_id") % 4).cast("string"),
+      lit(parts(12)), col("text"),
+      lit(parts(13))).as("html"))
 
   private def q(s: String) = "'" + s.replace("'", "''") + "'"
 
@@ -394,20 +439,24 @@ object LinkGraph {
 
   private[ext] val pageHtmlDuck =
     s"""${q(parts(0))} || CAST(doc_id AS VARCHAR) ||
-       |${q(parts(1))} || CAST((doc_id + 1) % 7 AS VARCHAR) ||
-       |${q(parts(2))} || CAST(doc_id % 11 AS VARCHAR) ||
-       |${q(parts(3))} || CAST((doc_id + 2) % 7 AS VARCHAR) ||
-       |${q(parts(4))} || CAST(doc_id % 5 AS VARCHAR) ||
-       |${q(parts(5))} || CAST((doc_id + 3) % 7 AS VARCHAR) ||
-       |${q(parts(6))} || CAST(doc_id % 3 AS VARCHAR) ||
-       |${q(parts(7))} ||
+       |${q(parts(1))} ||
+       |CASE WHEN doc_id % 9 = 4
+       |  THEN ${q(baseSlotA)} || CAST((doc_id + 2) % 5 AS VARCHAR) || ${q(baseSlotB)}
+       |  WHEN doc_id % 9 = 7 THEN ${q(baseSlotRel)} ELSE '' END ||
+       |${q(parts(2))} || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+       |${q(parts(3))} || CAST(doc_id % 11 AS VARCHAR) ||
+       |${q(parts(4))} || CAST((doc_id + 2) % 7 AS VARCHAR) ||
+       |${q(parts(5))} || CAST(doc_id % 5 AS VARCHAR) ||
+       |${q(parts(6))} || CAST((doc_id + 3) % 7 AS VARCHAR) ||
+       |${q(parts(7))} || CAST(doc_id % 3 AS VARCHAR) ||
+       |${q(parts(8))} ||
        |CASE WHEN doc_id % 3 = 0
        |  THEN '<a href="https://h0.example.com/hub">hub</a>' ELSE '' END ||
-       |${q(parts(8))} || CAST(doc_id % 4 AS VARCHAR) ||
-       |${q(parts(9))} || CAST(doc_id % 5 AS VARCHAR) ||
-       |${q(parts(10))} || CAST(doc_id % 4 AS VARCHAR) ||
-       |${q(parts(11))} || text ||
-       |${q(parts(12))}""".stripMargin
+       |${q(parts(9))} || CAST(doc_id % 4 AS VARCHAR) ||
+       |${q(parts(10))} || CAST(doc_id % 5 AS VARCHAR) ||
+       |${q(parts(11))} || CAST(doc_id % 4 AS VARCHAR) ||
+       |${q(parts(12))} || text ||
+       |${q(parts(13))}""".stripMargin
 
   /** Oracle CTEs shared by the link probes: pages → extracted hrefs →
     * resolution → canonical page pairs (`lk` raw, `pp` distinct).
@@ -423,14 +472,15 @@ object LinkGraph {
     s"""${px}pg AS MATERIALIZED (
        |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents$w),
        |${px}hr AS MATERIALIZED (
-       |  SELECT url, href FROM (
-       |    SELECT url, ${hrefOfAttrsDuck("attrs")} AS href FROM (
-       |      SELECT url, unnest(regexp_extract_all(html, '$aOpenRe', 1)) AS attrs
+       |  SELECT url, base, href FROM (
+       |    SELECT url, base, ${hrefOfAttrsDuck("attrs")} AS href FROM (
+       |      SELECT url, ${effectiveBaseDuck("url", "html")} AS base,
+       |        unnest(regexp_extract_all(html, '$aOpenRe', 1)) AS attrs
        |      FROM ${px}pg))
        |  WHERE href IS NOT NULL),
        |${px}rs AS MATERIALIZED (
        |  SELECT url, r FROM (
-       |    SELECT url, ${resolveHrefDuck("url", decodeEntitiesDuck("href"))} AS r
+       |    SELECT url, ${resolveHrefDuck("base", decodeEntitiesDuck("href"))} AS r
        |    FROM ${px}hr)
        |  WHERE r IS NOT NULL),
        |${px}lk AS MATERIALIZED (
@@ -567,16 +617,17 @@ object LinkGraph {
   def anchorTexts(pages: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
     val withArrays = pages.select(col(urlCol).as("__u"),
+      effectiveBase(col(urlCol), col(htmlCol)).as("__b"),
       regexp_extract_all(col(htmlCol), lit(anchorRe), lit(1)).as("__hs"),
       regexp_extract_all(col(htmlCol), lit(anchorRe), lit(2)).as("__ts"))
     val pos = withArrays
-      .select(col("__u"), posexplode(col("__hs")).as(Seq("__i", "__attrs")),
-        col("__ts"))
-      .select(col("__u"), hrefOfAttrs(col("__attrs")).as("__href"),
+      .select(col("__u"), col("__b"),
+        posexplode(col("__hs")).as(Seq("__i", "__attrs")), col("__ts"))
+      .select(col("__u"), col("__b"), hrefOfAttrs(col("__attrs")).as("__href"),
         element_at(col("__ts"), col("__i") + 1).as("__inner"))
       .filter(col("__href").isNotNull)
     pos.select(col("__u"),
-        resolveHref(col("__u"), decodeEntities(col("__href"))).as("__r"),
+        resolveHref(col("__b"), decodeEntities(col("__href"))).as("__r"),
         col("__inner"))
       .filter(col("__r").isNotNull)
       .select(
@@ -600,17 +651,18 @@ object LinkGraph {
     s"""WITH pg AS (
        |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents),
        |ar AS (
-       |  SELECT url, regexp_extract_all(html, '$anchorRe', 1) AS hs,
+       |  SELECT url, ${effectiveBaseDuck("url", "html")} AS base,
+       |    regexp_extract_all(html, '$anchorRe', 1) AS hs,
        |    regexp_extract_all(html, '$anchorRe', 2) AS ts
        |  FROM pg),
        |px AS (
-       |  SELECT url, href, itext FROM (
-       |    SELECT url, ${hrefOfAttrsDuck("hs[i]")} AS href, ts[i] AS itext
+       |  SELECT url, base, href, itext FROM (
+       |    SELECT url, base, ${hrefOfAttrsDuck("hs[i]")} AS href, ts[i] AS itext
        |    FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i))
        |  WHERE href IS NOT NULL),
        |rx AS (
        |  SELECT r, itext FROM (
-       |    SELECT ${resolveHrefDuck("url", decodeEntitiesDuck("href"))} AS r, itext
+       |    SELECT ${resolveHrefDuck("base", decodeEntitiesDuck("href"))} AS r, itext
        |    FROM px)
        |  WHERE r IS NOT NULL),
        |tm AS (
@@ -696,22 +748,34 @@ object LinkGraph {
     * x_lnk5 fixture): two cross-document anchors per page with term-y
     * visible text, targets spread mod 101 so at small SFs some targets
     * don't exist (their anchor text attaches to nothing — the join must
-    * tolerate it).
+    * tolerate it). Every doc%6=3 page carries a `<base href>` pointing
+    * at the SECOND target's directory and makes that anchor RELATIVE
+    * (just the number) — the resolved target is unchanged, so a correct
+    * base selection is invisible in the output while a wrong one
+    * (resolving against the page URL) moves the expansion and breaks
+    * the hash.
     */
   private[graft] def anchorPages(docs: DataFrame): DataFrame = {
     def turl(t: Column) = concat(lit("https://h"), (t % 7).cast("string"),
       lit(".example.com/d/"), t.cast("string"))
     val t1 = (col("doc_id") * 3 + 1) % 101
     val t2 = (col("doc_id") * 5 + 2) % 101
+    val isBase = col("doc_id") % 6 === 3
     docs.select(col("doc_id"),
       concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
         lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
       concat(
-        lit("<html><body><a href=\""), turl(t1), lit("\">topic"),
+        lit("<html><body>"),
+        when(isBase, concat(lit("<base href=\"https://h"),
+          (t2 % 7).cast("string"), lit(".example.com/d/\">")))
+          .otherwise(lit("")),
+        lit("<a href=\""), turl(t1), lit("\">topic"),
         (t1 % 13).cast("string"), lit(" about"), (t1 % 5).cast("string"),
         // the second anchor is SINGLE-QUOTED — the expansion chain must
         // read all real-HTML quoting forms (round-13 verdict #5)
-        lit("</a> <a href='"), turl(t2), lit("'>ref"),
+        lit("</a> <a href='"),
+        when(isBase, t2.cast("string")).otherwise(turl(t2)),
+        lit("'>ref"),
         (t2 % 11).cast("string"), lit("</a><p>"), col("text"),
         lit("</p></body></html>")).as("html"))
   }
@@ -722,9 +786,15 @@ object LinkGraph {
     val t1 = "(doc_id * 3 + 1) % 101"
     val t2 = "(doc_id * 5 + 2) % 101"
     s"""SELECT doc_id, $pageUrlDuck AS url,
-       |  '<html><body><a href="' || ${turl(t1)} || '">topic' ||
+       |  '<html><body>' ||
+       |  CASE WHEN doc_id % 6 = 3
+       |    THEN '<base href="https://h' || CAST(($t2) % 7 AS VARCHAR) || '.example.com/d/">'
+       |    ELSE '' END ||
+       |  '<a href="' || ${turl(t1)} || '">topic' ||
        |  CAST(($t1) % 13 AS VARCHAR) || ' about' || CAST(($t1) % 5 AS VARCHAR) ||
-       |  '</a> <a href=''' || ${turl(t2)} || '''>ref' ||
+       |  '</a> <a href=''' ||
+       |  CASE WHEN doc_id % 6 = 3 THEN CAST($t2 AS VARCHAR) ELSE ${turl(t2)} END ||
+       |  '''>ref' ||
        |  CAST(($t2) % 11 AS VARCHAR) ||
        |  '</a><p>' || text || '</p></body></html>' AS html
        |FROM documents""".stripMargin
@@ -747,17 +817,18 @@ object LinkGraph {
     "x_lnk5_anchor_bm25",
     s"""WITH ap AS ($anchorPagesDuck),
        |ar AS (
-       |  SELECT url, regexp_extract_all(html, '$anchorRe', 1) AS hs,
+       |  SELECT url, ${effectiveBaseDuck("url", "html")} AS base,
+       |    regexp_extract_all(html, '$anchorRe', 1) AS hs,
        |    regexp_extract_all(html, '$anchorRe', 2) AS ts
        |  FROM ap),
        |px AS (
-       |  SELECT url, href, itext FROM (
-       |    SELECT url, ${hrefOfAttrsDuck("hs[i]")} AS href, ts[i] AS itext
+       |  SELECT url, base, href, itext FROM (
+       |    SELECT url, base, ${hrefOfAttrsDuck("hs[i]")} AS href, ts[i] AS itext
        |    FROM ar, UNNEST(generate_series(1, len(hs))) AS t(i))
        |  WHERE href IS NOT NULL),
        |rx AS (
        |  SELECT r, itext FROM (
-       |    SELECT ${resolveHrefDuck("url", decodeEntitiesDuck("href"))} AS r, itext
+       |    SELECT ${resolveHrefDuck("base", decodeEntitiesDuck("href"))} AS r, itext
        |    FROM px)
        |  WHERE r IS NOT NULL),
        |ax AS (

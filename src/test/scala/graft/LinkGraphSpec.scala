@@ -105,6 +105,30 @@ class LinkGraphSpec extends SparkSuite {
       "https://s.com/b", "https://s.com/b"), got.toString)
   }
 
+  test("extractLinks honors <base href>: first tag wins, relative base re-bases, absence falls back") {
+    val pages = Seq(
+      // absolute base: relative AND path-absolute hrefs re-base to b.com;
+      // the second (decoy) base must lose to the first
+      ("https://a.com/d/1",
+        "<head><base href=\"https://b.com/bd/\"><base href=\"https://decoy.com/\"></head>" +
+          "<body><a href=\"rel/x\">r</a> <a href=\"/abs/y\">a</a>" +
+          " <a href=\"https://c.com/z\">c</a></body>"),
+      // relative base: resolved against the page URL first
+      ("https://a.com/d/2",
+        "<base href='/bdir/sub/'><a href=\"../up/w\">u</a>"),
+      // no base: page URL is the base
+      ("https://a.com/d/3", "<a href=\"rel/p\">p</a>"))
+      .toDF("url", "html")
+    val got = LinkGraph.extractLinks(pages)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("https://a.com/d/1", "https://b.com/bd/rel/x"),
+      ("https://a.com/d/1", "https://b.com/abs/y"),
+      ("https://a.com/d/1", "https://c.com/z"), // absolute href ignores base
+      ("https://a.com/d/2", "https://a.com/bdir/up/w"),
+      ("https://a.com/d/3", "https://a.com/d/rel/p")), got.toString)
+  }
+
   test("hostGraph: page-pair dedup, self-host drop") {
     // two pages on a.com both carry the SAME target page twice (template
     // repeat) plus a self link; pair dedup must weigh the target once
