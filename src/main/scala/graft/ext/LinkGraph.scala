@@ -30,34 +30,69 @@ import org.apache.spark.storage.StorageLevel
   */
 object LinkGraph {
 
-  /** Anchor open-tag regex — group 1 is the attribute region (to the
-    * first `>`); the href value is then read from it by [[hrefOfAttrs]]
-    * in any of the three HTML quoting forms. Evaluates identically
-    * under Java regex and RE2 (`\b`, ASCII classes, no lookaround).
+  /** The attribute-region body shared by the anchor/base open-tag
+    * patterns: plain chars OR complete quoted spans, so a literal `>`
+    * INSIDE a quoted attribute value (`<a title="a>b" href="x">`) no
+    * longer truncates the region and drops the href (ADVICE r14). The
+    * alternation is unambiguous (each branch starts on a distinct
+    * character class), so Java regex and RE2 agree on every extent;
+    * an UNCLOSED quote makes the whole tag unmatchable — that anchor
+    * drops in both engines, the documented malformed-markup policy.
     */
-  private[ext] val aOpenRe = "(?is)<a\\b([^>]*)>"
+  private val attrRegion = "((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"
 
-  /** href attribute value from an anchor's attribute region: double-
+  /** A string as a DuckDB single-quoted literal (the attribute-region
+    * patterns carry quote characters that must escape in SQL).
+    */
+  private def qq(v: String) = "'" + v.replace("'", "''") + "'"
+
+  /** Anchor open-tag regex — group 1 is the attribute region; the href
+    * value is then read from it by [[hrefOfAttrs]] in any of the three
+    * HTML quoting forms. Evaluates identically under Java regex and RE2
+    * (`\b`, ASCII classes, no lookaround, no backreferences).
+    */
+  private[ext] val aOpenRe = s"(?is)<a\\b$attrRegion>"
+
+  /** One attribute's value from a tag's attribute region: double-
     * quoted, single-quoted, or unquoted (all three are real-HTML norm —
     * round-13 verdict "what's missing" #3), first present form wins,
     * NULL when absent/empty. One regexp_extract per form; '' (the
-    * no-match sentinel both engines share) doubles as the empty-href
-    * drop, which resolution would drop anyway.
+    * no-match sentinel both engines share) doubles as the empty-value
+    * drop.
     */
-  private[ext] def hrefOfAttrs(attrs: Column): Column = {
-    val dq = regexp_extract(attrs, "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
-    val sq = regexp_extract(attrs, "(?is)\\bhref\\s*=\\s*'([^']*)'", 1)
-    val uq = regexp_extract(attrs, "(?is)\\bhref\\s*=\\s*([^\\s>\"'][^\\s>]*)", 1)
+  private[ext] def attrOf(attrs: Column, name: String): Column = {
+    val dq = regexp_extract(attrs, s"(?is)\\b$name\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(attrs, s"(?is)\\b$name\\s*=\\s*'([^']*)'", 1)
+    val uq = regexp_extract(attrs, s"(?is)\\b$name\\s*=\\s*([^\\s>\"'][^\\s>]*)", 1)
     when(dq =!= "", dq).when(sq =!= "", sq).when(uq =!= "", uq)
   }
 
-  /** [[hrefOfAttrs]] in DuckDB's dialect. */
-  private[ext] def hrefOfAttrsDuck(e: String): String = {
-    val dq = s"nullif(regexp_extract($e, '(?is)\\bhref\\s*=\\s*\"([^\"]*)\"', 1), '')"
-    val sq = s"nullif(regexp_extract($e, '(?is)\\bhref\\s*=\\s*''([^'']*)''', 1), '')"
-    val uq = s"nullif(regexp_extract($e, '(?is)\\bhref\\s*=\\s*([^\\s>\"''][^\\s>]*)', 1), '')"
+  /** [[attrOf]] in DuckDB's dialect. */
+  private[ext] def attrOfDuck(e: String, name: String): String = {
+    val dq = s"nullif(regexp_extract($e, '(?is)\\b$name\\s*=\\s*\"([^\"]*)\"', 1), '')"
+    val sq = s"nullif(regexp_extract($e, '(?is)\\b$name\\s*=\\s*''([^'']*)''', 1), '')"
+    val uq = s"nullif(regexp_extract($e, '(?is)\\b$name\\s*=\\s*([^\\s>\"''][^\\s>]*)', 1), '')"
     s"COALESCE($dq, $sq, $uq)"
   }
+
+  private[ext] def hrefOfAttrs(attrs: Column): Column = attrOf(attrs, "href")
+
+  private[ext] def hrefOfAttrsDuck(e: String): String = attrOfDuck(e, "href")
+
+  /** `rel` carries `nofollow` as a whitespace-separated TOKEN (possibly
+    * among others — `rel="sponsored nofollow"`), case-insensitive; a
+    * token merely CONTAINING it (`nofollowish`) does not count. The
+    * manipulation-resistance rule every production host rank applies:
+    * such anchors still extract (they are discovery/anchor-text
+    * signal) but mint no rank edge ([[hostGraph]] drops them).
+    */
+  private val nofollowRe = "(?is)(^|\\s)nofollow(\\s|$)"
+
+  private[ext] def nofollowOfAttrs(attrs: Column): Column =
+    coalesce(attrOf(attrs, "rel").rlike(nofollowRe), lit(false))
+
+  private[ext] def nofollowOfAttrsDuck(e: String): String =
+    s"COALESCE(regexp_matches(${attrOfDuck(e, "rel")}, '$nofollowRe'), FALSE)"
 
   /** HTML entity decode for attribute values — the bounded set that
     * occurs in URLs (named + numeric/hex forms of `& " ' < >`), applied
@@ -167,7 +202,7 @@ object LinkGraph {
     * base tag in the document wins (the HTML spec's rule; regexp_extract
     * returns the first match in both engines), later ones are ignored.
     */
-  private[ext] val baseRe = "(?is)<base\\b([^>]*)>"
+  private[ext] val baseRe = s"(?is)<base\\b$attrRegion>"
 
   /** Effective RESOLUTION BASE of a page: wild HTML re-bases relative
     * links with `<base href>` (round-14 verdict "what's missing" #3) —
@@ -185,13 +220,16 @@ object LinkGraph {
   /** [[effectiveBase]] in DuckDB's dialect. */
   private[ext] def effectiveBaseDuck(url: String, html: String): String =
     s"""COALESCE(${resolveHrefDuck(url,
-      decodeEntitiesDuck(hrefOfAttrsDuck(s"regexp_extract($html, '$baseRe', 1)")))}, $url)"""
+      decodeEntitiesDuck(hrefOfAttrsDuck(s"regexp_extract($html, ${qq(baseRe)}, 1)")))}, $url)"""
 
   /** Extract and resolve every anchor from `(urlCol, htmlCol)` pages:
-    * one row per KEPT link — (src, dst, src_host, dst_host), both
-    * endpoints canonicalized ([[graft.clean.UrlFns.canonicalUrl]], so
-    * tracking-param variants of the same target collapse). Narrow
-    * regex + explode; no exchange.
+    * one row per KEPT link — (src, dst, src_host, dst_host, nofollow),
+    * both endpoints canonicalized ([[graft.clean.UrlFns.canonicalUrl]],
+    * so tracking-param variants of the same target collapse). The
+    * nofollow flag ([[nofollowOfAttrs]]) rides along — extraction
+    * reports every link (nofollow targets are still discovery and
+    * anchor-text signal); dropping them from RANK edges is
+    * [[hostGraph]]'s decision. Narrow regex + explode; no exchange.
     */
   def extractLinks(pages: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
@@ -199,7 +237,8 @@ object LinkGraph {
       .select(col(urlCol).as("__u"),
         effectiveBase(col(urlCol), col(htmlCol)).as("__b"),
         explode(regexp_extract_all(col(htmlCol), lit(aOpenRe), lit(1))).as("__attrs"))
-      .select(col("__u"), col("__b"), hrefOfAttrs(col("__attrs")).as("__href"))
+      .select(col("__u"), col("__b"), hrefOfAttrs(col("__attrs")).as("__href"),
+        nofollowOfAttrs(col("__attrs")).as("nofollow"))
       .filter(col("__href").isNotNull)
       // entity-decode AT the HTML layer (conformant markup escapes & as
       // &amp; inside attribute values); resolveHref itself stays
@@ -207,27 +246,37 @@ object LinkGraph {
       // Resolution runs against the page's effective <base href>; the
       // edge SOURCE stays the page URL.
       .select(col("__u"),
-        resolveHref(col("__b"), decodeEntities(col("__href"))).as("__r"))
+        resolveHref(col("__b"), decodeEntities(col("__href"))).as("__r"),
+        col("nofollow"))
       .filter(col("__r").isNotNull)
     val canon = raw.select(
       graft.clean.UrlFns.canonicalUrl(col("__u")).as("src"),
-      graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"))
+      graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"),
+      col("nofollow"))
     canon.select(col("src"), col("dst"),
-      hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"))
+      hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"),
+      col("nofollow"))
   }
 
-  /** Host-level edge list from extracted links: page-pair duplicates
-    * collapse FIRST (the same template link on every page of a host
-    * must weigh by distinct target pages, not by page count), then the
-    * host rollup counts distinct page pairs per (src_host, dst_host).
-    * Self-edges drop — intra-host navigation is chrome, not
-    * endorsement. Two key-locality exchanges total.
+  /** Host-level edge list from extracted links: anchors flagged
+    * `nofollow` mint NO rank edge (dropped FIRST — a page pair whose
+    * every anchor is nofollow contributes nothing; one followed anchor
+    * keeps it); then page-pair duplicates collapse (the same template
+    * link on every page of a host must weigh by distinct target pages,
+    * not by page count), then the host rollup counts distinct page
+    * pairs per (src_host, dst_host). Self-edges drop — intra-host
+    * navigation is chrome, not endorsement. A `nofollow` column is
+    * optional (manually-built edge lists weigh every row). Two
+    * key-locality exchanges total.
     */
-  def hostGraph(links: DataFrame): DataFrame =
-    links.select("src", "dst", "src_host", "dst_host").distinct()
+  def hostGraph(links: DataFrame): DataFrame = {
+    val followed = if (links.columns.contains("nofollow"))
+      links.filter(!col("nofollow")) else links
+    followed.select("src", "dst", "src_host", "dst_host").distinct()
       .filter(col("src_host") =!= col("dst_host"))
       .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
 
   /** Fixed-iteration WEIGHTED PageRank over a directed host edge list
     * (`edges` needs columns src/dst; an `n_pairs` column — the distinct
@@ -374,8 +423,13 @@ object LinkGraph {
     * hub link every third doc (host h0 must emerge top-ranked), a
     * path-absolute self link, an UNQUOTED self link, a `../`-traversal
     * relative link and a plain relative link (both resolve via the
-    * §5.2.4 merge), and a non-resolvable tail (mailto / fragment) that
-    * must never extract. Every ninth-ish doc carries a `<base href>`
+    * §5.2.4 merge), a non-resolvable tail (mailto / fragment) that
+    * must never extract, a rel="sponsored nofollow" anchor onto the
+    * n-host tier (extracts, mints no rank edge), a rel=nofollowish
+    * decoy whose edge must SURVIVE (token-boundary match), and an
+    * anchor with a literal '>' inside a quoted title whose href must
+    * extract (the attrRegion quoted-span rule). Every ninth-ish doc
+    * carries a `<base href>`
     * that RE-BASES its relative/path-absolute links (doc%9=4: an
     * absolute cross-host base onto the b-host tier, plus a SECOND
     * decoy base that must lose to the first; doc%9=7: a single-quoted
@@ -396,7 +450,17 @@ object LinkGraph {
     "\">me</a> <a href=/uq/",
     ">uq</a> <a href=\"../up/",
     "\">up</a> <a href=\"mailto:x@y.z\">mail</a> <a href=\"#top\">top</a>" +
-      " <a href=\"rel/p.html\">rel</a><p>",
+      " <a href=\"rel/p.html\">rel</a>" +
+      // nofollow TOKEN (multi-valued rel) — extracts but mints no rank
+      // edge; 'nofollowish' is NOT the token and must keep its edge;
+      // the titled anchor's quoted '>' must not truncate the region
+      " <a rel=\"sponsored nofollow\" href=\"https://n",
+    ".example.com/nf/",
+    "\">sponsored</a> <a rel=nofollowish href=\"https://n",
+    ".example.com/nfish/",
+    "\">nfish</a> <a title=\"a>b\" href=\"https://t",
+    ".example.com/ttl/",
+    "\">titled</a><p>",
     "</p></body></html>")
 
   /** The conditional `<base>` slot between `</title>` and `</head>`. */
@@ -429,8 +493,14 @@ object LinkGraph {
       lit(parts(9)), (col("doc_id") % 4).cast("string"),
       lit(parts(10)), (col("doc_id") % 5).cast("string"),
       lit(parts(11)), (col("doc_id") % 4).cast("string"),
-      lit(parts(12)), col("text"),
-      lit(parts(13))).as("html"))
+      lit(parts(12)), ((col("doc_id") + 4) % 7).cast("string"),
+      lit(parts(13)), (col("doc_id") % 5).cast("string"),
+      lit(parts(14)), ((col("doc_id") + 1) % 7).cast("string"),
+      lit(parts(15)), (col("doc_id") % 3).cast("string"),
+      lit(parts(16)), ((col("doc_id") + 2) % 7).cast("string"),
+      lit(parts(17)), (col("doc_id") % 3).cast("string"),
+      lit(parts(18)), col("text"),
+      lit(parts(19))).as("html"))
 
   private def q(s: String) = "'" + s.replace("'", "''") + "'"
 
@@ -455,8 +525,14 @@ object LinkGraph {
        |${q(parts(9))} || CAST(doc_id % 4 AS VARCHAR) ||
        |${q(parts(10))} || CAST(doc_id % 5 AS VARCHAR) ||
        |${q(parts(11))} || CAST(doc_id % 4 AS VARCHAR) ||
-       |${q(parts(12))} || text ||
-       |${q(parts(13))}""".stripMargin
+       |${q(parts(12))} || CAST((doc_id + 4) % 7 AS VARCHAR) ||
+       |${q(parts(13))} || CAST(doc_id % 5 AS VARCHAR) ||
+       |${q(parts(14))} || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+       |${q(parts(15))} || CAST(doc_id % 3 AS VARCHAR) ||
+       |${q(parts(16))} || CAST((doc_id + 2) % 7 AS VARCHAR) ||
+       |${q(parts(17))} || CAST(doc_id % 3 AS VARCHAR) ||
+       |${q(parts(18))} || text ||
+       |${q(parts(19))}""".stripMargin
 
   /** Oracle CTEs shared by the link probes: pages → extracted hrefs →
     * resolution → canonical page pairs (`lk` raw, `pp` distinct).
@@ -472,21 +548,24 @@ object LinkGraph {
     s"""${px}pg AS MATERIALIZED (
        |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents$w),
        |${px}hr AS MATERIALIZED (
-       |  SELECT url, base, href FROM (
-       |    SELECT url, base, ${hrefOfAttrsDuck("attrs")} AS href FROM (
+       |  SELECT url, base, href, nofollow FROM (
+       |    SELECT url, base, ${hrefOfAttrsDuck("attrs")} AS href,
+       |      ${nofollowOfAttrsDuck("attrs")} AS nofollow FROM (
        |      SELECT url, ${effectiveBaseDuck("url", "html")} AS base,
-       |        unnest(regexp_extract_all(html, '$aOpenRe', 1)) AS attrs
+       |        unnest(regexp_extract_all(html, ${qq(aOpenRe)}, 1)) AS attrs
        |      FROM ${px}pg))
        |  WHERE href IS NOT NULL),
        |${px}rs AS MATERIALIZED (
-       |  SELECT url, r FROM (
-       |    SELECT url, ${resolveHrefDuck("base", decodeEntitiesDuck("href"))} AS r
+       |  SELECT url, r, nofollow FROM (
+       |    SELECT url, ${resolveHrefDuck("base", decodeEntitiesDuck("href"))} AS r,
+       |      nofollow
        |    FROM ${px}hr)
        |  WHERE r IS NOT NULL),
        |${px}lk AS MATERIALIZED (
        |  SELECT ${cu("url")} AS src, ${cu("r")} AS dst,
        |    regexp_extract(${cu("url")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS src_host,
-       |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host
+       |    regexp_extract(${cu("r")}, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS dst_host,
+       |    nofollow
        |  FROM ${px}rs),
        |${px}pp AS MATERIALIZED (SELECT DISTINCT src, dst, src_host, dst_host FROM ${px}lk)""".stripMargin
   }
@@ -496,9 +575,12 @@ object LinkGraph {
 
   private[ext] def linkCtesDuck(where: String, px: String): String =
     s"""${linkBaseCtesDuck(where, px)},
+       |${px}fpp AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst, src_host, dst_host FROM ${px}lk
+       |  WHERE NOT nofollow),
        |${px}hedges AS MATERIALIZED (
        |  SELECT src_host AS src, dst_host AS dst, COUNT(*) AS n_pairs
-       |  FROM ${px}pp WHERE src_host <> dst_host GROUP BY 1, 2)""".stripMargin
+       |  FROM ${px}fpp WHERE src_host <> dst_host GROUP BY 1, 2)""".stripMargin
 
   /** Fixed-iteration WEIGHTED PR oracle CTEs over `<edges>` (src, dst,
     * n_pairs — weight defaults to 1 when NULL), replaying the weighted
@@ -606,7 +688,7 @@ object LinkGraph {
     * read from group 1 by [[hrefOfAttrs]] (all three quoting forms).
     */
   private[ext] val anchorRe =
-    "(?is)<a\\b([^>]*)>(.*?)</a>"
+    s"(?is)<a\\b$attrRegion>(.*?)</a>"
 
   /** Extract (resolved target, anchor text) pairs: the attribute region
     * and inner markup come from ONE pattern evaluated twice (group 1 /
@@ -652,8 +734,8 @@ object LinkGraph {
        |  SELECT $pageUrlDuck AS url, $pageHtmlDuck AS html FROM documents),
        |ar AS (
        |  SELECT url, ${effectiveBaseDuck("url", "html")} AS base,
-       |    regexp_extract_all(html, '$anchorRe', 1) AS hs,
-       |    regexp_extract_all(html, '$anchorRe', 2) AS ts
+       |    regexp_extract_all(html, ${qq(anchorRe)}, 1) AS hs,
+       |    regexp_extract_all(html, ${qq(anchorRe)}, 2) AS ts
        |  FROM pg),
        |px AS (
        |  SELECT url, base, href, itext FROM (
@@ -818,8 +900,8 @@ object LinkGraph {
     s"""WITH ap AS ($anchorPagesDuck),
        |ar AS (
        |  SELECT url, ${effectiveBaseDuck("url", "html")} AS base,
-       |    regexp_extract_all(html, '$anchorRe', 1) AS hs,
-       |    regexp_extract_all(html, '$anchorRe', 2) AS ts
+       |    regexp_extract_all(html, ${qq(anchorRe)}, 1) AS hs,
+       |    regexp_extract_all(html, ${qq(anchorRe)}, 2) AS ts
        |  FROM ap),
        |px AS (
        |  SELECT url, base, href, itext FROM (

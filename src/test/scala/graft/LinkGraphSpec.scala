@@ -129,6 +129,29 @@ class LinkGraphSpec extends SparkSuite {
       ("https://a.com/d/3", "https://a.com/d/rel/p")), got.toString)
   }
 
+  test("nofollow: token-boundary rel match; hostGraph drops flagged pairs; quoted '>' survives") {
+    val html = "<a rel=\"sponsored nofollow\" href=\"https://nf.com/x\">s</a>" +
+      " <a rel='NOFOLLOW' href=\"https://nf2.com/y\">u</a>" + // case-insensitive, single-quoted
+      " <a rel=nofollow href=\"https://nf3.com/z\">uq</a>" + // unquoted rel
+      " <a rel=\"nofollowish\" href=\"https://ok.com/a\">decoy</a>" + // NOT the token
+      " <a title=\"a>b\" href=\"https://ttl.com/c\">t</a>" + // quoted '>' in the region
+      " <a href=\"https://plain.com/d\">p</a>" +
+      // one followed + one nofollow anchor to the SAME target: the pair survives
+      " <a rel=\"nofollow\" href=\"https://both.com/e\">n</a>" +
+      " <a href=\"https://both.com/e\">f</a>"
+    val links = LinkGraph.extractLinks(Seq(("https://src.com/p", html)).toDF("url", "html"))
+    val flags = links.collect().map(r => (r.getString(1), r.getBoolean(4))).toSet
+    assert(flags == Set(
+      ("https://nf.com/x", true), ("https://nf2.com/y", true),
+      ("https://nf3.com/z", true), ("https://ok.com/a", false),
+      ("https://ttl.com/c", false), ("https://plain.com/d", false),
+      ("https://both.com/e", true), ("https://both.com/e", false)), flags.toString)
+    val ranked = LinkGraph.hostGraph(links).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(ranked == Set(("ok.com", 1L), ("ttl.com", 1L), ("plain.com", 1L),
+      ("both.com", 1L)), ranked.toString)
+  }
+
   test("hostGraph: page-pair dedup, self-host drop") {
     // two pages on a.com both carry the SAME target page twice (template
     // repeat) plus a self link; pair dedup must weigh the target once
