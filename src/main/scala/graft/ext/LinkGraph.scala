@@ -605,7 +605,13 @@ object LinkGraph {
          |    FROM $edges WHERE src <> dst)
          |  GROUP BY 1, 2),
          |${px}verts AS MATERIALIZED (
-         |  SELECT src AS host FROM ${px}he UNION SELECT dst FROM ${px}he),
+         |  -- DISTINCT over UNION ALL, not bare UNION: under WITH RECURSIVE
+         |  -- DuckDB parses "a UNION b" CTE bodies as a potential recursive
+         |  -- base/step pair and the dedup is LOST for non-self-referential
+         |  -- CTEs (observed: 26 hosts became a 146-row vert table when
+         |  -- x_pipe13 went recursive for the chain walk)
+         |  SELECT DISTINCT host FROM (
+         |    SELECT src AS host FROM ${px}he UNION ALL SELECT dst FROM ${px}he)),
          |${px}nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM ${px}verts),
          |${px}deg AS MATERIALIZED (
          |  SELECT src, SUM(w) AS w_out FROM ${px}he GROUP BY src),

@@ -87,4 +87,39 @@ class FrontierSpec extends SparkSuite {
       assert(r1.toSeq == r2.toSeq)
     } finally graft.util.TempDirs.deleteRecursively(stage)
   }
+
+  test("collapseRedirects: terminals, bound, loops, self-loop, min-dst determinism") {
+    val edges = Seq(
+      // 3-hop chain a1 -> a2 -> a3 -> a4 (a4 is no source: terminal)
+      ("https://a.com/1", "https://a.com/2"),
+      ("https://a.com/2", "https://a.com/3"),
+      ("https://a.com/3", "https://a.com/4"),
+      // 6-hop chain c1..c7: deeper than the 5-hop bound -> unresolved
+      ("https://c.com/1", "https://c.com/2"),
+      ("https://c.com/2", "https://c.com/3"),
+      ("https://c.com/3", "https://c.com/4"),
+      ("https://c.com/4", "https://c.com/5"),
+      ("https://c.com/5", "https://c.com/6"),
+      ("https://c.com/6", "https://c.com/7"),
+      // 2-loop
+      ("https://l1.com/a", "https://l2.com/b"),
+      ("https://l2.com/b", "https://l1.com/a"),
+      // self-redirect
+      ("https://s.com/x", "https://s.com/x"),
+      // divergent recorded Locations: MIN dst wins deterministically
+      ("https://m.com/p", "https://m.com/q2"),
+      ("https://m.com/p", "https://m.com/q1")).toDF("src", "dst")
+    val got = Frontier.collapseRedirects(edges).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("https://a.com/1") == (("https://a.com/4", 3L, true)))
+    assert(got("https://a.com/2") == (("https://a.com/4", 2L, true)))
+    assert(got("https://a.com/3") == (("https://a.com/4", 1L, true)))
+    // the over-bound chain walks 5 hops and is still on a source
+    assert(got("https://c.com/1") == (("https://c.com/6", 5L, false)))
+    assert(got("https://c.com/2") == (("https://c.com/7", 5L, true)))
+    assert(got("https://l1.com/a")._3 == false && got("https://l2.com/b")._3 == false)
+    assert(got("https://s.com/x") == (("https://s.com/x", 5L, false)))
+    assert(got("https://m.com/p") == (("https://m.com/q1", 1L, true)))
+    assert(got.size == 13) // one row per distinct redirect source
+  }
 }
