@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinSegCost(
         exprs.head, exprs(1), exprs(2), exprs(3))))
     e.injectFunction((
+      new FunctionIdentifier("min_seg_pieces"),
+      new ExpressionInfo(classOf[graft.functions.MinSegPieces].getName, "min_seg_pieces"),
+      (exprs: Seq[Expression]) => graft.functions.MinSegPieces(
+        exprs.head, exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((
       new FunctionIdentifier("canonical_url"),
       new ExpressionInfo(classOf[graft.functions.CanonicalUrl].getName, "canonical_url"),
       (exprs: Seq[Expression]) => graft.functions.CanonicalUrl(exprs.head)))
@@ -138,6 +143,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_seg_cost",
       exprs => graft.functions.MinSegCost(
+        exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_seg_pieces",
+      exprs => graft.functions.MinSegPieces(
         exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "canonical_url",

@@ -149,6 +149,34 @@ object UnigramTok {
       .drop("__pieces", "__costs", "__unk")
   }
 
+  /** One hard-EM (Viterbi) re-estimation round over the corpus
+    * (round-14 verdict "what's missing" #5): segment every distinct
+    * word under `vocab`'s bit-cost prices (the argmin path via the
+    * native `min_seg_pieces` — deterministic tie-breaks, so both
+    * engines walk the same path), count pieces under that segmentation
+    * weighted by corpus word frequency, and return the RE-ESTIMATED
+    * vocabulary (piece, n). Pieces never chosen prune away — Kudo
+    * 2018's E-step with the max instead of the expectation, and the
+    * prune at its deterministic extreme. Feed the result back into
+    * [[minCostCounts]]/[[withMinSegBitCost]] for iteration-1 costs.
+    *
+    * Scale shape: one DP per DISTINCT word against the broadcast priced
+    * vocab, then one piece-keyed rollup (vocabulary-sized output) — the
+    * corpus token stream is never reshuffled.
+    */
+  def emVocab(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val vrow = pricedVocabRow(vocab)
+    corpusWords(docs)
+      .crossJoin(broadcast(vrow)) // 1-row build side → broadcast nested loop
+      .select(col("cnt"),
+        explode(expr("min_seg_pieces(word, __pieces, __costs, __unk)")).as("piece"))
+      // UNK steps come back as single characters; vocabulary pieces are
+      // length >= 2 by contract, so the filter is exact
+      .filter(length(col("piece")) >= 2)
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+  }
+
   def minCostCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val s = docs.sparkSession
     graft.GraftExtensions.register(s)
@@ -282,5 +310,121 @@ object UnigramTok {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Probe] = Seq(tok2, tok3, tok4)
+  /** X-TOK5 — one hard-EM round of the unigram tokenizer: iteration-0
+    * prices segment the corpus, the ARGMIN paths re-count the pieces
+    * (frequency-weighted; never-chosen pieces prune), the re-priced
+    * vocabulary re-segments — per doc (n_words, bit_cost0, bit_cost1).
+    * The oracle replays EVERYTHING relationally: induction, pricing,
+    * the forward DP, a BACKWARD suffix DP, the deterministic
+    * reconstruction (tot asc, len desc, piece asc — exactly the native
+    * expression's tie-break), the recursive path walk, the E-step
+    * counts, the re-pricing, and the second DP. A one-step tie broken
+    * differently anywhere shifts a count, a price, and the hash.
+    */
+  private val tok5 = Probe(
+    "x_tok5_unigram_em1",
+    s"""WITH RECURSIVE ${vocabCtesDuck(V)},
+       |tot AS MATERIALIZED (
+       |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 1) AS t FROM topv),
+       |pcost AS MATERIALIZED (
+       |  SELECT piece, CAST(length(piece) AS INTEGER) AS len,
+       |    CAST(1 + length(printf('%b', (SELECT t FROM tot)))
+       |      - length(printf('%b', n)) AS BIGINT) AS cost
+       |  FROM topv
+       |  UNION ALL
+       |  SELECT '', 1, CAST(4 + length(printf('%b', (SELECT t FROM tot))) AS BIGINT)),
+       |dw AS (SELECT DISTINCT word FROM w0),
+       |st AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM dw
+       |  UNION
+       |  SELECT s.word, s.pos + m.len, s.cost + m.cost
+       |  FROM st s JOIN pcost m ON s.pos + m.len <= length(s.word)
+       |    AND (m.piece = '' OR substr(s.word, s.pos + 1, m.len) = m.piece)),
+       |best0 AS MATERIALIZED (
+       |  SELECT word, MIN(cost) AS c FROM st
+       |  WHERE pos = length(word) GROUP BY word),
+       |bst AS (
+       |  SELECT word, CAST(length(word) AS INTEGER) AS pos,
+       |    CAST(0 AS BIGINT) AS cost FROM dw
+       |  UNION
+       |  SELECT b.word, b.pos - m.len, b.cost + m.cost
+       |  FROM bst b JOIN pcost m ON b.pos - m.len >= 0
+       |    AND (m.piece = '' OR substr(b.word, b.pos - m.len + 1, m.len) = m.piece)),
+       |bmin AS MATERIALIZED (
+       |  SELECT word, pos, MIN(cost) AS b FROM bst GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT p.word, p.pos, m.piece, m.len, m.cost + b.b AS tt
+       |  FROM (SELECT word, CAST(i AS INTEGER) AS pos FROM dw,
+       |        UNNEST(generate_series(0, length(word) - 1)) AS g(i)) p
+       |  JOIN pcost m ON p.pos + m.len <= length(p.word)
+       |    AND (m.piece = '' OR substr(p.word, p.pos + 1, m.len) = m.piece)
+       |  JOIN bmin b ON b.word = p.word AND b.pos = p.pos + m.len),
+       |chosen AS MATERIALIZED (
+       |  SELECT word, pos, piece, len FROM (
+       |    SELECT word, pos, piece, len,
+       |      row_number() OVER (PARTITION BY word, pos
+       |        ORDER BY tt ASC, len DESC, piece ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |walkp AS (
+       |  SELECT word, 0 AS pos FROM dw
+       |  UNION ALL
+       |  SELECT w.word, w.pos + c.len
+       |  FROM walkp w JOIN chosen c ON c.word = w.word AND c.pos = w.pos
+       |  WHERE w.pos < length(w.word)),
+       |used AS (
+       |  SELECT w.word, c.piece
+       |  FROM walkp w JOIN chosen c ON c.word = w.word AND c.pos = w.pos
+       |  WHERE c.piece <> ''),
+       |n1 AS MATERIALIZED (
+       |  SELECT u.piece, CAST(SUM(wc.cnt) AS BIGINT) AS n
+       |  FROM used u JOIN wc ON wc.word = u.word GROUP BY 1),
+       |tot1 AS MATERIALIZED (
+       |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 1) AS t FROM n1),
+       |pcost1 AS MATERIALIZED (
+       |  SELECT piece, CAST(length(piece) AS INTEGER) AS len,
+       |    CAST(1 + length(printf('%b', (SELECT t FROM tot1)))
+       |      - length(printf('%b', n)) AS BIGINT) AS cost
+       |  FROM n1
+       |  UNION ALL
+       |  SELECT '', 1, CAST(4 + length(printf('%b', (SELECT t FROM tot1))) AS BIGINT)),
+       |st1 AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM dw
+       |  UNION
+       |  SELECT s.word, s.pos + m.len, s.cost + m.cost
+       |  FROM st1 s JOIN pcost1 m ON s.pos + m.len <= length(s.word)
+       |    AND (m.piece = '' OR substr(s.word, s.pos + 1, m.len) = m.piece)),
+       |best1 AS MATERIALIZED (
+       |  SELECT word, MIN(cost) AS c FROM st1
+       |  WHERE pos = length(word) GROUP BY word)
+       |SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b0.c) AS BIGINT) AS bit_cost0,
+       |  CAST(SUM(b1.c) AS BIGINT) AS bit_cost1
+       |FROM w0
+       |JOIN best0 b0 ON b0.word = w0.word
+       |JOIN best1 b1 ON b1.word = w0.word
+       |GROUP BY w0.doc_id ORDER BY w0.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val vocabPath = graft.util.TrainOnce(s"unigram_vocab:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_unigram_vocab")
+      induceVocab(docs).write.mode("overwrite").parquet(p)
+      p
+    }
+    val v0 = s.read.parquet(vocabPath)
+    // the EM round is train-once too: the re-estimated vocab is a model
+    // artifact, rebuilt only when the corpus changes
+    val em1Path = graft.util.TrainOnce(s"unigram_em1:$dir") {
+      val p = graft.util.TempDirs.scratch("graft_unigram_em1")
+      emVocab(docs, v0).write.mode("overwrite").parquet(p)
+      p
+    }
+    val v1 = s.read.parquet(em1Path)
+    val c0 = minCostCounts(docs, v0)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("bit_cost").cast("long").as("bit_cost0"))
+    val c1 = minCostCounts(docs, v1)
+      .select(col("doc_id"), col("bit_cost").cast("long").as("bit_cost1"))
+    c0.join(c1, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  val all: Seq[Probe] = Seq(tok2, tok3, tok4, tok5)
 }

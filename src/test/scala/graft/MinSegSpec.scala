@@ -171,4 +171,97 @@ class MinSegSpec extends SparkSuite {
     assert(run("éé", Seq("éé")) == 1L)
     assert(run("ééé", Seq("éé")) == 2L)
   }
+
+  // ---------------------------------------------------- min_seg_pieces
+
+  private def pieces(word: String, vocab: Seq[(String, Long)], unk: Long): Seq[String] = {
+    val ps = vocab.sortBy(_._1)
+    val arr = "array(" + ps.map(p => s"'${p._1}'").mkString(",") + ")"
+    val cs = "array(" + ps.map(p => s"CAST(${p._2} AS BIGINT)").mkString(",") + ")"
+    Seq(word).toDF("w")
+      .select(expr(s"min_seg_pieces(w, $arr, $cs, CAST($unk AS BIGINT))"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("min_seg_pieces: path covers the word, sums to min_seg_cost, UNK as chars") {
+    val vocab = Seq(("ab", 2L), ("abc", 4L), ("cd", 2L))
+    assert(pieces("abcd", vocab, 9L) == Seq("ab", "cd"))
+    // UNK fallback: unmatched chars come back one by one
+    assert(pieces("abxy", vocab, 9L) == Seq("ab", "x", "y"))
+    assert(pieces("", vocab, 9L) == Seq())
+    // cost-sum == min_seg_cost on a batch of words
+    val words = Seq("abcd", "abxy", "abcabc", "xabcdx", "cdcdab")
+    val costOf = vocab.toMap
+    words.foreach { w =>
+      val ps = pieces(w, vocab, 9L)
+      assert(ps.mkString("") == w, s"$w -> $ps does not cover")
+      val total = ps.map(p => costOf.getOrElse(p, 9L)).sum
+      val arr = "array(" + vocab.map(_._1).sorted.map(p => s"'$p'").mkString(",") + ")"
+      val cs = "array(" + vocab.sortBy(_._1).map(p => s"CAST(${p._2} AS BIGINT)").mkString(",") + ")"
+      val want = Seq(w).toDF("w")
+        .select(expr(s"min_seg_cost(w, $arr, $cs, CAST(9 AS BIGINT))"))
+        .collect()(0).getLong(0)
+      assert(total == want, s"$w: path cost $total != DP $want")
+    }
+  }
+
+  test("min_seg_pieces tie-break: equal totals take the LONGEST step") {
+    // "abc": ab(3)+c(unk 3) = 6 and abc(6) = 6 tie -> abc (len desc)
+    val vocab = Seq(("ab", 3L), ("abc", 6L))
+    assert(pieces("abc", vocab, 3L) == Seq("abc"))
+  }
+
+  test("min_seg_pieces codegen == interpreted") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq(("ab", 2L), ("abc", 4L), ("cd", 2L)).sortBy(_._1)
+    val ps = new GenericArrayData(vocab.map(p => UTF8String.fromString(p._1)).toArray[Any])
+    val cs = new GenericArrayData(vocab.map(_._2).toArray[Any])
+    for (w <- Seq("abcd", "abxy", "abcabc", "zzz", "a")) {
+      val interp = graft.functions.MinSegPieces
+        .compute(UTF8String.fromString(w), ps, cs, 9L)
+      val viaCol = pieces(w, vocab, 9L)
+      assert((0 until interp.numElements()).map(interp.getUTF8String(_).toString) == viaCol,
+        s"$w: interpreted != codegen column path")
+    }
+  }
+
+  test("EM round flips a planted word's segmentation (iteration 0 vs 1)") {
+    import graft.ext.UnigramTok
+    // vocab prices at iteration 0 (tot=28, bits=5): abc=2, de=2, ab=3,
+    // cde=3, unk=9 -> "abcde" segments abc|de (4 < ab|cde 6).
+    // corpus: "cdex" x20 uses cde, "aby" x20 uses ab, "abcde" x1 uses
+    // abc|de -> EM counts ab=20, cde=20, abc=1, de=1 (tot=42, bits=6)
+    // -> new prices ab=2, cde=2, abc=6, de=6 -> "abcde" FLIPS to ab|cde.
+    val vocab = Seq(("abc", 8L), ("de", 8L), ("ab", 6L), ("cde", 6L)).toDF("piece", "n")
+    val docs = (Seq((0L, "abcde")) ++ (1L to 20L).map(i => (i, "cdex aby")))
+      .toDF("doc_id", "text")
+    val v1 = UnigramTok.emVocab(docs, vocab).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v1 == Map("ab" -> 20L, "cde" -> 20L, "abc" -> 1L, "de" -> 1L), v1.toString)
+    // the flip is pinned on the PIECES (both iterations' min costs can
+    // coincide): re-price each vocab and read the argmin paths
+    val s = spark
+    def pathsUnder(v: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] = {
+      import org.apache.spark.sql.functions.{broadcast => b}
+      GraftExtensions.register(s)
+      val tot = v.agg(coalesce(sum(col("n")), lit(1L)).as("__tot"))
+      val priced = v.crossJoin(b(tot))
+        .select(col("piece"),
+          (lit(1L) + length(conv(col("__tot").cast("string"), 10, 2)).cast("long")
+            - length(conv(col("n").cast("string"), 10, 2)).cast("long")).as("cost"),
+          (lit(4L) + length(conv(col("__tot").cast("string"), 10, 2)).cast("long")).as("__unk"))
+      val vrow = priced.agg(
+          sort_array(collect_list(struct(col("piece"), col("cost")))).as("__pc"),
+          coalesce(max(col("__unk")), lit(5L)).as("__unk"))
+        .select(expr("transform(__pc, x -> x.piece)").as("__pieces"),
+          expr("transform(__pc, x -> x.cost)").as("__costs"), col("__unk"))
+      Seq("abcde").toDF("word").crossJoin(b(vrow))
+        .select(col("word"),
+          expr("min_seg_pieces(word, __pieces, __costs, __unk)").as("ps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    }
+    assert(pathsUnder(vocab)("abcde") == Seq("abc", "de"))
+    assert(pathsUnder(UnigramTok.emVocab(docs, vocab))("abcde") == Seq("ab", "cde"))
+  }
 }
