@@ -127,8 +127,9 @@ object UrlFns {
     * cross-engine hashes stay exact by construction:
     *
     *   1. 4× `/.(/|$)` → `/` — "." segments collapse (4 passes clear
-    *      ≥16 consecutive `/./` runs; global replace skips alternating
-    *      overlaps, halving per pass);
+    *      runs of ≤15 consecutive "." segments — global replace skips
+    *      alternating overlaps, halving per pass; a 16th leaves one
+    *      `/./` residue, pinned in UrlFnsSpec);
     *   2. 8× the pair { `/seg/..(/|$)` → `/` for seg ∉ {".", ".."},
     *      `^/..(/|$)` → `/` } — each pass retires at least one `..`
     *      level, so depth ≤ 8 resolves fully (deeper traversals — not a

@@ -99,6 +99,16 @@ object LinkGraph {
     * AT the HTML layer before resolution. Plain string replaces, `&amp;`
     * LAST so `&amp;#38;` decodes to the literal text `&#38;`, not `&`
     * (the double-decode trap).
+    *
+    * KNOWN-WRONG on the opposite composition (ADVICE r14, accepted as
+    * documented): `&#38;amp;` — HTML text denoting the literal `&amp;`
+    * — decodes to `&` here, because the numeric entry runs before the
+    * named one and a sequential replace chain cannot be order-correct
+    * for both nestings (a true single-pass leftmost decode has no
+    * cross-engine twin: neither Spark nor DuckDB regexp_replace can map
+    * different matches to different replacements in one pass). Both
+    * engines share this chain, so results stay hash-identical; the gap
+    * is fidelity to HTML semantics on adversarial nestings only.
     */
   private[ext] val entityPairs: Seq[(String, String)] = Seq(
     "&#34;" -> "\"", "&quot;" -> "\"",

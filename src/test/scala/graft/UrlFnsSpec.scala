@@ -48,6 +48,26 @@ class UrlFnsSpec extends SparkSuite {
     assert(variants.map(canon).distinct == Seq("http://site.com/p?id=1"))
   }
 
+  test("dotSteps residue at the bound is pinned (silent-rewrite guard)") {
+    // the algebra is documented as bounded: ≤8 '..' levels resolve
+    // fully; DEEPER traversals leave a residue that both engines share.
+    // Pin the exact residue shape so a future rewrite of dotSteps
+    // cannot change cross-engine behavior silently (ADVICE r14).
+    val eight = "http://a.com" + "/d" * 8 + "/.." * 8 + "/x"
+    assert(canon(eight) == "http://a.com/x")
+    // NESTED traversals retire one level per up-pass: the 9th stays
+    val nine = "http://a.com" + "/d" * 9 + "/.." * 9 + "/x"
+    assert(canon(nine) == "http://a.com/d/../x", canon(nine))
+    // 17 levels leave exactly 9 unresolved pairs — verbatim, both engines
+    val deep = "http://a.com" + "/d" * 17 + "/.." * 17 + "/x"
+    assert(canon(deep) == "http://a.com" + "/d" * 9 + "/.." * 9 + "/x", canon(deep))
+    // consecutive '.' segments: 4 halving passes clear runs of <= 15;
+    // 16+ leaves a single '/./' residue
+    assert(canon("http://a.com" + "/." * 15 + "/x") == "http://a.com/x")
+    val dots20 = "http://a.com" + "/." * 20 + "/x"
+    assert(canon(dots20) == "http://a.com/./x", canon(dots20))
+  }
+
   test("pct normalization: hex uppercase, unreserved decode, reserved kept") {
     // the three %7E spellings are ONE frontier key (RFC 3986 §6.2.2.1-2)
     assert(Seq("http://a.com/a%7eb", "http://a.com/a%7Eb", "http://a.com/a~b")
