@@ -720,5 +720,52 @@ object PipelineOps13 {
     frontierReport(Tables(s, dir, "documents").select(url.as("url")))
   }
 
-  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3, url4, url5)
+  /** X-URL13 — IDN host normalization (the bounded table-driven subset
+    * [[graft.clean.UrlFns.idnPairs]] documents): Unicode, punycode, and
+    * UPPERCASE-Unicode spellings of the same host must land on ONE
+    * canonical frontier key (lowercase runs first in the rule chain, so
+    * `MÜNCHEN` reaches the table as `münchen` — both engines' Unicode
+    * lower() pinned against each other by the hash). Per collapsed
+    * host: raw count, canonical count, first survivor.
+    */
+  private val url13 = Probe(
+    "x_url13_idn_hosts",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' ||
+       |    (CASE doc_id % 3 WHEN 0 THEN 'münchen' WHEN 1 THEN 'xn--mnchen-3ya'
+       |      ELSE 'MÜNCHEN' END) ||
+       |    '.example' || CAST(doc_id % 2 AS VARCHAR) || '.com/p/' ||
+       |    CAST(doc_id % 5 AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=f&a=1' ELSE '' END) AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id, ${graft.clean.UrlFns.canonicalUrlDuck("url")} AS canon FROM u),
+       |s AS (
+       |  SELECT canon, MIN(doc_id) AS survivor_id, COUNT(*) AS n_raw
+       |  FROM c GROUP BY canon)
+       |SELECT regexp_extract(canon, '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+       |  CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+       |  CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       |  CAST(MIN(survivor_id) AS BIGINT) AS first_survivor
+       |FROM s GROUP BY 1 ORDER BY host""".stripMargin) { (s, dir) =>
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("münchen"))
+        .when(col("doc_id") % 3 === 1, lit("xn--mnchen-3ya"))
+        .otherwise(lit("MÜNCHEN")),
+      lit(".example"), (col("doc_id") % 2).cast("string"), lit(".com/p/"),
+      (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=f&a=1")).otherwise(lit("")))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), graft.clean.UrlFns.canonicalUrl(url).as("canon"))
+      .groupBy("canon")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_raw"))
+      .groupBy(regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
+      .agg(sum(col("n_raw")).cast("long").as("n_raw"),
+        count(lit(1)).as("n_canonical"),
+        min(col("survivor_id")).cast("long").as("first_survivor"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(txt23, txt23b, cur5, cur6, url1, url2, url3, url4,
+    url5, url13)
 }

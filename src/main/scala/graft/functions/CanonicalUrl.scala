@@ -70,6 +70,28 @@ object CanonicalUrl {
   private val pctPairs: Array[(String, String)] =
     graft.clean.UrlFns.pctDecodePairs.toArray
 
+  // the bounded IDN table (UrlFns.idnPairs documents the subset scope)
+  private val idnPairs: Array[(String, String)] =
+    graft.clean.UrlFns.idnPairs.toArray
+
+  /** Unicode host spellings from the bounded table → punycode wire
+    * form. Fast path: an all-ASCII authority (the overwhelming norm)
+    * touches nothing — every table key is non-ASCII.
+    */
+  def idnNormalize(s: String): String = {
+    var hasNonAscii = false
+    var i = 0
+    while (i < s.length && !hasNonAscii) {
+      if (s.charAt(i) > 127) hasNonAscii = true
+      i += 1
+    }
+    if (!hasNonAscii) return s
+    var r = s
+    var j = 0
+    while (j < idnPairs.length) { r = r.replace(idnPairs(j)._1, idnPairs(j)._2); j += 1 }
+    r
+  }
+
   /** Uppercase pct hex + decode unreserved — the bounded algebra both
     * engine twins replay. Fast path: no '%' (the overwhelming norm)
     * touches nothing.
@@ -101,7 +123,7 @@ object CanonicalUrl {
     val m80 = http80.matcher(auth)
     val a1 = if (m80.find()) m80.group(1) else auth
     val m443 = https443.matcher(a1)
-    val authNoPort = if (m443.find()) m443.group(1) else a1
+    val authNoPort = idnNormalize(if (m443.find()) m443.group(1) else a1)
     val qi = rest.indexOf('?')
     // dot-segment removal (RFC 3986 §6.2.2.3 path equivalence) — the
     // same bounded algebra ResolveHref runs; the path has no '?' so the

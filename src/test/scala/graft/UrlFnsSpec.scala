@@ -85,6 +85,16 @@ class UrlFnsSpec extends SparkSuite {
     assert(canon("http://a.com/x?b=%6a&a=%6A") == "http://a.com/x?a=j&b=j")
   }
 
+  test("IDN table subset: unicode/punycode/uppercase spellings are one key") {
+    assert(Seq("https://münchen.example.com/x",
+        "https://xn--mnchen-3ya.example.com/x",
+        "https://MÜNCHEN.example.com/x").map(canon).distinct
+      == Seq("https://xn--mnchen-3ya.example.com/x"))
+    assert(canon("https://日本.example.com/") == "https://xn--wgv71a.example.com/")
+    // labels OUTSIDE the table pass through (documented subset)
+    assert(canon("https://żółć.example.com/") == "https://żółć.example.com/")
+  }
+
   test("dot segments normalize in the path, never in the query") {
     assert(canon("http://a.com/x/y/../z") == "http://a.com/x/z")
     assert(canon("http://a.com/x/./y/.") == "http://a.com/x/y/")
@@ -117,7 +127,11 @@ class UrlFnsSpec extends SparkSuite {
       "http://a.com/a%7eb", "http://a.com/a%7Eb", "http://a.com/a~b",
       "http://a.com/v%41r%330?q=x%2fy", "http://a.com/%2E%2E/x",
       "http://a.com/p%zq?x=%a", "http://a.com/%4%311",
-      "http://a.com/x?b=%6a&a=%6A")
+      "http://a.com/x?b=%6a&a=%6A",
+      // IDN table subset: unicode/punycode/uppercase spellings + a
+      // label outside the table
+      "https://münchen.example.com/x", "https://MÜNCHEN.example.com/x",
+      "https://xn--mnchen-3ya.example.com/x", "https://żółć.example.com/")
     val df = cases.toDF("u")
     val native = df.select(UrlFns.canonicalUrl(col("u"))).collect().map(_.getString(0))
     val decl = df.select(UrlFns.canonicalUrlDeclarative(col("u"))).collect().map(_.getString(0))
