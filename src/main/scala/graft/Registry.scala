@@ -29,6 +29,7 @@ object Registry {
     ext.RobotsTxt.all ++
     ext.Frontier.all ++
     ext.LinkGraph.all ++
+    ext.PageSignals.all ++
     ext.UnigramTok.all ++
     ext.SketchStore.all ++
     ext.LmStore.all ++

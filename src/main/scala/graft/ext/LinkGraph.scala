@@ -39,12 +39,12 @@ object LinkGraph {
     * an UNCLOSED quote makes the whole tag unmatchable — that anchor
     * drops in both engines, the documented malformed-markup policy.
     */
-  private val attrRegion = "((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"
+  private[ext] val attrRegion = "((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"
 
   /** A string as a DuckDB single-quoted literal (the attribute-region
     * patterns carry quote characters that must escape in SQL).
     */
-  private def qq(v: String) = "'" + v.replace("'", "''") + "'"
+  private[ext] def qq(v: String) = "'" + v.replace("'", "''") + "'"
 
   /** Anchor open-tag regex — group 1 is the attribute region; the href
     * value is then read from it by [[hrefOfAttrs]] in any of the three
