@@ -42,19 +42,36 @@ class PlanAuditSpec extends SparkSuite {
     val pages = spark.range(4).select(
       concat(lit("https://a.com/p/"), col("id").cast("string")).as("url"),
       concat(lit("<a href='/x"), col("id").cast("string"), lit("'>t</a>")).as("html"))
-    for ((name, df) <- Seq(
-        "redirectEdges" -> graft.ext.Frontier.redirectEdges(responses),
-        "extractLinks" -> graft.ext.LinkGraph.extractLinks(pages),
-        "anchorTexts" -> graft.ext.LinkGraph.anchorTexts(pages))) {
-      val subtrees = codegenStringSeq(df.queryExecution.executedPlan)
-      assert(subtrees.nonEmpty, s"$name: no codegen subtrees — door fell out of WSCG")
-      subtrees.foreach { case (subtree, _, stats) =>
-        assert(stats.maxMethodCodeSize > 0,
-          s"$name: codegen COMPILE FAILED for subtree:\n$subtree")
-        assert(stats.maxMethodCodeSize < 65535,
-          s"$name: generated method ${stats.maxMethodCodeSize} bytes breaches the 64 KB limit")
+    val sigPages = spark.range(4).select(
+      concat(lit("https://a.com/p/"), col("id").cast("string")).as("url"),
+      concat(lit("<base href=\"/b/\"><link rel=canonical href='/c"),
+        col("id").cast("string"),
+        lit("'><meta http-equiv=refresh content=\"0; url=/m\">"),
+        lit("<a rel=nofollow href='/x"), col("id").cast("string"),
+        lit("'>t</a>")).as("html"))
+    // the PageSignals chains aggregate (first-wins min-struct), so under
+    // AQE their unexecuted plan carries no materialized WSCG subtree —
+    // audit them with AQE off so the static plan exposes the generated
+    // code (the per-stage codegen itself is identical either way)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, df) <- Seq(
+          "redirectEdges" -> graft.ext.Frontier.redirectEdges(responses),
+          "extractLinks" -> graft.ext.LinkGraph.extractLinks(sigPages),
+          "anchorTexts" -> graft.ext.LinkGraph.anchorTexts(pages),
+          "canonicalTargets" -> graft.ext.PageSignals.canonicalTargets(sigPages),
+          "metaRefreshEdges" -> graft.ext.PageSignals.metaRefreshEdges(sigPages))) {
+        val subtrees = codegenStringSeq(df.queryExecution.executedPlan)
+        assert(subtrees.nonEmpty, s"$name: no codegen subtrees — door fell out of WSCG")
+        subtrees.foreach { case (subtree, _, stats) =>
+          assert(stats.maxMethodCodeSize > 0,
+            s"$name: codegen COMPILE FAILED for subtree:\n$subtree")
+          assert(stats.maxMethodCodeSize < 65535,
+            s"$name: generated method ${stats.maxMethodCodeSize} bytes breaches the 64 KB limit")
+        }
       }
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("x_dec1: eval side broadcasts; the corpus side is never hash-shuffled") {
