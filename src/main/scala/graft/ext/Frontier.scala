@@ -403,10 +403,17 @@ object Frontier {
           coalesce(col("__n"), col("cur")).as("cur"),
           when(col("__n").isNotNull, col("hops") + 1).otherwise(col("hops")).as("hops"))
     }
-    state
+    val out = state
       .join(f.select(col("src").as("cur"), lit(1).as("__isSrc")), Seq("cur"), "left")
       .select(col("start").as("src"), col("cur").as("dst"),
         col("hops").cast("long").as("hops"), col("__isSrc").isNull.as("resolved"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the pageRankHosts persist discipline: materialize the (redirect-
+    // sized) result, release the hop table, return the one documented
+    // survivor — a long-lived driver must not accumulate f's
+    out.count()
+    f.unpersist()
+    out
   }
 
   /** [[collapseRedirects]] as oracle CTEs over `<edges>` (src, dst):

@@ -122,4 +122,15 @@ class FrontierSpec extends SparkSuite {
     assert(got("https://m.com/p") == (("https://m.com/q1", 1L, true)))
     assert(got.size == 13) // one row per distinct redirect source
   }
+
+  test("collapseRedirects leaves no persisted intermediates behind (except the result)") {
+    val edges = Seq(("https://a.com/1", "https://a.com/2"),
+      ("https://a.com/2", "https://a.com/3")).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Frontier.collapseRedirects(edges).collect()
+    // the returned frame's cache is the documented survivor; the hop
+    // table must be unpersisted before return
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked ${added.size} persisted RDDs")
+  }
 }
