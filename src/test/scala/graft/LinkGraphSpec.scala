@@ -152,6 +152,38 @@ class LinkGraphSpec extends SparkSuite {
       ("both.com", 1L)), ranked.toString)
   }
 
+  test("token boundaries are the explicit ws class: U+000B is NOT a boundary") {
+    // ADVICE r15: Java \s includes vertical tab, RE2's does not — the
+    // shared patterns now spell [ \t\n\r\f], so a rel value fusing
+    // 'nofollow' to the next token with U+000B is ONE token (not the
+    // nofollow token) in BOTH engines
+    val html = "<a rel=\"nofollow\u000bx\" href=\"https://vt.com/a\">v</a>" +
+      " <a rel=\"x\u000bnofollow\" href=\"https://vt2.com/b\">w</a>" +
+      " <a rel=\"a nofollow\tb\" href=\"https://tab.com/c\">t</a>" // real boundaries
+    val flags = LinkGraph.extractLinks(Seq(("https://s.com/p", html)).toDF("url", "html"))
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSet
+    assert(flags == Set(
+      ("https://vt.com/a", false), ("https://vt2.com/b", false),
+      ("https://tab.com/c", true)), flags.toString)
+  }
+
+  test("anchorLoss surfaces attrRegion drops (apostrophe + unclosed quote)") {
+    val pages = Seq(
+      // HTML5-legal unquoted value with an apostrophe: dropped, counted
+      ("https://a.com/1", "<a href=\"https://x.com/ok\">k</a><a href=/o'brien>b</a>"),
+      // unclosed double quote: dropped, counted
+      ("https://a.com/2", "<a href=\"https://x.com/ok\">k</a><a href=\"/broken>"),
+      // quoted '>' in the region: matched, zero loss
+      ("https://a.com/3", "<a title=\"a>b\" href=\"https://x.com/t\">t</a>"))
+      .toDF("url", "html")
+    val got = LinkGraph.anchorLoss(pages).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("https://a.com/1", 2L, 1L, 1L),
+      ("https://a.com/2", 2L, 1L, 1L),
+      ("https://a.com/3", 1L, 1L, 0L)), got.toString)
+  }
+
   test("hostGraph: page-pair dedup, self-host drop") {
     // two pages on a.com both carry the SAME target page twice (template
     // repeat) plus a self link; pair dedup must weigh the target once

@@ -95,6 +95,28 @@ class UrlFnsSpec extends SparkSuite {
     assert(canon("https://żółć.example.com/") == "https://żółć.example.com/")
   }
 
+  test("IDN rewrite is label-anchored and encoder-derived (ADVICE r15)") {
+    // a table key INSIDE a longer label must NOT rewrite (the r15
+    // substring false-rewrite: münchenstadt minted an invalid punycode
+    // spelling that could alias a literal ASCII host)
+    assert(canon("https://münchenstadt.example.com/x")
+      == "https://münchenstadt.example.com/x")
+    assert(canon("https://stadtmünchen.example.com/x")
+      == "https://stadtmünchen.example.com/x")
+    // a label never present in the old hand list is covered because the
+    // table is DERIVED from the reference encoder over idnLabels
+    assert(canon("https://zürich.example.com/x")
+      == "https://xn--zrich-kva.example.com/x")
+    UrlFns.idnPairs.foreach { case (l, p) =>
+      assert(p == java.net.IDN.toASCII(l), s"idnPairs($l) is not the encoder's output")
+    }
+    // documented residue: ADJACENT same-label occurrences share a dot
+    // boundary, so one anchored pass rewrites alternate occurrences —
+    // identical in all three engines (the dotSteps residue precedent)
+    assert(canon("https://münchen.münchen.example.com/")
+      == "https://xn--mnchen-3ya.münchen.example.com/")
+  }
+
   test("dot segments normalize in the path, never in the query") {
     assert(canon("http://a.com/x/y/../z") == "http://a.com/x/z")
     assert(canon("http://a.com/x/./y/.") == "http://a.com/x/y/")
@@ -131,7 +153,11 @@ class UrlFnsSpec extends SparkSuite {
       // IDN table subset: unicode/punycode/uppercase spellings + a
       // label outside the table
       "https://münchen.example.com/x", "https://MÜNCHEN.example.com/x",
-      "https://xn--mnchen-3ya.example.com/x", "https://żółć.example.com/")
+      "https://xn--mnchen-3ya.example.com/x", "https://żółć.example.com/",
+      // label anchoring: key inside a longer label, derived-only label,
+      // adjacent same-label residue
+      "https://münchenstadt.example.com/x", "https://stadtmünchen.example.com/x",
+      "https://zürich.example.com/x", "https://münchen.münchen.example.com/")
     val df = cases.toDF("u")
     val native = df.select(UrlFns.canonicalUrl(col("u"))).collect().map(_.getString(0))
     val decl = df.select(UrlFns.canonicalUrlDeclarative(col("u"))).collect().map(_.getString(0))
