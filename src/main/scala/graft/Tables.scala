@@ -14,6 +14,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** [[apply]] with a floor on scan parallelism (optimization guide §2.5
+    * "input skew — one huge unsplittable file"): the local fixture
+    * parquet is a SINGLE row group, so every narrow pipeline stage above
+    * it — tokenize, shingle, regex-extract, hash, decode — runs as ONE
+    * task regardless of core count (measured: the whole link-extraction
+    * chain single-threaded at local[32]). A round-robin repartition to
+    * `spark.graft.scan.minPartitions` (default: the cluster's
+    * defaultParallelism) spreads the map work; rows are unchanged, and
+    * every declared aggregation is order-independent by the repo's
+    * oracle-exactness discipline (integer/decimal sums, min/max, hash
+    * keys — re-proven against the DuckDB oracle after this change).
+    *
+    * OPT-IN per call site, not blanket: the exchange + extra stage cost
+    * a measured ~0.2 s fixed at local[32], which only pays where the
+    * per-row work above the scan is heavy (HTML/regex extraction,
+    * shingling, n-gram explodes, codecs, vector math) — the probes that
+    * dominate the suite. Light queries keep the plain single-stage scan.
+    *
+    * Scale-adaptive by construction: the gate fires only when the scan
+    * has FEWER partitions than the floor. A production corpus scan has
+    * thousands of splits, so at 100 TB this is a no-op — not a local[32]
+    * constant baked into plans (sortBeforeRepartition, on by default,
+    * keeps the row→partition assignment deterministic under task retry,
+    * SPARK-23207 / guide §2.5).
+    */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.conf.getOption("spark.graft.scan.minPartitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as TIMESTAMP(NANOS) in some testdata

@@ -319,7 +319,7 @@ object Frontier {
        |  plan.n_discovered, plan.n_allowed, plan.n_fetch, plan.delay_ms, plan.fetch_sec
        |FROM plan LEFT JOIN pr ON pr.host = plan.host
        |ORDER BY priority""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.spread(s, dir, "documents")
     val stage = graft.util.TempDirs.scratch("graft_pipe11")
     LinkGraph.extractLinks(LinkGraph.linkedPages(docs))
       .write.mode("overwrite").parquet(s"$stage/links")
@@ -673,7 +673,7 @@ object Frontier {
          |LEFT JOIN loopagg l ON l.host = h.host
          |ORDER BY h.host""".stripMargin
     }) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.spread(s, dir, "documents")
     val hostRe = "^[a-z0-9+.-]+://([^/:?#]+)"
     // stage the extracted links once (two consumers: base graph + rank)
     val stage = graft.util.TempDirs.scratch("graft_pipe13")

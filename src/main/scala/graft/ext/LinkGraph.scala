@@ -252,29 +252,44 @@ object LinkGraph {
     */
   def extractLinks(pages: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
-    val raw = pages
-      .select(col(urlCol).as("__u"),
-        effectiveBase(col(urlCol), col(htmlCol)).as("__b"),
-        explode(regexp_extract_all(col(htmlCol), lit(aOpenRe), lit(1))).as("__attrs"))
-      .select(col("__u"), col("__b"), hrefOfAttrs(col("__attrs")).as("__href"),
-        nofollowOfAttrs(col("__attrs")).as("nofollow"))
-      .filter(col("__href").isNotNull)
-      // entity-decode AT the HTML layer (conformant markup escapes & as
-      // &amp; inside attribute values); resolveHref itself stays
-      // markup-agnostic so the redirect tier can reuse it on raw headers.
-      // Resolution runs against the page's effective <base href>; the
-      // edge SOURCE stays the page URL.
-      .select(col("__u"),
-        resolveHref(col("__b"), decodeEntities(col("__href"))).as("__r"),
-        col("nofollow"))
-      .filter(col("__r").isNotNull)
-    val canon = raw.select(
-      graft.clean.UrlFns.canonicalUrl(col("__u")).as("src"),
-      graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"),
-      col("nofollow"))
-    canon.select(col("src"), col("dst"),
-      hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"),
-      col("nofollow"))
+    // Round-16 restructure, same values (oracle unchanged, hash-reproven):
+    // the first cut piped (explode → project href → FILTER → project
+    // resolve → FILTER), and Catalyst's filter pushdown substituted the
+    // whole resolve/base/decode tower into each Filter condition — the
+    // per-PAGE effectiveBase tree and the per-anchor resolution tower
+    // were each evaluated TWICE per anchor row (guide §4.4's duplication,
+    // for native expressions). Now ALL per-anchor work happens inside ONE
+    // generator-input expression (transform + null-filter before the
+    // explode), so nothing can be pushed below or duplicated, and the
+    // per-page values (effective base, canonical src, src host) are
+    // computed once per page: they live in a struct alias — multi-
+    // referenced and non-cheap, which CollapseProject never re-inlines
+    // into the per-element lambda.
+    //
+    // Entity-decode stays AT the HTML layer (conformant markup escapes &
+    // as &amp; inside attribute values); resolveHref itself stays
+    // markup-agnostic so the redirect tier can reuse it on raw headers.
+    // Resolution runs against the page's effective <base href>; the edge
+    // SOURCE stays the page URL.
+    val u = col(urlCol)
+    val pageSide = pages.select(struct(
+      graft.clean.UrlFns.canonicalUrl(u).as("src"),
+      effectiveBase(u, col(htmlCol)).as("b"),
+      regexp_extract_all(col(htmlCol), lit(aOpenRe), lit(1)).as("anchors"))
+      .as("__s"))
+    pageSide
+      .select(col("__s.src").as("src"),
+        hostOf(col("__s.src")).as("src_host"),
+        explode(filter(
+          transform(col("__s.anchors"), a => struct(
+            resolveHref(col("__s.b"), decodeEntities(hrefOfAttrs(a))).as("r"),
+            nofollowOfAttrs(a).as("nofollow"))),
+          s => s.getField("r").isNotNull)).as("__x"))
+      .select(col("src"),
+        graft.clean.UrlFns.canonicalUrl(col("__x.r")).as("dst"),
+        col("src_host"), col("__x.nofollow").as("nofollow"))
+      .select(col("src"), col("dst"), col("src_host"),
+        hostOf(col("dst")).as("dst_host"), col("nofollow"))
   }
 
   /** Per-page anchor LOSS accounting (ADVICE r15): [[attrRegion]] makes
@@ -745,24 +760,31 @@ object LinkGraph {
     */
   def anchorTexts(pages: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
-    val withArrays = pages.select(col(urlCol).as("__u"),
-      effectiveBase(col(urlCol), col(htmlCol)).as("__b"),
-      regexp_extract_all(col(htmlCol), lit(anchorRe), lit(1)).as("__hs"),
-      regexp_extract_all(col(htmlCol), lit(anchorRe), lit(2)).as("__ts"))
-    val pos = withArrays
-      .select(col("__u"), col("__b"),
-        posexplode(col("__hs")).as(Seq("__i", "__attrs")), col("__ts"))
-      .select(col("__u"), col("__b"), hrefOfAttrs(col("__attrs")).as("__href"),
-        element_at(col("__ts"), col("__i") + 1).as("__inner"))
-      .filter(col("__href").isNotNull)
-    pos.select(col("__u"),
-        resolveHref(col("__b"), decodeEntities(col("__href"))).as("__r"),
-        col("__inner"))
-      .filter(col("__r").isNotNull)
+    // Round-16 restructure, same values (shared oracle unchanged): ONE
+    // full-html scan (group 0 of the anchor pattern) instead of two
+    // (groups 1 and 2 extracted separately — both engines lack a
+    // multi-group extract-all, but the group split can run per ELEMENT,
+    // where re-matching the pattern on one already-isolated tag is
+    // cheap); and, as in [[extractLinks]], all per-anchor work runs
+    // inside one generator-input expression so the null filters can
+    // never duplicate the resolution tower, with the per-page base in
+    // a non-collapsible struct alias.
+    val u = col(urlCol)
+    val pageSide = pages.select(struct(
+      effectiveBase(u, col(htmlCol)).as("b"),
+      regexp_extract_all(col(htmlCol), lit(anchorRe), lit(0)).as("anchors"))
+      .as("__s"))
+    pageSide
+      .select(explode(filter(
+        transform(col("__s.anchors"), w => struct(
+          resolveHref(col("__s.b"),
+            decodeEntities(hrefOfAttrs(regexp_extract(w, anchorRe, 1)))).as("r"),
+          regexp_extract(w, anchorRe, 2).as("inner"))),
+        s => s.getField("r").isNotNull)).as("__x"))
       .select(
-        graft.clean.UrlFns.canonicalUrl(col("__r")).as("dst"),
-        hostOf(graft.clean.UrlFns.canonicalUrl(col("__r"))).as("dst_host"),
-        regexp_replace(col("__inner"), "<[^>]*>", " ").as("atext"))
+        graft.clean.UrlFns.canonicalUrl(col("__x.r")).as("dst"),
+        hostOf(graft.clean.UrlFns.canonicalUrl(col("__x.r"))).as("dst_host"),
+        regexp_replace(col("__x.inner"), "<[^>]*>", " ").as("atext"))
   }
 
   /** X-LNK3 — the ANCHOR-TEXT index: what the web calls a page is a
