@@ -39,8 +39,16 @@ object Tables {
     * keeps the row→partition assignment deterministic under task retry,
     * SPARK-23207 / guide §2.5).
     */
-  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = apply(spark, dir, name)
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spreadDf(apply(spark, dir, name))
+
+  /** The partition-floor gate of [[spread]] over an arbitrary frame —
+    * for heavy map stages whose input is a staged/train-once parquet
+    * (binary codec fixtures, persisted indexes) rather than a named
+    * testdata table.
+    */
+  def spreadDf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val target = spark.conf.getOption("spark.graft.scan.minPartitions")
       .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
     if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)

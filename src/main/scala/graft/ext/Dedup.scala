@@ -895,7 +895,7 @@ object Dedup {
       |FROM comp c JOIN q USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.spread(s, dir, "documents")
     qualitySurvivorLabels(docs, minhashPairs(docs)).orderBy("doc_id")
   }
 
@@ -927,7 +927,7 @@ object Dedup {
        |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-    val bands = minhashBandsNormalized(Tables(s, dir, "documents"))
+    val bands = minhashBandsNormalized(Tables.spread(s, dir, "documents"))
     val a = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("b_id"), col("band").as("band_b"), col("sig").as("sig_b"))
     a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("a_id") < b("b_id"))

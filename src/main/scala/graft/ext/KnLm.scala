@@ -506,7 +506,7 @@ object KnLm {
   private val txt22e = Probe(
     "x_txt22e_kn_incremental",
     knOracle("", "")) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.spread(s, dir, "documents")
     val path = graft.util.TrainOnce(s"kn_types:$dir") {
       val p = graft.util.TempDirs.scratch("graft_kn_inc")
       buildKnTypes(docs.filter(col("doc_id") % 10 =!= 0), s"$p/base")

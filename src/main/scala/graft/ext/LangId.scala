@@ -240,7 +240,7 @@ object LangId {
     * artifacts).
     */
   private def predictions(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.spread(s, dir, "documents")
       .select(col("doc_id"), col("lang"), fixtureText.as("text"))
     val prof = graft.util.TrainOnce(s"langid_prof:$dir") {
       val p = graft.util.TempDirs.scratch("graft_langid")

@@ -50,6 +50,13 @@ object Multimodal {
       build.write.mode("overwrite").parquet(p)
       p
     }
+    // NOT partition-floored (measured, round 16): spreading this read to
+    // local[32] made x_mm2b 1.17→5.36 s and x_mm5 2.31→3.99 s — the
+    // javax.imageio/javax.sound decoders serialize on the JDK's global
+    // synchronized plugin registry, so 32 concurrent decode tasks contend
+    // instead of scaling. Single-task decode is faster at this fixture
+    // size; a real binary corpus arrives in many splits and would need
+    // per-executor reader instances, not more partitions.
     spark.read.parquet(path).as[MediaRow]
   }
 

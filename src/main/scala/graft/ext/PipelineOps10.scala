@@ -880,7 +880,7 @@ object PipelineOps10 {
        |FROM sel JOIN documents d ON d.doc_id = sel.doc_id
        |JOIN t ON t.doc_id = sel.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.spread(s, dir, "documents")
     // ONE tokenization pass, materialized as a parquet stage boundary
     // (the SketchStore/x_ded21 artifact pattern): pre-round-8 this probe
     // re-ran the regex tokenizer over the corpus FOUR times (LM count

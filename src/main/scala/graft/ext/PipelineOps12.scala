@@ -61,7 +61,7 @@ object PipelineOps12 {
        |SELECT doc_id, text,
        |  CAST(len(${CleanFns.tokensDuck("text")}) AS BIGINT) AS n_words
        |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pages = crawlPages(Tables(s, dir, "documents"))
+    val pages = crawlPages(Tables.spread(s, dir, "documents"))
     graft.api.Corpus.fromHtml(pages).df
       .select(col("doc_id"), col("text"),
         size(CleanFns.tokens(col("text"))).cast("long").as("n_words"))

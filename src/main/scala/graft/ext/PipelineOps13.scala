@@ -167,7 +167,7 @@ object PipelineOps13 {
 
   private val txt23 = Probe(
     "x_txt23_gopher_repetition", repetitionOracleSql) { (s, dir) =>
-    repetitionSignals(Tables(s, dir, "documents")).orderBy("doc_id")
+    repetitionSignals(Tables.spread(s, dir, "documents")).orderBy("doc_id")
   }
 
   /** The NARROW per-row form of [[repetitionSignals]] — one JVM pass via
@@ -193,7 +193,7 @@ object PipelineOps13 {
     */
   private val txt23b = Probe(
     "x_txt23b_repetition_native", repetitionOracleSql) { (s, dir) =>
-    repetitionSignalsNative(Tables(s, dir, "documents")).orderBy("doc_id")
+    repetitionSignalsNative(Tables.spread(s, dir, "documents")).orderBy("doc_id")
   }
 
   // ------------------------------------ perplexity-bucketed curriculum

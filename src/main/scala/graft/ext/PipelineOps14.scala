@@ -374,7 +374,7 @@ object PipelineOps14 {
       d.write.mode("overwrite").parquet(s"$stage/$name")
       s.read.parquet(s"$stage/$name")
     }
-    val pages = PipelineOps12.crawlPages(Tables(s, dir, "documents"))
+    val pages = PipelineOps12.crawlPages(Tables.spread(s, dir, "documents"))
     val extracted = materialize(graft.api.Corpus.fromHtml(pages).df
       .select(col("doc_id"), col("lang"), col("text")), "extracted")
     val gated = materialize(extracted.join(

@@ -168,7 +168,7 @@ object PipelineOps5 {
       |       CAST(len(list_filter(tris, g -> list_contains(cg.commons, g))) AS BIGINT) AS n_common,
       |       (len(list_filter(tris, g -> list_contains(cg.commons, g))) * 1000000) // len(tris) AS bp_ppm
       |FROM t, cg ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    boilerplateScore(Tables(s, dir, "documents"), minDf = 5).orderBy("doc_id")
+    boilerplateScore(Tables.spread(s, dir, "documents"), minDf = 5).orderBy("doc_id")
   }
 
   val all: Seq[Probe] = Seq(cur2, txt13)

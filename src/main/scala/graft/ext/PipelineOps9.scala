@@ -125,7 +125,7 @@ object PipelineOps9 {
        |       CAST(MAX(run) + ${spanN - 1} AS BIGINT) AS span_words,
        |       CAST(SUM(run) AS BIGINT) AS n_dup_positions
        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    dupSpans(Tables(s, dir, "documents")).orderBy("doc_id")
+    dupSpans(Tables.spread(s, dir, "documents")).orderBy("doc_id")
   }
 
   /** (doc_id, max_run_grams, span_words, n_dup_positions) for every doc

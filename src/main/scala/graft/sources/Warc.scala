@@ -1237,7 +1237,7 @@ object Warc {
       val p = graft.util.TempDirs.scratch("graft_warc_bin")
       val (url, payload) = mixedCharsetFixture
       writeRecords(
-        Tables(s, dir, "documents").select(url.as("url"), payload.as("payload")),
+        Tables.spread(s, dir, "documents").select(url.as("url"), payload.as("payload")),
         s"$p/archive")
       s"$p/archive"
     }
@@ -1440,7 +1440,7 @@ object Warc {
       val ct = when(col("doc_id") % 2 === 1, lit("text/html; charset=windows-1252"))
         .when(col("doc_id") % 4 === 0, lit("text/html; charset=utf-8"))
         .otherwise(lit("text/html"))
-      val payloads = Tables(s, dir, "documents")
+      val payloads = Tables.spread(s, dir, "documents")
         .select(
           concat(lit("https://ex"), (col("doc_id") % 7).cast("string"),
             lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
