@@ -46,13 +46,59 @@ object Tables {
     * for heavy map stages whose input is a staged/train-once parquet
     * (binary codec fixtures, persisted indexes) rather than a named
     * testdata table.
+    *
+    * The partition probe reads the relation's FILE INDEX (already listed
+    * when the read was created) and replays Spark's own split packing —
+    * it never builds the frame's RDD lineage, which would run physical
+    * planning + codegen prep a second time per spread call (driver-side
+    * work that compounds on a 100 TB catalog with thousands of files;
+    * guide §5). Parity with the RDD probe is pinned by PlanAuditSpec.
     */
   def spreadDf(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.conf.getOption("spark.graft.scan.minPartitions")
       .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
-    if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target)
+    if (target > 1 && scanPartitions(df).forall(_ < target)) df.repartition(target)
     else df
+  }
+
+  /** Scan-partition count of a frame whose leaves are all file scans,
+    * computed from file-index metadata alone: Spark's split-packing
+    * algebra (FilePartition.maxSplitBytes + getFilePartitions' greedy
+    * bin close) replayed over the listed file sizes. None when any leaf
+    * is not a HadoopFsRelation — [[spreadDf]] then repartitions
+    * unconditionally, which only over-spreads a non-scan frame (safe;
+    * every production call site feeds a parquet read).
+    */
+  /** Test access to the gate's estimate (TablesSpec parity pin). */
+  private[graft] def scanPartitionsForTest(df: DataFrame): Option[Int] =
+    scanPartitions(df)
+
+  private def scanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, HadoopFsRelation, LogicalRelation}
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rels = leaves.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.size != leaves.size) None
+    else Some(rels.map { fs =>
+      val dirs = fs.location.listFiles(Nil, Nil)
+      val maxSplit = FilePartition.maxSplitBytes(df.sparkSession, dirs)
+      val openCost = df.sparkSession.sessionState.conf.filesOpenCostInBytes
+      val splits = dirs.flatMap(_.files).flatMap { f =>
+        (0L until f.getLen by maxSplit).map(off => math.min(maxSplit, f.getLen - off))
+      }.sortBy(-_)
+      // FilePartition.getFilePartitions: greedy close when the next split
+      // would overflow maxSplit; each split is charged len + openCost
+      var n = 0; var cur = 0L; var open = false
+      splits.foreach { len =>
+        if (open && cur + len > maxSplit) { n += 1; cur = 0L; open = false }
+        cur += len + openCost; open = true
+      }
+      if (open) n += 1
+      n
+    }.sum)
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =

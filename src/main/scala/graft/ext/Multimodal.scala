@@ -220,8 +220,19 @@ object Multimodal {
   def decodePngStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // ONE reader instance per task, and a memory-backed input stream
+      // constructed directly: ImageIO.read does a synchronized plugin-
+      // registry scan per CALL and ImageIO.createImageInputStream spools
+      // every payload to a temp FILE (useCache default) — both serialize
+      // concurrent decode tasks on JDK-global state (r16 measured the
+      // spread pessimization this caused; guide §4.5 init-once-per-task).
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        reader.setInput(iis, true)
+        val img = reader.read(0)
+        iis.close()
         require(img != null, s"doc ${r.doc_id}: content is not a decodable image")
         val raster = img.getRaster
         val w = img.getWidth
@@ -487,7 +498,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // memory-backed stream, constructed directly: the ImageIO factory
+        // spools to a temp FILE per call (useCache default) and consults
+        // the global registry — serial bottlenecks under concurrent tasks
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(r.content))
         reader.setInput(iis, false)
         val nf = reader.getNumImages(true)

@@ -85,35 +85,41 @@ object Scale {
     */
   def adviseJoin(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
       broadcastMaxRows: Long = 1000000L, skewRatio: Long = 8L,
-      partitions: Int = 32): JoinAdvice = {
-    // three actions (stats×2, inner product) consume each sketch — persist
-    // the <=3·65,536-row cell frames so each side scans its data ONCE
-    val ca = cmCells(a, keyA)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = cmCells(b, keyB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try adviseFrom(ca, cb, broadcastMaxRows, skewRatio, partitions)
-    finally { ca.unpersist(); cb.unpersist(): Unit }
-  }
+      partitions: Int = 32): JoinAdvice =
+    adviseFrom(cmCells(a, keyA), cmCells(b, keyB),
+      broadcastMaxRows, skewRatio, partitions)
 
+  /** ONE action over both sketches (was: 2 persist materializations + 3
+    * collects — 5 driver round-trips whose fixed job cost dwarfed the
+    * kilobytes of cells moved; guide §1.2 "don't compute things you
+    * throw away" applied to jobs). The per-side stats and the cell-wise
+    * inner product all aggregate from one tagged union: per (r, slot)
+    * the a/b cell counts meet, per r the row stats and the dot product
+    * reduce, and the final min-over-rows collapses to a single collected
+    * row. Each side's data is scanned exactly once, no persist needed —
+    * every cmCells subtree appears once in the one plan.
+    */
   private def adviseFrom(ca: DataFrame, cb: DataFrame,
       broadcastMaxRows: Long, skewRatio: Long, partitions: Int): JoinAdvice = {
-    def stats(cells: DataFrame): (Long, Long) = {
-      // coalesce: an EMPTY side aggregates to NULLs (zero rows, zero
-      // heaviest key) — advice must degrade to broadcast, not NPE
-      val r = cells.groupBy(col("r"))
-        .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))
-        .agg(coalesce(min(col("n")), lit(0L)).as("n"),
-          coalesce(min(col("mx")), lit(0L)).as("mx"))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val (na, mka) = stats(ca)
-    val (nb, mkb) = stats(cb)
-    val est = ca.alias("a")
-      .join(cb.alias("b"), col("a.r") === col("b.r") && col("a.slot") === col("b.slot"))
-      .groupBy(col("a.r")).agg(sum(col("a.c") * col("b.c")).as("dot"))
-      .agg(coalesce(min(col("dot")), lit(0L)).as("est")).collect()(0).getLong(0)
+    val cells = ca.select(col("r"), col("slot"), col("c").as("a_c"), lit(0L).as("b_c"))
+      .unionAll(cb.select(col("r"), col("slot"), lit(0L).as("a_c"), col("c").as("b_c")))
+    // coalesce: an EMPTY side aggregates to NULLs (zero rows, zero
+    // heaviest key) — advice must degrade to broadcast, not NPE
+    val r = cells
+      .groupBy(col("r"), col("slot"))
+      .agg(sum(col("a_c")).as("a_c"), sum(col("b_c")).as("b_c"))
+      .groupBy(col("r"))
+      .agg(sum(col("a_c")).as("n_a"), max(col("a_c")).as("mx_a"),
+        sum(col("b_c")).as("n_b"), max(col("b_c")).as("mx_b"),
+        sum(col("a_c") * col("b_c")).as("dot"))
+      .agg(coalesce(min(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(min(col("mx_a")), lit(0L)).as("mx_a"),
+        coalesce(min(col("n_b")), lit(0L)).as("n_b"),
+        coalesce(min(col("mx_b")), lit(0L)).as("mx_b"),
+        coalesce(min(col("dot")), lit(0L)).as("est"))
+      .collect()(0)
+    val (na, mka, nb, mkb, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     JoinAdvice(na, nb, est, mka, mkb,
       strategyFor(na, nb, mka, mkb, broadcastMaxRows, skewRatio, partitions))
   }

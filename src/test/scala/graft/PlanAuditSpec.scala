@@ -404,15 +404,21 @@ class PlanAuditSpec extends SparkSuite {
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
     // the middle-token and unigram tables are vocabulary-bounded and must
-    // broadcast; the trigram STREAM may shuffle only on its fixed-width
-    // digest key (h3) — an exchange keyed on the stream's raw trigram
-    // columns (a, b) means the type-dedup went back to shuffling token
-    // payloads. (Type-LEVEL aggs keyed on the carried `c` token — the
-    // count-distinct expansions and u2 — run over the digest-deduped
-    // type table, which is types-bounded, and are fine.)
+    // broadcast; a raw-token-keyed exchange is allowed ONLY as a type
+    // aggregation — immediately above a map-side partial aggregation, so
+    // the exchange carries per-partition-distinct trigram rows (~word
+    // bytes ≈ digest bytes for word trigrams, and the digests are then
+    // computed once per TYPE — r17). An UNAGGREGATED raw-token stream
+    // exchange means the type-dedup regressed to shuffling the full
+    // occurrence stream as token payloads.
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert("Exchange hashpartitioning\\((a|b)#".r.findFirstIn(plan).isEmpty,
-      s"raw-token-keyed STREAM exchange:\n$plan")
+    val lines = plan.linesIterator.toVector
+    val rawKeyed = lines.zipWithIndex.filter { case (l, _) =>
+      "Exchange hashpartitioning\\([^)]*\\b(a|b)#".r.findFirstIn(l).isDefined }
+    val unaggregated = rawKeyed.filterNot { case (_, i) =>
+      lines.slice(i + 1, i + 2).exists(_.contains("partial_")) }
+    assert(unaggregated.isEmpty,
+      s"raw-token-keyed exchange WITHOUT map-side combine: ${unaggregated.map(_._1)}\n$plan")
   }
 
   test("x_txt23: gram payloads shuffle as digests, never gram strings") {
