@@ -391,7 +391,9 @@ object Frontier {
     import org.apache.spark.storage.StorageLevel
     val f = edges.groupBy(col("src")).agg(min(col("dst")).as("nxt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    f.count()
+    // no separate materialization job: the walk's first evaluation below
+    // populates the cache (out.count), and every later hop join reads it —
+    // one fewer driver action per collapse (r17, guide §1.2 on job count)
     var state = f.select(col("src").as("start"), col("nxt").as("cur"),
       lit(1).as("hops"))
     var k = 1

@@ -375,22 +375,32 @@ object LinkGraph {
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nE = edgesC.count()
-    if (nE == 0) {
+    // ONE probing job decides empty/local/distributed (was: count, then a
+    // second collect job for the local path — r17, guide §1.2 applied to
+    // job count): collecting at most localMaxEdges+1 rows proves either
+    // that we already hold the whole graph (proceed locally, no second
+    // pass) or that it exceeds the local bound (the distributed path
+    // below re-reads the persisted frame).
+    // clamp below at 0 so a forced-distributed gate (localMaxEdges < 0,
+    // the spec's route pin) still probes one row for the emptiness check
+    val probeN = math.max(0L, math.min(localMaxEdges, (Int.MaxValue - 2).toLong)).toInt + 1
+    val head = edgesC.limit(probeN).collect()
+    if (head.isEmpty) {
       // fail BEFORE registering more cache entries, and drop the one
       // already made — a driver catching this and retrying must not
       // accumulate persisted frames (the no-leak property the spec pins)
       edgesC.unpersist()
       throw new IllegalArgumentException("pageRankHosts: empty graph")
     }
-    if (nE <= localMaxEdges) {
+    if (head.length < probeN) {
       // LOCAL endgame (the connectedComponents localClosure gate): a
       // host graph under the bound is megabytes — iterating it as 5
       // distributed rounds pays persist+count+plan cycles to shuffle
       // kilobytes (measured: ~2 s of job churn for a 7-host fixture).
       // Same integer recurrence on the driver; LinkGraphSpec pins
-      // local ≡ distributed.
-      val es = edgesC.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // local ≡ distributed. (Result is row-order independent: sums and
+      // a sorted vertex table only.)
+      val es = head.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       edgesC.unpersist()
       val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toArray.sorted
       val n = verts.length.toLong

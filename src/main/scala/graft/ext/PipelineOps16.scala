@@ -209,6 +209,9 @@ object PipelineOps16 {
       Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$runDir/a")
     val a = s.read.parquet(s"$runDir/a")
+    // survivor frames deliberately NOT spread (measured r17, same-run
+    // A/B: spreads cost 0.8 s net here — the round-robin exchange of the
+    // kilobyte text rows outweighs the saved map time)
     val survA = a.filter(col("is_exact") === 0)
     survA
       .join(BandIndex.collidingNewIds(survA, BandIndex.load(s, s"$art/bands_idx"))
@@ -434,6 +437,10 @@ object PipelineOps16 {
     val docs = Tables(s, dir, "documents")
     val emb = Tables(s, dir, "embeddings")
     val released = docs.filter(col("doc_id") % 4 =!= 0)
+    // NOT spread (measured r17, same-run A/B): round-robin repartition of
+    // the shard's text payload — evaluated twice by the stage-A self-join
+    // shape, with sortBeforeRepartition's local sort — cost more than the
+    // ~4-task Bloom tier saved (flags path 3.42 s unspread vs 4.25 s)
     val shard = pipe8Shard(docs)
     val art = graft.util.TrainOnce(s"pipe8:$dir") {
       val p = graft.util.TempDirs.scratch("graft_pipe8")

@@ -282,9 +282,13 @@ object PipelineOps9 {
        |  SELECT COUNT(*) AS n FROM la JOIN ob ON la.k = ob.k)
        |SELECT CAST(exact.n AS BIGINT) AS n_exact, CAST(MIN(ip.dot) AS BIGINT) AS n_est
        |FROM exact, ip GROUP BY exact.n ORDER BY n_exact""".stripMargin) { (s, dir) =>
+    // md5 ONCE per row in a projection below the explode (the generator
+    // input is evaluated without subexpression elimination, so the inline
+    // form computed the digest three times per row — r17 plan audit)
     def side(df: DataFrame): DataFrame = df
+      .select(md5(col("k")).as("m"))
       .select(explode(array((0 until 3).map(r =>
-        struct(lit(r).as("r"), substring(md5(col("k")), 1 + 4 * r, 4).as("slot"))): _*))
+        struct(lit(r).as("r"), substring(col("m"), 1 + 4 * r, 4).as("slot"))): _*))
         .as("rs"))
       .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
       .agg(count(lit(1)).as("c"))
@@ -295,7 +299,11 @@ object PipelineOps9 {
         col("a.r") === col("b.r") && col("a.slot") === col("b.slot"))
       .groupBy(col("a.r"))
       .agg(sum(col("a.c") * col("b.c")).as("dot"))
-    val exact = la.alias("x").join(ob.alias("y"), col("x.k") === col("y.k"))
+    // exact join on the raw LONG keys (cast-to-string is injective, so the
+    // count is identical; long hash/compare beats string)
+    val exact = Tables(s, dir, "lineitem").select(col("l_orderkey").as("xk"))
+      .join(Tables(s, dir, "orders").select(col("o_orderkey").as("yk")),
+        col("xk") === col("yk"))
       .agg(count(lit(1)).as("n_exact"))
     exact.join(ip)
       .groupBy(col("n_exact"))

@@ -61,6 +61,27 @@ object ProfileKn {
     timed("x_txt22 knScore full") { noop(KnLm.knScore(docs, docs)) }
     timed("x_txt22 staged variant") { noop(KnLm.knScoreStagedForProfile(docs)) }
 
+    // ---- stored-path (x_txt22d / pipe8-KN) table-side fixed costs ----
+    val storePath = graft.util.TrainOnce(s"kn_store:$sfDir") {
+      val p = graft.util.TempDirs.scratch("graft_kn_store")
+      KnLm.buildKn(docs, p)
+      p
+    }
+    def tables = KnLm.loadKnTables(spark, storePath)
+    timed("stored: t3 noop") { noop(tables.t3) }
+    timed("stored: ctx agg noop") { noop(tables.ctx) }
+    timed("stored: mid agg noop") { noop(tables.mid) }
+    timed("stored: u2 noop") { noop(tables.u2) }
+    timed("stored: sc noop") { noop(tables.sc) }
+    import spark.implicits._
+    val oneDoc = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    timed("stored: score 1-row stream (fixed cost)") {
+      noop(KnLm.knScoreWithTok(PipelineOps10.docTokens(oneDoc), tables))
+    }
+    timed("x_txt22d full (stored)") {
+      noop(KnLm.knScoreWithTok(PipelineOps10.docTokens(docs), tables))
+    }
+
     // cardinalities: is the type/occurrence ratio worth per-type digests?
     val tok = PipelineOps10.docTokens(sdocs)
     val tri = KnLm.trigramsTok(tok)

@@ -42,11 +42,42 @@ object ProfilePipe8 {
     val docs = Tables(spark, sfDir, "documents")
     // build the train-once artifacts (not timed; TrainOnce caches them)
     noop(PipelineOps16.pipe8ForProfile(spark, sfDir))
-    val art = graft.util.TrainOnce(s"pipe8:$sfDir")(
+    val art = graft.util.TrainOnce[String](s"pipe8:$sfDir")(
       sys.error("artifacts must already exist"))
     val shard = PipelineOps16.pipe8ShardForProfile(docs)
 
     timed("x_pipe8 full steady") { noop(PipelineOps16.pipe8ForProfile(spark, sfDir)) }
+    timed("x_pipe8 full steady (spreads OFF)") {
+      spark.conf.set("spark.graft.scan.minPartitions", "1")
+      try noop(PipelineOps16.pipe8ForProfile(spark, sfDir))
+      finally spark.conf.unset("spark.graft.scan.minPartitions")
+    }
+    timed("flags only (spreads ON)") {
+      noop(PipelineOps16.pipe8FlagsForProfile(spark, art,
+        Tables.spreadDf(PipelineOps16.pipe8ShardForProfile(docs)),
+        graft.util.TempDirs.scratch("p8prof_fl_on")))
+    }
+    timed("flags only (spreads OFF)") {
+      spark.conf.set("spark.graft.scan.minPartitions", "1")
+      try noop(PipelineOps16.pipe8FlagsForProfile(spark, art,
+        PipelineOps16.pipe8ShardForProfile(docs),
+        graft.util.TempDirs.scratch("p8prof_fl_off")))
+      finally spark.conf.unset("spark.graft.scan.minPartitions")
+    }
+    // hypothesis: keep the stage writes at their existing shuffle's
+    // partition count (no AQE coalesce) so the read-backs parallelize
+    // WITHOUT any new exchange
+    timed("flags only (no AQE coalesce, spreads OFF)") {
+      spark.conf.set("spark.graft.scan.minPartitions", "1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try noop(PipelineOps16.pipe8FlagsForProfile(spark, art,
+        PipelineOps16.pipe8ShardForProfile(docs),
+        graft.util.TempDirs.scratch("p8prof_fl_nc")))
+      finally {
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.unset("spark.graft.scan.minPartitions")
+      }
+    }
     timed("shard render only") { noop(shard) }
     timed("A: bloom mark+stage") {
       val run = graft.util.TempDirs.scratch("p8prof_a")

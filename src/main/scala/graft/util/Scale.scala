@@ -129,8 +129,12 @@ object Scale {
     */
   def cmCells(df: DataFrame, key: String): DataFrame = df
     .select(col(key).cast("string").as("k"))
+    // md5 once per row in a projection: the generator input below gets no
+    // subexpression elimination, so inlining the digest into the three
+    // struct fields evaluated it three times per row (r17 plan audit)
+    .select(md5(col("k")).as("m"))
     .select(explode(array((0 until 3).map(r =>
-      struct(lit(r).as("r"), substring(md5(col("k")), 1 + 4 * r, 4).as("slot"))): _*))
+      struct(lit(r).as("r"), substring(col("m"), 1 + 4 * r, 4).as("slot"))): _*))
       .as("rs"))
     .groupBy(col("rs.r").as("r"), col("rs.slot").as("slot"))
     .agg(count(lit(1)).as("c"))
